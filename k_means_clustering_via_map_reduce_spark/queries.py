@@ -1,0 +1,567 @@
+"""The declared relational query surface (SURVEY.md §2.3, Q1-Q18).
+
+The reference implements none of this directly — its MapReduce substrate
+(scan → partition → shuffle → group → aggregate → sink, master.py:215-258)
+*implies* these capabilities, and the engine contract (BASELINE.json north
+star) requires them as a general relational surface. Every query here is:
+
+- a declarative DataFrame build (Catalyst owns pushdown/pruning/join
+  strategy; zero hand scheduling — SURVEY.md §4),
+- deterministic: total ORDER BY on a unique key, floats rounded to 4
+  decimals (the reference's own sink precision, master.py:266),
+- paired with an ANSI-SQL DuckDB oracle with IDENTICAL column names and
+  types (int-valued derived columns cast to bigint on the Spark side to
+  match DuckDB's BIGINT).
+
+Registry: ``QUERIES[name](spark, sf_dir) -> DataFrame`` and
+``ORACLE_SQL[name]``; extension operators (operators/*) register here too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from k_means_clustering_via_map_reduce_spark.session import configure
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query builder; wraps it so externally-built sessions
+    (the verify driver's) get engine confs applied first."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def r4(c) -> F.Column:
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary: scan + filter + hash agg + sort.
+# Engine form of the reference's only agg pattern (grouped mean,
+# reducer.py:116-132) widened to sum/avg/count with partial+final agg from
+# Catalyst (SURVEY.md O11/O12).
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                            AS sum_qty,
+           round(sum(l_extendedprice), 4)                       AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)    AS sum_disc_price,
+           round(avg(l_quantity), 4)                            AS avg_qty,
+           round(avg(l_extendedprice), 4)                       AS avg_price,
+           round(avg(l_discount), 4)                            AS avg_disc,
+           count(*)                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — projection + filter + sort + limit (σ/π the reference lacks, §2.2).
+# --------------------------------------------------------------------------
+@query(
+    "q2_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 100000
+    ORDER BY o_orderkey LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — inner equi-join + agg. The closest reference analogue is the
+# broadcast-centroid × points dataflow (O4+O6); here a real hash join.
+# --------------------------------------------------------------------------
+@query(
+    "q3_join_agg",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS order_count,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            r4(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — 5-way star join. Dims are explicitly broadcast (the 100 TB plan:
+# fact table never shuffles for dim joins; AQE confirms at runtime).
+# --------------------------------------------------------------------------
+@query(
+    "q4_star_join",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — left outer join + IS NULL (customers with zero orders).
+# --------------------------------------------------------------------------
+@query(
+    "q5_left_join_null",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    ORDER BY c_custkey
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — left SEMI join (EXISTS).
+# --------------------------------------------------------------------------
+@query(
+    "q6_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — left ANTI join (NOT EXISTS).
+# --------------------------------------------------------------------------
+@query(
+    "q7_anti_join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    ORDER BY p_partkey
+    """,
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — top-k: Spark plans TakeOrderedAndProject (no global sort at scale).
+# --------------------------------------------------------------------------
+@query(
+    "q8_top_k",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — distinct aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q9_distinct_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — ranking window: latest order per customer.
+# --------------------------------------------------------------------------
+@query(
+    "q10_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1 ORDER BY o_custkey
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — analytic window with explicit ROWS frame (running sum).
+# --------------------------------------------------------------------------
+@query(
+    "q11_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_total
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        r4(F.sum("o_totalprice").over(w)).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Q12 — set operations: (A EXCEPT B) UNION ALL (A INTERSECT B).
+# A = high-balance custkeys, B = BUILDING-segment custkeys.
+# --------------------------------------------------------------------------
+@query(
+    "q12_set_ops",
+    oracle="""
+    SELECT c_custkey FROM (
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       EXCEPT
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      UNION ALL
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       INTERSECT
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    ) ORDER BY c_custkey
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.exceptAll(b.intersect(a)).union(a.intersect(b)).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Q13 — scalar function sweep (string/date/math). The reference's entire
+# scalar surface is sqrt/pow/mean/%.4f (SURVEY.md §2.2); this is the
+# engine's general pyspark.sql.functions surface.
+# --------------------------------------------------------------------------
+@query(
+    "q13_scalar_sweep",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderstatus)                            AS status_u,
+           substr(o_orderpriority, 1, 1)                   AS prio_first,
+           CAST(length(o_orderpriority) AS BIGINT)         AS prio_len,
+           concat(o_orderstatus, '-', o_orderpriority)     AS status_prio,
+           CAST(year(o_orderdate) AS BIGINT)               AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)              AS order_month,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+           round(o_totalprice * 0.1, 4)                    AS price_tenth,
+           round(abs(o_totalprice - 200000), 4)            AS abs_diff
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.upper("o_orderstatus").alias("status_u"),
+            F.substring("o_orderpriority", 1, 1).alias("prio_first"),
+            F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+            # DATE kept as yyyy-MM-dd string: DuckDB's pandas bridge turns
+            # DATE into midnight timestamps, which would sabotage the hash.
+            F.date_format(
+                F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd"
+            ).alias("due_date"),
+            r4(F.col("o_totalprice") * 0.1).alias("price_tenth"),
+            r4(F.abs(F.col("o_totalprice") - 200000)).alias("abs_diff"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — ROLLUP (grouping sets). NULLS FIRST pinned on both sides.
+# --------------------------------------------------------------------------
+@query(
+    "q14_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_custs,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            r4(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — time bucketing (batch form of a tumbling window; K4's oracle).
+# --------------------------------------------------------------------------
+@query(
+    "q15_time_bucket",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — pivot-style conditional aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "q16_conditional_agg",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 4)
+             AS qty_returned,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END), 4)
+             AS qty_accepted,
+           round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4)
+             AS hi_disc_revenue,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            r4(
+                F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0))
+            ).alias("qty_returned"),
+            r4(
+                F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_quantity")).otherwise(0.0))
+            ).alias("qty_accepted"),
+            r4(
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05,
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                )
+            ).alias("hi_disc_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — exact deduplication (hash groupBy on full text; the canonical
+# keep-lowest-id policy). Scale path: a single hash shuffle on text —
+# for 100 TB, group on md5(text) instead to shrink shuffle width (same
+# result for exact dup semantics modulo md5 collisions).
+# --------------------------------------------------------------------------
+@query(
+    "q17_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — text stats (string functions + agg).
+# --------------------------------------------------------------------------
+@query(
+    "q18_text_stats",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(length(text)), 4) AS avg_text_len
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+            r4(F.avg(F.length("text"))).alias("avg_text_len"),
+        )
+        .orderBy("source", "lang")
+    )

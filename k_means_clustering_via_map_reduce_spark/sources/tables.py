@@ -1,0 +1,82 @@
+"""Table sources with explicit schemas.
+
+The reference's only source is a hand-rolled ``x,y``-per-line text parser
+(master.py:12-16, mapper.py:107-111). The engine's canonical storage is
+Parquet with explicit schemas everywhere — ``inferSchema`` is prohibited
+(SURVEY.md §1.5) so scans stay deterministic and column-prunable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events parquet stores TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects. With ``spark.sql.legacy.parquet.nanosAsLong=true`` the
+    column arrives as nanoseconds-since-epoch; convert with integer
+    division (``DIV`` — a double round-trip would lose precision at the
+    ~1.7e18 magnitude) and truncate to microseconds, exactly matching
+    DuckDB's own ns→us truncation.
+    """
+    df = spark.read.parquet(path)
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every engine table for one scale factor."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's input format: one ``x,y`` float pair per line, no
+    header (master.py:12-16, Input/points1.txt). Row order is semantically
+    significant (first-K init, master.py:27-30), so attach a stable
+    ``row_idx`` from the file line order.
+
+    Engine precision decision: float64 end-to-end; the reference's float32
+    gRPC coercion is an artifact, not a semantic (SURVEY.md §1.2, §7.4).
+    """
+    df = (
+        spark.read.schema("x DOUBLE, y DOUBLE")
+        .option("header", "false")
+        .csv(path)
+    )
+    # Line order within a file == parquet/csv read order per partition;
+    # for the tiny parity fixtures a single file yields a stable index.
+    from pyspark.sql.window import Window
+
+    return df.withColumn(
+        "row_idx",
+        F.row_number().over(
+            Window.orderBy(F.monotonically_increasing_id())
+        )
+        - 1,
+    )
