@@ -17,9 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import k_means_clustering_via_map_reduce_spark.queries as _Q
 
-# Importing these registers the extension-operator and streaming queries.
-import k_means_clustering_via_map_reduce_spark.operators  # noqa: F401
-import k_means_clustering_via_map_reduce_spark.streaming  # noqa: F401
+_Q.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,286 @@
+"""K-Means kernels.
+
+K1 — ``lloyd_fit``: DataFrame Lloyd's with the reference's exact iteration
+semantics (SURVEY.md §2.3 K1, §7.4):
+
+- deterministic init: first K rows in input order (master.py:27-30),
+- assignment: argmin over centroids, ties to the LOWEST index
+  (mapper.py:28 ``list.index(min(...))``),
+- update: per-cluster component-wise mean (reducer.py:116-132),
+- convergence: max centroid move ≤ tol (0.001, master.py:32-41) — but
+  matched BY CLUSTER ID, fixing the reference's positional compare over a
+  racily-ordered file (§7.4),
+- empty clusters are dropped and K shrinks permanently (the reference's
+  observable behavior: a cluster with no points produces no reducer
+  output, and master.py:258 adopts the shorter list),
+- precision: float64 end-to-end (the reference's float32 is a gRPC wire
+  artifact we do not replicate, §1.2); ``%.4f`` only at the sink
+  (master.py:266).
+
+Execution shape per iteration: one narrow projection (assignment — a
+literal-centroid broadcast, no join, no shuffle) + one groupBy over at
+most K groups (partial aggregation map-side, so the shuffle moves only
+K·dim·partitions values, not the data). The input is cached once. This is
+the whole reference architecture — M mappers, R reducers, M·R shuffle
+files, gRPC barriers (master.py:215-258) — reduced to K rows of driver
+state per iteration, and it scales to any row count Spark can scan.
+
+K2 — ``mllib_fit``: the production path via ``pyspark.ml.clustering``
+(n-dim, KMeans|| init, DataFrame-native) for when reference-parity init
+is not required.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.functions.vector import nearest_centroid
+
+
+@dataclass
+class LloydResult:
+    centroids: list[tuple[float, ...]]  # final centroids, cluster_id = index
+    iterations: int
+    converged: bool
+    history: list[list[tuple[float, ...]]] = field(default_factory=list)
+
+    def formatted(self) -> list[str]:
+        """The reference's sink format: '%.4f,%.4f' per centroid
+        (master.py:266)."""
+        return [",".join(f"{v:.4f}" for v in c) for c in self.centroids]
+
+
+def _features_col(feature_cols: tuple[str, ...]) -> F.Column:
+    return F.array(*[F.col(c).cast("double") for c in feature_cols])
+
+
+def lloyd_fit(
+    df: DataFrame,
+    k: int,
+    feature_cols: tuple[str, ...] = ("x", "y"),
+    order_col: str = "row_idx",
+    max_iter: int = 20,
+    tol: float = 1e-3,
+) -> LloydResult:
+    feats = df.select(
+        _features_col(tuple(feature_cols)).alias("features"),
+        F.col(order_col).alias("__ord"),
+    ).cache()
+    try:
+        first_k = feats.orderBy("__ord").limit(k).collect()
+        centroids = [tuple(r["features"]) for r in first_k]
+
+        iterations = 0
+        converged = False
+        history: list[list[tuple[float, ...]]] = []
+        dim = len(centroids[0])
+        for _ in range(max_iter):
+            iterations += 1
+            assigned = feats.withColumn(
+                "cluster_id", nearest_centroid(F.col("features"), centroids)
+            )
+            means = (
+                assigned.groupBy("cluster_id")
+                .agg(
+                    *[
+                        F.avg(F.col("features")[i]).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            by_id = {
+                r["cluster_id"]: tuple(r[f"m{i}"] for i in range(dim))
+                for r in means
+            }
+            # Empty clusters drop out (no group emitted); K shrinks, ids
+            # renumber by old-id order — reference semantics (§7.4).
+            new_centroids = [by_id[i] for i in sorted(by_id)]
+            history.append(new_centroids)
+            if len(new_centroids) == len(centroids):
+                max_move = max(
+                    math.dist(old, new)
+                    for old, new in zip(centroids, new_centroids)
+                )
+                centroids = new_centroids
+                if max_move <= tol:
+                    converged = True
+                    break
+            else:
+                centroids = new_centroids
+        return LloydResult(centroids, iterations, converged, history)
+    finally:
+        feats.unpersist()
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[tuple[float, ...]],
+    feature_cols: tuple[str, ...] = ("x", "y"),
+) -> DataFrame:
+    """Label rows with their nearest-centroid id (the map stage,
+    mapper.py:31-36, as a narrow projection)."""
+    return df.withColumn(
+        "cluster_id",
+        nearest_centroid(_features_col(tuple(feature_cols)), centroids),
+    )
+
+
+def centroids_df(spark: SparkSession, result: LloydResult) -> DataFrame:
+    """Centroids as a DataFrame sink, 4-decimal rounded like the
+    reference's centroids.txt (master.py:264-266)."""
+    dim = len(result.centroids[0])
+    rows = [
+        (i, *[round(v, 4) for v in c]) for i, c in enumerate(result.centroids)
+    ]
+    schema = "cluster_id INT, " + ", ".join(f"c{i} DOUBLE" for i in range(dim))
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def mllib_fit(
+    df: DataFrame,
+    k: int,
+    feature_cols: tuple[str, ...] | None = None,
+    array_col: str | None = None,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    seed: int = 42,
+):
+    """K2: MLlib KMeans (n-dim production path). Accepts either scalar
+    ``feature_cols`` or an existing array column ``array_col``.
+
+    Returns (model, predictions DataFrame with 'prediction' column).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if array_col is not None:
+        vec = df.withColumn(
+            "__features", array_to_vector(F.col(array_col).cast("array<double>"))
+        )
+    else:
+        cols = tuple(feature_cols or ("x", "y"))
+        vec = df.withColumn(
+            "__features", array_to_vector(_features_col(cols))
+        )
+    model = (
+        KMeans(k=k, maxIter=max_iter, tol=tol, seed=seed, featuresCol="__features")
+        .fit(vec)
+    )
+    return model, model.transform(vec).withColumnRenamed("prediction", "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# Query-surface registration (SURVEY.md §2.3 K1/K2).
+#
+# K1 gets a FULL SQL oracle: Lloyd's with a fixed iteration count unrolls
+# into plain relational algebra (assign = argmin correlated subquery,
+# update = group-avg), so DuckDB can replay the exact kernel. The engine
+# runs with tol=0 — early stop only at an exact fixed point, where extra
+# unrolled SQL iterations are no-ops, keeping both sides identical.
+# --------------------------------------------------------------------------
+from k_means_clustering_via_map_reduce_spark.queries import ORACLE_SQL, QUERIES, query  # noqa: E402
+
+_K1_K = 4
+_K1_ITERS = 5
+
+
+def _lloyd_oracle_sql(k: int, iters: int) -> str:
+    """Generate the unrolled DuckDB Lloyd's for the embeddings table's
+    first two dimensions (1-based list indexing in DuckDB)."""
+    ctes = [
+        "pts AS MATERIALIZED (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,"
+        " CAST(embedding[2] AS DOUBLE) AS y FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x, y"
+        f" FROM (SELECT vec_id, x, y FROM pts ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT p.vec_id, p.x, p.y,"
+            f" (SELECT c.cid FROM {prev} c"
+            f"  ORDER BY (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) ASC,"
+            f"  c.cid ASC LIMIT 1) AS cid FROM pts p)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT row_number() OVER (ORDER BY cid) - 1 AS cid,"
+            f" ax AS x, ay AS y FROM"
+            f" (SELECT cid, avg(x) AS ax, avg(y) AS ay FROM a{i} GROUP BY cid))"
+        )
+    ctes.append(
+        f"af AS (SELECT (SELECT c.cid FROM c{iters} c"
+        f" ORDER BY (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) ASC,"
+        f" c.cid ASC LIMIT 1) AS cid FROM pts p)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT c.cid AS cluster_id, round(c.x, 4) AS cx, round(c.y, 4) AS cy,
+           coalesce(n.n_points, 0) AS n_points
+    FROM c{iters} c LEFT JOIN
+         (SELECT cid, count(*) AS n_points FROM af GROUP BY cid) n USING (cid)
+    ORDER BY cluster_id
+    """
+    )
+
+
+@query("k1_kmeans_lloyd", oracle=_lloyd_oracle_sql(_K1_K, _K1_ITERS))
+def k1_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 on the embeddings table's first two dims: k=4, 5 iterations,
+    reference iteration semantics (first-K init by vec_id, lowest-index
+    ties, empty-cluster drop)."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        F.col("vec_id"),
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    res = lloyd_fit(
+        df, k=_K1_K, order_col="vec_id", max_iter=_K1_ITERS, tol=0.0
+    )
+    counts = (
+        assign_clusters(df, res.centroids)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    cents = spark.createDataFrame(
+        [(i, c[0], c[1]) for i, c in enumerate(res.centroids)],
+        schema="cluster_id INT, x DOUBLE, y DOUBLE",
+    )
+    return (
+        cents.join(counts, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.round("x", 4).alias("cx"),
+            F.round("y", 4).alias("cy"),
+            F.coalesce(F.col("n_points"), F.lit(0)).cast("bigint").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query("k2_kmeans_mllib")
+def k2_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 production path: MLlib KMeans over the full 64-dim embedding
+    column (seeded). No SQL oracle (KMeans|| init is not expressible in
+    SQL) — correctness is covered by pytest property tests; the driver
+    records the rows-only check."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, preds = mllib_fit(emb, k=8, array_col="embedding", max_iter=10, seed=42)
+    return (
+        preds.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_dim0"),
+        )
+        .orderBy("cluster_id")
+    )

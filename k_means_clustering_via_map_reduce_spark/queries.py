@@ -32,6 +32,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def load_all() -> None:
+    """Import every module that registers query-surface entries."""
+    import k_means_clustering_via_map_reduce_spark.kmeans  # noqa: F401
+    import k_means_clustering_via_map_reduce_spark.operators  # noqa: F401
+    import k_means_clustering_via_map_reduce_spark.streaming  # noqa: F401
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query builder; wraps it so externally-built sessions
     (the verify driver's) get engine confs applied first."""

@@ -67,6 +67,8 @@ def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
     df = (
         spark.read.schema("x DOUBLE, y DOUBLE")
         .option("header", "false")
+        .option("ignoreLeadingWhiteSpace", "true")
+        .option("ignoreTrailingWhiteSpace", "true")
         .csv(path)
     )
     # Line order within a file == parquet/csv read order per partition;

@@ -1,0 +1,42 @@
+"""Pure-Python Lloyd's oracle (FIXTURES.md §1.3): the ~30-line reference
+implementation of the K1 semantics — first-K init, lowest-index tie-break,
+component-wise mean, id-matched max-move ≤ tol stop, empty-cluster drop.
+Used to check the DataFrame kernel, never executed on Spark.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def lloyd_oracle(
+    points: list[tuple[float, ...]], k: int, max_iter: int, tol: float = 1e-3
+):
+    centroids = [tuple(p) for p in points[:k]]
+    iterations = 0
+    converged = False
+    for _ in range(max_iter):
+        iterations += 1
+        groups: dict[int, list[tuple[float, ...]]] = {}
+        for p in points:
+            dists = [math.dist(p, c) for c in centroids]
+            cid = dists.index(min(dists))  # lowest-index tie-break
+            groups.setdefault(cid, []).append(p)
+        new_centroids = [
+            tuple(
+                sum(p[d] for p in groups[cid]) / len(groups[cid])
+                for d in range(len(points[0]))
+            )
+            for cid in sorted(groups)
+        ]
+        if len(new_centroids) == len(centroids):
+            max_move = max(
+                math.dist(o, n) for o, n in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if max_move <= tol:
+                converged = True
+                break
+        else:
+            centroids = new_centroids
+    return centroids, iterations, converged

@@ -8,9 +8,7 @@ import pytest
 import k_means_clustering_via_map_reduce_spark.queries as Q
 from tests.oracle_utils import compare_to_oracle
 
-# Importing operator modules registers their queries into the registry.
-import k_means_clustering_via_map_reduce_spark.operators  # noqa: F401
-import k_means_clustering_via_map_reduce_spark.streaming  # noqa: F401
+Q.load_all()
 
 
 def oracled_names() -> list[str]:
