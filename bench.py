@@ -1,0 +1,66 @@
+"""Benchmark harness: run every registered engine query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end: plan build + execution + collect().
+Result sets are presentation-sized (the large tables only ever leave
+aggregates/top-k), so collect() measures engine work, not driver I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from k_means_clustering_via_map_reduce_spark.session import get_spark
+
+import k_means_clustering_via_map_reduce_spark.queries as Q
+
+Q.load_all()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="kmce-bench")
+
+    # Warm the JVM / codegen / parquet footer caches with a trivial action
+    # so the first timed query doesn't absorb session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(Q.QUERIES.items()):
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(
+            f"# {name}: {dt:.3f}s ({len(rows)} rows)",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

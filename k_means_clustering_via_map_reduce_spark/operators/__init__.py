@@ -1,3 +1,8 @@
 """Extension operators: dedup, similarity search, text analysis,
 multimodal plumbing. Importing this package registers their query-surface
 entries into ``queries.QUERIES`` / ``queries.ORACLE_SQL``."""
+
+import k_means_clustering_via_map_reduce_spark.operators.dedup  # noqa: F401
+import k_means_clustering_via_map_reduce_spark.operators.multimodal  # noqa: F401
+import k_means_clustering_via_map_reduce_spark.operators.similarity  # noqa: F401
+import k_means_clustering_via_map_reduce_spark.operators.text  # noqa: F401

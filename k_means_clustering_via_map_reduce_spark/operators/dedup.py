@@ -1,0 +1,322 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables: exact (q17, queries.py), n-gram jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design (100 TB): the quadratic verifiers (jaccard, cosine) exist as
+oracled CORRECTNESS anchors on bounded candidate sets; the scale paths are
+the sub-quadratic ones — MinHash banding and SimHash banding — whose
+shuffles are (doc, band_key) pairs (linear in corpus size) followed by
+joins inside small buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.functions.text import shingles
+from k_means_clustering_via_map_reduce_spark.functions.vector import (
+    cosine_similarity,
+)
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+# MinHash parameters: 32 permutations, 16 bands × 2 rows. For jaccard
+# j=0.5 the candidate probability is 1-(1-0.5^2)^16 ≈ 0.99; every
+# candidate is verified with exact jaccard, so precision is 1.0.
+MINHASH_PERMS = 32
+MINHASH_BANDS = 16
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # hamming ≤ 3 guarantees ≥ 1 of 4 16-bit bands equal
+SIMHASH_MAX_HAMMING = 3
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    )
+
+
+def _pair_jaccard(a: DataFrame, b: DataFrame, on) -> DataFrame:
+    """Exact jaccard over pre-distinct shingle arrays for candidate
+    pairs."""
+    return (
+        a.alias("a")
+        .join(b.alias("b"), on)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup by n-gram jaccard, blocked by language — the oracled
+# correctness anchor. Deliberately quadratic-within-block; the MinHash
+# operator below is the scale path and is tested against this one.
+# --------------------------------------------------------------------------
+@query(
+    "d1_jaccard_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingled(spark, sf_dir)
+    pairs = _pair_jaccard(
+        s,
+        s,
+        [
+            F.col("a.lang") == F.col("b.lang"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    )
+    return (
+        pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", r4(F.col("jaccard")).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding — the sub-quadratic scale path.
+# --------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """Per-document MinHash signature: sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure expressions, one pass, no shuffle."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(perms)
+        ]
+    )
+    return docs.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """Band the signature, hash each band, self-join per bucket.
+    Shuffle volume: bands rows per doc (linear), join keyed on
+    (band_id, band_hash) so only same-bucket docs ever meet."""
+    rows = MINHASH_PERMS // bands
+    banded = signed.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select("a.doc_id", "a.sh", F.col("b.doc_id").alias("b_doc_id"), F.col("b.sh").alias("b_sh"))
+        .dropDuplicates(["doc_id", "b_doc_id"])
+    )
+
+
+@query("d2_minhash_lsh_pairs")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact jaccard.
+    No SQL oracle (xxhash64 banding is Spark-internal); pytest checks
+    recall against d1_jaccard_pairs, and the driver records rows-only.
+    """
+    s = _shingled(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(s))
+    verified = cands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("b_doc_id").alias("b_id"),
+        (
+            F.size(F.array_intersect("sh", "b_sh"))
+            / F.size(F.array_union("sh", "b_sh"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return verified.select(
+        "a_id", "b_id", r4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# SimHash — 64-bit fingerprint; hamming-band blocking.
+# --------------------------------------------------------------------------
+def _simhash_udf():
+    """64-bit SimHash as an Arrow-batched pandas UDF (the one legitimately
+    bit-twiddly operator here — a pure-expression form needs 64 nested
+    folds and bloats codegen). md5-based, so fully deterministic across
+    runs, partitionings and machines; python_simhash in tests/ is the
+    oracle."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = set(t.strip().split(" "))
+            votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            sim = 0
+            for b in range(SIMHASH_BITS):
+                if votes[b] > 0:
+                    sim |= 1 << b
+            if sim >= 2**63:
+                sim -= 2**64
+            out[i] = sim
+        return pd.Series(out)
+
+    return simhash
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("simhash", _simhash_udf()(F.col(text_col)))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Candidate pairs by 16-bit band equality (pigeonhole: hamming ≤ 3
+    over 4 bands ⇒ some band equal), verified by exact popcount of XOR."""
+    sh = with_simhash(docs).select("doc_id", "simhash")
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@query("d3_simhash_pairs")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3). Rows-only for the driver;
+    pytest pins determinism and cross-checks against a Python oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(d).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup — oracled on a bounded id range.
+# --------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.35
+COSINE_DUP_MAX_ID = 1500  # bounds the quadratic oracle anchor
+
+
+@query(
+    "d4_embedding_dup_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < {COSINE_DUP_MAX_ID}
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {COSINE_DUP_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ threshold over a bounded id range
+    (the correctness anchor; the unbounded scale path is LSH blocking in
+    operators/similarity.py)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < COSINE_DUP_MAX_ID)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    )
+    return (
+        pairs.filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .select("a_id", "b_id", r4(F.col("cos_sim")).alias("cos_sim"))
+        .orderBy("a_id", "b_id")
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths, per the scale design:
+- ``s1_cosine_topk``: brute-force cosine top-k — broadcast the (small)
+  query set against the full corpus, rank with a window. Oracled in SQL.
+  This is the correctness baseline AND the right plan whenever the query
+  set is broadcastable: the corpus is scanned once, no shuffle of the
+  corpus itself, only (n_queries × k) rows survive the window.
+- ``s2_lsh_topk``: signed-random-projection LSH — deterministic
+  hyperplanes, band blocking, exact cosine re-rank inside buckets.
+  Sub-quadratic; recall is checked against s1 in pytest (driver records
+  rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from k_means_clustering_via_map_reduce_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+)
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+TOPK_N_QUERIES = 20
+TOPK_K = 5
+
+LSH_PLANES = 24
+LSH_BANDS = 8
+LSH_ROWS = LSH_PLANES // LSH_BANDS
+LSH_SEED = 42
+EMBEDDING_DIM = 64
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = TOPK_K
+) -> DataFrame:
+    """Cosine top-k of every query against the corpus. The query side is
+    explicitly broadcast; ties break to the lower neighbor id."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = corpus.alias("c").join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("cos_sim")).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "s1_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {TOPK_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.v, e.v))) AS cos,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.qv, e.v)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(e.v, e.v))) DESC,
+                        e.vec_id ASC) AS rank
+      FROM q JOIN e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim
+    FROM scored WHERE rank <= {TOPK_K}
+    ORDER BY query_id, rank
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return brute_force_topk(e, q).orderBy("query_id", "rank")
+
+
+def _hyperplanes(dim: int = EMBEDDING_DIM, planes: int = LSH_PLANES, seed: int = LSH_SEED):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def srp_sketch(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Signed-random-projection sketch: bit p = sign(v · plane_p),
+    packed into per-band integers. Hyperplanes are literal constants in
+    the plan (deterministic seed) — no join, no shuffle, one pass."""
+    planes = _hyperplanes()
+    band_cols = []
+    for b in range(LSH_BANDS):
+        acc = F.lit(0)
+        for r in range(LSH_ROWS):
+            p = planes[b * LSH_ROWS + r]
+            proj = dot(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])
+            )
+            acc = acc * 2 + F.when(proj >= 0, 1).otherwise(0)
+        band_cols.append(acc.alias(f"band_{b}"))
+    return df.select("*", *band_cols)
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = TOPK_K
+) -> DataFrame:
+    """ANN top-k: candidates = corpus vectors sharing ≥1 LSH band with the
+    query, re-ranked by exact cosine. Scale shape: per band, an equi-join
+    on the band value — the corpus shuffles once per band on a small int
+    key; no quadratic blow-up."""
+    c = srp_sketch(corpus)
+    q = srp_sketch(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+        "qv",
+    )
+    per_band = [
+        c.join(
+            F.broadcast(
+                q.select(
+                    "query_id", "qv", F.col(f"band_{b}").alias("qband")
+                )
+            ),
+            F.col(f"band_{b}") == F.col("qband"),
+        ).select("query_id", "qv", "vec_id", "v")
+        for b in range(LSH_BANDS)
+    ]
+    cands = per_band[0]
+    for nxt in per_band[1:]:
+        cands = cands.union(nxt)
+    cands = cands.filter(F.col("query_id") != F.col("vec_id")).dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("cos_sim")).alias("cos_sim"),
+        )
+    )
+
+
+@query("s2_lsh_topk")
+def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via SRP-LSH banding + exact re-rank. Rows-only
+    for the driver; pytest measures recall vs s1_cosine_topk."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return lsh_topk(e, q).orderBy("query_id", "rank")

@@ -1,0 +1,163 @@
+"""Text-analysis operators for a training-data pipeline: token stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All four are pure JVM-side expressions (no Python UDFs) over the
+``documents`` table, each with an exact DuckDB oracle. At 100 TB these are
+narrow per-row projections — no shuffle except the final presentation
+sort, which a pipeline deployment would drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.functions.text import (
+    min_shingle_md5_fingerprint,
+    tokens,
+)
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# Marker tokens per language for the n-gram language-ID heuristic.
+# (The fixture corpus is synthetic shared-vocabulary text, so the point is
+# deterministic pipeline shape, not linguistic accuracy.)
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "les", "et"),
+}
+
+
+@query(
+    "t1_token_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT)                 AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT)  AS n_distinct,
+           round(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr
+    FROM d ORDER BY doc_id
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct count, type-token
+    ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        r4(F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+def _quality_expr():
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return r4(
+        0.5 * F.least(F.lit(1.0), n_tok / 30.0)
+        + 0.3 * (n_dist / n_tok)
+        + 0.2 * (1.0 - n_stop / n_tok)
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "t2_quality_score",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+           round(0.5 * least(1.0, len(w) / 30.0)
+                 + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+                 + 0.2 * (1.0 - len(list_filter(w, t -> t IN ({_STOP_SQL}))) * 1.0 / len(w)),
+                 4) AS quality
+    FROM d ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + lexical diversity
+    + inverse stopword density, in [0, 1]."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _quality_expr().alias("quality")).orderBy("doc_id")
+
+
+def _marker_count(markers: tuple[str, ...]):
+    # NB: a `lambda t, m=markers:` default-arg closure would change the
+    # lambda's arity — PySpark would pass the array index as `m`.
+    def pred(t):
+        return t.isin(*markers)
+
+    return pred
+
+
+def _lang_scores():
+    toks = tokens(F.col("text"))
+    return {
+        lang: F.size(F.filter(toks, _marker_count(markers))).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+@query(
+    "t3_lang_id",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+           CAST(len(list_filter(w, t -> t IN ('the','a','of')))   AS BIGINT) AS en_score,
+           CAST(len(list_filter(w, t -> t IN ('der','die','und'))) AS BIGINT) AS de_score,
+           CAST(len(list_filter(w, t -> t IN ('el','la','que')))  AS BIGINT) AS es_score,
+           CAST(len(list_filter(w, t -> t IN ('le','les','et')))  AS BIGINT) AS fr_score
+    FROM d)
+    SELECT doc_id, en_score, de_score, es_score, fr_score,
+           CASE WHEN en_score >= greatest(de_score, es_score, fr_score) THEN 'en'
+                WHEN de_score >= greatest(es_score, fr_score) THEN 'de'
+                WHEN es_score >= fr_score THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with a deterministic en>de>es>fr
+    tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = _lang_scores()
+    scored = d.select("doc_id", *[c.alias(f"{lang}_score") for lang, c in scores.items()])
+    en, de, es, fr = (F.col(f"{lg}_score") for lg in ("en", "de", "es", "fr"))
+    return scored.withColumn(
+        "predicted_lang",
+        F.when(en >= F.greatest(de, es, fr), "en")
+        .when(de >= F.greatest(es, fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "t4_fingerprint",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(w) >= 5 THEN
+             list_min(list_transform(generate_series(1, len(w) - 4),
+                      i -> md5(array_to_string(w[i:i+4], ' '))))
+           ELSE md5(array_to_string(w, ' ')) END AS fingerprint
+    FROM d ORDER BY doc_id
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-md5 over 5-word shingles: a 1-permutation MinHash usable as a
+    rolling-hash-style near-dup blocking key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        min_shingle_md5_fingerprint(F.col("text"), 5).alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -10,6 +10,9 @@ local[N] test runs.
 from __future__ import annotations
 
 import os
+import tempfile
+import uuid
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -34,6 +37,31 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable on executor Python workers.
+
+    Pandas UDF / mapInPandas closures are cloudpickled with by-reference
+    imports of this package; when the driver (e.g. the verify harness)
+    runs from a cwd outside the repo, workers cannot resolve them. Zip the
+    package once and ``addPyFile`` it — Spark distributes the zip and puts
+    it on every worker's sys.path, locally and on a real cluster alike.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_kmce_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="kmce_pkg_")
+    zpath = os.path.join(staging, f"kmce_engine_{uuid.uuid4().hex[:8]}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    sc._kmce_pkg_shipped = True
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply engine-required runtime confs to an externally-built session."""
     for key, value in _RUNTIME_CONFS.items():
@@ -42,6 +70,7 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Static conf on this build — leave whatever the session has.
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,194 @@
+"""Structured Streaming pipelines (SURVEY.md §2.3 K4).
+
+The reference is strictly batch (iterative barriers, master.py:215-258);
+streaming is engine extension surface. Three pieces:
+
+- ``stream_tumbling_counts``: a REAL streaming query — parquet file
+  source → event-time tumbling window + watermark → memory sink,
+  ``Trigger.AvailableNow`` so it terminates deterministically. Complete
+  output mode makes the terminal state equal the batch aggregate, which
+  is exactly the SQL oracle (``q15``-shaped).
+- ``session_windows``: ``F.session_window`` aggregation (the same
+  stateful operator streaming uses, exercised in batch where it is
+  SQL-oracle-checkable via gaps-and-islands).
+- ``run_incremental``: helper for tests to drive a watermarking stream
+  file-by-file and observe late-data drops in append mode.
+
+Scale: event-time windows + watermark state are per-key and bounded by
+the watermark horizon; shuffle is (window, key)-hashed. At 100 TB/day the
+knobs are watermark delay (state size) and
+``spark.sql.shuffle.partitions`` for the stateful stage.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+SESSION_GAP = "30 minutes"
+TUMBLE = "1 hour"
+WATERMARK = "10 minutes"
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str, stage_dir: str) -> str:
+    """The file stream source requires a DIRECTORY of files (its basePath
+    check rejects a bare single-file path like events.parquet), so stage
+    the events table into one — this also bakes in the ns→NTZ conversion,
+    keeping the streaming schema identical to the batch loader's."""
+    out = os.path.join(stage_dir, "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """The windowed aggregation, shared by the streaming query and its
+    batch-equivalence oracle.
+
+    Watermarks demand TIMESTAMP (with timezone); the engine's canonical
+    event time is TIMESTAMP_NTZ. Under the pinned UTC session timezone
+    the NTZ→LTZ cast is wall-clock-preserving, and window bounds are cast
+    back to NTZ on output so oracle comparisons stay naive-UTC.
+    """
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window aggregation as a genuine streaming query
+    to a memory sink (complete mode, AvailableNow) and return the final
+    table, shaped identically to the batch q15 oracle."""
+    name = f"tumbling_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="kmce_stream_") as tmp:
+        events_dir = _stage_events_dir(spark, sf_dir, tmp)
+        ckpt = os.path.join(tmp, "ckpt")
+        q = (
+            tumbling_agg(_events_stream(spark, events_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    result = spark.table(name).select(
+        F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    # Materialize before the memory sink table goes stale, then drop it.
+    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@query(
+    "k4_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type
+    """,
+)
+def stream_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 oracled entry: the terminal complete-mode state of the
+    streaming tumbling aggregation must equal the batch hourly rollup
+    (1h windows are epoch-aligned, so window.start == date_trunc)."""
+    return stream_tumbling_counts(spark, sf_dir).orderBy("hour_ts", "event_type")
+
+
+def session_windows(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap).alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "k4_session_windows",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user. Spark merges an event into
+    a session iff it lands strictly before last_event + gap, i.e. a gap
+    ≥ 30 min starts a new session — mirrored exactly by the
+    gaps-and-islands oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev).orderBy("user_id", "session_start")
+
+
+def run_incremental(
+    spark: SparkSession,
+    src_dir: str,
+    agg_builder,
+    output_mode: str = "append",
+):
+    """Test helper: start a file-source stream over ``src_dir`` (parquet
+    files appear over time), return (query, table_name). Caller feeds
+    files, calls ``query.processAllAvailable()``, inspects
+    ``spark.table(table_name)``, and stops the query."""
+    name = f"inc_{uuid.uuid4().hex[:12]}"
+    schema = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    q = (
+        agg_builder(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    return q, name

@@ -9,6 +9,14 @@ from __future__ import annotations
 import math
 
 
+def _euclid(a: tuple[float, ...], b: tuple[float, ...]) -> float:
+    """Naive sqrt-of-sum-of-squares, matching the reference's
+    euclidean_distance (mapper.py:23-24) and the engine's SQL expression —
+    NOT math.dist, whose internal rescaling avoids the denormal underflow
+    both the reference and the engine exhibit (and hypothesis finds)."""
+    return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+
 def lloyd_oracle(
     points: list[tuple[float, ...]], k: int, max_iter: int, tol: float = 1e-3
 ):
@@ -19,7 +27,7 @@ def lloyd_oracle(
         iterations += 1
         groups: dict[int, list[tuple[float, ...]]] = {}
         for p in points:
-            dists = [math.dist(p, c) for c in centroids]
+            dists = [_euclid(p, c) for c in centroids]
             cid = dists.index(min(dists))  # lowest-index tie-break
             groups.setdefault(cid, []).append(p)
         new_centroids = [
@@ -31,7 +39,7 @@ def lloyd_oracle(
         ]
         if len(new_centroids) == len(centroids):
             max_move = max(
-                math.dist(o, n) for o, n in zip(centroids, new_centroids)
+                _euclid(o, n) for o, n in zip(centroids, new_centroids)
             )
             centroids = new_centroids
             if max_move <= tol:

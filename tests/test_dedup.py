@@ -1,0 +1,103 @@
+"""Dedup operator tests: MinHash-LSH recall vs the exact-jaccard anchor,
+SimHash determinism vs a pure-Python oracle (SURVEY.md §5.2-style
+kernel-vs-oracle checks)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+import k_means_clustering_via_map_reduce_spark.queries as Q
+
+Q.load_all()
+
+
+def pairs_set(df, a="a_id", b="b_id"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def python_shingles(text: str, n: int = 3) -> frozenset[str]:
+    w = text.strip().split(" ")
+    if len(w) < n:
+        return frozenset([" ".join(w)])
+    return frozenset(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+
+
+@pytest.fixture(scope="module")
+def true_pairs(spark, sf_dir):
+    """UNBLOCKED brute-force jaccard ground truth (pure Python).
+    d1_jaccard_pairs blocks by lang, so it is a subset; LSH has no such
+    block and must be judged against the full truth."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sh = {r["doc_id"]: python_shingles(r["text"]) for r in docs}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.5:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir, true_pairs):
+    """Banding (16 bands × 2 rows) promises ≥99% candidate probability at
+    j=0.5; the exact-jaccard verification makes precision 1.0 against the
+    unblocked ground truth. Recall target ≥ 0.9 (K3 contract)."""
+    assert true_pairs, "fixture should contain planted near-duplicates"
+    lsh = pairs_set(Q.QUERIES["d2_minhash_lsh_pairs"](spark, sf_dir))
+    assert lsh <= true_pairs, f"false positives: {sorted(lsh - true_pairs)[:5]}"
+    recall = len(lsh & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"recall {recall} < 0.9 ({len(lsh)}/{len(true_pairs)})"
+
+
+def test_blocked_jaccard_is_subset_of_truth(spark, sf_dir, true_pairs):
+    blocked = pairs_set(Q.QUERIES["d1_jaccard_pairs"](spark, sf_dir))
+    assert blocked <= true_pairs
+
+
+def python_simhash(text: str) -> int:
+    """Pure-Python oracle mirroring operators.dedup._simhash_udf."""
+    votes = [0] * 64
+    for tok in set(text.strip().split(" ")):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sim = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sim |= 1 << b
+    return sim - 2**64 if sim >= 2**63 else sim
+
+
+def test_simhash_matches_python_oracle(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import with_simhash
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    got = {r["doc_id"]: r["simhash"] for r in with_simhash(docs).collect()}
+    want = {
+        r["doc_id"]: python_simhash(r["text"]) for r in docs.collect()
+    }
+    assert got == want
+
+
+def test_simhash_pairs_hamming_verified(spark, sf_dir):
+    """Every emitted pair must satisfy the hamming bound (banding is only
+    a candidate filter)."""
+    df = Q.QUERIES["d3_simhash_pairs"](spark, sf_dir)
+    rows = df.collect()
+    for r in rows:
+        assert r["hamming"] <= 3
+
+
+def test_embedding_dup_pairs_symmetric_threshold(spark, sf_dir):
+    df = Q.QUERIES["d4_embedding_dup_pairs"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "threshold should yield pairs at this scale"
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert r["cos_sim"] >= 0.35 - 1e-9

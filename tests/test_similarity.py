@@ -1,0 +1,72 @@
+"""Similarity-search tests: brute-force exactness (vs a numpy oracle) and
+LSH recall (K3 contract: recall ≥ lower bound at small scale)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import k_means_clustering_via_map_reduce_spark.queries as Q
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+Q.load_all()
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def numpy_topk(ids, mat, n_queries=20, k=5):
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in range(n_queries):
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cand = [(-cos[j], ids[j]) for j in range(len(ids)) if ids[j] != ids[qi]]
+        cand.sort()
+        out[int(ids[qi])] = [int(v) for _, v in cand[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, sf_dir, vectors):
+    ids, mat = vectors
+    want = numpy_topk(ids, mat)
+    got: dict[int, list[int]] = {}
+    for r in Q.QUERIES["s1_cosine_topk"](spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == want
+
+
+def test_lsh_topk_recall(spark, sf_dir, vectors):
+    ids, mat = vectors
+    want = numpy_topk(ids, mat)
+    got: dict[int, list[int]] = {}
+    for r in Q.QUERIES["s2_lsh_topk"](spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    hits = total = 0
+    for q, neighbors in want.items():
+        total += len(neighbors)
+        hits += len(set(neighbors) & set(got.get(q, [])))
+    recall = hits / total
+    # Near-uniform random embeddings are the adversarial case for SRP-LSH
+    # (top-1 cosine ≈ 0.4 → weak bit agreement); 8 bands × 3 bits gives
+    # ~0.5+ expected recall there, far higher on genuinely clustered data.
+    assert recall >= 0.4, f"LSH recall {recall} too low"
+
+
+def test_lsh_is_subset_ranked_consistently(spark, sf_dir):
+    """LSH results must be exact-cosine-ranked within candidates: for any
+    query, ranks are 1..n with strictly non-increasing cos_sim."""
+    rows = Q.QUERIES["s2_lsh_topk"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))

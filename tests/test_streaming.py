@@ -1,0 +1,112 @@
+"""K4 streaming tests: batch-equivalence via the oracle harness runs in
+test_queries_oracle; here — deterministic replay of a watermarking stream
+and late-data drop semantics (SURVEY.md §5.2-6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+    run_incremental,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, schema="event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _agg(stream):
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+
+
+@pytest.mark.timeout(300)
+def test_watermark_drops_late_rows_in_append_mode(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 5)
+
+    with tempfile.TemporaryDirectory(prefix="kmce_stream_") as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # Batch 1: events in hour 0 and hour 2. Watermark advances to
+        # max(ts) - 10min = 02:05-0:10 → hour-0 window closes and emits.
+        _write_batch(
+            spark,
+            src,
+            [
+                (1, t0, 10, 1.0),
+                (2, t0 + dt.timedelta(minutes=10), 10, 1.0),
+                (3, t0 + dt.timedelta(hours=2), 11, 1.0),
+            ],
+        )
+        q, name = run_incremental(spark, src, _agg)
+        try:
+            q.processAllAvailable()
+            emitted_1 = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+            # Hour-0 window (2 events) must be finalized and emitted.
+            assert emitted_1.get(dt.datetime(2024, 1, 1, 0, 0)) == 2
+
+            # Batch 2: a LATE hour-0 event (beyond watermark) plus a new
+            # hour-3 event to advance time further.
+            _write_batch(
+                spark,
+                src,
+                [
+                    (4, t0 + dt.timedelta(minutes=1), 12, 1.0),  # late, dropped
+                    (5, t0 + dt.timedelta(hours=3), 11, 1.0),
+                ],
+            )
+            q.processAllAvailable()
+            # Another empty-ish batch so hour-2 can finalize via the new
+            # watermark.
+            _write_batch(spark, src, [(6, t0 + dt.timedelta(hours=4), 11, 1.0)])
+            q.processAllAvailable()
+            time.sleep(0.5)
+            final = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+            # The late event must NOT bump hour 0 — append mode emitted it
+            # once, count stays 2 and no duplicate/updated row appears.
+            hour0_rows = [
+                r for r in spark.table(name).collect()
+                if r["ws"] == dt.datetime(2024, 1, 1, 0, 0)
+            ]
+            assert len(hour0_rows) == 1
+            assert hour0_rows[0]["n"] == 2
+            # Hour-2 window eventually emitted with exactly 1 event.
+            assert final.get(dt.datetime(2024, 1, 1, 2, 0)) == 1
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+
+
+def test_session_window_gap_boundary(spark):
+    """An event exactly `gap` after the last one starts a NEW session
+    (Spark merges only when ts < previous end)."""
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        session_windows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 1, 1.0),
+            (2, t0 + dt.timedelta(minutes=29, seconds=59), 1, 1.0),  # merges
+            (3, t0 + dt.timedelta(minutes=59, seconds=59) + dt.timedelta(minutes=30), 1, 1.0),  # exactly at end → new
+        ],
+        schema="event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE",
+    )
+    rows = session_windows(df).orderBy("session_start").collect()
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 2
+    assert rows[1]["n_events"] == 1
