@@ -31,9 +31,20 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="kmce-bench")
 
-    # Warm the JVM / codegen / parquet footer caches with a trivial action
-    # so the first timed query doesn't absorb session startup.
+    # Warm the JVM / codegen / parquet footer caches AND the Python UDF
+    # worker pool (fork + numpy/pandas import across all cores) with
+    # trivial actions, so the first timed query doesn't absorb session
+    # startup. Workers are reused afterwards (spark.python.worker.reuse).
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    import pandas as _pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s: _pd.Series) -> _pd.Series:
+        return s
+
+    spark.range(100_000, numPartitions=64).select(_noop(col("id"))).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -17,11 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k_means_clustering_via_map_reduce_spark.functions.text import shingles
-from k_means_clustering_via_map_reduce_spark.functions.vector import (
-    cosine_similarity,
-)
 from k_means_clustering_via_map_reduce_spark.queries import query, r4
-from k_means_clustering_via_map_reduce_spark.sources import load_table
+from k_means_clustering_via_map_reduce_spark.sources import load_table, spread
 
 # MinHash parameters: 32 permutations, 16 bands × 2 rows. For jaccard
 # j=0.5 the candidate probability is 1-(1-0.5^2)^16 ≈ 0.99; every
@@ -37,10 +34,12 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
-        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
-    )
+        "doc_id",
+        "lang",
+        shingles(F.col("text"), 3).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
 
 
 def _pair_jaccard(a: DataFrame, b: DataFrame, on) -> DataFrame:
@@ -90,12 +89,20 @@ def _pair_jaccard(a: DataFrame, b: DataFrame, on) -> DataFrame:
 )
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingled(spark, sf_dir)
+    # Broadcast the build side: the join key (lang) has ~unit cardinality,
+    # so a shuffle join would collapse to #langs tasks; a broadcast hash
+    # join keeps the probe side's full partitioning. The size-ratio
+    # predicates are a LOSSLESS prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so any pair failing them is below threshold — most pairs are
+    # discarded on two integer compares before touching the shingle sets.
     pairs = _pair_jaccard(
         s,
-        s,
+        F.broadcast(s),
         [
             F.col("a.lang") == F.col("b.lang"),
             F.col("a.doc_id") < F.col("b.doc_id"),
+            F.col("a.n_sh") >= JACCARD_THRESHOLD * F.col("b.n_sh"),
+            F.col("b.n_sh") >= JACCARD_THRESHOLD * F.col("a.n_sh"),
         ],
     )
     return (
@@ -271,7 +278,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3). Rows-only for the driver;
     pytest pins determinism and cross-checks against a Python oracle."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     return simhash_pairs(d).orderBy("a_id", "b_id")
 
 
@@ -304,16 +313,31 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: cosine ≥ threshold over a bounded id range
     (the correctness anchor; the unbounded scale path is LSH blocking in
     operators/similarity.py)."""
+    from k_means_clustering_via_map_reduce_spark.functions.vector import (
+        dot,
+        vector_norm,
+    )
+
+    # Precompute each vector's norm ONCE (O(n·dim)) so the quadratic stage
+    # does one dot product + one divide per pair instead of dot + two norm
+    # recomputations (3× less work), with the SAME floating-point operation
+    # order as the SQL oracle. Spread the probe side so the broadcast
+    # nested-loop join fans out across all cores instead of inheriting the
+    # single-row-group scan's one partition.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < COSINE_DUP_MAX_ID)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", vector_norm(F.col("v")))
     )
-    a, b = e.alias("a"), e.alias("b")
+    a, b = spread(e).alias("a"), F.broadcast(e).alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("a_id"),
         F.col("b.vec_id").alias("b_id"),
-        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        (
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos_sim"),
     )
     return (
         pairs.filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)

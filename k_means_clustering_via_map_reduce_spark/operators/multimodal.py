@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k_means_clustering_via_map_reduce_spark.queries import query
-from k_means_clustering_via_map_reduce_spark.sources import load_table
+from k_means_clustering_via_map_reduce_spark.sources import load_table, spread
 
 MEDIA_SCHEMA = (
     "doc_id BIGINT, blob BINARY, media_type STRING, declared_w INT, declared_h INT"
@@ -101,7 +101,7 @@ def media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing, oracled: text → binary payload →
     mapInPandas byte stats. DuckDB checks via strlen (fixture text is
     UTF-8 where bytes == strlen's byte count)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = attach_fake_media(docs)
     return (
         media_features(media)

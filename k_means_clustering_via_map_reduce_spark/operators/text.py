@@ -17,7 +17,7 @@ from k_means_clustering_via_map_reduce_spark.functions.text import (
     tokens,
 )
 from k_means_clustering_via_map_reduce_spark.queries import query, r4
-from k_means_clustering_via_map_reduce_spark.sources import load_table
+from k_means_clustering_via_map_reduce_spark.sources import load_table, spread
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -46,7 +46,7 @@ LANG_MARKERS = {
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct count, type-token
     ratio."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -86,7 +86,7 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length saturation + lexical diversity
     + inverse stopword density, in [0, 1]."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", _quality_expr().alias("quality")).orderBy("doc_id")
 
 
@@ -128,7 +128,7 @@ def _lang_scores():
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID with a deterministic en>de>es>fr
     tie-break."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     scores = _lang_scores()
     scored = d.select("doc_id", *[c.alias(f"{lang}_score") for lang, c in scores.items()])
     en, de, es, fr = (F.col(f"{lg}_score") for lg in ("en", "de", "es", "fr"))
@@ -156,7 +156,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-md5 over 5-word shingles: a 1-permutation MinHash usable as a
     rolling-hash-style near-dup blocking key."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         min_shingle_md5_fingerprint(F.col("text"), 5).alias("fingerprint"),

@@ -3,6 +3,13 @@ from k_means_clustering_via_map_reduce_spark.sources.tables import (
     load_table,
     load_tables,
     read_points_csv,
+    spread,
 )
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "read_points_csv"]
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "read_points_csv",
+    "spread",
+]

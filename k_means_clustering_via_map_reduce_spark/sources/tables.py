@@ -50,6 +50,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame up to the cluster's default
+    parallelism when its scan would otherwise under-parallelize.
+
+    Rationale: the test fixtures are single-row-group parquet files, so a
+    scan yields ONE partition and every downstream narrow op (pandas UDFs,
+    pair-join probe sides, signature computation) runs on one core. On a
+    real cluster reading 100 TB the input already has thousands of splits
+    and this is a no-op (cur >= target). The repartition shuffle moves only
+    the small side once — cheap relative to the compute it parallelizes.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every engine table for one scale factor."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
