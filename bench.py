@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from k_means_clustering_via_map_reduce_spark.session import get_spark
@@ -37,11 +39,10 @@ def main() -> None:
     # startup. Workers are reused afterwards (spark.python.worker.reuse).
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    import pandas as _pd
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("long")
-    def _noop(s: _pd.Series) -> _pd.Series:
+    def _noop(s: pd.Series) -> pd.Series:
         return s
 
     spark.range(100_000, numPartitions=64).select(_noop(col("id"))).count()

@@ -42,23 +42,6 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_sh", F.size("sh"))
 
 
-def _pair_jaccard(a: DataFrame, b: DataFrame, on) -> DataFrame:
-    """Exact jaccard over pre-distinct shingle arrays for candidate
-    pairs."""
-    return (
-        a.alias("a")
-        .join(b.alias("b"), on)
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            (
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh"))
-            ).alias("jaccard"),
-        )
-    )
-
-
 # --------------------------------------------------------------------------
 # Near-dup by n-gram jaccard, blocked by language — the oracled
 # correctness anchor. Deliberately quadratic-within-block; the MinHash
@@ -88,26 +71,49 @@ def _pair_jaccard(a: DataFrame, b: DataFrame, on) -> DataFrame:
     """,
 )
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact jaccard via an inverted-index co-occurrence join — the
+    scalable formulation, never materializing the quadratic pair space:
+
+      explode shingles → self-join on (lang, shingle) → count matches per
+      doc pair → J = |A∩B| / (|A|+|B| - |A∩B|).
+
+    Shuffle volume is the posting list (≈ docs × shingles-per-doc, linear)
+    keyed on the shingle itself — high cardinality, so parallelism is
+    data-sized rather than #langs-sized, and only doc pairs sharing ≥ 1
+    shingle ever appear downstream. The size-ratio predicates are a
+    LOSSLESS prune (J <= min/max sizes). At 100 TB the one extra guard
+    this needs is a posting-frequency cap (drop shingles occurring in
+    > F docs, à la prefix filtering) to bound c² blow-up on hot shingles;
+    the fixtures' max posting is 14 so it is not wired in here.
+    """
     s = _shingled(spark, sf_dir)
-    # Broadcast the build side: the join key (lang) has ~unit cardinality,
-    # so a shuffle join would collapse to #langs tasks; a broadcast hash
-    # join keeps the probe side's full partitioning. The size-ratio
-    # predicates are a LOSSLESS prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-    # so any pair failing them is below threshold — most pairs are
-    # discarded on two integer compares before touching the shingle sets.
-    pairs = _pair_jaccard(
-        s,
-        F.broadcast(s),
-        [
-            F.col("a.lang") == F.col("b.lang"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-            F.col("a.n_sh") >= JACCARD_THRESHOLD * F.col("b.n_sh"),
-            F.col("b.n_sh") >= JACCARD_THRESHOLD * F.col("a.n_sh"),
-        ],
+    ex = s.select(
+        "doc_id", "lang", "n_sh", F.explode("sh").alias("sg")
     )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            [
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n_sh") >= JACCARD_THRESHOLD * F.col("b.n_sh"),
+                F.col("b.n_sh") >= JACCARD_THRESHOLD * F.col("a.n_sh"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
     return (
-        pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", r4(F.col("jaccard")).alias("jaccard"))
+        inter.filter(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", r4(jac).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
 
@@ -206,15 +212,26 @@ def _simhash_udf():
     def simhash(texts: pd.Series) -> pd.Series:
         out = np.empty(len(texts), dtype=np.int64)
         shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        # token → ±1 vote vector, cached across the batch: corpora share
+        # vocabulary heavily, so distinct-token count ≪ total tokens and
+        # the md5 cost amortizes to near-zero per document.
+        votes_of: dict[str, object] = {}
         for i, t in enumerate(texts):
             toks = set(t.strip().split(" "))
-            votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            rows = []
             for tok in toks:
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                votes += np.where(bits == 1, 1, -1)
+                v = votes_of.get(tok)
+                if v is None:
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8], "big"
+                        )
+                    )
+                    bits = (h >> shifts) & np.uint64(1)
+                    v = np.where(bits == 1, 1, -1).astype(np.int64)
+                    votes_of[tok] = v
+                rows.append(v)
+            votes = np.sum(rows, axis=0)
             sim = 0
             for b in range(SIMHASH_BITS):
                 if votes[b] > 0:

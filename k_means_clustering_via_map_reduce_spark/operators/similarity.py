@@ -208,3 +208,112 @@ def lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return lsh_topk(e, q).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# IVF — inverted-file ANN: coarse k-means quantizer + cell-probed search.
+# --------------------------------------------------------------------------
+IVF_NLIST = 16
+IVF_NPROBE = 8
+IVF_SEED = 42
+
+
+def _cell_probe_udf(centers, n_probe: int):
+    """pandas UDF: the ``n_probe`` nearest coarse-quantizer cells per
+    vector (squared-L2, ties by cell id via stable argsort), one numpy
+    matmul per Arrow batch. ``centers`` is a closure constant shipped once
+    per executor — the coarse codebook is small by construction."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centers)  # (nlist, dim)
+    c_sq = (c * c).sum(axis=1)  # (nlist,)
+
+    @pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy())  # (n, dim)
+        # argmin over ||v - c||² == argmin over c·c - 2 v·c  (v·v constant)
+        d = c_sq[None, :] - 2.0 * (mat @ c.T)  # (n, nlist)
+        cells = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(
+            np.int32
+        )
+        return pd.Series(list(cells))
+
+    return probe
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK_K,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """ANN top-k via an IVF index: train a coarse k-means quantizer
+    (MLlib, seeded), assign every corpus vector to its nearest cell, and
+    search each query only in its ``nprobe`` closest cells with exact
+    cosine re-ranking.
+
+    Scale shape: training samples/aggregates to ``nlist`` centers (driver
+    state is the codebook only); cell assignment is one narrow matmul
+    pass; the search is an equi-join on cell id with the tiny query side
+    broadcast — per-query work drops from |corpus| to
+    ~|corpus|·nprobe/nlist, and the corpus is never shuffled."""
+    from k_means_clustering_via_map_reduce_spark.kmeans import mllib_fit
+
+    model, _ = mllib_fit(
+        corpus, k=nlist, array_col="v", max_iter=10, seed=IVF_SEED
+    )
+    centers = [ctr.tolist() for ctr in model.clusterCenters()]
+
+    assign = _cell_probe_udf(centers, 1)
+    probe = _cell_probe_udf(centers, nprobe)
+
+    c = (
+        spread(corpus)
+        .withColumn("cell", assign(F.col("v"))[0])
+        .withColumn("nrm", vector_norm(F.col("v")))
+    )
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            vector_norm(F.col("v")).alias("qnrm"),
+        )
+        .withColumn("cell", F.explode(probe(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("cos_sim")).alias("cos_sim"),
+        )
+    )
+
+
+@query("s3_ivf_topk")
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (cell-probed) index. Rows-only for
+    the driver; pytest measures recall vs s1_cosine_topk."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return ivf_topk(e, q).orderBy("query_id", "rank")

@@ -70,3 +70,34 @@ def test_lsh_is_subset_ranked_consistently(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         sims = [r["cos_sim"] for r in rs]
         assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_ivf_topk_recall(spark, sf_dir, vectors):
+    """IVF probes nprobe/nlist of the corpus; on near-uniform random
+    embeddings cell membership is weakly correlated with the true top-k,
+    so the bound is the probed fraction plus margin; clustered data does
+    far better."""
+    ids, mat = vectors
+    want = numpy_topk(ids, mat)
+    got: dict[int, list[int]] = {}
+    for r in Q.QUERIES["s3_ivf_topk"](spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    hits = total = 0
+    for q, neighbors in want.items():
+        total += len(neighbors)
+        hits += len(set(neighbors) & set(got.get(q, [])))
+    recall = hits / total
+    assert recall >= 0.4, f"IVF recall {recall} too low"
+
+
+def test_ivf_is_ranked_consistently(spark, sf_dir):
+    rows = Q.QUERIES["s3_ivf_topk"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "no IVF results"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
