@@ -1,0 +1,17 @@
+from k_means_clustering_via_map_reduce_spark.plans.introspect import (
+    broadcast_hash_join_count,
+    count_shuffles,
+    physical_plan,
+    pushed_filters,
+    scan_read_schemas,
+    whole_stage_codegen_spans,
+)
+
+__all__ = [
+    "broadcast_hash_join_count",
+    "count_shuffles",
+    "physical_plan",
+    "pushed_filters",
+    "scan_read_schemas",
+    "whole_stage_codegen_spans",
+]

@@ -1,0 +1,73 @@
+"""Physical-plan introspection.
+
+The reference has no optimizer and no plans to inspect — its dataflow is
+hard-coded (SURVEY.md §4.1) and its only observability is print/dump-file
+logging (master.py:21-24, mapper.py:74-77). The engine's equivalent
+observability surface is Catalyst's physical plan; these helpers turn it
+into assertable facts so tests can pin the SCALE properties — filters
+reaching the parquet scan, dimension tables broadcast, shuffle counts,
+whole-stage-codegen coverage — not just result correctness. A plan
+regression (lost pushdown, join flipping to sort-merge) fails CI here
+long before it becomes a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted physical plan (what ``df.explain('formatted')``
+    prints), as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan. Every one is a
+    full materialize-and-repartition of its input — the unit of cost that
+    dominates at scale (the reference's equivalent was M·R partition
+    files + M·R gRPC fetches per iteration, SURVEY.md §3.3)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", physical_plan(df)))
+
+
+def broadcast_hash_join_count(df: DataFrame) -> int:
+    """Number of broadcast hash joins — the no-shuffle join strategy every
+    small-dimension join should hit."""
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin\b", physical_plan(df)))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every ``PushedFilters: [...]`` list in the plan's scans, flattened.
+    Empty ⇒ no predicate reached the source."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", physical_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """The ``ReadSchema`` of every parquet scan — what column pruning
+    actually left to be read off disk."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: (\S+)", physical_plan(df))
+    ]
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans in the executed-plan string —
+    wider/fewer spans mean more of the query runs as fused generated
+    code. Under AQE the count is only materialized once the query has
+    run (``isFinalPlan=true``): call an action on ``df`` first, else
+    this returns 0."""
+    cg = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+    return int(m.group(1)) if m else 0

@@ -1,3 +1,9 @@
+from k_means_clustering_via_map_reduce_spark.sources.sinks import (
+    write_centroids_txt,
+    write_csv,
+    write_json,
+    write_parquet,
+)
 from k_means_clustering_via_map_reduce_spark.sources.tables import (
     TABLE_NAMES,
     load_table,
@@ -12,4 +18,8 @@ __all__ = [
     "load_tables",
     "read_points_csv",
     "spread",
+    "write_centroids_txt",
+    "write_csv",
+    "write_json",
+    "write_parquet",
 ]

@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: pin the SCALE properties of the
+declared queries — pushdown, pruning, broadcast joins, shuffle budgets —
+so a plan regression fails here before it becomes a 100 TB incident.
+Result correctness is covered by the oracle tests; these check the HOW.
+"""
+
+from __future__ import annotations
+
+import k_means_clustering_via_map_reduce_spark.queries as Q
+from k_means_clustering_via_map_reduce_spark.plans import (
+    broadcast_hash_join_count,
+    count_shuffles,
+    pushed_filters,
+    scan_read_schemas,
+    whole_stage_codegen_spans,
+)
+
+Q.load_all()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = Q.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p and "LessThanOrEqual" in p for p in pushed), pushed
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    """Q1 touches 6 of lineitem's 16 columns; the scan must not read the
+    rest (l_comment etc. are the bulk of the bytes)."""
+    df = Q.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    schemas = scan_read_schemas(df)
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        assert "l_comment" not in s and "l_shipinstruct" not in s, s
+
+
+def test_q1_shuffle_budget(spark, sf_dir):
+    """Scan → partial agg → exchange → final agg → exchange (sort): the
+    fact table is shuffled only as K-group partial aggregates."""
+    df = Q.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+
+
+def test_q4_star_join_broadcasts_all_dims(spark, sf_dir):
+    """orders/customer/nation/region must all broadcast: the lineitem
+    fact table is never shuffled before aggregation."""
+    df = Q.QUERIES["q4_star_join"](spark, sf_dir)
+    assert broadcast_hash_join_count(df) == 4
+    # agg exchange + sort exchange only — no join shuffles
+    assert count_shuffles(df) <= 2
+
+
+def test_q3_join_broadcasts_smaller_side(spark, sf_dir):
+    df = Q.QUERIES["q3_join_agg"](spark, sf_dir)
+    assert broadcast_hash_join_count(df) >= 1
+
+
+def test_q6_semi_and_q7_anti_stay_broadcast(spark, sf_dir):
+    for name in ("q6_semi_join", "q7_anti_join"):
+        df = Q.QUERIES[name](spark, sf_dir)
+        assert broadcast_hash_join_count(df) >= 1, name
+
+
+def test_q8_topk_is_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k then merge of K rows), never a global sort."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q8_top_k"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_q2_projection_prunes_scan(spark, sf_dir):
+    df = Q.QUERIES["q2_filter_project"](spark, sf_dir)
+    for s in scan_read_schemas(df):
+        assert "o_comment" not in s and "o_clerk" not in s, s
+
+
+def test_q17_dedup_single_shuffle(spark, sf_dir):
+    """Exact dedup = groupBy(text): one hash exchange (plus the
+    presentation sort)."""
+    df = Q.QUERIES["q17_dedup_exact"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+
+
+def test_relational_queries_use_codegen(spark, sf_dir):
+    """Every pure-relational query should execute inside whole-stage
+    codegen spans (no interpreted row loops in the hot path)."""
+    for name in ("q1_pricing_summary", "q3_join_agg", "q10_window_rank"):
+        df = Q.QUERIES[name](spark, sf_dir)
+        df.collect()  # AQE finalizes (and codegens) stages on execution
+        assert whole_stage_codegen_spans(df) >= 1, name
