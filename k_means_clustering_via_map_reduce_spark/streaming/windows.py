@@ -37,14 +37,22 @@ TUMBLE = "1 hour"
 WATERMARK = "10 minutes"
 
 
-def _stage_events_dir(spark: SparkSession, sf_dir: str, stage_dir: str) -> str:
+_STAGED: dict[str, tempfile.TemporaryDirectory] = {}
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY of files (its basePath
     check rejects a bare single-file path like events.parquet), so stage
     the events table into one — this also bakes in the ns→NTZ conversion,
-    keeping the streaming schema identical to the batch loader's."""
-    out = os.path.join(stage_dir, "events")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
-    return out
+    keeping the streaming schema identical to the batch loader's. Staged
+    once per (process, sf_dir); the TemporaryDirectory handle keeps the
+    files alive until interpreter exit."""
+    if sf_dir not in _STAGED:
+        tmp = tempfile.TemporaryDirectory(prefix="kmce_stream_stage_")
+        out = os.path.join(tmp.name, "events")
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        _STAGED[sf_dir] = tmp
+    return os.path.join(_STAGED[sf_dir].name, "events")
 
 
 def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -79,18 +87,29 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, shaped identically to the batch q15 oracle."""
     name = f"tumbling_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory(prefix="kmce_stream_") as tmp:
-        events_dir = _stage_events_dir(spark, sf_dir, tmp)
+        events_dir = _stage_events_dir(spark, sf_dir)
         ckpt = os.path.join(tmp, "ckpt")
-        q = (
-            tumbling_agg(_events_stream(spark, events_dir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # Size the stateful stage to the data: the windowed agg keys on
+        # (window, event_type) — a few thousand groups here — and every
+        # shuffle partition carries a state store whose setup/commit cost
+        # is fixed. At test scale 8 partitions beats 32; a 100 TB/day
+        # deployment raises it with load (state store count scales with
+        # partitions, not data, so this is THE streaming sizing knob).
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                tumbling_agg(_events_stream(spark, events_dir))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name).select(
         F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
         "event_type",

@@ -1,0 +1,68 @@
+"""salted_join must be result-identical to the plain join and actually
+re-key the shuffle on (join keys, salt)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.operators.skew import salted_join
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+
+def _sorted_rows(df, keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_salted_inner_join_equals_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey", "c_mktsegment")
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        on=["c_custkey"],
+        salt=8,
+    ).select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    assert _sorted_rows(salted, ["o_orderkey"]) == _sorted_rows(
+        plain, ["o_orderkey"]
+    )
+
+
+def test_salted_join_survives_pathological_key(spark):
+    """A single hot key (80% of probe rows) still joins correctly and the
+    shuffle is keyed on (key, salt) — the hot key spreads across salt
+    sub-partitions instead of one task."""
+    hot = spark.range(10_000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = salted_join(hot, dim, on=["k"], salt=8)
+    assert out.count() == 10_000
+    got = out.filter(F.col("k") == 7).select("v").distinct().collect()
+    assert [r["v"] for r in got] == [14]
+
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    plan = physical_plan(salted_join(hot, dim, on=["k"], salt=8))
+    assert "__salt" in plan, "salt key absent from the join plan"
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    build = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("hit").alias("tag")
+    )
+    out = salted_join(probe, build, on=["k"], how="left", salt=4)
+    assert out.count() == 100
+    assert out.filter(F.col("tag").isNull()).count() == 50
