@@ -7,3 +7,4 @@ import k_means_clustering_via_map_reduce_spark.operators.multimodal  # noqa: F40
 import k_means_clustering_via_map_reduce_spark.operators.similarity  # noqa: F401
 import k_means_clustering_via_map_reduce_spark.operators.text  # noqa: F401
 import k_means_clustering_via_map_reduce_spark.operators.asof  # noqa: F401
+import k_means_clustering_via_map_reduce_spark.operators.sketch  # noqa: F401

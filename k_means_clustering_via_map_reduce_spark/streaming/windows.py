@@ -211,3 +211,54 @@ def run_incremental(
         .start()
     )
     return q, name
+
+
+# --------------------------------------------------------------------------
+# Sliding windows (batch form — the streaming variant differs only by
+# readStream + watermark, exactly as tumbling above).
+# --------------------------------------------------------------------------
+SLIDE = "30 minutes"
+
+
+@query(
+    "q21_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS ws
+      FROM events
+    )
+    SELECT ws, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM w GROUP BY ws, event_type ORDER BY ws, event_type
+    """,
+)
+def sliding_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes over events: each event
+    lands in exactly W/slide = 2 windows. Spark's window generator and
+    DuckDB's time_bucket both align to epoch midnights, so bucket edges
+    agree; the oracle unnests each event's two window starts.
+
+    Scale shape: the generator duplicates each row W/slide times BEFORE
+    the shuffle — wire volume is (W/slide)× the input, the price of any
+    sliding-window system; state per (window, type) group is one
+    aggregate row."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", TUMBLE, SLIDE).alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("ws", "event_type")
+    )

@@ -1,0 +1,82 @@
+"""applyInPandasWithState operator: state accumulates across
+micro-batches, final totals equal the batch aggregate, and the threshold
+flag fires exactly once per user."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+
+from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+    running_user_totals,
+)
+
+SCHEMA = "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.mark.timeout(300)
+def test_stateful_running_totals(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    name = f"stateful_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="kmce_state_") as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # Batch 1: u1 at 60 (below threshold), u2 at 30.
+        _write_batch(
+            spark,
+            src,
+            [(1, t0, 1, 60.0), (2, t0, 2, 30.0)],
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            running_user_totals(stream, threshold=100.0)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # Batch 2: u1 crosses (60+50 > 100), u2 stays below.
+            _write_batch(spark, src, [(3, t0, 1, 50.0), (4, t0, 2, 40.0)])
+            q.processAllAvailable()
+            # Batch 3: u1 already flagged — crossed must NOT re-fire.
+            _write_batch(spark, src, [(5, t0, 1, 10.0)])
+            q.processAllAvailable()
+
+            rows = spark.table(name).collect()
+            # Final state per user = the emission with max n_events.
+            final = {}
+            for r in rows:
+                cur = final.get(r["user_id"])
+                if cur is None or r["n_events"] > cur["n_events"]:
+                    final[r["user_id"]] = r
+            assert final[1]["n_events"] == 3
+            assert final[1]["total_value"] == pytest.approx(120.0)
+            assert final[2]["n_events"] == 2
+            assert final[2]["total_value"] == pytest.approx(70.0)
+            # crossed fired exactly once, for u1 only, on batch 2.
+            crossings = [
+                (r["user_id"], r["n_events"])
+                for r in rows
+                if r["crossed"]
+            ]
+            assert crossings == [(1, 2)]
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
