@@ -2,11 +2,12 @@
 tables: exact (q17, queries.py), n-gram jaccard, MinHash+LSH, SimHash,
 and embedding-cosine near-dup.
 
-Scale design (100 TB): the quadratic verifiers (jaccard, cosine) exist as
-oracled CORRECTNESS anchors on bounded candidate sets; the scale paths are
-the sub-quadratic ones — MinHash banding and SimHash banding — whose
-shuffles are (doc, band_key) pairs (linear in corpus size) followed by
-joins inside small buckets.
+Scale design (100 TB): exact jaccard uses the inverted-index
+co-occurrence formulation (linear shuffle keyed on the shingle, pair
+space never materialized); embedding-cosine is the one deliberately
+quadratic CORRECTNESS anchor, bounded to an id range. The probabilistic
+scale paths — MinHash banding and SimHash banding — shuffle (doc,
+band_key) pairs (linear in corpus size) and join inside small buckets.
 """
 
 from __future__ import annotations
