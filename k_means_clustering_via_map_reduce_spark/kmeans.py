@@ -35,6 +35,8 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +101,97 @@ def lloyd_fit(
             }
             # Empty clusters drop out (no group emitted); K shrinks, ids
             # renumber by old-id order — reference semantics (§7.4).
+            new_centroids = [by_id[i] for i in sorted(by_id)]
+            history.append(new_centroids)
+            if len(new_centroids) == len(centroids):
+                max_move = max(
+                    math.dist(old, new)
+                    for old, new in zip(centroids, new_centroids)
+                )
+                centroids = new_centroids
+                if max_move <= tol:
+                    converged = True
+                    break
+            else:
+                centroids = new_centroids
+        return LloydResult(centroids, iterations, converged, history)
+    finally:
+        feats.unpersist()
+
+
+def lloyd_fit_join(
+    df: DataFrame,
+    k: int,
+    feature_cols: tuple[str, ...] = ("x", "y"),
+    order_col: str = "row_idx",
+    max_iter: int = 20,
+    tol: float = 1e-3,
+) -> LloydResult:
+    """Lloyd's with the centroids shipped as a BROADCAST VARIABLE into an
+    Arrow-batched numpy argmin — identical semantics to ``lloyd_fit``
+    (same init, lowest-index tie-break via numpy argmin's first-match,
+    empty-cluster drop, id-matched convergence), different physical
+    shape for large K:
+
+    - plan size is O(1) in K — the literal form embeds K·dim constants
+      in the expression tree and recompiles codegen every iteration
+      (fine for K=4 in 2-D, pathological for a 10k×512 codebook);
+    - assignment stays NARROW (no shuffle): one matmul per Arrow batch
+      against the broadcast center matrix — the same physical shape
+      MLlib's own KMeans uses;
+    - the only shuffle per iteration remains the K-group partial-mean
+      aggregation.
+
+    Use this form when K·dim is large; ``lloyd_fit`` when it is tiny.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    feats = df.select(
+        _features_col(tuple(feature_cols)).alias("features"),
+        F.col(order_col).alias("__ord"),
+    ).cache()
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        first_k = feats.orderBy("__ord").limit(k).collect()
+        centroids = [tuple(r["features"]) for r in first_k]
+        dim = len(centroids[0])
+
+        iterations = 0
+        converged = False
+        history: list[list[tuple[float, ...]]] = []
+
+        for _ in range(max_iter):
+            iterations += 1
+            bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+            @pandas_udf("int")
+            def nearest(vs: pd.Series) -> pd.Series:
+                c = bc.value  # (k, dim)
+                mat = np.vstack(vs.to_numpy())  # (n, dim)
+                # ||v-c||² = c·c - 2 v·c (+ v·v, constant per row);
+                # argmin returns the FIRST minimum → lowest cid on ties,
+                # the reference's list.index(min(...)) semantics.
+                d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+                return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+            means = (
+                feats.withColumn("cluster_id", nearest(F.col("features")))
+                .groupBy("cluster_id")
+                .agg(
+                    *[
+                        F.avg(F.col("features")[i]).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            bc.unpersist()
+            by_id = {
+                r["cluster_id"]: tuple(r[f"m{i}"] for i in range(dim))
+                for r in means
+            }
             new_centroids = [by_id[i] for i in sorted(by_id)]
             history.append(new_centroids)
             if len(new_centroids) == len(centroids):

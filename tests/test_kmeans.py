@@ -187,3 +187,22 @@ def test_mllib_agreement_small_scale(spark):
 @pytest.fixture(scope="session")
 def spark_prop(spark):
     return spark
+
+
+@pytest.mark.parametrize(
+    "fname,k,max_iter",
+    [("points1.txt", 3, 10), ("points2.txt", 4, 7)],
+)
+def test_lloyd_join_form_equals_literal_form(spark, fname, k, max_iter):
+    """The broadcast-UDF large-K variant must reproduce lloyd_fit
+    exactly: same iterations, convergence, and centroids."""
+    from k_means_clustering_via_map_reduce_spark.kmeans import lloyd_fit_join
+
+    pts = load_ref_points(fname)
+    a = lloyd_fit(points_df(spark, pts), k=k, max_iter=max_iter)
+    b = lloyd_fit_join(points_df(spark, pts), k=k, max_iter=max_iter)
+    assert a.iterations == b.iterations
+    assert a.converged == b.converged
+    assert len(a.centroids) == len(b.centroids)
+    for ca, cb in zip(a.centroids, b.centroids):
+        assert math.dist(ca, cb) < 1e-9
