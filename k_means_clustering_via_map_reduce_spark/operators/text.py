@@ -161,3 +161,82 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         min_shingle_md5_fingerprint(F.col("text"), 5).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T6 — TF-IDF top terms per document.
+# --------------------------------------------------------------------------
+TFIDF_TOP_N = 3
+
+
+@query(
+    "t6_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs / df.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term ASC
+             ) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           round(score, 4) AS score
+    FROM scored WHERE rnk <= {TFIDF_TOP_N}
+    ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (idf = ln(N/df), raw tf; ties
+    break alphabetically).
+
+    Scale shape: explode to (doc, term) postings; tf is one hash agg on
+    (doc_id, term); df is one on term; the idf join keys on term (high
+    cardinality — data-sized parallelism); top-N per doc is a window on
+    doc_id. All shuffle volume is postings-linear — the inverted-index
+    pattern again, this time for scoring rather than pairing.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "term",
+            r4(F.col("score")).alias("score"),
+        )
+        .orderBy("doc_id", "rnk")
+    )

@@ -600,3 +600,37 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("o_orderpriority"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q22 — lag/lead analytics: day-over-day value deltas per event type.
+# --------------------------------------------------------------------------
+@query(
+    "q22_lag_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total,
+           round(total - lag(total) OVER (
+             PARTITION BY event_type ORDER BY day), 4) AS delta,
+           round(lead(total) OVER (
+             PARTITION BY event_type ORDER BY day) - total, 4) AS next_delta
+    FROM daily ORDER BY event_type, day
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(r4(F.sum("value")).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        r4(F.col("total") - F.lag("total").over(w)).alias("delta"),
+        r4(F.lead("total").over(w) - F.col("total")).alias("next_delta"),
+    ).orderBy("event_type", "day")
