@@ -110,3 +110,54 @@ def test_session_window_gap_boundary(spark):
     assert len(rows) == 2
     assert rows[0]["n_events"] == 2
     assert rows[1]["n_events"] == 1
+
+
+@pytest.mark.timeout(300)
+def test_streaming_dedup_within_watermark(spark):
+    """The same event_id delivered in two micro-batches must reach the
+    sink once; a distinct id must pass through."""
+    import uuid as _uuid
+
+    from k_means_clustering_via_map_reduce_spark.streaming.dedup import (
+        dedup_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    name = f"dedup_{_uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="kmce_sdedup_") as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        _write_batch(spark, src, [(1, t0, 10, 1.0), (2, t0, 11, 2.0)])
+        stream = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # Redeliver event 1 (same id, within watermark) + new event 3.
+            _write_batch(
+                spark,
+                src,
+                [
+                    (1, t0 + dt.timedelta(minutes=1), 10, 1.0),
+                    (3, t0 + dt.timedelta(minutes=2), 12, 3.0),
+                ],
+            )
+            q.processAllAvailable()
+            ids = sorted(
+                r["event_id"] for r in spark.table(name).collect()
+            )
+            assert ids == [1, 2, 3], ids
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
