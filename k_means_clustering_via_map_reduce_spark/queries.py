@@ -634,3 +634,25 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("total") - F.lag("total").over(w)).alias("delta"),
         r4(F.lead("total").over(w) - F.col("total")).alias("next_delta"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Q23 — INTERSECT (completes the set-op family with Q12's EXCEPT/UNION).
+# --------------------------------------------------------------------------
+@query(
+    "q23_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY c_custkey
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.intersect(open_orders).orderBy("c_custkey")
