@@ -656,3 +656,35 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return rich.intersect(open_orders).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Q24 — JSON extraction (the scalar-function category the reference uses
+# only as serialization, mapper.py:71-72; here it is a queryable type).
+# --------------------------------------------------------------------------
+@query(
+    "q24_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON column with an EXPLICIT schema
+    (from_json — JVM-side, vectorizable; no schema inference in engine
+    code) and aggregate the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            r4(F.avg("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
