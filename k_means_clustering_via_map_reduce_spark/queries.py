@@ -688,3 +688,41 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q25 — PIVOT (wide conditional aggregation with an explicit value list).
+# --------------------------------------------------------------------------
+@query(
+    "q25_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 4)
+             AS open_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT pivot-value list — at scale an
+    unlisted pivot costs an extra distinct-values job and makes the
+    output schema data-dependent; listing values keeps the plan static.
+    Counts coalesce to 0 to match SQL FILTER semantics on empty cells."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        r4(F.coalesce(F.col("O_total"), F.lit(0.0))).alias("open_total"),
+    ).orderBy("o_orderpriority")
