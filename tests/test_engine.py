@@ -68,3 +68,20 @@ def test_fit_drops_empty_clusters_like_reference(spark):
     df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE, row_idx BIGINT")
     res = Engine(spark).fit(df, k=4, max_iter=5)
     assert len(res.centroids) == 2
+
+
+def test_cli_parser_accepts_reference_parameters():
+    from k_means_clustering_via_map_reduce_spark.__main__ import build_parser
+
+    args = build_parser().parse_args(
+        [
+            "--points", "Input/points2.txt",
+            "--k", "4",
+            "--max-iter", "7",
+            "--mappers", "2",
+            "--reducers", "2",
+            "--output", "centroids.txt",
+        ]
+    )
+    assert (args.points, args.k, args.max_iter) == ("Input/points2.txt", 4, 7)
+    assert args.tol == 1e-3
