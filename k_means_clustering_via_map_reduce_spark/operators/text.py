@@ -216,13 +216,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = d.count()
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
-            "score"
-        ),
+    # N as a broadcast 1-row aggregate inside the SAME job — a driver-side
+    # d.count() would pay one extra full scan and a separate action.
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias(
+                "score"
+            ),
+        )
     )
     from pyspark.sql.window import Window
 
