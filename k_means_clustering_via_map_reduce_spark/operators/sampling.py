@@ -1,0 +1,67 @@
+"""Sampling operators for training-data pipelines: seeded per-stratum
+subsampling (class rebalancing, eval-split carving) without ever
+materializing or shuffling the full dataset.
+
+Scale shape: ``sampleBy`` is a narrow per-row Bernoulli filter — no
+shuffle, no state; at 100 TB the cost is the scan. The hash-based
+variant is deterministic per ROW VALUE (not per partition layout), so
+the same row always lands on the same side of the cut — the property a
+reproducible train/eval split needs across reruns, repartitions, and
+engine versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.queries import query
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+SAMPLE_SEED = 42
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = SAMPLE_SEED
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (Spark's ``sampleBy``). Fast and
+    shuffle-free; sampled SET depends on the seed and row order, so use
+    ``hash_split`` when exact rerun-reproducibility matters."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    salt: str = "kmce",
+) -> DataFrame:
+    """Value-deterministic subsample: keep a row iff
+    xxhash64(salt, keys) mod 10^6 < fraction·10^6. Independent of
+    partitioning, ordering, and cluster size — the reproducible
+    train/eval-split primitive."""
+    bucket = F.pmod(
+        F.xxhash64(F.lit(salt), *[F.col(c) for c in key_cols]),
+        F.lit(1_000_000),
+    )
+    return df.filter(bucket < int(fraction * 1_000_000))
+
+
+@query("p1_stratified_sample")
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% per-lang document sample via hash_split on
+    doc_id (value-deterministic ⇒ stable row set), with per-stratum
+    counts. Rows-only for the driver (hash constants are
+    engine-internal); pytest checks determinism, subset property, and
+    per-stratum fraction tolerance."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = hash_split(d, ["doc_id"], 0.2)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )

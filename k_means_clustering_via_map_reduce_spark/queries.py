@@ -726,3 +726,37 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
         r4(F.coalesce(F.col("O_total"), F.lit(0.0))).alias("open_total"),
     ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Q26 — correlated scalar subquery, entered through the SQL surface.
+# Catalyst decorrelates it into an aggregate + join; the engine's SQL
+# entry point (Engine.sql) is exercised by the same path.
+# --------------------------------------------------------------------------
+@query(
+    "q26_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "kmce_q26_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        FROM kmce_q26_orders o
+        WHERE o_totalprice > (
+          SELECT 1.5 * avg(o2.o_totalprice) FROM kmce_q26_orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
