@@ -362,3 +362,112 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", r4(F.col("cos_sim")).alias("cos_sim"))
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-CLUSTER resolution: near-dup pairs → connected components →
+# one canonical doc per component. Pairs alone under-dedup (A~B, B~C
+# but A!~C must still collapse to one kept doc); the transitive closure
+# is what a training-data pipeline actually deletes against.
+# --------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 30
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (id, label)
+    with label = smallest id in the component.
+
+    Per iteration: one join (labels onto edge sources) + one min-agg per
+    destination + one outer join to fold into current labels — all
+    hash-shuffles on the id. Iterations needed = graph diameter (small
+    for near-dup clusters, which are dense blobs). ``localCheckpoint``
+    truncates the growing lineage each round, the standard guard for
+    iterative DataFrame algorithms. (At extreme scale the same loop
+    with the small-star/large-star edge rewrites [Kiveris et al.] cuts
+    iteration count; the dataflow per round is identical.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "d5_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d
+    ),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+    ),
+    e AS (
+      SELECT a_id AS x, b_id AS y FROM p
+      UNION SELECT b_id, a_id FROM p
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM e
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x
+    ),
+    lbl AS (
+      SELECT x AS doc_id, least(x, min(y)) AS label
+      FROM reach GROUP BY x
+    )
+    SELECT label AS canonical_id, count(*) AS cluster_size
+    FROM lbl GROUP BY label ORDER BY canonical_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact-jaccard pairs (inverted index, d1) →
+    connected components → (canonical = min doc_id, cluster size).
+    The DuckDB oracle computes the same closure with a recursive CTE."""
+    from k_means_clustering_via_map_reduce_spark.queries import QUERIES
+
+    pairs = QUERIES["d1_jaccard_pairs"](spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("label").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy("canonical_id")
+    )

@@ -101,3 +101,19 @@ def test_embedding_dup_pairs_symmetric_threshold(spark, sf_dir):
     for r in rows:
         assert r["a_id"] < r["b_id"]
         assert r["cos_sim"] >= 0.35 - 1e-9
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C (no A-C edge) must collapse into ONE component with
+    canonical min id; disjoint pairs stay separate."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "a_id BIGINT, b_id BIGINT"
+    )
+    labels = {
+        r["id"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
