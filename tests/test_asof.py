@@ -73,3 +73,63 @@ def test_asof_single_shuffle(spark, sf_dir):
     df = Q.QUERIES["q20_asof_join"](spark, sf_dir)
     # union-window shuffle + groupBy(user,ts) pre-agg + final orderBy
     assert count_shuffles(df) <= 3
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check against an independent reference implementation:
+    pandas merge_asof (backward, allow_exact_matches) on pseudo-random
+    data with unique (key, ts) pairs on the right side."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    left_rows = [
+        (
+            i,
+            f"k{rng.randrange(5)}",
+            _ts("2024-01-01 00:00:00"),
+        )
+        for i in range(200)
+    ]
+    # Re-randomize timestamps (seconds offsets) for both sides.
+    import datetime
+
+    left_rows = [
+        (i, k, t + datetime.timedelta(seconds=rng.randrange(100_000)))
+        for (i, k, t) in left_rows
+    ]
+    right_seen = set()
+    right_rows = []
+    for j in range(300):
+        k = f"k{rng.randrange(5)}"
+        ts = _ts("2024-01-01 00:00:00") + datetime.timedelta(
+            seconds=rng.randrange(100_000)
+        )
+        if (k, ts) in right_seen:
+            continue
+        right_seen.add((k, ts))
+        right_rows.append((1000 + j, k, ts))
+
+    left = spark.createDataFrame(
+        left_rows, "event_id BIGINT, key STRING, ts TIMESTAMP_NTZ"
+    )
+    right = spark.createDataFrame(
+        right_rows, "rid BIGINT, key STRING, ts TIMESTAMP_NTZ"
+    )
+    got = {
+        r["event_id"]: r["rid"]
+        for r in asof_join(left, right, on=["key"], right_cols=["rid"]).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "key", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["rid", "key", "ts"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="key", direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
