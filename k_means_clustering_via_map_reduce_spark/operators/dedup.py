@@ -385,10 +385,14 @@ def connected_components(
     with the small-star/large-star edge rewrites [Kiveris et al.] cuts
     iteration count; the dataflow per round is identical.)
     """
+    # Materialize the edge list ONCE — it is re-joined every iteration,
+    # and without this the entire upstream pair computation would re-run
+    # per round.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -246,3 +246,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# T7 — BPE-ish token counting (subword-proxy statistics for budgeting
+# training tokens, vs plain whitespace words).
+# --------------------------------------------------------------------------
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "t7_bpeish_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{BPEISH_PATTERN}'))
+             AS BIGINT) AS n_bpeish,
+           round(len(regexp_extract_all(text, '{BPEISH_PATTERN}')) * 1.0
+                 / len(string_split(trim(text), ' ')), 4) AS tokens_per_word
+    FROM documents ORDER BY doc_id
+    """,
+)
+def bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace words vs a BPE-ish regex token count (letter runs,
+    single digits, single punctuation — the GPT-2 pre-tokenizer shape
+    without the vocabulary). The count, not the split, is what a
+    token-budget estimator needs; the regex stays in the class both
+    Java and RE2 dialects treat identically."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = tokens(F.col("text"))
+    # NB: Spark SQL processes backslash escapes in plain string literals
+    # ('\\s' would become 's'); the R'...' raw literal keeps the regex
+    # identical to DuckDB's escape-free single-quoted string.
+    bpeish = F.expr(f"regexp_extract_all(text, R'{BPEISH_PATTERN}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(bpeish).cast("bigint").alias("n_bpeish"),
+        r4(F.size(bpeish) / F.size(words)).alias("tokens_per_word"),
+    ).orderBy("doc_id")
