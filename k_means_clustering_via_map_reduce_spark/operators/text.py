@@ -285,3 +285,50 @@ def bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpeish).cast("bigint").alias("n_bpeish"),
         r4(F.size(bpeish) / F.size(words)).alias("tokens_per_word"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T8 — grouped-map extension point (applyInPandas): per-language z-score
+# normalization of document length.
+# --------------------------------------------------------------------------
+@query(
+    "t8_zscore_by_lang",
+    oracle="""
+    SELECT doc_id, lang,
+           round((strlen(text) - avg(strlen(text)) OVER (PARTITION BY lang))
+                 / stddev_samp(strlen(text)) OVER (PARTITION BY lang),
+                 4) AS z_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via ``applyInPandas`` — the grouped-map
+    UDF extension point (one Arrow batch per group, full-group numpy
+    vectorization). Expressible as window functions too (the oracle
+    does exactly that); the point here is the operator shape a custom
+    per-group transform (feature scaling, per-source calibration) needs
+    when it is NOT window-expressible. Shuffle: one hash partition by
+    the group key; each group must fit one executor's memory — for hot
+    groups, pre-aggregate or salt instead."""
+    import pandas as pdd
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.length("text").alias("n_len")
+    )
+
+    def zscore(pdf: pdd.DataFrame) -> pdd.DataFrame:
+        x = pdf["n_len"].astype("float64")
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pdd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z_len": z.round(4),
+            }
+        )
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(zscore, schema="doc_id BIGINT, lang STRING, z_len DOUBLE")
+        .orderBy("doc_id")
+    )
