@@ -475,3 +475,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .orderBy("canonical_id")
     )
+
+
+def jaccard_pairs_capped(
+    shingled: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    posting_cap: int = 10_000,
+) -> DataFrame:
+    """The inverted-index jaccard join with a POSTING-FREQUENCY CAP —
+    the guard the exact form needs at 100 TB: a shingle occurring in c
+    docs contributes c² co-occurrence rows, so one boilerplate shingle
+    shared by 10⁶ docs would emit 10¹² rows. Dropping shingles with
+    df > cap bounds the blow-up at cap² per shingle.
+
+    Effect on results: intersections can only LOSE members, so computed
+    J is an underestimate and the output is a SUBSET of the exact pairs
+    (never false positives above threshold from capping). With any
+    reasonable cap, shingles that frequent carry no near-dup signal
+    anyway. Input is a `_shingled`-shaped frame (doc_id, lang, sh, n_sh).
+    """
+    ex = shingled.select(
+        "doc_id", "lang", "n_sh", F.explode("sh").alias("sg")
+    )
+    keep = (
+        ex.groupBy("lang", "sg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= posting_cap)
+        .select("lang", "sg")
+    )
+    ex = ex.join(keep, ["lang", "sg"])
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            [
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n_sh") >= threshold * F.col("b.n_sh"),
+                F.col("b.n_sh") >= threshold * F.col("a.n_sh"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
+    return (
+        inter.filter(jac >= threshold)
+        .select("a_id", "b_id", r4(jac).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )

@@ -117,3 +117,30 @@ def test_connected_components_transitive_chain(spark):
         r["id"]: r["label"] for r in connected_components(pairs).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_jaccard_posting_cap_is_subset_and_converges(spark, sf_dir):
+    """Capped jaccard must (a) equal the exact result when the cap
+    exceeds every posting frequency, (b) produce a SUBSET of exact
+    pairs under an aggressive cap (capping can only lose intersection
+    members, never invent pairs)."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _shingled,
+        jaccard_pairs_capped,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in Q.QUERIES["d1_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    s = _shingled(spark, sf_dir)
+    uncapped = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs_capped(s, posting_cap=10**9).collect()
+    }
+    assert uncapped == exact
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs_capped(s, posting_cap=3).collect()
+    }
+    assert capped <= exact
