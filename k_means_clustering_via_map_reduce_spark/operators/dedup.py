@@ -83,9 +83,10 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized rather than #langs-sized, and only doc pairs sharing ≥ 1
     shingle ever appear downstream. The size-ratio predicates are a
     LOSSLESS prune (J <= min/max sizes). At 100 TB the one extra guard
-    this needs is a posting-frequency cap (drop shingles occurring in
-    > F docs, à la prefix filtering) to bound c² blow-up on hot shingles;
-    the fixtures' max posting is 14 so it is not wired in here.
+    this needs is a posting-frequency cap to bound c² blow-up on hot
+    shingles — implemented as ``jaccard_pairs_capped`` below; the exact
+    form stays uncapped here because the oracle demands exactness and
+    the fixtures' max posting is 14.
     """
     s = _shingled(spark, sf_dir)
     ex = s.select(
