@@ -760,3 +760,32 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q27 — supplier rollup (completes engine-table coverage: every TESTDATA
+# table is now exercised by at least one oracled query).
+# --------------------------------------------------------------------------
+@query(
+    "q27_supplier_stats",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers,
+           round(avg(s_acctbal), 4) AS avg_acctbal,
+           round(max(s_acctbal), 4) AS max_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            r4(F.avg("s_acctbal")).alias("avg_acctbal"),
+            r4(F.max("s_acctbal")).alias("max_acctbal"),
+        )
+        .orderBy("n_name")
+    )
