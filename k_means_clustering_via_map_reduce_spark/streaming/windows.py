@@ -262,3 +262,42 @@ def sliding_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ws", "event_type")
     )
+
+
+def stream_to_parquet_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Stream the tumbling aggregation into a PARQUET sink via
+    ``foreachBatch`` — the production write path (the memory sink above
+    is for tests): each micro-batch's updated windows overwrite their
+    partition directory, giving idempotent re-runs (checkpoint +
+    overwrite-by-partition makes replays converge rather than append
+    duplicates). The reference's closest analogue is the racy shared
+    append file (reducer.py:139-142) — this is its transactional
+    replacement."""
+    events_dir = _stage_events_dir(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory(prefix="kmce_fb_ckpt_") as ckpt:
+        q = (
+            tumbling_agg(_events_stream(spark, events_dir))
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

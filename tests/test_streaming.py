@@ -161,3 +161,33 @@ def test_streaming_dedup_within_watermark(spark):
         finally:
             q.stop()
             spark.catalog.dropTempView(name)
+
+
+@pytest.mark.timeout(300)
+def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch parquet sink's terminal state must equal the
+    batch hourly aggregate."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        stream_to_parquet_sink,
+    )
+
+    out = str(tmp_path / "hourly")
+    stream_to_parquet_sink(spark, sf_dir, out)
+    got = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
