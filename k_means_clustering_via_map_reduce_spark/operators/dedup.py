@@ -139,12 +139,43 @@ def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
     """Band the signature, hash each band, self-join per bucket.
-    Shuffle volume: bands rows per doc (linear), join keyed on
-    (band_id, band_hash) so only same-bucket docs ever meet."""
+
+    Scale shape: the band self-join shuffles ONLY slim (doc_id, band_id,
+    band_hash) rows — 20 bytes/row × ``bands`` rows per doc, linear in the
+    corpus. The shingle arrays (the heavy payload) never enter the band
+    shuffle; after candidate id-pairs are deduped, the two shingle sets
+    are joined back by doc_id for the exact-jaccard verify. Since the
+    surviving pair set is tiny relative to the corpus, AQE plans those
+    re-joins as broadcasts of the pair side — the corpus is scanned, not
+    shuffled. (The previous form carried the full ``sh`` array on BOTH
+    join sides × ``bands`` explosions: a 2·bands× payload amplification
+    through the shuffle, the classic LSH-at-scale mistake.)"""
+    pairs = lsh_candidate_ids(signed, bands)
+    # Payload re-join: column pruning drops the sig expressions here, so
+    # this reads only (doc_id, sh) off the shingled input. The pair side
+    # is small relative to the corpus, so AQE broadcasts it and the
+    # corpus payload is scanned, not shuffled.
+    payload = signed.select("doc_id", "sh")
+    return (
+        pairs.join(payload, "doc_id")
+        .join(
+            payload.select(
+                F.col("doc_id").alias("b_doc_id"), F.col("sh").alias("b_sh")
+            ),
+            "b_doc_id",
+        )
+        .select("doc_id", "sh", "b_doc_id", "b_sh")
+    )
+
+
+def lsh_candidate_ids(signed: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """The slim candidate-generation core of MinHash LSH: deduped
+    (doc_id, b_doc_id) id-pairs whose signatures collide in ≥ 1 band.
+    Every shuffle in this subplan moves scalar rows only (pinned by
+    tests/test_plans.py::test_d2_band_join_shuffles_no_arrays)."""
     rows = MINHASH_PERMS // bands
     banded = signed.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -158,7 +189,7 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = MINHASH_BANDS) -> DataFr
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -170,7 +201,7 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = MINHASH_BANDS) -> DataFr
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .select("a.doc_id", "a.sh", F.col("b.doc_id").alias("b_doc_id"), F.col("b.sh").alias("b_sh"))
+        .select("a.doc_id", F.col("b.doc_id").alias("b_doc_id"))
         .dropDuplicates(["doc_id", "b_doc_id"])
     )
 
@@ -204,44 +235,66 @@ def _simhash_udf():
     bit-twiddly operator here — a pure-expression form needs 64 nested
     folds and bloats codegen). md5-based, so fully deterministic across
     runs, partitionings and machines; python_simhash in tests/ is the
-    oracle."""
+    oracle.
+
+    Fully batch-vectorized: the only Python-level loops are per DISTINCT
+    token (md5 of unseen vocabulary, cached across batches — corpora
+    share vocabulary heavily so this amortizes to near-zero). Everything
+    per-document runs as numpy array ops: the ±1 vote matrix is built
+    for the batch vocabulary in one shot from the hash integers, the
+    per-doc vote sums are a cumsum + segment-boundary difference over
+    the (doc, token) incidence, and the sign bits pack into the 64-bit
+    fingerprint with one broadcasted shift-and-sum."""
     import hashlib
 
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    hash_cache: dict[str, int] = {}  # token → 64-bit md5 prefix
+
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-        # token → ±1 vote vector, cached across the batch: corpora share
-        # vocabulary heavily, so distinct-token count ≪ total tokens and
-        # the md5 cost amortizes to near-zero per document.
-        votes_of: dict[str, object] = {}
-        for i, t in enumerate(texts):
-            toks = set(t.strip().split(" "))
-            rows = []
-            for tok in toks:
-                v = votes_of.get(tok)
-                if v is None:
-                    h = np.uint64(
-                        int.from_bytes(
-                            hashlib.md5(tok.encode()).digest()[:8], "big"
-                        )
-                    )
-                    bits = (h >> shifts) & np.uint64(1)
-                    v = np.where(bits == 1, 1, -1).astype(np.int64)
-                    votes_of[tok] = v
-                rows.append(v)
-            votes = np.sum(rows, axis=0)
-            sim = 0
-            for b in range(SIMHASH_BITS):
-                if votes[b] > 0:
-                    sim |= 1 << b
-            if sim >= 2**63:
-                sim -= 2**64
-            out[i] = sim
-        return pd.Series(out)
+        n = len(texts)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        tok_sets = [set(t.strip().split(" ")) for t in texts]
+        counts = np.fromiter(
+            (len(s) for s in tok_sets), dtype=np.int64, count=n
+        )
+        # Batch vocabulary + (doc, token) incidence as index arrays.
+        vocab: dict[str, int] = {}
+        tok_idx = np.empty(int(counts.sum()), dtype=np.int64)
+        pos = 0
+        for s in tok_sets:
+            for tok in s:
+                j = vocab.get(tok)
+                if j is None:
+                    j = len(vocab)
+                    vocab[tok] = j
+                tok_idx[pos] = j
+                pos += 1
+        hashes = np.empty(len(vocab), dtype=np.uint64)
+        md5 = hashlib.md5
+        for tok, j in vocab.items():
+            h = hash_cache.get(tok)
+            if h is None:
+                h = int.from_bytes(md5(tok.encode()).digest()[:8], "big")
+                hash_cache[tok] = h
+            hashes[j] = h
+        # (vocab, 64) ±1 vote matrix from the hash bits, one shot.
+        votes_mat = (
+            ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2
+            - 1
+        )
+        # Per-doc vote sums without a Python loop: cumulative sum down the
+        # incidence rows, then difference at the per-doc segment ends.
+        seg_ends = np.cumsum(counts) - 1
+        cum = np.cumsum(votes_mat[tok_idx], axis=0)[seg_ends]
+        votes = np.diff(cum, axis=0, prepend=np.zeros((1, SIMHASH_BITS), dtype=np.int64))
+        bits = (votes > 0).astype(np.uint64)
+        packed = (bits << shifts).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
 
     return simhash
 

@@ -142,6 +142,31 @@ def srp_sketch(df: DataFrame, vec_col: str = "v") -> DataFrame:
     return df.withColumn("bands", bands_of(F.col(vec_col)))
 
 
+def srp_candidate_ids(corpus: DataFrame, q_full: DataFrame) -> DataFrame:
+    """The slim candidate-generation core of SRP-LSH: deduped
+    (query_id, vec_id) pairs sharing ≥ 1 sketch band. The only columns
+    entering the band join and candidate-dedup shuffles are scalar ids
+    and band keys — the vectors stay out (pinned by
+    tests/test_plans.py::test_s2_band_join_shuffles_no_arrays). The
+    ``spread`` round-robin repartition before the sketch is the one
+    deliberate payload move (fixture parallelism; a no-op at scale)."""
+
+    def banded_keys(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        sk = srp_sketch(df, vec_col)
+        return sk.select(
+            id_col,
+            F.posexplode("bands").alias("band_id", "band_val"),
+        )
+
+    c_keys = banded_keys(spread(corpus), "v", "vec_id")
+    q_keys = banded_keys(q_full.select("query_id", "qv"), "qv", "query_id")
+    return (
+        c_keys.join(F.broadcast(q_keys), ["band_id", "band_val"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = TOPK_K
 ) -> DataFrame:
@@ -149,40 +174,31 @@ def lsh_topk(
     query, re-ranked by exact cosine.
 
     Scale shape: ONE corpus pass computes the sketch, bands explode to
-    (band_id, band_val) rows — LSH_BANDS rows per vector, linear — and a
-    single equi-join on the banded key (query side broadcast) finds
-    candidates. No per-band rescan, no quadratic blow-up; at 100 TB the
-    only wide op is the dedup of candidate pairs."""
+    slim (vec_id, band_id, band_val) rows — LSH_BANDS rows per vector,
+    linear, ~20 bytes each; the vectors themselves never enter the band
+    join or the candidate dedup shuffle. A single equi-join on the banded
+    key (query side broadcast) finds candidates; after the id-pair dedup
+    the vectors + norms are joined back for the exact re-rank (pair side
+    is small, so AQE broadcasts it — the corpus is re-scanned, not
+    shuffled). No per-band rescan, no quadratic blow-up."""
 
-    def banded(df: DataFrame, vec_col: str) -> DataFrame:
-        sk = srp_sketch(df, vec_col)
-        return sk.select(
-            *df.columns,
-            F.posexplode("bands").alias("band_id", "band_val"),
+    c_full = spread(corpus).withColumn("nrm", vector_norm(F.col("v")))
+    q_full = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        vector_norm(F.col("v")).alias("qnrm"),
+    )
+    cand_ids = srp_candidate_ids(corpus, q_full)
+    scored = (
+        cand_ids.join(c_full, "vec_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
         )
-
-    c = banded(
-        spread(corpus).withColumn("nrm", vector_norm(F.col("v"))), "v"
-    )
-    q = banded(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            vector_norm(F.col("v")).alias("qnrm"),
-        ),
-        "qv",
-    )
-    cands = (
-        c.join(F.broadcast(q), ["band_id", "band_val"])
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
-        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

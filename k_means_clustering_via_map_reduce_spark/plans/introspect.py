@@ -60,6 +60,65 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     ]
 
 
+def exchange_inputs(df: DataFrame) -> list[list[str]]:
+    """The ``Input`` attribute list of every shuffle Exchange in the
+    formatted plan — i.e. exactly which columns get serialized through
+    each shuffle. The scale-audit primitive behind
+    ``shuffled_array_columns``: a shuffle is priced by the width of these
+    rows, and a fat array column riding a high-fanout shuffle (e.g. an
+    LSH band explosion) is the kind of 10× amplification these tests
+    exist to pin out."""
+    plan = physical_plan(df)
+    out: list[list[str]] = []
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def _iter_jvm_nodes(node):
+    """Depth-first walk of a JVM SparkPlan / TreeNode via py4j."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_jvm_nodes(children.apply(i))
+
+
+def shuffled_array_columns(
+    df: DataFrame, include_round_robin: bool = False
+) -> list[str]:
+    """Names of array-typed attributes that travel through ANY shuffle
+    exchange in ``df``'s physical plan — checked against the actual
+    attribute data types on the exchange's output, not plan text, so
+    intermediate columns (exploded payloads that never reach the final
+    schema) are caught too. Empty ⇒ every shuffle moves only scalar
+    rows — the property the slim LSH band joins exist to guarantee.
+
+    Round-robin exchanges (``spread()``'s fixture-parallelism
+    repartition, a no-op on real multi-split inputs) are excluded unless
+    ``include_round_robin``: they move each payload row exactly once by
+    design, unlike a hash shuffle where a fat column rides a high-fanout
+    key."""
+    plan = df._jdf.queryExecution().sparkPlan()  # type: ignore[attr-defined]
+    hits: list[str] = []
+    for node in _iter_jvm_nodes(plan):
+        if node.getClass().getSimpleName() != "ShuffleExchangeExec":
+            continue
+        part_kind = node.outputPartitioning().getClass().getSimpleName()
+        if part_kind == "RoundRobinPartitioning" and not include_round_robin:
+            continue
+        out = node.output()
+        for i in range(out.size()):
+            attr = out.apply(i)
+            if attr.dataType().typeName() == "array":
+                label = f"{attr.name()}#{attr.exprId().id()}"
+                if label not in hits:
+                    hits.append(label)
+    return hits
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans in the executed-plan string —
     wider/fewer spans mean more of the query runs as fused generated

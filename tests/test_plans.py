@@ -83,6 +83,52 @@ def test_q17_dedup_single_shuffle(spark, sf_dir):
     assert count_shuffles(df) <= 2
 
 
+def test_d2_band_join_shuffles_no_arrays(spark, sf_dir):
+    """The MinHash band self-join + candidate dedup must shuffle only
+    scalar (doc_id, band_id, band_hash) rows — the shingle arrays ride
+    along only in the post-dedup payload re-join. A fat array column in
+    these exchanges is a bands× payload amplification at 100 TB."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _shingled,
+        lsh_candidate_ids,
+        minhash_signatures,
+    )
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        shuffled_array_columns,
+    )
+
+    ids = lsh_candidate_ids(minhash_signatures(_shingled(spark, sf_dir)))
+    assert shuffled_array_columns(ids) == []
+
+
+def test_s2_band_join_shuffles_no_arrays(spark, sf_dir):
+    """Same pin for SRP-LSH: the band join and candidate dedup carry ids
+    and band keys only; the 64-dim vectors never enter a hash shuffle."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.functions.vector import (
+        vector_norm,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        TOPK_N_QUERIES,
+        srp_candidate_ids,
+    )
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        shuffled_array_columns,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        vector_norm(F.col("v")).alias("qnrm"),
+    )
+    assert shuffled_array_columns(srp_candidate_ids(e, q)) == []
+
+
 def test_relational_queries_use_codegen(spark, sf_dir):
     """Every pure-relational query should execute inside whole-stage
     codegen spans (no interpreted row loops in the hot path)."""
