@@ -60,19 +60,23 @@ def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(events_dir)
 
 
-def tumbling_agg(events: DataFrame) -> DataFrame:
-    """The windowed aggregation, shared by the streaming query and its
-    batch-equivalence oracle.
-
-    Watermarks demand TIMESTAMP (with timezone); the engine's canonical
-    event time is TIMESTAMP_NTZ. Under the pinned UTC session timezone
-    the NTZ→LTZ cast is wall-clock-preserving, and window bounds are cast
-    back to NTZ on output so oracle comparisons stay naive-UTC.
-    """
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks demand TIMESTAMP (with timezone); the engine's
+    canonical event time is TIMESTAMP_NTZ. Under the pinned UTC session
+    timezone the NTZ→LTZ cast is wall-clock-preserving, and window
+    bounds are cast back to NTZ on output so oracle comparisons stay
+    naive-UTC."""
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """The windowed aggregation, shared by the streaming query and its
+    batch-equivalence oracle."""
     return (
-        events.withWatermark("ts", WATERMARK)
+        _with_event_time(events)
+        .withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", TUMBLE).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -81,25 +85,27 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the tumbling-window aggregation as a genuine streaming query
-    to a memory sink (complete mode, AvailableNow) and return the final
-    table, shaped identically to the batch q15 oracle."""
-    name = f"tumbling_{uuid.uuid4().hex[:12]}"
+def _run_complete_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataFrame:
+    """Run ``agg_builder(events_stream)`` as a genuine streaming query —
+    memory sink, complete output mode, ``Trigger.AvailableNow`` so it
+    terminates deterministically — and return the materialized terminal
+    state. Complete mode makes that state equal the batch aggregate,
+    which is exactly what the SQL oracles check."""
+    name = f"cs_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory(prefix="kmce_stream_") as tmp:
         events_dir = _stage_events_dir(spark, sf_dir)
         ckpt = os.path.join(tmp, "ckpt")
-        # Size the stateful stage to the data: the windowed agg keys on
-        # (window, event_type) — a few thousand groups here — and every
-        # shuffle partition carries a state store whose setup/commit cost
-        # is fixed. At test scale 8 partitions beats 32; a 100 TB/day
-        # deployment raises it with load (state store count scales with
-        # partitions, not data, so this is THE streaming sizing knob).
+        # Size the stateful stage to the data: the windowed aggs key on
+        # a few thousand groups here, and every shuffle partition carries
+        # a state store whose setup/commit cost is fixed. At test scale 8
+        # partitions beats 32; a 100 TB/day deployment raises it with
+        # load (state store count scales with partitions, not data, so
+        # this is THE streaming sizing knob).
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = (
-                tumbling_agg(_events_stream(spark, events_dir))
+                agg_builder(_events_stream(spark, events_dir))
                 .writeStream.format("memory")
                 .queryName(name)
                 .outputMode("complete")
@@ -110,16 +116,23 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    result = spark.table(name).select(
+    result = spark.table(name)
+    # Materialize before the memory sink table goes stale, then drop it.
+    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window aggregation as a genuine streaming query
+    to a memory sink (complete mode, AvailableNow) and return the final
+    table, shaped identically to the batch q15 oracle."""
+    return _run_complete_stream(spark, sf_dir, tumbling_agg).select(
         F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
         "event_type",
         "n_events",
         "total_value",
     )
-    # Materialize before the memory sink table goes stale, then drop it.
-    out = spark.createDataFrame(result.collect(), schema=result.schema)
-    spark.catalog.dropTempView(name)
-    return out
 
 
 @query(
@@ -261,6 +274,116 @@ def sliding_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         .orderBy("ws", "event_type")
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1h windows sliding every 30 min with a 10-min watermark — the
+    overlapping-window stateful operator (each event updates W/slide = 2
+    window states)."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", TUMBLE, SLIDE).alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "k4_stream_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS ws
+      FROM events
+    )
+    SELECT ws, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM w GROUP BY ws, event_type ORDER BY ws, event_type
+    """,
+)
+def stream_sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's sliding windows run as a REAL streaming query: watermarked
+    overlapping-window state, complete mode, AvailableNow. The terminal
+    state must equal the batch q21 aggregate (same oracle) — proving the
+    watermark interacts correctly with windows an event belongs to
+    twice, which the reference's batch-barrier loop (master.py:215-258)
+    could never express."""
+    return (
+        _run_complete_stream(spark, sf_dir, sliding_agg)
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+def session_agg_streaming(events: DataFrame) -> DataFrame:
+    """Watermarked per-user session windows — the session-MERGE stateful
+    operator (an event can bridge two open sessions into one)."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), SESSION_GAP).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "k4_stream_sessions",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k4 session windows run as a REAL streaming query: the terminal
+    complete-mode state of the watermarked session-window aggregation
+    must equal the batch gaps-and-islands oracle, proving session-merge
+    state handling (out-of-order events within the watermark can fuse
+    two open sessions)."""
+    return (
+        _run_complete_stream(spark, sf_dir, session_agg_streaming)
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
     )
 
 
