@@ -192,20 +192,28 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q5 — left outer join + IS NULL (customers with zero orders).
+# Q5 — left outer join + IS NULL (customers with no qualifying order).
+# The right side is filtered BEFORE the join so the result is non-empty at
+# every test scale factor — a 0-row match is a vacuous correctness signal
+# for outer-null logic.
 # --------------------------------------------------------------------------
 @query(
     "q5_left_join_null",
     oracle="""
     SELECT c_custkey, c_name
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    FROM customer LEFT JOIN (
+        SELECT * FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    ) o ON c_custkey = o_custkey
     WHERE o_orderkey IS NULL
     ORDER BY c_custkey
     """,
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .filter(F.col("o_orderkey").isNull())
@@ -237,19 +245,22 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q7 — left ANTI join (NOT EXISTS).
+# Q7 — left ANTI join (NOT EXISTS). The right side is filtered to a
+# quantity slice so the anti-join is non-vacuous at every test scale
+# factor (every part appears in lineitem, but not at quantity > 45).
 # --------------------------------------------------------------------------
 @query(
     "q7_anti_join",
     oracle="""
     SELECT p_partkey, p_name FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 45)
     ORDER BY p_partkey
     """,
 )
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     return (
         p.join(li, p.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
