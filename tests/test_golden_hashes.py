@@ -1,0 +1,51 @@
+"""Drift guards for the rows-only queries (SURVEY.md §5.2-7).
+
+Five registered queries are deliberately not SQL-oracled (seeded LSH /
+SimHash / SRP / IVF sketches and the hash-split sample) — the driver
+records only their row counts, so a semantic regression that preserves
+cardinality would pass CORRECTNESS silently. Each is deterministic for a
+fixed input (hash-seeded, order-insensitive), so we pin an
+order-insensitive sha256 of the full canonical output at sf0.001: any
+output change fails here even when the row count survives.
+
+Regenerate a hash ONLY after intentionally changing the operator's
+semantics: rerun the query at sf0.001 and paste the printed digest
+(the assertion message shows it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+import k_means_clustering_via_map_reduce_spark.queries as Q
+from tests.conftest import SF_DIR
+from tests.oracle_utils import canonical_rows
+
+Q.load_all()
+
+# (sha256[:16] of repr(canonical_rows(...)), row count) at sf0.001.
+GOLDEN = {
+    "d2_minhash_lsh_pairs": ("212d9faa3776adaa", 26),
+    "d3_simhash_pairs": ("4c22c95269e71b5d", 1892),
+    "s2_lsh_topk": ("76c5bba8fb725b1f", 100),
+    "s3_ivf_topk": ("86a9659a8f3ec1e0", 100),
+    "p1_stratified_sample": ("3279dd785278f7bf", 5),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_rows_only_query_output_is_pinned(spark, sf_dir, name):
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip(f"golden hashes pinned at sf0.001, running at {SF_DIR}")
+    pdf = Q.QUERIES[name](spark, sf_dir).toPandas()
+    digest = hashlib.sha256(repr(canonical_rows(pdf)).encode()).hexdigest()[:16]
+    want_digest, want_rows = GOLDEN[name]
+    assert len(pdf) == want_rows, (
+        f"{name}: row count drifted {len(pdf)} != {want_rows}"
+    )
+    assert digest == want_digest, (
+        f"{name}: output drifted (digest {digest} != {want_digest}); if the "
+        f"semantic change is intentional, repin GOLDEN[{name!r}]"
+    )
