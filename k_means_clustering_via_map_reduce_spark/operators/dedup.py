@@ -425,7 +425,11 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is what a training-data pipeline actually deletes against.
 # --------------------------------------------------------------------------
 def connected_components(
-    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 30
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id, label)
     with label = smallest id in the component.
@@ -435,10 +439,17 @@ def connected_components(
     hash-shuffles on the id. Iterations needed = graph diameter (small
     for near-dup clusters, which are dense blobs). ``localCheckpoint``
     truncates the growing lineage each round, the standard guard for
-    iterative DataFrame algorithms. (At extreme scale the same loop
-    with the small-star/large-star edge rewrites [Kiveris et al.] cuts
-    iteration count; the dataflow per round is identical.)
+    iterative DataFrame algorithms.
+
+    ``algorithm="star"`` switches to the small-star/large-star edge
+    contraction (``connected_components_star``), whose round count
+    scales with log(diameter) instead of diameter — the choice for
+    high-diameter graphs at extreme scale.
     """
+    if algorithm == "star":
+        return connected_components_star(pairs, a_col, b_col, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # Materialize the edge list ONCE — it is re-joined every iteration,
     # and without this the entire upstream pair computation would re-run
     # per round.
@@ -454,6 +465,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -476,7 +488,107 @@ def connected_components(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    if changed != 0:
+        # An unconverged fixpoint silently splits any component whose
+        # diameter exceeds max_iter into several labels — wrong cluster
+        # counts with no symptom. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter or use connected_components_star for "
+            "high-diameter graphs"
+        )
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Small-star/large-star connected components [Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"] → (id, label) with
+    label = smallest id in the component, identical to the min-label
+    loop's output.
+
+    Each round rewrites the edge set itself instead of propagating
+    labels along it: large-star hangs every strictly-larger neighbor of
+    a node off the minimum of its closed neighborhood, small-star does
+    the same for the smaller neighbors. The component collapses into a
+    star centered at its minimum id in O(log diameter) rounds — the
+    scale path for high-diameter graphs where the label loop's
+    diameter-many shuffles would dominate. Per round: two groupBy-min
+    aggregations + two joins, all hash-shuffles on the node id, edge
+    set checkpointed to truncate lineage.
+    """
+    # Canonical orientation (max, min); self-loops dropped.
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    all_ids = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Large-star: for each node, connect every strictly-larger
+        # neighbor to the min of the closed neighborhood. Emitted edges
+        # (x, m) keep the (max, min) orientation since m <= u < x.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        ls_min = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(ls_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: group by the larger endpoint; connect it and all
+        # its smaller neighbors to the neighborhood min.
+        ss_min = large.groupBy("u").agg(F.min("v").alias("m"))
+        ss = large.join(ss_min, "u")
+        small = (
+            ss.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .union(ss.select(F.col("v").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .localCheckpoint()
+        )
+        # Fixpoint = the edge set stopped changing; both sides are
+        # distinct and identically oriented, so two exceptAll counts
+        # decide set equality.
+        if (
+            small.count() == edges.count()
+            and small.exceptAll(edges).count() == 0
+        ):
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; the graph is larger than this configuration allows"
+        )
+    # At the fixpoint every component is a star (node -> component min).
+    centers = edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    return all_ids.join(centers, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
 
 
 @query(

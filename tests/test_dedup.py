@@ -119,6 +119,66 @@ def test_connected_components_transitive_chain(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_matches_label_loop(spark):
+    """Property: on seeded random graphs the star-contraction variant
+    must produce the exact same (id -> component-min) labeling as the
+    min-label loop."""
+    import random
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for n, m in [(12, 8), (40, 30), (60, 90)]:
+        pairs = spark.createDataFrame(
+            [
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(m)
+            ],
+            "a_id BIGINT, b_id BIGINT",
+        ).filter("a_id != b_id")
+        want = {
+            r["id"]: r["label"]
+            for r in connected_components(pairs, max_iter=n).collect()
+        }
+        got = {
+            r["id"]: r["label"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want, f"n={n} m={m}"
+    # Dispatch through the flag returns the same thing.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a_id BIGINT, b_id BIGINT"
+    )
+    star = {
+        r["id"]: r["label"]
+        for r in connected_components(chain, algorithm="star").collect()
+    }
+    assert star == {i: 0 for i in range(11)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A path graph with diameter > max_iter must fail loudly instead of
+    silently returning a split component; the star variant handles the
+    same graph in O(log d) rounds."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id BIGINT, b_id BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=3)
+    labels = {
+        r["id"]: r["label"] for r in connected_components_star(path).collect()
+    }
+    assert labels == {i: 0 for i in range(13)}
+
+
 def test_jaccard_posting_cap_is_subset_and_converges(spark, sf_dir):
     """Capped jaccard must (a) equal the exact result when the cap
     exceeds every posting frequency, (b) produce a SUBSET of exact
