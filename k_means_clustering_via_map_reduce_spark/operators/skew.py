@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 DEFAULT_SALT = 16
 
@@ -31,23 +32,41 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     salt: int = DEFAULT_SALT,
+    probe_id_col: str | None = None,
 ) -> DataFrame:
     """Equi-join ``probe ⋈ build`` on ``on`` with the shuffle keyed on
     (join keys, salt) instead of the join keys alone.
 
-    The probe side gets a deterministic pseudo-random salt per row
-    (xxhash64 of the whole row — no RNG, so retries/recomputes of a task
-    produce identical output); the build side is replicated once per salt
-    value via a ``sequence``+``explode`` (rows × salt). Result equals the
-    plain join for inner/left joins (each probe row meets each build
-    match exactly once, under exactly one salt value).
+    The probe side gets a deterministic pseudo-random salt per row —
+    xxhash64 of the row's hashable columns mixed with a per-row
+    disambiguator, so no RNG and no dependence on the row's VALUES being
+    distinct. Without the disambiguator, fully-duplicated probe rows (a
+    common real skew shape) would all hash to one salt and still land in
+    a single task. Pass ``probe_id_col`` naming a stable surrogate id
+    when one exists (fully deterministic); otherwise
+    ``monotonically_increasing_id`` is mixed in, which is deterministic
+    for a deterministic source under a stable partition layout — the
+    same condition Spark task retries already rely on. Map-typed
+    columns are excluded from the hash (xxhash64 rejects them).
+
+    The build side is replicated once per salt value via a
+    ``sequence``+``explode`` (rows × salt). Result equals the plain join
+    for inner/left joins (each probe row meets each build match exactly
+    once, under exactly one salt value).
     """
-    probe_cols = [c for c in probe.columns]
+    hashable = [
+        F.col(f.name)
+        for f in probe.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    disambig = (
+        F.col(probe_id_col)
+        if probe_id_col is not None
+        else F.monotonically_increasing_id()
+    )
     p = probe.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in probe_cols]), F.lit(salt)).cast(
-            "int"
-        ),
+        F.pmod(F.xxhash64(*hashable, disambig), F.lit(salt)).cast("int"),
     )
     b = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

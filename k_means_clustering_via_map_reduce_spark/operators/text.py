@@ -293,10 +293,12 @@ def bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "t8_zscore_by_lang",
+    # length() (characters) on both sides — strlen() is BYTES in DuckDB
+    # and would diverge from Spark's F.length on any non-ASCII text.
     oracle="""
     SELECT doc_id, lang,
-           round((strlen(text) - avg(strlen(text)) OVER (PARTITION BY lang))
-                 / stddev_samp(strlen(text)) OVER (PARTITION BY lang),
+           round((length(text) - avg(length(text)) OVER (PARTITION BY lang))
+                 / stddev_samp(length(text)) OVER (PARTITION BY lang),
                  4) AS z_len
     FROM documents ORDER BY doc_id
     """,
@@ -317,18 +319,29 @@ def zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zscore(pdf: pdd.DataFrame) -> pdd.DataFrame:
+        # Emit z UNROUNDED: pandas .round() is half-even (banker's) while
+        # the engine's r4 / the oracle's round() are half-away-from-zero,
+        # so rounding parity lives on the Spark side.
         x = pdf["n_len"].astype("float64")
         z = (x - x.mean()) / x.std(ddof=1)
         return pdd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "lang": pdf["lang"],
-                "z_len": z.round(4),
+                "z_len": z,
             }
         )
 
     return (
         d.groupBy("lang")
         .applyInPandas(zscore, schema="doc_id BIGINT, lang STRING, z_len DOUBLE")
+        # A 1-doc group has stddev NaN in pandas but NULL in SQL — map it.
+        .select(
+            "doc_id",
+            "lang",
+            r4(F.nanvl(F.col("z_len"), F.lit(None).cast("double"))).alias(
+                "z_len"
+            ),
+        )
         .orderBy("doc_id")
     )

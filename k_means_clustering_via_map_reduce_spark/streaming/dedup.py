@@ -24,11 +24,21 @@ def dedup_stream(
 ) -> DataFrame:
     """Drop duplicate rows (same ``keys``) arriving within the watermark
     horizon of each other. Duplicates straddling the horizon are the
-    source's SLA problem, not state the engine can afford to keep."""
+    source's SLA problem, not state the engine can afford to keep.
+
+    The output schema equals the input schema: watermarks demand a
+    zoned TIMESTAMP, so a TIMESTAMP_NTZ event-time column is cast for
+    the stateful operator (wall-clock-preserving under the pinned UTC
+    session timezone) and cast back on emit — a dedup must not mutate
+    the passthrough columns it didn't touch."""
     from pyspark.sql import functions as F
 
-    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+    ntz = dict(events.dtypes).get(ts_col) == "timestamp_ntz"
+    if ntz:
         events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+    out = events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+    if ntz:
+        out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+    return out

@@ -158,6 +158,11 @@ def test_streaming_dedup_within_watermark(spark):
                 r["event_id"] for r in spark.table(name).collect()
             )
             assert ids == [1, 2, 3], ids
+            # Passthrough schema preserved: the input's TIMESTAMP_NTZ ts
+            # must not be silently rewritten to a zoned timestamp.
+            assert (
+                dict(spark.table(name).dtypes)["ts"] == "timestamp_ntz"
+            ), spark.table(name).dtypes
         finally:
             q.stop()
             spark.catalog.dropTempView(name)
