@@ -89,14 +89,35 @@ def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("ignoreTrailingWhiteSpace", "true")
         .csv(path)
     )
-    # Line order within a file == parquet/csv read order per partition;
-    # for the tiny parity fixtures a single file yields a stable index.
+    # zipWithIndex reformulated for DataFrames: number rows WITHIN each
+    # scan partition (parallel window keyed on spark_partition_id), then
+    # add per-partition offsets from one tiny count aggregate — no
+    # unpartitioned global sort, so a large file never funnels through a
+    # single task. File scans plan partitions deterministically, so the
+    # count pass and the numbering pass see identical partitioning (the
+    # same property RDD.zipWithIndex relies on). Index order follows
+    # scan-partition order: identical to line order for the single-file
+    # parity fixtures this source exists for.
     from pyspark.sql.window import Window
 
-    return df.withColumn(
-        "row_idx",
-        F.row_number().over(
-            Window.orderBy(F.monotonically_increasing_id())
+    df = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = df.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    acc, offsets = 0, {}
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_cnt"]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    per_part = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        df.withColumn(
+            "row_idx",
+            (F.row_number().over(per_part) - 1 + offset_map[F.col("_pid")]).cast(
+                "int"
+            ),
         )
-        - 1,
+        .drop("_pid", "_mid")
     )

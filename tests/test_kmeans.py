@@ -90,6 +90,25 @@ def test_csv_source_roundtrip(spark):
         assert math.dist(got, want) < 1e-9
 
 
+def test_csv_row_index_contiguous_across_split_scan(spark, tmp_path):
+    """row_idx must stay a contiguous 0..n-1 line index even when the
+    file scan splits into many partitions (the per-partition numbering +
+    offset path — no single-task global sort)."""
+    p = tmp_path / "pts.csv"
+    n = 2000
+    p.write_text("".join(f"{i}.0,{i}.5\n" for i in range(n)))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        raw = spark.read.schema("x DOUBLE, y DOUBLE").csv(str(p))
+        assert raw.rdd.getNumPartitions() > 4, "scan did not split"
+        rows = read_points_csv(spark, str(p)).orderBy("row_idx").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert [r["row_idx"] for r in rows] == list(range(n))
+    assert [r["x"] for r in rows] == [float(i) for i in range(n)]
+
+
 def test_empty_cluster_drops_and_k_shrinks(spark):
     """A far-outlier initial centroid captures no points → its id emits no
     group and K shrinks permanently (reference behavior, §7.4)."""
