@@ -240,18 +240,30 @@ def _simhash_udf():
     Fully batch-vectorized: the only Python-level loops are per DISTINCT
     token (md5 of unseen vocabulary, cached across batches — corpora
     share vocabulary heavily so this amortizes to near-zero). Everything
-    per-document runs as numpy array ops: the ±1 vote matrix is built
-    for the batch vocabulary in one shot from the hash integers, the
-    per-doc vote sums are a cumsum + segment-boundary difference over
-    the (doc, token) incidence, and the sign bits pack into the 64-bit
-    fingerprint with one broadcasted shift-and-sum."""
+    per-document runs as numpy array ops: a (vocab, 64) 0/1 bit matrix is
+    built once per batch, per-doc set-bit counts come from a segment
+    reduction over the (doc, token) incidence, and the majority bits pack
+    into the 64-bit fingerprint with one broadcasted shift-and-sum.
+
+    Memory-bounded by construction: the gathered per-occurrence rows are
+    uint8 (64 B per token occurrence, not the 512 B an int64 ±1 vote
+    gather would cost) and gathered in ≤``_CHUNK_OCC``-row slices, so
+    transient footprint per batch is ~64 MB regardless of how many
+    token occurrences an Arrow batch carries. The vote sign for a doc
+    with c tokens of which s set bit b is (2s - c) > 0 ⇔ 2s > c, so
+    counting set bits reproduces the ±1-vote majority exactly."""
     import hashlib
 
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    hash_cache: dict[str, int] = {}  # token → 64-bit md5 prefix
+    # token → 64-bit md5 prefix, shared across batches for the worker's
+    # lifetime but BOUNDED: md5 re-hashing is cheap relative to a
+    # per-executor memory leak on unbounded-vocabulary corpora.
+    hash_cache: dict[str, int] = {}
+    _CACHE_MAX = 1 << 22  # ~4M tokens ≈ a few hundred MB ceiling
+    _CHUNK_OCC = 1 << 20  # gathered uint8 rows per slice ≈ 64 MB
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
@@ -274,6 +286,8 @@ def _simhash_udf():
                     vocab[tok] = j
                 tok_idx[pos] = j
                 pos += 1
+        if len(hash_cache) > _CACHE_MAX:
+            hash_cache.clear()
         hashes = np.empty(len(vocab), dtype=np.uint64)
         md5 = hashlib.md5
         for tok, j in vocab.items():
@@ -282,17 +296,31 @@ def _simhash_udf():
                 h = int.from_bytes(md5(tok.encode()).digest()[:8], "big")
                 hash_cache[tok] = h
             hashes[j] = h
-        # (vocab, 64) ±1 vote matrix from the hash bits, one shot.
-        votes_mat = (
-            ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2
-            - 1
+        # (vocab, 64) 0/1 bit matrix — uint8, 64 B per vocab entry.
+        bits_mat = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(
+            np.uint8
         )
-        # Per-doc vote sums without a Python loop: cumulative sum down the
-        # incidence rows, then difference at the per-doc segment ends.
-        seg_ends = np.cumsum(counts) - 1
-        cum = np.cumsum(votes_mat[tok_idx], axis=0)[seg_ends]
-        votes = np.diff(cum, axis=0, prepend=np.zeros((1, SIMHASH_BITS), dtype=np.int64))
-        bits = (votes > 0).astype(np.uint64)
+        # Per-doc set-bit counts via segment reduction, gathering at most
+        # _CHUNK_OCC incidence rows at a time (docs never split across
+        # chunks; a single doc larger than the chunk still processes
+        # alone — counts are per-doc so correctness is unaffected).
+        seg_starts = np.concatenate(
+            (np.zeros(1, dtype=np.int64), np.cumsum(counts))
+        )
+        set_counts = np.empty((n, SIMHASH_BITS), dtype=np.int64)
+        d0 = 0
+        while d0 < n:
+            lo = seg_starts[d0]
+            d1 = int(
+                np.searchsorted(seg_starts, lo + _CHUNK_OCC, side="right")
+            ) - 1
+            d1 = max(d1, d0 + 1)
+            rows = bits_mat[tok_idx[lo : seg_starts[d1]]]
+            set_counts[d0:d1] = np.add.reduceat(
+                rows.astype(np.int64), seg_starts[d0:d1] - lo, axis=0
+            )
+            d0 = d1
+        bits = (2 * set_counts > counts[:, None]).astype(np.uint64)
         packed = (bits << shifts).sum(axis=1, dtype=np.uint64)
         return pd.Series(packed.view(np.int64))
 
@@ -522,19 +550,22 @@ def connected_components_star(
     aggregations + two joins, all hash-shuffles on the node id, edge
     set checkpointed to truncate lineage.
     """
-    # Canonical orientation (max, min); self-loops dropped.
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Node set from the RAW pairs (before the self-loop filter) so a node
+    # appearing only in self-loop pairs still gets (id, label=id) — the
+    # same id-set the label-propagation variant returns.
+    all_ids = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    all_ids = (
-        edges.select(F.col("u").alias("id"))
-        .union(edges.select(F.col("v").alias("id")))
+    # Canonical orientation (max, min); self-loops dropped.
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         .distinct()
         .localCheckpoint()
     )

@@ -37,36 +37,40 @@ def salted_join(
     """Equi-join ``probe ⋈ build`` on ``on`` with the shuffle keyed on
     (join keys, salt) instead of the join keys alone.
 
-    The probe side gets a deterministic pseudo-random salt per row —
-    xxhash64 of the row's hashable columns mixed with a per-row
-    disambiguator, so no RNG and no dependence on the row's VALUES being
-    distinct. Without the disambiguator, fully-duplicated probe rows (a
-    common real skew shape) would all hash to one salt and still land in
-    a single task. Pass ``probe_id_col`` naming a stable surrogate id
-    when one exists (fully deterministic); otherwise
-    ``monotonically_increasing_id`` is mixed in, which is deterministic
-    for a deterministic source under a stable partition layout — the
-    same condition Spark task retries already rely on. Map-typed
-    columns are excluded from the hash (xxhash64 rejects them).
+    The probe-side salt is a PURE FUNCTION of row values — never of row
+    position — so a task retry that recomputes rows in a different order
+    reassigns identical salts and can neither drop nor duplicate rows
+    (the SPARK-23207 round-robin-repartition hazard this deliberately
+    avoids; a positional salt is only safe over a freshly scanned
+    deterministic source, which the skewed-probe case — the output of an
+    upstream join/shuffle — is not):
+
+    - With ``probe_id_col`` (a stable per-row surrogate id): salt =
+      xxhash64(id) mod salt — uniform even when every payload value is
+      identical. Pass it whenever the probe has ANY unique column; this
+      is the fully-general path.
+    - Without it: salt = xxhash64(all hashable columns) mod salt.
+      Fully-duplicated probe rows then share one salt value, so for the
+      degenerate duplicate-heavy skew shape the spread degrades — a
+      documented mitigation limit, never a correctness risk. Map-typed
+      columns are excluded from the hash (xxhash64 rejects them).
 
     The build side is replicated once per salt value via a
     ``sequence``+``explode`` (rows × salt). Result equals the plain join
     for inner/left joins (each probe row meets each build match exactly
     once, under exactly one salt value).
     """
-    hashable = [
-        F.col(f.name)
-        for f in probe.schema.fields
-        if not isinstance(f.dataType, MapType)
-    ]
-    disambig = (
-        F.col(probe_id_col)
-        if probe_id_col is not None
-        else F.monotonically_increasing_id()
-    )
+    if probe_id_col is not None:
+        salt_expr = F.xxhash64(F.col(probe_id_col))
+    else:
+        hashable = [
+            F.col(f.name)
+            for f in probe.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+        salt_expr = F.xxhash64(*hashable)
     p = probe.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*hashable, disambig), F.lit(salt)).cast("int"),
+        "__salt", F.pmod(salt_expr, F.lit(salt)).cast("int")
     )
     b = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -1,7 +1,6 @@
 from k_means_clustering_via_map_reduce_spark.plans.introspect import (
     broadcast_hash_join_count,
     count_shuffles,
-    exchange_inputs,
     physical_plan,
     pushed_filters,
     scan_read_schemas,
@@ -12,7 +11,6 @@ from k_means_clustering_via_map_reduce_spark.plans.introspect import (
 __all__ = [
     "broadcast_hash_join_count",
     "count_shuffles",
-    "exchange_inputs",
     "physical_plan",
     "pushed_filters",
     "scan_read_schemas",

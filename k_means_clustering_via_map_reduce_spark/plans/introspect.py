@@ -60,24 +60,6 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     ]
 
 
-def exchange_inputs(df: DataFrame) -> list[list[str]]:
-    """The ``Input`` attribute list of every shuffle Exchange in the
-    formatted plan — i.e. exactly which columns get serialized through
-    each shuffle. The scale-audit primitive behind
-    ``shuffled_array_columns``: a shuffle is priced by the width of these
-    rows, and a fat array column riding a high-fanout shuffle (e.g. an
-    LSH band explosion) is the kind of 10× amplification these tests
-    exist to pin out."""
-    plan = physical_plan(df)
-    out: list[list[str]] = []
-    for m in re.finditer(
-        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
-    ):
-        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
-        out.append(cols)
-    return out
-
-
 def _iter_jvm_nodes(node):
     """Depth-first walk of a JVM SparkPlan / TreeNode via py4j."""
     yield node

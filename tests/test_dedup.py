@@ -159,6 +159,30 @@ def test_connected_components_star_matches_label_loop(spark):
     assert star == {i: 0 for i in range(11)}
 
 
+def test_connected_components_star_keeps_self_loop_only_nodes(spark):
+    """A node appearing ONLY in self-loop pairs must still get
+    (id, label=id) from BOTH variants — the star variant derives its
+    node set from the raw pairs before the self-loop filter."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (9, 9)], "a_id BIGINT, b_id BIGINT"
+    )
+    want = {1: 1, 2: 1, 5: 5, 9: 9}
+    label = {
+        r["id"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    star = {
+        r["id"]: r["label"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert label == want
+    assert star == want
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """A path graph with diameter > max_iter must fail loudly instead of
     silently returning a split component; the star variant handles the

@@ -58,43 +58,67 @@ def test_salted_join_survives_pathological_key(spark):
     assert "__salt" in plan, "salt key absent from the join plan"
 
 
-def test_salted_join_spreads_identical_duplicate_rows(spark):
-    """Fully-duplicated probe rows (identical in every column — the
-    pathological skew shape) must scatter across salt values rather than
-    hash to one; map-typed payload columns must not break the salt."""
-    dup = (
-        spark.range(4_000)
-        .select(
-            F.lit(7).alias("k"),
-            F.lit("same").alias("payload"),
-            F.create_map(F.lit("a"), F.lit(1)).alias("m"),
-        )
+def test_salted_join_spreads_duplicates_via_id_col(spark):
+    """Fully-duplicated probe rows (identical in every payload column —
+    the pathological skew shape) scatter across salt values when a
+    stable surrogate id is provided; map-typed payload columns must not
+    break the salt."""
+    dup = spark.range(4_000).select(
+        F.col("id").alias("rid"),
+        F.lit(7).alias("k"),
+        F.lit("same").alias("payload"),
+        F.create_map(F.lit("a"), F.lit(1)).alias("m"),
     )
     dim = spark.range(10).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     )
-    out = salted_join(dup, dim, on=["k"], salt=8)
+    out = salted_join(dup, dim, on=["k"], salt=8, probe_id_col="rid")
     assert out.count() == 4_000
     # Reconstruct the salt the same way the operator does and check the
     # duplicates actually use >1 salt value.
-    from k_means_clustering_via_map_reduce_spark.operators.skew import (
-        DEFAULT_SALT,  # noqa: F401  (import proves module-level API)
-    )
-
-    hashable = [F.col("k"), F.col("payload")]
     salts = (
         dup.withColumn(
-            "__salt",
-            F.pmod(
-                F.xxhash64(*hashable, F.monotonically_increasing_id()),
-                F.lit(8),
-            ),
+            "__salt", F.pmod(F.xxhash64(F.col("rid")), F.lit(8))
         )
         .select("__salt")
         .distinct()
         .count()
     )
-    assert salts > 1, "identical rows still collapse onto one salt"
+    assert salts > 1, "id-salted duplicate rows still collapse onto one salt"
+
+
+def test_salted_join_default_salt_is_value_pure(spark):
+    """Without probe_id_col the salt is a pure function of row values:
+    recomputing it twice (fresh lineage each time) yields identical
+    assignments, and duplicate rows — which share values — share a salt.
+    This is the retry-safety contract (no positional/nondeterministic
+    input to the salt)."""
+    probe = spark.range(2_000).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") % 7).alias("payload")
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    a = salted_join(probe, dim, on=["k"], salt=8)
+    b = salted_join(probe, dim, on=["k"], salt=8)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b
+    assert a.count() == 2_000
+    # identical (k, payload) rows map to identical salts by construction
+    n_distinct = probe.distinct().count()
+    salts = (
+        probe.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col("k"), F.col("payload")), F.lit(8)
+            ).cast("int"),
+        )
+        .select("k", "payload", "__salt")
+        .distinct()
+        .count()
+    )
+    assert salts == n_distinct, "salt is not a pure function of row values"
 
 
 def test_salted_left_join_preserves_unmatched(spark):
