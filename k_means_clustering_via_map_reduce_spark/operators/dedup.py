@@ -48,9 +48,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness anchor. Deliberately quadratic-within-block; the MinHash
 # operator below is the scale path and is tested against this one.
 # --------------------------------------------------------------------------
-@query(
-    "d1_jaccard_pairs",
-    oracle=f"""
+_D1_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
     ),
@@ -69,8 +67,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0
           / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
     ORDER BY a_id, b_id
-    """,
-)
+    """
+
+
+@query("d1_jaccard_pairs", oracle=_D1_ORACLE)
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact jaccard via an inverted-index co-occurrence join — the
     scalable formulation, never materializing the quadratic pair space:
@@ -467,7 +467,9 @@ def connected_components(
     hash-shuffles on the id. Iterations needed = graph diameter (small
     for near-dup clusters, which are dense blobs). ``localCheckpoint``
     truncates the growing lineage each round, the standard guard for
-    iterative DataFrame algorithms.
+    iterative DataFrame algorithms; checkpoints are LAZY so the
+    convergence count materializes them — one Spark job per iteration,
+    not two.
 
     ``algorithm="star"`` switches to the small-star/large-star edge
     contraction (``connected_components_star``), whose round count
@@ -485,13 +487,13 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iter):
@@ -511,7 +513,9 @@ def connected_components(
                     "__chg"
                 ),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # The count both decides convergence AND materializes the lazy
+        # checkpoint — a single job per iteration.
         changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -558,7 +562,7 @@ def connected_components_star(
         raw.select(F.col("u").alias("id"))
         .union(raw.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Canonical orientation (max, min); self-loops dropped.
     edges = (
@@ -567,7 +571,7 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # Large-star: for each node, connect every strictly-larger
@@ -598,7 +602,7 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .distinct()
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Fixpoint = the edge set stopped changing; both sides are
         # distinct and identically oriented, so two exceptAll counts
@@ -727,3 +731,14 @@ def jaccard_pairs_capped(
         .select("a_id", "b_id", r4(jac).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
+
+
+@query("d1b_jaccard_capped", oracle=_D1_ORACLE)
+def jaccard_capped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB posting-cap guard run END-TO-END as a driver query.
+    On the fixtures the max posting frequency (14) is far below the cap,
+    so the capped result must EQUAL the exact d1 result — which is
+    precisely what sharing d1's oracle checks every round. The
+    subset-under-a-binding-cap property is pinned separately in
+    tests/test_dedup.py."""
+    return jaccard_pairs_capped(_shingled(spark, sf_dir))

@@ -92,17 +92,25 @@ def _run_complete_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataF
     state. Complete mode makes that state equal the batch aggregate,
     which is exactly what the SQL oracles check."""
     name = f"cs_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory(prefix="kmce_stream_") as tmp:
+    # The memory-sink oracle path checkpoints to tmpfs when available:
+    # its state is throwaway by definition (the query runs AvailableNow
+    # to termination and the checkpoint dir is deleted after), so paying
+    # per-commit fsyncs to disk buys nothing. The production path
+    # (``stream_to_parquet_sink``) keeps a durable checkpoint.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_stream_", dir=ckpt_base
+    ) as tmp:
         events_dir = _stage_events_dir(spark, sf_dir)
         ckpt = os.path.join(tmp, "ckpt")
         # Size the stateful stage to the data: the windowed aggs key on
         # a few thousand groups here, and every shuffle partition carries
-        # a state store whose setup/commit cost is fixed. At test scale 8
-        # partitions beats 32; a 100 TB/day deployment raises it with
-        # load (state store count scales with partitions, not data, so
-        # this is THE streaming sizing knob).
+        # a state store whose setup/commit cost is fixed. At test scale 4
+        # partitions beats 8 or 32; a 100 TB/day deployment raises it
+        # with load (state store count scales with partitions, not data,
+        # so this is THE streaming sizing knob).
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             q = (
                 agg_builder(_events_stream(spark, events_dir))
