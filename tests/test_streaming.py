@@ -90,6 +90,184 @@ def test_watermark_drops_late_rows_in_append_mode(spark):
             spark.catalog.dropTempView(name)
 
 
+def _last_state_rows(q) -> int:
+    """numRowsTotal of the stateful operator from the most recent
+    progress event that carries one — the observable for watermark-driven
+    state EVICTION (complete-mode tests can never see this shrink)."""
+    for p in reversed(q.recentProgress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            return int(ops[0]["numRowsTotal"])
+    raise AssertionError("no stateOperators in any progress event")
+
+
+@pytest.mark.timeout(300)
+def test_sliding_append_watermark_eviction(spark):
+    """Overlapping (1h/30m) windows driven file-by-file in APPEND mode —
+    the unbounded-stream execution shape: on-time windows emit exactly
+    once when the watermark passes their end, a beyond-watermark row is
+    dropped (not merged, not re-emitted), and closed windows leave the
+    state store (numRowsTotal shrinks back to the open-window count
+    instead of growing monotonically)."""
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        sliding_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def agg(stream):
+        return sliding_agg(stream.withColumn("event_type", F.lit("e"))).select(
+            F.col("win.start").cast("timestamp_ntz").alias("ws"), "n_events"
+        )
+
+    with tempfile.TemporaryDirectory(prefix="kmce_slide_") as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # Two hour-0 events: each lands in windows starting 23:30 and
+        # 00:00 → 2 open window states.
+        _write_batch(
+            spark,
+            src,
+            [
+                (1, t0 + dt.timedelta(minutes=5), 1, 1.0),
+                (2, t0 + dt.timedelta(minutes=20), 1, 1.0),
+            ],
+        )
+        q, name = run_incremental(spark, src, agg)
+        try:
+            q.processAllAvailable()
+            assert spark.table(name).count() == 0  # nothing closed yet
+            # 02:00 event → watermark 01:50 → both hour-0 windows close
+            # and emit; its own 2 windows replace them in state.
+            _write_batch(spark, src, [(3, t0 + dt.timedelta(hours=2), 1, 1.0)])
+            q.processAllAvailable()
+            emitted = {r["ws"]: r["n_events"] for r in spark.table(name).collect()}
+            assert emitted == {
+                dt.datetime(2023, 12, 31, 23, 30): 2,
+                dt.datetime(2024, 1, 1, 0, 0): 2,
+            }
+            # A LATE hour-0 row (far beyond the 01:50 watermark) + an
+            # advancer. The late row must not re-open, bump, or re-emit
+            # the closed hour-0 windows.
+            _write_batch(
+                spark,
+                src,
+                [
+                    (4, t0 + dt.timedelta(minutes=7), 2, 1.0),  # dropped
+                    (5, t0 + dt.timedelta(hours=4), 1, 1.0),
+                ],
+            )
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+            hour0 = [r for r in rows if r["ws"].day == 31 or r["ws"].hour == 0]
+            assert {r["ws"]: r["n_events"] for r in hour0} == {
+                dt.datetime(2023, 12, 31, 23, 30): 2,
+                dt.datetime(2024, 1, 1, 0, 0): 2,
+            }
+            assert len(hour0) == 2, "closed windows re-emitted"
+            # 6 window states existed over the run; only event 5's two
+            # windows may remain open → eviction actually happened.
+            assert _last_state_rows(q) == 2
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+
+
+@pytest.mark.timeout(300)
+def test_session_append_merge_and_eviction(spark):
+    """Session windows (30m gap) in APPEND mode: an out-of-order event
+    INSIDE the watermark bridges two open sessions into one (emitted as
+    a single merged row), a beyond-watermark event is dropped instead of
+    resurrecting a closed session, and closed sessions are evicted from
+    the state store."""
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        session_agg_streaming,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def agg(stream):
+        return session_agg_streaming(stream).select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("ss"),
+            F.col("sw.end").cast("timestamp_ntz").alias("se"),
+            "n_events",
+        )
+
+    with tempfile.TemporaryDirectory(prefix="kmce_sess_") as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        # u1: one session of 2 events; u2: one session. Watermark 00:00.
+        _write_batch(
+            spark,
+            src,
+            [
+                (1, t0, 1, 1.0),
+                (2, t0 + dt.timedelta(minutes=10), 1, 1.0),
+                (3, t0 + dt.timedelta(minutes=5), 2, 1.0),
+            ],
+        )
+        q, name = run_incremental(spark, src, agg)
+        try:
+            q.processAllAvailable()
+            assert spark.table(name).count() == 0
+            # u4 at 01:00 and 01:32: gap 32m → TWO open sessions.
+            # Watermark → 01:22, so u1 (end 00:40) and u2 (end 00:35)
+            # close and emit.
+            _write_batch(
+                spark,
+                src,
+                [
+                    (4, t0 + dt.timedelta(hours=1), 4, 1.0),
+                    (5, t0 + dt.timedelta(hours=1, minutes=32), 4, 1.0),
+                ],
+            )
+            q.processAllAvailable()
+            emitted = {
+                (r["user_id"], r["ss"]): r["n_events"]
+                for r in spark.table(name).collect()
+            }
+            assert emitted == {
+                (1, t0): 2,
+                (2, t0 + dt.timedelta(minutes=5)): 1,
+            }
+            # 01:25 is ABOVE the 01:22 watermark and within 30m of both
+            # u4 sessions → the session-MERGE path fuses them. 04:00
+            # advances the watermark so the merged session closes.
+            _write_batch(
+                spark,
+                src,
+                [
+                    (6, t0 + dt.timedelta(hours=1, minutes=25), 4, 1.0),
+                    (7, t0 + dt.timedelta(hours=4), 5, 1.0),
+                ],
+            )
+            q.processAllAvailable()
+            u4 = [r for r in spark.table(name).collect() if r["user_id"] == 4]
+            assert len(u4) == 1, "bridged sessions emitted separately"
+            assert u4[0]["n_events"] == 3
+            assert u4[0]["ss"] == t0 + dt.timedelta(hours=1)
+            assert u4[0]["se"] == t0 + dt.timedelta(hours=2, minutes=2)
+            # LATE u1 row (watermark is 03:50) must not resurrect u1's
+            # closed session; u6 advances the watermark past u5's end.
+            _write_batch(
+                spark,
+                src,
+                [
+                    (8, t0 + dt.timedelta(minutes=20), 1, 1.0),  # dropped
+                    (9, t0 + dt.timedelta(hours=5), 6, 1.0),
+                ],
+            )
+            q.processAllAvailable()
+            u1 = [r for r in spark.table(name).collect() if r["user_id"] == 1]
+            assert len(u1) == 1 and u1[0]["n_events"] == 2
+            # 5 sessions existed; only u6's open session may remain.
+            assert _last_state_rows(q) == 1
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+
+
 def test_session_window_gap_boundary(spark):
     """An event exactly `gap` after the last one starts a NEW session
     (Spark merges only when ts < previous end)."""
