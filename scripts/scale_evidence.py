@@ -1,0 +1,233 @@
+"""Off-fixture scale evidence for the dedup/ANN family (BASELINE.md §scale).
+
+The plan-shape tests (tests/test_plans.py) PIN that the d1/d2/d3/s2/t6
+shuffles carry only scalar rows; this script MEASURES that their cost
+actually grows ~linearly with corpus size, which no fixture-scale run can
+show. It:
+
+1. builds ×1/×2/×4/×8 corpora from sf0.1 (each copy gets a disjoint
+   vocabulary via a per-copy token prefix, so duplicate DENSITY stays
+   constant while corpus SIZE scales — naive replication would add
+   cross-copy duplicate pairs quadratically and poison the measurement;
+   embeddings get a per-copy id offset and a tiny deterministic
+   perturbation),
+2. runs each operator end-to-end per scale with a job group, and
+3. reads wall time + shuffle write bytes/records for exactly that job
+   group from the Spark REST API (the same numbers the UI shows).
+
+It also builds the HOT-SHINGLE corpus (one trigram present in every
+document) and contrasts exact d1 against the posting-capped variant —
+the c² blow-up guard measured, not just asserted.
+
+Run:  python scripts/scale_evidence.py   (writes a markdown table to
+stdout; paste/refresh the BASELINE.md "Off-fixture scale evidence"
+section from it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.session import _RUNTIME_CONFS, configure
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/kmce_scale_corpus"
+MULTS = [1, 2, 4, 8]
+QUERIES_UNDER_TEST = [
+    "d1_jaccard_pairs",
+    "d1b_jaccard_capped",
+    "d2_minhash_lsh_pairs",
+    "d3_simhash_pairs",
+    "s2_lsh_topk",
+    "t6_tfidf_top_terms",
+]
+
+
+def _spark() -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("kmce-scale-evidence")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        .config("spark.ui.enabled", "true")  # REST API is the metrics source
+        .config("spark.ui.port", "4047")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure(spark)
+
+
+def build_corpora(spark: SparkSession) -> None:
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    for m in MULTS:
+        out = os.path.join(WORK, f"x{m}")
+        if os.path.exists(os.path.join(out, "_DONE")):
+            continue
+        copies_d = []
+        copies_e = []
+        for i in range(m):
+            # Disjoint vocabulary per copy: prefix every token. Copy 0
+            # keeps the original text so ×1 equals the fixture corpus.
+            t = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", r"(\S+)", f"c{i}$1")
+            )
+            copies_d.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    t.alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+            copies_e.append(
+                embs.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    F.transform(
+                        "embedding", lambda x: x + F.lit(i) * F.lit(0.001)
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        d = copies_d[0]
+        for c in copies_d[1:]:
+            d = d.unionAll(c)
+        e = copies_e[0]
+        for c in copies_e[1:]:
+            e = e.unionAll(c)
+        d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+        e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+        open(os.path.join(out, "_DONE"), "w").close()
+    # Hot-shingle corpus: ×1 with one trigram appended to EVERY doc.
+    out = os.path.join(WORK, "hot")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        docs.select(
+            "doc_id",
+            F.concat("text", F.lit(" zzhot zzhot zzhot")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+        embs.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+        open(os.path.join(out, "_DONE"), "w").close()
+
+
+def _rest(path: str):
+    with urllib.request.urlopen(f"http://localhost:4047/api/v1{path}") as r:
+        return json.loads(r.read())
+
+
+def _app_id() -> str:
+    return _rest("/applications")[0]["id"]
+
+
+def shuffle_metrics(app_id: str, group: str) -> tuple[int, int]:
+    """(shuffle write bytes, shuffle write records) summed over the
+    unique stages of all jobs in ``group``. Write-side is the canonical
+    'data moved' number (every shuffled row is written exactly once;
+    reads can double-count retried fetches)."""
+    jobs = _rest(f"/applications/{app_id}/jobs")
+    stage_ids: set[int] = set()
+    for j in jobs:
+        if j.get("jobGroup") == group:
+            stage_ids.update(j["stageIds"])
+    by_id: dict[int, tuple[int, int]] = {}
+    for s in _rest(f"/applications/{app_id}/stages?status=complete"):
+        sid = s["stageId"]
+        if sid in stage_ids:
+            # keep the last attempt per stage
+            by_id[sid] = (s["shuffleWriteBytes"], s["shuffleWriteRecords"])
+    return (
+        sum(v[0] for v in by_id.values()),
+        sum(v[1] for v in by_id.values()),
+    )
+
+
+def main() -> None:
+    spark = _spark()
+    sc = spark.sparkContext
+    print("building corpora...", file=sys.stderr, flush=True)
+    build_corpora(spark)
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    Q.load_all()
+    app_id = _app_id()
+
+    # Warm codegen/workers so ×1 isn't penalized by JVM startup.
+    Q.QUERIES["d3_simhash_pairs"](spark, os.path.join(WORK, "x1")).count()
+
+    rows = []
+    for qname in QUERIES_UNDER_TEST:
+        for m in MULTS:
+            group = f"{qname}@x{m}"
+            sc.setJobGroup(group, group)
+            t0 = time.perf_counter()
+            n = Q.QUERIES[qname](spark, os.path.join(WORK, f"x{m}")).count()
+            dt = time.perf_counter() - t0
+            sc.setJobGroup("", "")
+            wb, wr = shuffle_metrics(app_id, group)
+            rows.append((qname, m, dt, wb, wr, n))
+            print(
+                f"# {group}: {dt:.1f}s shuffleW={wb/1e6:.1f}MB "
+                f"({wr} rows) out={n}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    # Hot-shingle: exact vs capped on the same corpus.
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _shingled,
+        jaccard_pairs_capped,
+    )
+
+    hot = os.path.join(WORK, "hot")
+    for label, df in [
+        ("d1_exact@hot", Q.QUERIES["d1_jaccard_pairs"](spark, hot)),
+        (
+            "d1_capped1000@hot",
+            jaccard_pairs_capped(_shingled(spark, hot), posting_cap=1000),
+        ),
+    ]:
+        sc.setJobGroup(label, label)
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        sc.setJobGroup("", "")
+        wb, wr = shuffle_metrics(app_id, label)
+        rows.append((label, 1, dt, wb, wr, n))
+        print(
+            f"# {label}: {dt:.1f}s shuffleW={wb/1e6:.1f}MB ({wr} rows) out={n}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    print("\n| query | corpus | wall s | shuffle write MB | shuffle rows | out rows |")
+    print("|---|---|---|---|---|---|")
+    for qname, m, dt, wb, wr, n in rows:
+        print(
+            f"| {qname} | ×{m} | {dt:.1f} | {wb / 1e6:.1f} | {wr:,} | {n:,} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
