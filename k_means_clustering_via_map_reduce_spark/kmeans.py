@@ -60,6 +60,20 @@ def _features_col(feature_cols: tuple[str, ...]) -> F.Column:
     return F.array(*[F.col(c).cast("double") for c in feature_cols])
 
 
+def _select_features(
+    df: DataFrame,
+    feature_cols: tuple[str, ...],
+    array_col: str | None,
+    order_col: str,
+) -> DataFrame:
+    feat = (
+        F.col(array_col).cast("array<double>")
+        if array_col is not None
+        else _features_col(tuple(feature_cols))
+    )
+    return df.select(feat.alias("features"), F.col(order_col).alias("__ord"))
+
+
 def lloyd_fit(
     df: DataFrame,
     k: int,
@@ -67,11 +81,9 @@ def lloyd_fit(
     order_col: str = "row_idx",
     max_iter: int = 20,
     tol: float = 1e-3,
+    array_col: str | None = None,
 ) -> LloydResult:
-    feats = df.select(
-        _features_col(tuple(feature_cols)).alias("features"),
-        F.col(order_col).alias("__ord"),
-    ).cache()
+    feats = _select_features(df, feature_cols, array_col, order_col).cache()
     try:
         first_k = feats.orderBy("__ord").limit(k).collect()
         centroids = [tuple(r["features"]) for r in first_k]
@@ -126,6 +138,7 @@ def lloyd_fit_join(
     order_col: str = "row_idx",
     max_iter: int = 20,
     tol: float = 1e-3,
+    array_col: str | None = None,
 ) -> LloydResult:
     """Lloyd's with the centroids shipped as a BROADCAST VARIABLE into an
     Arrow-batched numpy argmin — identical semantics to ``lloyd_fit``
@@ -147,10 +160,7 @@ def lloyd_fit_join(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    feats = df.select(
-        _features_col(tuple(feature_cols)).alias("features"),
-        F.col(order_col).alias("__ord"),
-    ).cache()
+    feats = _select_features(df, feature_cols, array_col, order_col).cache()
     spark = df.sparkSession
     sc = spark.sparkContext
     try:
@@ -220,6 +230,34 @@ def assign_clusters(
     return df.withColumn(
         "cluster_id",
         nearest_centroid(_features_col(tuple(feature_cols)), centroids),
+    )
+
+
+def assign_clusters_broadcast(
+    df: DataFrame,
+    centroids: list[tuple[float, ...]],
+    array_col: str,
+) -> DataFrame:
+    """``assign_clusters`` for large codebooks: the centroid matrix rides
+    a broadcast variable into an Arrow-batched numpy argmin (same
+    lowest-index tie semantics), keeping the plan O(1) in K·dim where
+    the literal-expression form would embed K·dim constants."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    @pandas_udf("int")
+    def nearest(vs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.vstack(vs.to_numpy())
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn(
+        "cluster_id", nearest(F.col(array_col).cast("array<double>"))
     )
 
 
@@ -354,6 +392,62 @@ def k1_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("x", 4).alias("cx"),
             F.round("y", 4).alias("cy"),
             F.coalesce(F.col("n_points"), F.lit(0)).cast("bigint").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_K3_K = 256
+_K3_ITERS = 3
+
+
+@query("k3_lloyd_join_largek")
+def k3_lloyd_join_largek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-codebook Lloyd's: K=256 over the FULL 64-dim embedding
+    column via ``lloyd_fit_join`` — the O(1)-plan-size path whose
+    assignment is one numpy matmul per Arrow batch against a broadcast
+    (K, dim) matrix. The literal-expression form would embed
+    K·dim = 16,384 constants in the plan and recompile codegen every
+    iteration; this entry exists to keep the broadcast path exercised
+    and benched at representative codebook size every round. Rows-only
+    for the driver (a 3-iteration 64-dim K-Means has no tractable SQL
+    oracle); exact parity with ``lloyd_fit`` on the same inputs is
+    pinned at K=16x64-dim in tests/test_kmeans.py, and both 2-D forms
+    are oracled via k1.
+
+    At sf0.01 (500 vectors) most of the 256 first-row-init clusters
+    survive with ~2 points; empty clusters drop per reference
+    semantics, so the output also exercises the K-shrink path at scale.
+    """
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = lloyd_fit_join(
+        emb,
+        k=_K3_K,
+        order_col="vec_id",
+        max_iter=_K3_ITERS,
+        tol=0.0,
+        array_col="embedding",
+    )
+    cents = spark.createDataFrame(
+        [
+            (i, float(sum(v * v for v in c) ** 0.5))
+            for i, c in enumerate(res.centroids)
+        ],
+        schema="cluster_id INT, c_norm DOUBLE",
+    )
+    counts = (
+        assign_clusters_broadcast(emb, res.centroids, array_col="embedding")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return (
+        cents.join(counts, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.round("c_norm", 4).alias("c_norm"),
+            F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
         )
         .orderBy("cluster_id")
     )

@@ -45,12 +45,15 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(blob: bytes) -> "object":
-    """REAL DECODER NOT AVAILABLE IN THIS CONTAINER — plug PIL/opencv here.
+    """REAL DECODER NOT AVAILABLE IN THIS CONTAINER for compressed
+    formats (PNG/JPEG/...): plug PIL/opencv here.
 
     Kept as an explicit stub so the pipeline shape is honest about where
-    the codec boundary sits."""
+    the codec-library boundary sits. BMP and WAV need no codec library —
+    ``decode_media`` parses their headers in pure Python below."""
     raise NotImplementedError(
-        "image decoding requires PIL/opencv, not shipped in this container"
+        "compressed-image decoding requires PIL/opencv, not shipped in "
+        "this container; BMP/WAV decode natively via decode_media"
     )
 
 
@@ -61,26 +64,93 @@ def fake_decode(blob: bytes) -> tuple[int, int, int]:
     return n, (n % 97) + 1, (n % 89) + 1
 
 
+def decode_media(blob: bytes) -> dict | None:
+    """REAL header decode for the two formats that need no codec library.
+
+    - BMP (BITMAPINFOHEADER): signed little-endian width/height at byte
+      offsets 18/22; negative height means top-down row order, so the
+      pixel height is its magnitude.
+    - WAV (RIFF): chunk walk from offset 12; channels/sample-rate/bits
+      from the ``fmt `` chunk, sample count from the ``data`` chunk size
+      over the frame size. Odd-sized chunks carry a pad byte (RIFF rule).
+
+    Returns a feature dict, or ``None`` for any other format — the
+    caller decides whether to route those to ``decode_image`` (real
+    codecs) or ``fake_decode`` (tests)."""
+    if blob[:2] == b"BM" and len(blob) >= 26:
+        w = int.from_bytes(blob[18:22], "little", signed=True)
+        h = int.from_bytes(blob[22:26], "little", signed=True)
+        return {"codec": "bmp", "width": w, "height": abs(h)}
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        channels = rate = bits = None
+        data_size = None
+        pos = 12
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            sz = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and pos + 24 <= len(blob):
+                channels = int.from_bytes(blob[pos + 10 : pos + 12], "little")
+                rate = int.from_bytes(blob[pos + 12 : pos + 16], "little")
+                bits = int.from_bytes(blob[pos + 22 : pos + 24], "little")
+            elif cid == b"data":
+                data_size = sz
+            pos += 8 + sz + (sz & 1)
+        if channels and rate and bits:
+            frame = channels * (bits // 8)
+            n_samples = (data_size // frame) if (data_size and frame) else 0
+            return {
+                "codec": "wav",
+                "channels": channels,
+                "sample_rate": rate,
+                "n_samples": n_samples,
+            }
+    return None
+
+
 def media_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads. The UDF
-    signature and batch shape are exactly what a real decoder needs."""
+    """Arrow-batched feature extraction over binary payloads: BMP/WAV
+    headers decode for REAL (``decode_media``); everything else takes
+    the deterministic ``fake_decode`` stand-in for the codec-library
+    boundary. The UDF signature and batch shape are exactly what a full
+    decoder fleet needs — swapping ``fake_decode`` for PIL changes one
+    branch."""
     import pandas as pd
 
     out_schema = (
-        "doc_id BIGINT, media_type STRING, n_bytes BIGINT, "
-        "decoded_w INT, decoded_h INT"
+        "doc_id BIGINT, media_type STRING, codec STRING, n_bytes BIGINT, "
+        "decoded_w INT, decoded_h INT, n_channels INT, sample_rate INT, "
+        "n_samples BIGINT"
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode(b) for b in pdf["blob"]]
+            rows = []
+            for b in pdf["blob"]:
+                real = decode_media(b)
+                if real is None:
+                    n, w, h = fake_decode(b)
+                    rows.append(("opaque", n, w, h, None, None, None))
+                elif real["codec"] == "bmp":
+                    rows.append(
+                        ("bmp", len(b), real["width"], real["height"],
+                         None, None, None)
+                    )
+                else:
+                    rows.append(
+                        ("wav", len(b), None, None, real["channels"],
+                         real["sample_rate"], real["n_samples"])
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [f[0] for f in feats],
-                    "decoded_w": [f[1] for f in feats],
-                    "decoded_h": [f[2] for f in feats],
+                    "codec": [r[0] for r in rows],
+                    "n_bytes": [r[1] for r in rows],
+                    "decoded_w": [r[2] for r in rows],
+                    "decoded_h": [r[3] for r in rows],
+                    "n_channels": [r[4] for r in rows],
+                    "sample_rate": [r[5] for r in rows],
+                    "n_samples": [r[6] for r in rows],
                 }
             )
 

@@ -208,6 +208,46 @@ def spark_prop(spark):
     return spark
 
 
+def test_lloyd_join_form_equals_literal_form_highdim(spark):
+    """Large-codebook parity at representative dimensionality: K=16 over
+    the 64-dim embeddings, both forms, exact same centroids/iterations.
+    (K=256 runs only through the broadcast form — the literal form's
+    16k-constant plan is the thing lloyd_fit_join exists to avoid — and
+    is exercised end-to-end by the registered k3 query.)"""
+    from k_means_clustering_via_map_reduce_spark.kmeans import (
+        lloyd_fit,
+        lloyd_fit_join,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    a = lloyd_fit(
+        emb, k=16, order_col="vec_id", max_iter=3, tol=0.0, array_col="embedding"
+    )
+    b = lloyd_fit_join(
+        emb, k=16, order_col="vec_id", max_iter=3, tol=0.0, array_col="embedding"
+    )
+    assert a.iterations == b.iterations
+    assert a.converged == b.converged
+    assert len(a.centroids) == len(b.centroids)
+    for ca, cb in zip(a.centroids, b.centroids):
+        assert math.dist(ca, cb) < 1e-9
+
+
+def test_k3_largek_query_shape(spark):
+    """The registered K=256 entry returns one row per surviving cluster
+    with total point coverage and deterministic output across runs."""
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    Q.load_all()
+    df = Q.QUERIES["k3_lloyd_join_largek"](spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert 0 < len(rows) <= 256
+    assert sum(r["n_points"] for r in rows) == 500
+    again = Q.QUERIES["k3_lloyd_join_largek"](spark, "/root/testdata/sf0.01").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
 @pytest.mark.parametrize(
     "fname,k,max_iter",
     [("points1.txt", 3, 10), ("points2.txt", 4, 7)],

@@ -37,6 +37,103 @@ def test_decode_stub_is_explicit():
         decode_image(b"\x89PNG")
 
 
+def _make_bmp(w: int, h: int) -> bytes:
+    """Minimal valid 24-bit BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER + rows padded to 4 bytes."""
+    row = (w * 3 + 3) & ~3
+    pixels = bytes(row * h)
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + bytes(4)
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + bytes(24)
+    )
+    return header + pixels
+
+
+def _make_wav(channels: int, rate: int, n_samples: int, bits: int = 16) -> bytes:
+    """Minimal PCM WAV: RIFF header + fmt chunk + data chunk."""
+    frame = channels * bits // 8
+    data = bytes(n_samples * frame)
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * frame).to_bytes(4, "little")
+        + frame.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_media_features_decodes_real_bmp_and_wav(spark):
+    """media_features must return the ACTUAL dimensions from generated
+    BMP headers and the actual channel/rate/sample-count from generated
+    WAV headers — pure-Python decode, no codec library; a non-media blob
+    still takes the documented fake_decode path."""
+    rows = [
+        (1, _make_bmp(13, 7), "image/bmp", 0, 0),
+        (2, _make_bmp(640, 480), "image/bmp", 0, 0),
+        (3, _make_wav(2, 8000, 1000), "audio/wav", 0, 0),
+        (4, _make_wav(1, 44100, 22050), "audio/wav", 0, 0),
+        (5, b"not media at all", "text/plain", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id BIGINT, blob BINARY, media_type STRING, "
+        "declared_w INT, declared_h INT",
+    )
+    got = {r["doc_id"]: r for r in media_features(df).collect()}
+    assert (got[1]["codec"], got[1]["decoded_w"], got[1]["decoded_h"]) == (
+        "bmp", 13, 7,
+    )
+    assert (got[2]["decoded_w"], got[2]["decoded_h"]) == (640, 480)
+    assert (
+        got[3]["codec"], got[3]["n_channels"], got[3]["sample_rate"],
+        got[3]["n_samples"],
+    ) == ("wav", 2, 8000, 1000)
+    assert (got[4]["n_channels"], got[4]["sample_rate"], got[4]["n_samples"]) == (
+        1, 44100, 22050,
+    )
+    assert got[5]["codec"] == "opaque"
+    assert got[5]["n_bytes"] == len(b"not media at all")
+    assert got[5]["decoded_w"] is not None  # fake path still populated
+
+
+def test_decode_media_top_down_bmp_and_padded_wav_chunks():
+    """Header edge cases: negative BMP height (top-down) reports its
+    magnitude; a WAV with an odd-sized pre-data chunk still finds fmt
+    and data thanks to RIFF pad-byte advancement."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    td = bytearray(_make_bmp(5, 9))
+    td[22:26] = (-9).to_bytes(4, "little", signed=True)
+    assert decode_media(bytes(td)) == {"codec": "bmp", "width": 5, "height": 9}
+
+    wav = bytearray(_make_wav(2, 16000, 64))
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    padded = wav[:12] + odd + wav[12:]
+    padded[4:8] = (len(padded) - 8).to_bytes(4, "little")
+    got = decode_media(bytes(padded))
+    assert got == {
+        "codec": "wav",
+        "channels": 2,
+        "sample_rate": 16000,
+        "n_samples": 64,
+    }
+
+
 def test_frame_sample_explodes(spark, sf_dir):
     media = attach_fake_media(load_table(spark, sf_dir, "documents")).limit(20)
     frames = frame_sample(media, every_n=10)
