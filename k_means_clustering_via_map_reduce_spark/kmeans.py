@@ -397,12 +397,12 @@ def k1_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_K3_K = 256
-_K3_ITERS = 3
+_K1B_K = 256
+_K1B_ITERS = 3
 
 
-@query("k3_lloyd_join_largek")
-def k3_lloyd_join_largek(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("k1b_lloyd_join_largek")
+def k1b_lloyd_join_largek(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-codebook Lloyd's: K=256 over the FULL 64-dim embedding
     column via ``lloyd_fit_join`` — the O(1)-plan-size path whose
     assignment is one numpy matmul per Arrow batch against a broadcast
@@ -424,9 +424,9 @@ def k3_lloyd_join_largek(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     res = lloyd_fit_join(
         emb,
-        k=_K3_K,
+        k=_K1B_K,
         order_col="vec_id",
-        max_iter=_K3_ITERS,
+        max_iter=_K1B_ITERS,
         tol=0.0,
         array_col="embedding",
     )

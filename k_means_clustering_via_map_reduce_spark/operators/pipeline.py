@@ -69,6 +69,12 @@ def curate(docs: DataFrame) -> DataFrame:
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # Materialized once: both the pair-generation branch and the
+        # final canonical join consume it; without this the scan +
+        # quality + dedup window would run twice (at 100 TB this
+        # boundary would be a durable checkpoint between pipeline
+        # stages).
+        .localCheckpoint(eager=False)
     )
     # Near-dup clusters among the survivors; drop everything but the
     # canonical (minimum doc_id) member of each cluster.

@@ -105,12 +105,14 @@ def _run_complete_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataF
         ckpt = os.path.join(tmp, "ckpt")
         # Size the stateful stage to the data: the windowed aggs key on
         # a few thousand groups here, and every shuffle partition carries
-        # a state store whose setup/commit cost is fixed. At test scale 4
-        # partitions beats 8 or 32; a 100 TB/day deployment raises it
-        # with load (state store count scales with partitions, not data,
-        # so this is THE streaming sizing knob).
+        # a state store whose setup/commit cost is fixed. Measured at
+        # sf0.01 AND sf0.1, 8 partitions is the sweet spot (4 wins
+        # marginally at sf0.01 but loses parallelism at sf0.1, 32 pays
+        # 4x the state-store fixed cost); a 100 TB/day deployment raises
+        # it with load (state store count scales with partitions, not
+        # data, so this is THE streaming sizing knob).
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             q = (
                 agg_builder(_events_stream(spark, events_dir))

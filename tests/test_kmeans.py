@@ -240,11 +240,11 @@ def test_k3_largek_query_shape(spark):
     import k_means_clustering_via_map_reduce_spark.queries as Q
 
     Q.load_all()
-    df = Q.QUERIES["k3_lloyd_join_largek"](spark, "/root/testdata/sf0.01")
+    df = Q.QUERIES["k1b_lloyd_join_largek"](spark, "/root/testdata/sf0.01")
     rows = df.collect()
     assert 0 < len(rows) <= 256
     assert sum(r["n_points"] for r in rows) == 500
-    again = Q.QUERIES["k3_lloyd_join_largek"](spark, "/root/testdata/sf0.01").collect()
+    again = Q.QUERIES["k1b_lloyd_join_largek"](spark, "/root/testdata/sf0.01").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
