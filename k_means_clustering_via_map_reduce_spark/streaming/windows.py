@@ -128,7 +128,10 @@ def _run_complete_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataF
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name)
     # Materialize before the memory sink table goes stale, then drop it.
-    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    # localCheckpoint keeps the rows in JVM block storage — collecting to
+    # the driver and re-parallelizing 100k Python Row objects costs ~6 s
+    # at sf0.1, ~100x this path.
+    out = result.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
 
