@@ -1,4 +1,5 @@
 from k_means_clustering_via_map_reduce_spark.sources.sinks import (
+    write_bucketed,
     write_centroids_txt,
     write_csv,
     write_json,
@@ -18,6 +19,7 @@ __all__ = [
     "load_tables",
     "read_points_csv",
     "spread",
+    "write_bucketed",
     "write_centroids_txt",
     "write_csv",
     "write_json",

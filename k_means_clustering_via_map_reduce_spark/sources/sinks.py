@@ -35,6 +35,40 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink: persist ``df`` hash-bucketed on
+    ``bucket_cols`` so every later join or aggregation on those keys is
+    SHUFFLE-FREE — both sides of an equi-join over same-bucketed tables
+    read co-located buckets and merge in place, which at 100 TB is the
+    difference between re-shuffling the fact table on every query and
+    shuffling it exactly once at write time. ``sort_cols`` additionally
+    sorts within each bucket so sort-merge joins skip their sort.
+
+    The frame is pre-partitioned to one task per bucket (Spark's
+    repartition and bucket assignment share the same Murmur3 hash), so
+    the layout is exactly ``num_buckets`` files, not
+    tasks x num_buckets file fragments.
+    """
+    from pyspark.sql import functions as F
+
+    w = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:

@@ -80,3 +80,77 @@ def test_centroids_txt_keyed(tmp_path):
     path = str(tmp_path / "centroids_keyed.txt")
     write_centroids_txt(cents, path, keyed=True)
     assert open(path).read().splitlines() == ["0,0.0000,1.0000", "1,2.0000,3.0000"]
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Same-bucketed tables joined on the bucket key must not exchange:
+    the scan's bucket layout already satisfies the join's required
+    hash distribution — the 100 TB case for shuffling the fact table
+    once at write time instead of per query."""
+    from k_means_clustering_via_map_reduce_spark.plans.introspect import (
+        count_shuffles,
+        physical_plan,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "bkt_orders", ("o_orderkey",), 4)
+    write_bucketed(lineitem, "bkt_lineitem", ("l_orderkey",), 4)
+    try:
+        bo, bl = spark.table("bkt_orders"), spark.table("bkt_lineitem")
+        # Pin the sort-merge path: broadcast would also be shuffle-free
+        # but would not exercise the bucket co-location being tested.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(
+                bl, bo.o_orderkey == bl.l_orderkey
+            ).groupBy("o_orderkey").count()
+            jplan = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            assert count_shuffles(jplan) == 0, physical_plan(jplan)
+            plain = orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            ).groupBy("o_orderkey").count()
+            assert sorted(map(tuple, joined.collect())) == sorted(
+                map(tuple, plain.collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_bucketed_layout_one_file_per_bucket(spark, sf_dir, tmp_path):
+    """The pre-repartition inside write_bucketed keeps the layout at
+    exactly num_buckets data files (not tasks x buckets fragments)."""
+    from k_means_clustering_via_map_reduce_spark.sources import write_bucketed
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    write_bucketed(src, "bkt_customer", ("c_custkey",), 4)
+    try:
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED bkt_customer")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        path = loc.removeprefix("file:")
+        files = [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(files) == 4, files
+        back = spark.table("bkt_customer")
+        assert _collect_sorted(back, "c_custkey") == _collect_sorted(
+            src, "c_custkey"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
