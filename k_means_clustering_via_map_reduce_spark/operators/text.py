@@ -345,3 +345,230 @@ def zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T9 — benchmark decontamination: training docs that leak eval n-grams.
+# --------------------------------------------------------------------------
+# Real pipelines use 8-13-gram overlap; the synthetic fixtures draw from
+# a ~30-word vocabulary, so 3-grams are the scale-equivalent collision
+# rate (5-grams leak exactly one doc at sf0.01 — vacuous as a check).
+DECONTAM_NGRAM = 3
+DECONTAM_EVAL_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" set
+
+
+@query(
+    "t9_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {DECONTAM_NGRAM} THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(w) - {DECONTAM_NGRAM - 1}),
+                 i -> array_to_string(w[i:i+{DECONTAM_NGRAM - 1}], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS grams
+      FROM d
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g
+      WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+    ),
+    hits AS (
+      SELECT t.doc_id, count(DISTINCT gram) AS n_leaked
+      FROM g t, unnest(t.grams) AS u(gram)
+      WHERE t.doc_id % {DECONTAM_EVAL_MOD} <> 0
+        AND gram IN (SELECT gram FROM eval_grams)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_leaked AS BIGINT) AS n_leaked
+    FROM hits ORDER BY doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: train/eval decontamination — flag training documents sharing
+    any word ``DECONTAM_NGRAM``-gram with the held-out benchmark slice
+    (``doc_id % DECONTAM_EVAL_MOD == 0``), with the leaked-gram count.
+
+    Scale shape: real benchmark suites are MBs against a 100 TB corpus,
+    so the eval gram set BROADCASTS — the corpus side is one narrow
+    explode → broadcast-hash semi-match → partial-agg count per doc.
+    The corpus is never shuffled on the gram key; the only exchange is
+    the per-doc count aggregation."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from pyspark.sql.functions import broadcast
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", shingles(F.col("text"), DECONTAM_NGRAM).alias("grams")
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eval_grams = (
+        d.filter(is_eval)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = d.filter(~is_eval).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        corpus.join(broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("bigint").alias("n_leaked"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T10 — repetition scoring (Gopher-style repetition filters).
+# --------------------------------------------------------------------------
+@query(
+    "t10_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, len(w) AS n_tokens, unnest(w) AS tok FROM d
+    ),
+    freq AS (
+      SELECT doc_id, max(n_tokens) AS n_tokens, max(cnt) AS max_cnt
+      FROM (SELECT doc_id, n_tokens, tok, count(*) AS cnt
+            FROM tok GROUP BY doc_id, n_tokens, tok)
+      GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS n_tri,
+             CASE WHEN len(w) >= 3 THEN
+               len(list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> array_to_string(w[i:i+2], ' '))))
+             ELSE 0 END AS n_tri_distinct
+      FROM d
+    )
+    SELECT f.doc_id,
+           round(f.max_cnt * 1.0 / f.n_tokens, 4) AS top_tok_frac,
+           round(CASE WHEN t.n_tri > 0
+                      THEN 1.0 - t.n_tri_distinct * 1.0 / t.n_tri
+                      ELSE 0.0 END, 4) AS dup_trigram_frac
+    FROM freq f JOIN tri t ON f.doc_id = t.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: intra-document repetition signals, the Gopher-rule family —
+    most-frequent-token fraction and duplicate-trigram fraction.
+
+    Scale shape: the trigram fraction is a narrow per-row array
+    expression (no shuffle); the token-mode needs one (doc_id, token)
+    hash agg whose partial aggregation collapses each doc's counts
+    map-side, then a per-doc max — both keyed aggs, both linear."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import tokens
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    n_tok = F.size("w")
+    # Duplicate-trigram fraction: array-local, no shuffle.
+    tri_total = F.when(n_tok >= 3, n_tok - 2).otherwise(F.lit(0))
+    tri_grams = F.transform(
+        F.sequence(F.lit(1), n_tok - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 3)),
+    )
+    tri = d.select(
+        "doc_id",
+        tri_total.alias("n_tri"),
+        F.when(n_tok >= 3, F.size(F.array_distinct(tri_grams)))
+        .otherwise(F.lit(0))
+        .alias("n_tri_distinct"),
+    )
+    # Most-frequent-token fraction: two keyed aggs with map-side combine.
+    freq = (
+        d.select("doc_id", n_tok.alias("n_tokens"), F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.max("n_tokens").alias("n_tokens"), F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("n_tokens").alias("n_tokens"), F.max("cnt").alias("max_cnt"))
+    )
+    return (
+        freq.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            r4(F.col("max_cnt") / F.col("n_tokens")).alias("top_tok_frac"),
+            r4(
+                F.when(
+                    F.col("n_tri") > 0,
+                    1.0 - F.col("n_tri_distinct") / F.col("n_tri"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T11 — PII redaction (regex scrub of emails / phone numbers).
+# --------------------------------------------------------------------------
+# Dialect-portable patterns: no backreferences or lookaround, so Java
+# regex (Spark) and RE2 (DuckDB) match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d[\d ]{6,}\d"
+
+
+@query(
+    "t11_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call +1 555 0' || CAST(doc_id AS VARCHAR)
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                              '{PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM synth ORDER BY doc_id
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: PII scrubbing — redact emails and phone numbers, count the
+    redactions, and emit an md5 of the scrubbed text (hash-checkable
+    without hauling full documents through the compare).
+
+    The fixture corpus contains no organic PII, so a deterministic
+    contact line derived from doc_id is appended first — the operator
+    under test is the scrub itself, which the oracle replays verbatim.
+    Scale shape: pure per-row JVM regex projection, no shuffle, no UDF;
+    DuckDB needs the 'g' flag to match Spark's replace-all semantics."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 555 0"),
+        F.col("doc_id").cast("string"),
+    )
+    t = d.select("doc_id", synth.alias("t"))
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), PII_EMAIL, "[EMAIL]"),
+                PII_PHONE,
+                "[PHONE]",
+            )
+        ).alias("redacted_md5"),
+    ).orderBy("doc_id")
