@@ -414,10 +414,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(~is_eval).select(
         "doc_id", F.explode("grams").alias("gram")
     )
+    # Plain count, not count_distinct: each doc's gram list is already
+    # distinct (shingles() dedups) and the broadcast side is distinct,
+    # so every surviving (doc_id, gram) row is unique — count_distinct
+    # would add a second exchange keyed on (doc_id, gram) for nothing.
     return (
         corpus.join(broadcast(eval_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").cast("bigint").alias("n_leaked"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
         .orderBy("doc_id")
     )
 

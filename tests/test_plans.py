@@ -136,3 +136,23 @@ def test_relational_queries_use_codegen(spark, sf_dir):
         df = Q.QUERIES[name](spark, sf_dir)
         df.collect()  # AQE finalizes (and codegens) stages on execution
         assert whole_stage_codegen_spans(df) >= 1, name
+
+
+def test_t9_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination must broadcast the (small) benchmark gram set —
+    hash-shuffling the exploded 100 TB corpus on the gram key instead
+    would be the classic scale killer for this operator."""
+    df = Q.QUERIES["t9_decontaminate"](spark, sf_dir)
+    assert broadcast_hash_join_count(df) >= 1
+    # Budget: 2 test-scale spread() fan-outs + the tiny eval-side
+    # distinct + the per-doc count agg + the presentation sort. The
+    # corpus-side gram match itself must add NO exchange.
+    assert count_shuffles(df) <= 5
+
+
+def test_t11_pii_redact_is_narrow(spark, sf_dir):
+    """The scrub is a pure per-row projection: nothing but the
+    test-scale spread() fan-out and the final presentation sort may
+    exchange."""
+    df = Q.QUERIES["t11_pii_redact"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
