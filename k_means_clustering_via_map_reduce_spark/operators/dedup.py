@@ -316,8 +316,11 @@ def _simhash_udf():
             ) - 1
             d1 = max(d1, d0 + 1)
             rows = bits_mat[tok_idx[lo : seg_starts[d1]]]
+            # dtype=int64 accumulates without materializing an int64
+            # copy of the gathered uint8 rows (which would be 8x the
+            # chunk budget the docstring promises).
             set_counts[d0:d1] = np.add.reduceat(
-                rows.astype(np.int64), seg_starts[d0:d1] - lo, axis=0
+                rows, seg_starts[d0:d1] - lo, axis=0, dtype=np.int64
             )
             d0 = d1
         bits = (2 * set_counts > counts[:, None]).astype(np.uint64)
