@@ -374,3 +374,39 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.timeout(300)
+def test_k5_fit_is_deterministic_and_quantized(spark, sf_dir):
+    """K5's batch fit must be run-to-run identical (quantized Lloyd's:
+    every iteration rounds its centroids to a fixed grid, making the
+    trajectory engine-exact) and every centroid must sit on that grid."""
+    from k_means_clustering_via_map_reduce_spark.streaming.kmeans_stream import (
+        K5_K,
+        K5_QUANT,
+        fit_value_centroids,
+    )
+
+    a = fit_value_centroids(spark, sf_dir)
+    b = fit_value_centroids(spark, sf_dir)
+    assert a == b
+    assert len(a) == K5_K
+    for c in a:
+        assert round(c, K5_QUANT) == c
+
+
+@pytest.mark.timeout(300)
+def test_k5_stream_counts_cover_all_events(spark, sf_dir):
+    """Every event lands in exactly one (hour, cluster) cell: the
+    streamed per-cluster counts must total the events row count, and
+    cluster ids must be valid."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+    from k_means_clustering_via_map_reduce_spark.streaming.kmeans_stream import (
+        K5_K,
+        stream_cluster_counts,
+    )
+
+    rows = stream_cluster_counts(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    assert {r["cluster_id"] for r in rows} <= set(range(K5_K))
