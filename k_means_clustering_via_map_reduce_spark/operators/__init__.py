@@ -10,3 +10,4 @@ import k_means_clustering_via_map_reduce_spark.operators.asof  # noqa: F401
 import k_means_clustering_via_map_reduce_spark.operators.sketch  # noqa: F401
 import k_means_clustering_via_map_reduce_spark.operators.sampling  # noqa: F401
 import k_means_clustering_via_map_reduce_spark.operators.pipeline  # noqa: F401
+import k_means_clustering_via_map_reduce_spark.operators.rangejoin  # noqa: F401
