@@ -800,3 +800,49 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q29 — exact grouped percentiles (sort-based exact quantiles; the
+# bounded-memory approximate path at 100 TB is t5's GK sketch — this is
+# its exactness anchor, the same anchor/scale-path pairing as d4 vs s2).
+# --------------------------------------------------------------------------
+@query(
+    "q29_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(max(value), 4)                 AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event_type.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    definition h = p·(n-1) with linear interpolation between the two
+    bracketing order statistics. Outputs round to 6 decimals, not 4:
+    source values carry 4 decimals and interpolation fractions here have
+    ≤2 (h's fractional part comes from p's two decimal digits), so every
+    exact result sits ON the 1e-6 grid — whereas a 4-decimal round can
+    land exactly on a half-boundary (e.g. a p50 midpoint of two values
+    an odd last-digit apart), where engines round opposite ways.
+
+    Scale: exact per-group percentiles sort each group's values — a
+    full-group materialization (Spark's ``percentile`` agg buffers the
+    group). Fine for bounded group cardinality × group size; the
+    unbounded-stream / huge-group path is t5's mergeable GK sketch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            r4(F.max("value")).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
