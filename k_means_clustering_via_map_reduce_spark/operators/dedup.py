@@ -745,3 +745,106 @@ def jaccard_capped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset-under-a-binding-cap property is pinned separately in
     tests/test_dedup.py."""
     return jaccard_pairs_capped(_shingled(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# D6 — semantic dedup: cell-partitioned embedding near-dup over the WHOLE
+# corpus (SemDeDup-style: partition the embedding space, deduplicate
+# within cells; Abbas et al. 2023, arXiv:2303.09540).
+# --------------------------------------------------------------------------
+SEMANTIC_CELL_BITS = 4  # 2^B cells; scale B ~ log2(corpus/target_cell_size)
+SEMANTIC_THRESHOLD = 0.2
+
+
+def semantic_cell(v: F.Column, n_bits: int = SEMANTIC_CELL_BITS) -> F.Column:
+    """Deterministic space cell: bit-pack the sign bits of the first
+    ``n_bits`` embedding dimensions. Data-independent and engine-exact
+    (a sign test never rounds), so the full operator — partitioner
+    included — replays in ANSI SQL, unlike a trained coarse quantizer
+    (k1b/s3) whose centroids are seed-dependent driver state."""
+    cell = F.lit(0)
+    for i in range(n_bits):
+        cell = cell + F.when(v.getItem(i) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return cell
+
+
+def _d6_oracle() -> str:
+    cell_terms = " + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SEMANTIC_CELL_BITS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id, v, CAST({cell_terms} AS BIGINT) AS cell FROM e
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell AS cell,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {SEMANTIC_THRESHOLD}
+    ORDER BY a_id, b_id
+    """
+
+
+@query("d6_semantic_dup_pairs", oracle=_d6_oracle())
+def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: embedding near-dup pairs over the FULL corpus via
+    cell-partitioned exact cosine — the semantic-dedup production shape.
+    d4 is the quadratic correctness anchor (bounded id range because its
+    pair space is global); here the pair space is bounded per CELL, so
+    the corpus size is unbounded and the cell-size knob
+    (``SEMANTIC_CELL_BITS``) holds per-task work constant: 100 TB runs
+    raise B so 2^B ≈ corpus / target_cell.
+
+    One hash exchange of (vec_id, v, nrm) on the cell id feeds a
+    co-partitioned self-join; no row ever meets a row outside its cell.
+    Recall boundary (documented, inherent to single-assignment space
+    partitioning — SemDeDup has the same): a pair straddling a sign
+    boundary is missed; the random-projection multi-band variant (s2)
+    is the high-recall alternative when that matters.
+    """
+    from k_means_clustering_via_map_reduce_spark.functions.vector import (
+        dot,
+        vector_norm,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("cell", semantic_cell(F.col("v")))
+        .withColumn("nrm", vector_norm(F.col("v")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
+        "cell",
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+        "cell",
+    )
+    cos = dot(F.col("a_v"), F.col("b_v")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= SEMANTIC_THRESHOLD)
+        .select(
+            "a_id", "b_id", "cell", r4(F.col("cos_sim_raw")).alias("cos_sim")
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 import k_means_clustering_via_map_reduce_spark.queries as Q
 
@@ -228,3 +229,68 @@ def test_jaccard_posting_cap_is_subset_and_converges(spark, sf_dir):
         for r in jaccard_pairs_capped(s, posting_cap=3).collect()
     }
     assert capped <= exact
+
+
+def test_d6_within_cell_exact_and_subset_of_global(spark, sf_dir):
+    """D6 must be EXACT within cells (every same-cell pair ≥ threshold
+    appears) and a subset of the global threshold pair set (its only
+    misses are cross-cell pairs — the documented recall boundary)."""
+    from k_means_clustering_via_map_reduce_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        SEMANTIC_THRESHOLD,
+        semantic_cell,
+        semantic_dup_pairs,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in semantic_dup_pairs(spark, sf_dir).collect()
+    }
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("cell", semantic_cell(F.col("v")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("cell").alias("ac"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("cell").alias("bc"),
+    )
+    brute = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine_similarity(F.col("av"), F.col("bv")))
+        .filter(F.col("cos") >= SEMANTIC_THRESHOLD)
+        .select("a_id", "b_id", "ac", "bc")
+        .collect()
+    )
+    global_pairs = {(r["a_id"], r["b_id"]) for r in brute}
+    same_cell = {
+        (r["a_id"], r["b_id"]) for r in brute if r["ac"] == r["bc"]
+    }
+    assert got == same_cell
+    assert got <= global_pairs
+
+
+def test_d6_cells_partition_the_corpus(spark, sf_dir):
+    """Every vector lands in exactly one of the 2^B cells."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        SEMANTIC_CELL_BITS,
+        semantic_cell,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        semantic_cell(
+            F.col("embedding").cast("array<double>")
+        ).alias("cell")
+    )
+    cells = [r["cell"] for r in e.collect()]
+    assert all(0 <= c < (1 << SEMANTIC_CELL_BITS) for c in cells)
+    assert len(cells) == load_table(spark, sf_dir, "embeddings").count()
