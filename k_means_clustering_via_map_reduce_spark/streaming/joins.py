@@ -1,0 +1,129 @@
+"""K6 — stream-stream interval join: click-to-view attribution.
+
+The canonical unbounded-stream join shape: two event streams joined on
+an equi-key (user) plus a time-range predicate (click lands within the
+attribution window after the view). Spark buffers both sides in keyed
+state; the time-range condition is what makes that state FINITE — the
+view side is provably unjoinable once the watermark passes
+``view.ts + window``, so state is evicted instead of growing with the
+stream. Without the range predicate a stream-stream join must retain
+every row forever; with it, state is O(window · arrival rate) per key —
+the 100 TB/day sizing knob is the window length, not the corpus.
+
+The reference's barrier-synchronized batch loop (master.py:215-258) has
+no analogue: this join never sees "all" of either input.
+
+Oracled like the other streaming entries: run as a REAL streaming query
+(append mode — stream-stream joins have no complete mode — with
+``Trigger.AvailableNow`` to a memory sink); an inner join emits every
+match once all files are ingested, so the emitted set equals the batch
+join the DuckDB oracle computes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
+from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+    WATERMARK,
+    _events_stream,
+    _stage_events_dir,
+    _with_event_time,
+)
+
+ATTRIBUTION_WINDOW = "24 hours"
+ATTRIBUTION_WINDOW_SQL = "INTERVAL 24 HOUR"
+
+
+def attribution_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Inner interval join: each click paired with every SAME-USER view
+    it follows within the attribution window (strictly after — a click
+    at the view's own timestamp is not attributed). Both sides
+    watermarked so Spark derives the state-eviction bound from the
+    two-sided time constraint."""
+    v = _with_event_time(views).withWatermark("ts", WATERMARK).alias("v")
+    c = _with_event_time(clicks).withWatermark("ts", WATERMARK).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"""
+            v.user_id = c.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}
+            """
+        ),
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("c.ts").cast("timestamp_ntz").alias("click_ts"),
+        r4(F.col("c.value")).alias("click_value"),
+    )
+
+
+def _run_append_stream(
+    spark: SparkSession, sf_dir: str, builder
+) -> DataFrame:
+    """Run ``builder(views_stream, clicks_stream)`` as a genuine
+    append-mode streaming query (AvailableNow, memory sink) and return
+    the materialized emitted rows. Mirrors
+    ``windows._run_complete_stream`` — throwaway tmpfs checkpoint, the
+    8-partition stateful-stage sizing, JVM-side materialization."""
+    name = f"ss_{uuid.uuid4().hex[:12]}"
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_ssj_", dir=ckpt_base
+    ) as tmp:
+        events_dir = _stage_events_dir(spark, sf_dir)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = _events_stream(spark, events_dir)
+            views = stream.filter(F.col("event_type") == "view")
+            clicks = stream.filter(F.col("event_type") == "click")
+            q = (
+                builder(views, clicks)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+@query(
+    "k6_stream_attribution",
+    oracle=f"""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts,
+           round(c.value, 4) AS click_value
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}
+    ORDER BY view_id, click_id
+    """,
+)
+def stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: the view→click attribution join run as a REAL stream-stream
+    join. The emitted append-mode rows after full ingest must equal the
+    batch interval join the oracle computes — proving the keyed
+    dual-sided join state machinery end-to-end."""
+    return _run_append_stream(spark, sf_dir, attribution_join).orderBy(
+        "view_id", "click_id"
+    )

@@ -410,3 +410,38 @@ def test_k5_stream_counts_cover_all_events(spark, sf_dir):
     n_total = load_table(spark, sf_dir, "events").count()
     assert sum(r["n_events"] for r in rows) == n_total
     assert {r["cluster_id"] for r in rows} <= set(range(K5_K))
+
+
+@pytest.mark.timeout(300)
+def test_k6_stream_attribution_equals_batch_join(spark, sf_dir):
+    """The append-mode stream-stream interval join must emit exactly the
+    batch interval join's pairs: same-user, click strictly after the
+    view, within the attribution window (inclusive upper edge)."""
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    Q.load_all()
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in Q.QUERIES["k6_stream_attribution"](spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    want = {
+        (r["view_id"], r["click_id"])
+        for r in v.join(
+            c,
+            F.expr(
+                "v.user_id = c.user_id AND c.ts > v.ts "
+                "AND c.ts <= v.ts + INTERVAL 24 HOUR"
+            ),
+        )
+        .select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
