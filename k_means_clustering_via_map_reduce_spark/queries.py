@@ -846,3 +846,108 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q30 — FULL OUTER join (completes the join-type family: inner Q3/Q4,
+# left+null Q5, semi Q6, anti Q7, as-of Q20, range Q28).
+# --------------------------------------------------------------------------
+@query(
+    "q30_full_outer_activity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), p AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.day, p.day)         AS day,
+           coalesce(n_clicks, 0)          AS n_clicks,
+           coalesce(n_purchases, 0)       AS n_purchases
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    ORDER BY user_id, day
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) click vs purchase activity via FULL OUTER join —
+    both null sides are populated (~40% of rows are one-sided on the
+    fixtures), so outer-row generation on BOTH sides is actually
+    exercised, not vacuously green."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    c, p = daily("click", "n_clicks"), daily("purchase", "n_purchases")
+    return (
+        c.join(p, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# F1 — JSONL source/sink round-trip: the engine's non-parquet text-format
+# surface, driver-checked (sinks.py's writers are otherwise pytest-only).
+# --------------------------------------------------------------------------
+_JSONL_STAGED: dict[str, object] = {}
+
+
+@query(
+    "f1_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def f1_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents to JSON-lines, read back with an EXPLICIT schema
+    (inferSchema is prohibited engine-wide, SURVEY.md §1.5), and
+    aggregate per (lang, source) — with per-group min/max md5 of the
+    text so any escaping/encoding corruption in the round-trip flips
+    the hash, not just the row count. The oracle reads the ORIGINAL
+    parquet: round-trip fidelity IS the assertion.
+
+    Scale: the JSONL write/read is per-partition parallel (one file per
+    task, splittable line format); staged once per (process, sf_dir)
+    like the streaming events dir."""
+    import tempfile as _tf
+
+    if sf_dir not in _JSONL_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_jsonl_")
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).json(tmp.name + "/docs")
+        _JSONL_STAGED[sf_dir] = tmp
+    docs = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).json(_JSONL_STAGED[sf_dir].name + "/docs")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min(F.md5(F.encode("text", "UTF-8"))).alias("min_md5"),
+            F.max(F.md5(F.encode("text", "UTF-8"))).alias("max_md5"),
+        )
+        .orderBy("lang", "source")
+    )
