@@ -1,6 +1,7 @@
 from k_means_clustering_via_map_reduce_spark.plans.introspect import (
     broadcast_hash_join_count,
     count_shuffles,
+    partition_filters,
     physical_plan,
     pushed_filters,
     scan_read_schemas,
@@ -11,6 +12,7 @@ from k_means_clustering_via_map_reduce_spark.plans.introspect import (
 __all__ = [
     "broadcast_hash_join_count",
     "count_shuffles",
+    "partition_filters",
     "physical_plan",
     "pushed_filters",
     "scan_read_schemas",

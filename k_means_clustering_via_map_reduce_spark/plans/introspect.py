@@ -51,6 +51,22 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Every ``PartitionFilters: [...]`` list in the plan's scans,
+    flattened. These prune whole DIRECTORIES of a partitionBy layout
+    before any file is opened — coarser and cheaper than row-group-level
+    ``PushedFilters``. Empty on a scan of a partitioned table ⇒ the
+    query reads every partition."""
+    out: list[str] = []
+    for m in re.finditer(
+        r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)
+    ):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
 def scan_read_schemas(df: DataFrame) -> list[str]:
     """The ``ReadSchema`` of every parquet scan — what column pruning
     actually left to be read off disk."""

@@ -951,3 +951,287 @@ def f1_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q31 — distribution window functions (ntile / percent_rank / cume_dist),
+# completing the window family: ranking (Q10 row_number), analytic frames
+# (Q11 running sum), navigation (Q22 lag/lead), distribution (here).
+# --------------------------------------------------------------------------
+@query(
+    "q31_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS BIGINT)       AS quartile,
+           round(percent_rank() OVER w, 6)       AS pct_rank,
+           round(cume_dist() OVER w, 6)          AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-value quartiles and rank distributions.
+
+    Determinism: the window ORDER BY ends in the unique o_orderkey, so
+    ntile's row numbering (which, unlike percent_rank/cume_dist, depends
+    on ORDER within ties, not just rank) is total. percent_rank and
+    cume_dist round to 6 decimals: denominators here are small integers
+    whose reciprocals are not 4-decimal-grid values.
+
+    Scale: one hash shuffle on o_custkey, then per-partition sort —
+    identical shape to Q10/Q11; no global sort before the final output
+    ORDER BY."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Q32 — explicit GROUPING SETS (the general lattice form; Q14's ROLLUP and
+# Q19's CUBE are its fixed specializations), entered through the SQL
+# surface like Q26.
+# --------------------------------------------------------------------------
+@query(
+    "q32_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping-set lattice: both single-column marginals, the
+    full pair, and the grand total — the shape CUBE can't express without
+    computing unwanted sets. grouping() flags disambiguate data NULLs
+    from subtotal NULLs and give the ORDER BY a deterministic lattice
+    ordering (NULLS FIRST pinned explicitly: Spark and DuckDB default
+    null ordering differ).
+
+    Scale: Spark expands grouping sets into one Expand + single hash
+    aggregate — one shuffle total, not one per set."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "kmce_q32_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM kmce_q32_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 — CSV source/sink round-trip (completes the text-format matrix with
+# F1's JSONL: parquet is the canonical store, JSONL + CSV the interchange
+# formats, SURVEY.md §2.2 "Scans / sources").
+# --------------------------------------------------------------------------
+_CSV_STAGED: dict[str, object] = {}
+
+
+@query(
+    "f2_csv_roundtrip",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def f2_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents to headered CSV, read back with an EXPLICIT schema,
+    and aggregate per source with min/max text md5 — quoting/escaping
+    corruption in the round-trip flips the hash. The oracle reads the
+    ORIGINAL parquet: fidelity is the assertion (same contract as F1).
+
+    Scale: CSV read/write is per-partition parallel and line-splittable;
+    the staged write happens once per (process, sf_dir)."""
+    import tempfile as _tf
+
+    if sf_dir not in _CSV_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_csv_")
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).option("header", "true").csv(tmp.name + "/docs")
+        _CSV_STAGED[sf_dir] = tmp
+    docs = (
+        spark.read.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT"
+        )
+        .option("header", "true")
+        .csv(_CSV_STAGED[sf_dir].name + "/docs")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min(F.md5(F.encode("text", "UTF-8"))).alias("min_md5"),
+            F.max(F.md5(F.encode("text", "UTF-8"))).alias("max_md5"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# F3 — partition-pruned scan over a partitionBy layout: THE 100 TB scan
+# lever (a date/type-partitioned store turns a full-corpus scan into a
+# directory listing + selected-partition read). The layout is written by
+# sinks.write_parquet(partition_by=...); the pruning itself is pinned in
+# tests/test_plans.py via plans.partition_filters.
+# --------------------------------------------------------------------------
+_PARTITIONED_STAGED: dict[str, object] = {}
+
+
+def staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events partitioned by event_type, once per (process, sf_dir).
+    Shared with the plan-pin test so both inspect the same layout."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.sinks import (
+        write_parquet,
+    )
+
+    if sf_dir not in _PARTITIONED_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_part_")
+        write_parquet(
+            load_table(spark, sf_dir, "events"),
+            tmp.name + "/events",
+            partition_by=("event_type",),
+        )
+        _PARTITIONED_STAGED[sf_dir] = tmp
+    return _PARTITIONED_STAGED[sf_dir].name + "/events"
+
+
+@query(
+    "f3_partition_pruned_scan",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2 ORDER BY event_type, day
+    """,
+)
+def f3_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats for two event types read from an event_type-partitioned
+    parquet layout. The IN-filter prunes at the DIRECTORY level
+    (PartitionFilters, no file footers of excluded partitions touched) —
+    on a 1000-executor cluster over year-partitioned 100 TB this is the
+    difference between scanning 2 partitions and scanning 500.
+
+    The partition column comes back from the directory key; values and
+    aggregates must still match the unpartitioned oracle exactly —
+    layout must never change results."""
+    path = staged_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# P3 — token-budget sequence packing (concat-and-chunk): assign documents
+# to fixed-token-budget training sequences by cumulative offset — the
+# standard "concatenate the corpus, split every N tokens" LM batching
+# shape, as a deterministic relational query.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 2048
+
+
+@query(
+    "p3_token_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM d
+    )
+    SELECT lang, CAST(floor(start_tok / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id
+    """,
+)
+def p3_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language packing manifest: each document lands in the sequence
+    where its first token falls (documents straddling a boundary belong
+    to their starting sequence — exactly what a chunker that concatenates
+    then splits produces). Deterministic: (lang, doc_id) is a total
+    order.
+
+    Scale: one hash shuffle on lang + per-partition sort for the running
+    offset, then a second small agg — same two-exchange shape as t8. At
+    100 TB the per-lang partition is the skew risk; the production
+    variant packs per (lang, shard) with shard = pmod(hash(doc_id), N)
+    to bound any single sort partition, at the cost of N partial tail
+    sequences per lang."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.groupBy(
+            "lang",
+            F.floor(F.col("start_tok") / float(PACK_BUDGET))
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "seq_id")
+    )

@@ -11,7 +11,13 @@ viable on an unbounded 100 TB/day stream, where an unbounded
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from k_means_clustering_via_map_reduce_spark.queries import query
 
 DEDUP_WATERMARK = "10 minutes"
 
@@ -41,4 +47,68 @@ def dedup_stream(
     )
     if ntz:
         out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# K7 — streaming dedup as a driver-checked query: the exact distinct key
+# set, emitted incrementally in append mode.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "k7_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates`` over the events stream, projected to
+    its dedup key (user_id, event_type): append mode emits each key once
+    at first arrival, so the terminal output IS the distinct key set —
+    exactly SQL DISTINCT, and deterministic even though arrival order is
+    not, because only key columns are emitted.
+
+    This is the EXACT variant: global dedup state (one row per distinct
+    key, forever) — correct on any bounded replay, and the right tool
+    when the key space itself is bounded (user × type here). For
+    unbounded key spaces at 100 TB/day, ``dedup_stream`` above bounds
+    state by a watermark horizon instead, trading cross-horizon
+    duplicates for O(horizon) state; its semantics are arrival-order-
+    dependent and therefore pytest-checked, not SQL-oracled."""
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _events_stream,
+        _stage_events_dir,
+    )
+
+    name = f"dd_{uuid.uuid4().hex[:12]}"
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_sdedup_", dir=ckpt_base
+    ) as tmp:
+        events_dir = _stage_events_dir(spark, sf_dir)
+        # Same state-store sizing rationale as _run_complete_stream: the
+        # dedup state keys are few thousand; 8 partitions bounds the
+        # per-partition state-store fixed cost.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                _events_stream(spark, events_dir)
+                .select("user_id", "event_type")
+                .dropDuplicates(["user_id", "event_type"])
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table(name).orderBy("user_id", "event_type")
+    out = result.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
     return out

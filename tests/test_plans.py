@@ -156,3 +156,44 @@ def test_t11_pii_redact_is_narrow(spark, sf_dir):
     exchange."""
     df = Q.QUERIES["t11_pii_redact"](spark, sf_dir)
     assert count_shuffles(df) <= 2
+
+
+def test_f3_scan_is_partition_pruned(spark, sf_dir):
+    """The event_type IN-filter must prune at the DIRECTORY level of the
+    partitionBy layout (PartitionFilters on the scan), not read all
+    partitions and filter rows — at 100 TB this is the difference
+    between scanning the 2 selected partitions and the whole store."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        partition_filters,
+    )
+
+    df = Q.QUERIES["f3_partition_pruned_scan"](spark, sf_dir)
+    parts = partition_filters(df)
+    assert any("event_type" in p and "IN" in p.upper() for p in parts), parts
+    # The partition column never reaches row-level pushdown: it does not
+    # exist inside the data files.
+    assert not any("event_type" in p for p in pushed_filters(df))
+
+
+def test_q31_single_window_shuffle(spark, sf_dir):
+    """All three distribution functions share one window spec: one hash
+    exchange on o_custkey + per-partition sort, then only the final
+    presentation sort — no per-function re-shuffle."""
+    df = Q.QUERIES["q31_window_distribution"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+
+
+def test_q32_grouping_sets_single_aggregate(spark, sf_dir):
+    """Grouping sets expand to one Expand + a single hash aggregate:
+    one agg exchange + the presentation sort, not one shuffle per set."""
+    df = Q.QUERIES["q32_grouping_sets"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+
+
+def test_p3_packing_shuffle_budget(spark, sf_dir):
+    """Running-offset window (hash exchange on lang + sort) feeding the
+    manifest agg: the agg reuses the window's partitioning (lang is a
+    prefix of the agg key), so only the presentation sort adds an
+    exchange."""
+    df = Q.QUERIES["p3_token_packing"](spark, sf_dir)
+    assert count_shuffles(df) <= 3
