@@ -372,8 +372,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["a_id", "b_id"])
+        # Verify BEFORE deduplicating: hamming is a pure function of the
+        # pair, so the popcount filter commutes with the multi-band dedup
+        # — but filtering first keeps every hamming>3 candidate out of
+        # the dedup's hash shuffle (on duplicative corpora the candidate
+        # set is many times the matched set).
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
