@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k_means_clustering_via_map_reduce_spark.queries import query
-from k_means_clustering_via_map_reduce_spark.sources import load_table
+from k_means_clustering_via_map_reduce_spark.sources import load_table, spread
 
 SAMPLE_SEED = 42
 
@@ -64,4 +64,71 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# P4 — per-source quota selection: cap each source's contribution at the
+# N highest-quality documents (source mixing/weighting — upweighting
+# curated sources and capping boilerplate-heavy ones is standard
+# LM-corpus construction practice).
+# --------------------------------------------------------------------------
+SOURCE_QUOTA = 15
+
+from k_means_clustering_via_map_reduce_spark.operators.text import (  # noqa: E402
+    _STOP_SQL,
+)
+
+
+@query(
+    "p4_source_quota",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      string_split(trim(text), ' ') AS w FROM documents),
+    q AS (SELECT doc_id, source,
+                 round(0.5 * least(1.0, len(w) / 30.0)
+                       + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+                       + 0.2 * (1.0 - len(list_filter(w,
+                             t -> t IN ({_STOP_SQL})))
+                             * 1.0 / len(w)), 4) AS quality
+          FROM d),
+    r AS (SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS rk
+          FROM q)
+    SELECT source, doc_id, quality, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {SOURCE_QUOTA}
+    ORDER BY source, rk
+    """,
+)
+def source_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{quota} documents per source by T2 quality score (4-decimal
+    rounded BEFORE ranking so Spark and the oracle rank identical keys;
+    ties break on doc_id). On the sf0.01 fixture every source holds ~25
+    docs, so the quota genuinely truncates.
+
+    Scale: one hash shuffle on source + per-partition TOP-N — Spark
+    executes rank-then-filter as a windowed top-k without sorting whole
+    partitions to completion, and quality itself is a narrow per-row
+    projection. Source count is the only cardinality that matters
+    downstream (quota x sources rows survive)."""
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        _quality_expr,
+    )
+    from pyspark.sql.window import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "source", _quality_expr().alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rk") <= SOURCE_QUOTA)
+        .select("source", "doc_id", "quality", "rk")
+        .orderBy("source", "rk")
     )

@@ -333,3 +333,47 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return ivf_topk(e, q).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# S4 — per-label embedding centroids: element-wise vector mean by group,
+# the aggregation face of the embedding surface (class prototypes for
+# semantic dedup / nearest-class-mean classification).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "s4_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(i AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(CAST(embedding AS DOUBLE[])[i+1]), 4) AS mean_val
+    FROM embeddings, range(0, {EMBEDDING_DIM}) t(i)
+    GROUP BY label, i ORDER BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label, emitted as one row per
+    (label, dimension) so the result is scalar-hashable by the driver
+    compare (no array columns cross it).
+
+    Scale: posexplode fans each vector into dim scalar rows BEFORE the
+    shuffle, but Catalyst's partial aggregation collapses them map-side
+    to (labels × dim) partial sums per task — the wire carries
+    aggregate state, not the corpus. That is exactly MLlib's own
+    reduce shape for computing cluster means, expressed relationally."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            r4(F.avg("val")).alias("mean_val"),
+        )
+        .orderBy("label", "pos")
+    )

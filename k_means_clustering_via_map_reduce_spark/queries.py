@@ -1235,3 +1235,78 @@ def p3_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "seq_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q33 — gap-filled time series with forward fill (the hypertable
+# rollup/gap-fill family): a dense hourly spine per event_type, hours
+# with no events emitted as zero-count gap rows, last known hourly
+# average carried forward.
+# --------------------------------------------------------------------------
+@query(
+    "q33_gap_fill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+            AS hour_ts FROM b),
+    t AS (SELECT DISTINCT event_type FROM events),
+    a AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+                 count(*) AS n, round(avg(value), 4) AS av
+          FROM events GROUP BY 1, 2)
+    SELECT h.hour_ts, t.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           CAST(a.n IS NULL AS BIGINT)      AS is_gap,
+           last_value(a.av IGNORE NULLS) OVER (
+             PARTITION BY t.event_type ORDER BY h.hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM h CROSS JOIN t
+    LEFT JOIN a ON a.hour_ts = h.hour_ts AND a.event_type = t.event_type
+    ORDER BY t.event_type, h.hour_ts
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type over the observed time range:
+    215 of 3600 spine slots are genuine gaps on the sf0.01 fixture, so
+    both the zero-fill and the IGNORE-NULLS forward fill are exercised
+    non-vacuously (leading gaps before a type's first value stay NULL
+    in both engines).
+
+    Scale: the spine is hours × types — tiny relative to the events it
+    summarizes (a year is 8.8k rows/type) — so it broadcasts into the
+    left join against the hourly aggregate; the only full-data work is
+    the one hash agg. The forward fill shuffles spine-sized data only."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), r4(F.avg("value")).alias("av")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_hours = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_hours.crossJoin(types)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["hour_ts", "event_type"], "left")
+        .select(
+            "hour_ts",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().cast("bigint").alias("is_gap"),
+            F.last("av", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

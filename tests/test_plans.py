@@ -197,3 +197,29 @@ def test_p3_packing_shuffle_budget(spark, sf_dir):
     exchange."""
     df = Q.QUERIES["p3_token_packing"](spark, sf_dir)
     assert count_shuffles(df) <= 3
+
+
+def test_q33_spine_join_is_broadcast(spark, sf_dir):
+    """The dense hour × type spine is tiny relative to the events it
+    fills; it must broadcast into the left join against the hourly
+    aggregate — hash-shuffling the aggregate against a spine would add
+    a full exchange for no reason. Budget: hourly agg + types distinct
+    + ffill window + presentation sort."""
+    df = Q.QUERIES["q33_gap_fill"](spark, sf_dir)
+    assert broadcast_hash_join_count(df) >= 1
+    assert count_shuffles(df) <= 4
+
+
+def test_s4_centroids_shuffle_budget(spark, sf_dir):
+    """posexplode fans out BEFORE the agg, but partial aggregation must
+    collapse it map-side: the only exchanges are the test-scale spread
+    fan-out, the (label, pos) agg, and the presentation sort."""
+    df = Q.QUERIES["s4_label_centroids"](spark, sf_dir)
+    assert count_shuffles(df) <= 3
+
+
+def test_p4_quota_shuffle_budget(spark, sf_dir):
+    """Quality scoring is narrow; the quota is one window shuffle on
+    source (+ spread fan-out + presentation sort)."""
+    df = Q.QUERIES["p4_source_quota"](spark, sf_dir)
+    assert count_shuffles(df) <= 3
