@@ -1310,3 +1310,100 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# Q34 — salted join, driver-checked: the skew fallback (operators/skew.py)
+# run end-to-end with a forced shuffle join, oracled against the PLAIN
+# join — salting must never change results.
+# --------------------------------------------------------------------------
+@query(
+    "q34_salted_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3's join computed through ``salted_join`` with a SHUFFLE_HASH
+    hint (a broadcast would bypass the salted exchange and make this
+    check vacuous): the shuffle keys on (c_custkey, salt), scattering
+    any hot customer across ``salt`` tasks, and the result must equal
+    the plain join's — which is exactly what sharing q3's oracle shape
+    asserts.
+
+    Scale: the trade is salt× build-side replication for salt× hot-key
+    parallelism — the fallback when the build side is too big to
+    broadcast and one key is pathological (AQE's skew split can divide
+    a partition but not a single key's build-side row set)."""
+    from k_means_clustering_via_map_reduce_spark.operators.skew import (
+        salted_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice", "o_orderkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        o, c.hint("shuffle_hash"), on=["c_custkey"],
+        probe_id_col="o_orderkey",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q35 — array-function sweep over token arrays (the array face of Q13's
+# scalar sweep): sort/distinct/slice/contains/join compose identically
+# in Spark and DuckDB's list dialect.
+# --------------------------------------------------------------------------
+@query(
+    "q35_array_functions",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT)                   AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT)    AS n_distinct,
+           array_to_string(list_sort(list_distinct(w))[1:5], ' ')
+                                                    AS first5_sorted,
+           CAST(list_contains(w, 'the') AS BIGINT)  AS has_the,
+           list_sort(list_distinct(w))[1]           AS min_token
+    FROM d ORDER BY doc_id
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document array expressions: token count, distinct count, the
+    first five distinct tokens in sort order (joined to a scalar string
+    so the driver compare stays array-free), membership test, lexical
+    minimum. All narrow JVM projections — zero shuffles except the
+    presentation sort.
+
+    Dialect notes pinned by the oracle: Spark ``slice``/DuckDB list
+    slicing both clamp short arrays, and both sort ASCII-lexically for
+    plain strings."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    dist_sorted = F.sort_array(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice(dist_sorted, 1, 5), " ").alias("first5_sorted"),
+        F.array_contains(toks, "the").cast("bigint").alias("has_the"),
+        F.element_at(dist_sorted, 1).alias("min_token"),
+    ).orderBy("doc_id")
