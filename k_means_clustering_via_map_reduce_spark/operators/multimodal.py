@@ -180,6 +180,102 @@ def media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Build REAL media bytes from doc_id formulas — a minimal-but-valid
+    BMP header for even ids, a RIFF/WAVE header for odd ids — so the
+    driver-checked decode path exercises actual binary parsing, not a
+    stand-in. Layouts match what ``decode_media`` documents: BMP signed
+    LE width/height at offsets 18/22; WAV ``fmt `` chunk at offset 12
+    (channels @+10, rate @+12, bits @+22) followed by a ``data`` chunk
+    whose size field alone determines the sample count."""
+    import pandas as pd
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w = did % 640 + 1
+                    h = did % 480 + 1
+                    blobs.append(
+                        b"BM"
+                        + bytes(16)
+                        + w.to_bytes(4, "little", signed=True)
+                        + h.to_bytes(4, "little", signed=True)
+                    )
+                else:
+                    channels = 1 + did % 3
+                    rate = 8000 + (did % 8) * 1000
+                    bits = 16
+                    n_samples = did % 500 + 1
+                    data_size = n_samples * channels * (bits // 8)
+                    fmt = (
+                        (1).to_bytes(2, "little")
+                        + channels.to_bytes(2, "little")
+                        + rate.to_bytes(4, "little")
+                        + (rate * channels * 2).to_bytes(4, "little")
+                        + (channels * 2).to_bytes(2, "little")
+                        + bits.to_bytes(2, "little")
+                    )
+                    blobs.append(
+                        b"RIFF"
+                        + (36 + data_size).to_bytes(4, "little")
+                        + b"WAVE"
+                        + b"fmt "
+                        + (16).to_bytes(4, "little")
+                        + fmt
+                        + b"data"
+                        + data_size.to_bytes(4, "little")
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, blob BINARY"
+    ).withColumn("media_type", F.lit("synthetic"))
+
+
+@query(
+    "m2_media_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS codec,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 640 + 1 AS INT) END AS decoded_w,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 480 + 1 AS INT) END AS decoded_h,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(1 + doc_id % 3 AS INT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END
+             AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS n_samples
+    FROM documents ORDER BY doc_id
+    """,
+)
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: REAL binary decode driver-checked end-to-end — deterministic
+    BMP/WAV bytes are synthesized from doc_id formulas, pushed through
+    the Arrow-batched header parser, and the DECODED fields must equal
+    the oracle's direct recomputation of those formulas. A byte-offset
+    bug in either the builder or the parser (absolute correctness of
+    the parser against fixed golden bytes is pinned separately in
+    tests/test_multimodal.py) breaks the match.
+
+    Scale: same shape as m1 — no shuffle, embarrassingly parallel
+    Arrow batches; blob bytes never leave the executor."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        media_features(synthesize_media(docs))
+        .select(
+            "doc_id", "codec", "decoded_w", "decoded_h",
+            "n_channels", "sample_rate", "n_samples",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling shape: one row per sampled frame index, frame
     payload left as a stub slice of the blob. Real ffmpeg extraction
