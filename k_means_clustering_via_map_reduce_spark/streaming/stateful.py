@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from k_means_clustering_via_map_reduce_spark.queries import query
+
 OUTPUT_SCHEMA = (
     "user_id BIGINT, n_events BIGINT, total_value DOUBLE, crossed BOOLEAN"
 )
@@ -72,3 +74,83 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# K8 — the custom stateful operator as a driver-checked query.
+# --------------------------------------------------------------------------
+K8_THRESHOLD = 3300.0  # ~median per-user total on the fixtures: the
+# crossed flag splits users non-vacuously
+
+
+@query(
+    "k8_stateful_totals",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           CAST(sum(value) > {K8_THRESHOLD} AS BIGINT) AS ever_crossed
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stateful_totals_query(spark, sf_dir: str) -> DataFrame:
+    """Run ``running_user_totals`` as a genuine streaming query and
+    reduce the update-mode emission log to its TERMINAL state: values
+    are all positive on this stream, so per-user (n_events,
+    total_value) are monotone across emissions and the per-user max of
+    each IS the final state — batch-count-independent, which is what
+    lets an incremental stateful operator carry a plain SQL oracle.
+    ``ever_crossed`` folds the once-only ``crossed`` edge flag back to
+    a level (did the total ever exceed the threshold)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.queries import r4
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _events_stream,
+        _stage_events_dir,
+    )
+
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_stateful_", dir=ckpt_base
+    ) as tmp:
+        events_dir = _stage_events_dir(spark, sf_dir)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                running_user_totals(
+                    _events_stream(spark, events_dir).select(
+                        "user_id", "value"
+                    ),
+                    threshold=K8_THRESHOLD,
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    emitted = spark.table(name)
+    out = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            r4(F.max("total_value")).alias("total_value"),
+            F.max(F.col("crossed").cast("int"))
+            .cast("bigint")
+            .alias("ever_crossed"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
