@@ -1407,3 +1407,59 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "the").cast("bigint").alias("has_the"),
         F.element_at(dist_sorted, 1).alias("min_token"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q36 — date/time function sweep (completes Q13's scalar sweep on the
+# temporal side): quarter / ISO week / day-of-week / month-end /
+# day-arithmetic / month-arithmetic with clamping.
+# --------------------------------------------------------------------------
+@query(
+    "q36_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT)        AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT)     AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT)  AS dow,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH,
+                    '%Y-%m-%d') AS plus2m
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar functions over order dates. Dialect notes pinned
+    by the oracle: Spark's dayofweek is 1=Sunday while DuckDB's is
+    0=Sunday (the oracle adds 1); both engines' month addition clamps
+    to month end (Jan 31 + 1 month = Feb 28/29); ISO week numbering
+    agrees. Date outputs are formatted yyyy-MM-dd strings — DuckDB's
+    pandas bridge renders DATE as midnight timestamps, which would
+    break value compares otherwise.
+
+    All narrow projections; the only exchange is the top-k sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+            F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+                "month_end"
+            ),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01")
+            )
+            .cast("bigint")
+            .alias("days_since"),
+            F.date_format(
+                F.add_months(F.col("o_orderdate").cast("date"), 2),
+                "yyyy-MM-dd",
+            ).alias("plus2m"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
