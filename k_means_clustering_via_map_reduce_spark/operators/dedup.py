@@ -815,19 +815,27 @@ def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is missed; the random-projection multi-band variant (s2)
     is the high-recall alternative when that matters.
     """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return semantic_pairs(e)
+
+
+def semantic_pairs(
+    vectors: DataFrame, n_bits: int = SEMANTIC_CELL_BITS
+) -> DataFrame:
+    """The d6 operator over a (vec_id, v) frame. ``n_bits`` is the
+    cell-size knob: a corpus 2^k times larger runs with n_bits + k to
+    hold per-cell (and therefore per-task) work constant — exactly how
+    the scale-evidence harness exercises it."""
     from k_means_clustering_via_map_reduce_spark.functions.vector import (
         dot,
         vector_norm,
     )
 
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
-        .withColumn("cell", semantic_cell(F.col("v")))
-        .withColumn("nrm", vector_norm(F.col("v")))
-    )
+    e = vectors.withColumn(
+        "cell", semantic_cell(F.col("v"), n_bits)
+    ).withColumn("nrm", vector_norm(F.col("v")))
     a = e.select(
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("a_v"),

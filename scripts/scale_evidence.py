@@ -51,6 +51,9 @@ QUERIES_UNDER_TEST = [
     "d3_simhash_pairs",
     "s2_lsh_topk",
     "t6_tfidf_top_terms",
+    "t9_decontaminate",
+    "p3_token_packing",
+    "s4_label_centroids",
 ]
 
 
@@ -100,12 +103,27 @@ def build_corpora(spark: SparkSession) -> None:
                     "n_chars",
                 )
             )
+            # Rotate the dimension order per copy (k = 7i mod 64, distinct
+            # and nonzero for i in 1..7): components are ~iid, so a copy's
+            # cosine against its original is distributed like an UNRELATED
+            # pair — duplicate density stays constant as the corpus grows.
+            # (An additive epsilon here would make every copy a near-dup of
+            # its original: cross-copy pair counts — and any pair-based
+            # operator's work — would then grow quadratically with the
+            # multiplier, poisoning the linearity measurement.)
+            k = (7 * i) % 64
+            rot = (
+                F.col("embedding")
+                if k == 0
+                else F.concat(
+                    F.slice("embedding", k + 1, 64 - k),
+                    F.slice("embedding", 1, k),
+                )
+            )
             copies_e.append(
                 embs.select(
                     (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-                    F.transform(
-                        "embedding", lambda x: x + F.lit(i) * F.lit(0.001)
-                    ).alias("embedding"),
+                    rot.alias("embedding"),
                     "label",
                 )
             )
@@ -193,6 +211,40 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
+
+    # d6 with the cell-size knob scaled as designed: corpus 2^k times
+    # larger runs with SEMANTIC_CELL_BITS + k, holding per-cell pair work
+    # constant — measuring the operator's own scaling contract rather
+    # than a fixed-cell quadratic strawman.
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        SEMANTIC_CELL_BITS,
+        semantic_pairs,
+    )
+
+    for m in MULTS:
+        bits = SEMANTIC_CELL_BITS + m.bit_length() - 1  # +log2(m)
+        group = f"d6_semantic@x{m}(b={bits})"
+        e = (
+            spark.read.parquet(
+                os.path.join(WORK, f"x{m}", "embeddings.parquet")
+            )
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+        )
+        sc.setJobGroup(group, group)
+        t0 = time.perf_counter()
+        n = semantic_pairs(e, n_bits=bits).count()
+        dt = time.perf_counter() - t0
+        sc.setJobGroup("", "")
+        wb, wr = shuffle_metrics(app_id, group)
+        rows.append((f"d6_semantic (b={bits})", m, dt, wb, wr, n))
+        print(
+            f"# {group}: {dt:.1f}s shuffleW={wb/1e6:.1f}MB ({wr} rows) out={n}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # Hot-shingle: exact vs capped on the same corpus.
     from k_means_clustering_via_map_reduce_spark.operators.dedup import (

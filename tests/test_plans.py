@@ -223,3 +223,15 @@ def test_p4_quota_shuffle_budget(spark, sf_dir):
     source (+ spread fan-out + presentation sort)."""
     df = Q.QUERIES["p4_source_quota"](spark, sf_dir)
     assert count_shuffles(df) <= 3
+
+
+def test_q34_salted_exchange_actually_executes(spark, sf_dir):
+    """The SHUFFLE_HASH hint must hold: a broadcast would skip the
+    salted exchange and make the q34 correctness check vacuous. Budget:
+    both join-side exchanges on (c_custkey, salt) + agg + sort."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q34_salted_join"](spark, sf_dir)
+    assert broadcast_hash_join_count(df) == 0
+    assert "ShuffledHashJoin" in physical_plan(df)
+    assert count_shuffles(df) <= 4
