@@ -76,7 +76,7 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_QUOTA = 15
 
 from k_means_clustering_via_map_reduce_spark.operators.text import (  # noqa: E402
-    _STOP_SQL,
+    QUALITY_SQL,
 )
 
 
@@ -85,13 +85,7 @@ from k_means_clustering_via_map_reduce_spark.operators.text import (  # noqa: E4
     oracle=f"""
     WITH d AS (SELECT doc_id, source,
                       string_split(trim(text), ' ') AS w FROM documents),
-    q AS (SELECT doc_id, source,
-                 round(0.5 * least(1.0, len(w) / 30.0)
-                       + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
-                       + 0.2 * (1.0 - len(list_filter(w,
-                             t -> t IN ({_STOP_SQL})))
-                             * 1.0 / len(w)), 4) AS quality
-          FROM d),
+    q AS (SELECT doc_id, source, {QUALITY_SQL} AS quality FROM d),
     r AS (SELECT doc_id, source, quality,
                  row_number() OVER (PARTITION BY source
                    ORDER BY quality DESC, doc_id) AS rk

@@ -70,16 +70,21 @@ def _quality_expr():
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+# The DuckDB replay of _quality_expr over a token-list column ``w`` —
+# single source of truth for every oracle that re-scores quality (t2
+# here, p4's per-source quota, p2's pipeline keeps its own inlined copy
+# only because its CTE chain threads extra columns).
+QUALITY_SQL = f"""round(0.5 * least(1.0, len(w) / 30.0)
+                 + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+                 + 0.2 * (1.0 - len(list_filter(w, t -> t IN ({_STOP_SQL}))) * 1.0 / len(w)),
+                 4)"""
+
 
 @query(
     "t2_quality_score",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
-    SELECT doc_id,
-           round(0.5 * least(1.0, len(w) / 30.0)
-                 + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
-                 + 0.2 * (1.0 - len(list_filter(w, t -> t IN ({_STOP_SQL}))) * 1.0 / len(w)),
-                 4) AS quality
+    SELECT doc_id, {QUALITY_SQL} AS quality
     FROM d ORDER BY doc_id
     """,
 )

@@ -40,15 +40,44 @@ def broadcast_hash_join_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) BroadcastHashJoin\b", physical_plan(df)))
 
 
+def _split_filter_list(body: str) -> list[str]:
+    """Split a plan's filter-list body on TOP-LEVEL commas only — a
+    filter like ``x IN (a,b)`` contains commas that must not fragment
+    it."""
+    out: list[str] = []
+    depth = 0
+    cur = []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _scan_filter_lists(df: DataFrame, label: str) -> list[str]:
+    out: list[str] = []
+    for m in re.finditer(
+        rf"{label}: \[([^\]]*)\]", physical_plan(df)
+    ):
+        body = m.group(1).strip()
+        if body:
+            out.extend(_split_filter_list(body))
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every ``PushedFilters: [...]`` list in the plan's scans, flattened.
     Empty ⇒ no predicate reached the source."""
-    out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", physical_plan(df)):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
-    return out
+    return _scan_filter_lists(df, "PushedFilters")
 
 
 def partition_filters(df: DataFrame) -> list[str]:
@@ -57,14 +86,7 @@ def partition_filters(df: DataFrame) -> list[str]:
     before any file is opened — coarser and cheaper than row-group-level
     ``PushedFilters``. Empty on a scan of a partitioned table ⇒ the
     query reads every partition."""
-    out: list[str] = []
-    for m in re.finditer(
-        r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)
-    ):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
-    return out
+    return _scan_filter_lists(df, "PartitionFilters")
 
 
 def scan_read_schemas(df: DataFrame) -> list[str]:

@@ -1066,22 +1066,30 @@ def f2_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     corruption in the round-trip flips the hash. The oracle reads the
     ORIGINAL parquet: fidelity is the assertion (same contract as F1).
 
-    Scale: CSV read/write is per-partition parallel and line-splittable;
-    the staged write happens once per (process, sf_dir)."""
+    Round-trip options are set so the reader can parse everything the
+    writer legally emits: ``multiLine`` for quoted embedded newlines,
+    and an explicit ``nullValue`` sentinel so empty strings survive
+    (the default maps unquoted empties to NULL on read). The cost:
+    multiLine CSV is NOT line-splittable — one task per file, which is
+    why parquet is the canonical store and CSV only interchange.
+
+    Scale: the staged write happens once per (process, sf_dir); files
+    stay per-partition parallel at the file granularity."""
     import tempfile as _tf
 
+    csv_opts = {"header": "true", "nullValue": "\\N"}
     if sf_dir not in _CSV_STAGED:
         tmp = _tf.TemporaryDirectory(prefix="kmce_csv_")
         load_table(spark, sf_dir, "documents").write.mode(
             "overwrite"
-        ).option("header", "true").csv(tmp.name + "/docs")
+        ).options(**csv_opts).csv(tmp.name + "/docs")
         _CSV_STAGED[sf_dir] = tmp
     docs = (
         spark.read.schema(
             "doc_id BIGINT, text STRING, lang STRING, source STRING, "
             "n_chars BIGINT"
         )
-        .option("header", "true")
+        .options(**csv_opts, multiLine="true")
         .csv(_CSV_STAGED[sf_dir].name + "/docs")
     )
     return (
@@ -1283,24 +1291,32 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"), r4(F.avg("value")).alias("av")
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # Bounds and the type set derive from the (tiny) hourly aggregate,
+    # not from events — min(hour_ts) == date_trunc(min(ts)) — so the
+    # full corpus is scanned exactly once. The re-aggregation is over
+    # hours × types rows.
+    hourly = hourly.localCheckpoint(eager=False)
+    bounds = hourly.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
     )
     spine_hours = bounds.select(
         F.explode(
             F.expr("sequence(lo, hi, interval 1 hour)")
         ).alias("hour_ts")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     spine = spine_hours.crossJoin(types)
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Explicit broadcast of the hourly aggregate (a left join builds its
+    # RIGHT side): both sides are spine-sized, but they derive from a
+    # checkpoint boundary whose size the planner can't estimate — without
+    # the hint the join would pessimistically sort-merge.
     return (
-        spine.join(hourly, ["hour_ts", "event_type"], "left")
+        spine.join(F.broadcast(hourly), ["hour_ts", "event_type"], "left")
         .select(
             "hour_ts",
             "event_type",

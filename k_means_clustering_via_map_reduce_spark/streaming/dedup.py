@@ -11,10 +11,6 @@ viable on an unbounded 100 TB/day stream, where an unbounded
 
 from __future__ import annotations
 
-import os
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 
 from k_means_clustering_via_map_reduce_spark.queries import query
@@ -78,37 +74,15 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates for O(horizon) state; its semantics are arrival-order-
     dependent and therefore pytest-checked, not SQL-oracled."""
     from k_means_clustering_via_map_reduce_spark.streaming.windows import (
-        _events_stream,
-        _stage_events_dir,
+        _run_complete_stream,
     )
 
-    name = f"dd_{uuid.uuid4().hex[:12]}"
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    with tempfile.TemporaryDirectory(
-        prefix="kmce_sdedup_", dir=ckpt_base
-    ) as tmp:
-        events_dir = _stage_events_dir(spark, sf_dir)
-        # Same state-store sizing rationale as _run_complete_stream: the
-        # dedup state keys are few thousand; 8 partitions bounds the
-        # per-partition state-store fixed cost.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (
-                _events_stream(spark, events_dir)
-                .select("user_id", "event_type")
-                .dropDuplicates(["user_id", "event_type"])
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-    result = spark.table(name).orderBy("user_id", "event_type")
-    out = result.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    emitted = _run_complete_stream(
+        spark,
+        sf_dir,
+        lambda s: s.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        ),
+        output_mode="append",
+    )
+    return emitted.orderBy("user_id", "event_type")

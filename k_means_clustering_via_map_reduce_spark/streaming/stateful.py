@@ -101,46 +101,22 @@ def stateful_totals_query(spark, sf_dir: str) -> DataFrame:
     lets an incremental stateful operator carry a plain SQL oracle.
     ``ever_crossed`` folds the once-only ``crossed`` edge flag back to
     a level (did the total ever exceed the threshold)."""
-    import os
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from k_means_clustering_via_map_reduce_spark.queries import r4
     from k_means_clustering_via_map_reduce_spark.streaming.windows import (
-        _events_stream,
-        _stage_events_dir,
+        _run_complete_stream,
     )
 
-    name = f"st_{uuid.uuid4().hex[:12]}"
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    with tempfile.TemporaryDirectory(
-        prefix="kmce_stateful_", dir=ckpt_base
-    ) as tmp:
-        events_dir = _stage_events_dir(spark, sf_dir)
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (
-                running_user_totals(
-                    _events_stream(spark, events_dir).select(
-                        "user_id", "value"
-                    ),
-                    threshold=K8_THRESHOLD,
-                )
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-    emitted = spark.table(name)
-    out = (
+    emitted = _run_complete_stream(
+        spark,
+        sf_dir,
+        lambda s: running_user_totals(
+            s.select("user_id", "value"), threshold=K8_THRESHOLD
+        ),
+        output_mode="update",
+    )
+    return (
         emitted.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -150,7 +126,4 @@ def stateful_totals_query(spark, sf_dir: str) -> DataFrame:
             .alias("ever_crossed"),
         )
         .orderBy("user_id")
-        .localCheckpoint(eager=True)
     )
-    spark.catalog.dropTempView(name)
-    return out

@@ -85,12 +85,19 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def _run_complete_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataFrame:
+def _run_complete_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    agg_builder,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Run ``agg_builder(events_stream)`` as a genuine streaming query —
-    memory sink, complete output mode, ``Trigger.AvailableNow`` so it
-    terminates deterministically — and return the materialized terminal
-    state. Complete mode makes that state equal the batch aggregate,
-    which is exactly what the SQL oracles check."""
+    memory sink, ``Trigger.AvailableNow`` so it terminates
+    deterministically — and return the materialized result. In the
+    default complete mode the terminal state equals the batch
+    aggregate, which is exactly what the SQL oracles check; append and
+    update modes return the full emission log instead (k7's distinct
+    keys, k8's running-total updates), for the caller to reduce."""
     name = f"cs_{uuid.uuid4().hex[:12]}"
     # The memory-sink oracle path checkpoints to tmpfs when available:
     # its state is throwaway by definition (the query runs AvailableNow
@@ -118,7 +125,7 @@ def _run_complete_stream(spark: SparkSession, sf_dir: str, agg_builder) -> DataF
                 agg_builder(_events_stream(spark, events_dir))
                 .writeStream.format("memory")
                 .queryName(name)
-                .outputMode("complete")
+                .outputMode(output_mode)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()

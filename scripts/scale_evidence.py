@@ -221,8 +221,14 @@ def main() -> None:
         semantic_pairs,
     )
 
+    import math
+
     for m in MULTS:
-        bits = SEMANTIC_CELL_BITS + m.bit_length() - 1  # +log2(m)
+        # Exact +log2(m): MULTS are powers of two by design; fail loudly
+        # rather than silently under-scale the cell knob if someone adds
+        # an intermediate multiplier.
+        assert m & (m - 1) == 0, f"MULTS must be powers of two, got {m}"
+        bits = SEMANTIC_CELL_BITS + int(math.log2(m))
         group = f"d6_semantic@x{m}(b={bits})"
         e = (
             spark.read.parquet(
