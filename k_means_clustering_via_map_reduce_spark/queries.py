@@ -1479,3 +1479,47 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(200)
     )
+
+
+# --------------------------------------------------------------------------
+# Q37 — regexp-function sweep (extract-with-group / global replace /
+# match count), restricted to the Java∩RE2 dialect like t11 so the
+# oracle replays identically.
+# --------------------------------------------------------------------------
+@query(
+    "q37_regexp_functions",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT)
+             AS src_num,
+           CAST(len(regexp_extract_all(text, '\bt[a-z]+')) AS BIGINT)
+             AS n_twords,
+           md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS scrub_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalars over documents: capture-group extraction (the
+    numeric source suffix), word-boundary match counting, and a global
+    vowel scrub hashed so any divergence in replacement semantics flips
+    the value. Dialect deltas pinned by the oracle: Spark's
+    regexp_replace is global by default while DuckDB needs the 'g'
+    flag; \b and character classes behave identically in Java and RE2.
+
+    All narrow JVM projections — zero shuffles except the presentation
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("source"), r"src([0-9]+)", 1)
+        .cast("bigint")
+        .alias("src_num"),
+        F.regexp_count(F.col("text"), F.lit(r"\bt[a-z]+"))
+        .cast("bigint")
+        .alias("n_twords"),
+        F.md5(
+            F.encode(
+                F.regexp_replace(F.col("text"), r"[aeiou]", "_"), "UTF-8"
+            )
+        ).alias("scrub_md5"),
+    ).orderBy("doc_id")

@@ -154,3 +154,31 @@ def test_bucketed_layout_one_file_per_bucket(spark, sf_dir, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_csv_round_trip_adversarial_text(spark, tmp_path):
+    """The f2 CSV options (multiLine read, nullValue sentinel) must
+    round-trip text the fixture corpus happens not to contain: embedded
+    newlines, quotes, commas, empty strings, and NULLs — each of which
+    the default reader options would corrupt (record split mid-field,
+    empty-as-null conflation)."""
+    rows = [
+        (1, "plain text"),
+        (2, "comma, inside"),
+        (3, 'quoted "word" here'),
+        (4, "line one\nline two"),
+        (5, ""),
+        (6, None),
+        (7, "trailing backslash \\"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    opts = {"header": "true", "nullValue": "\\N"}
+    path = str(tmp_path / "docs")
+    df.write.mode("overwrite").options(**opts).csv(path)
+    back = (
+        spark.read.schema("doc_id BIGINT, text STRING")
+        .options(**opts, multiLine="true")
+        .csv(path)
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
