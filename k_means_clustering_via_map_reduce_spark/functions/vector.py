@@ -65,9 +65,16 @@ def nearest_centroid(point: Column, centroids: Sequence[Sequence[float]]) -> Col
     index, matching the reference's ``list.index(min(dists))``
     (mapper.py:28): ``array_position`` returns the FIRST occurrence of the
     min, and the min value is bit-identical to the element it came from.
-    """
+
+    The comparison is over TRUE (sqrt) distances, not squared ones —
+    algebraically equivalent, but not in floating point: sqrt compresses
+    sub-ulp differences into EXACT ties (e.g. candidate distances
+    sqrt(2.0) vs sqrt(2.0 + 4e-16) round to the same double), and the
+    reference compares after its sqrt (mapper.py:23-24), so a
+    squared-space argmin would break the wrong way on those ties —
+    found by the hypothesis property test with adversarial denormals."""
     dists = F.transform(
         centroid_literal(centroids),
-        lambda c: squared_distance(point, c),
+        lambda c: euclidean_distance_cols(point, c),
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")

@@ -182,7 +182,11 @@ def lloyd_fit_join(
                 mat = np.vstack(vs.to_numpy())  # (n, dim)
                 # ||v-c||² = c·c - 2 v·c (+ v·v, constant per row);
                 # argmin returns the FIRST minimum → lowest cid on ties,
-                # the reference's list.index(min(...)) semantics.
+                # the reference's list.index(min(...)) semantics. Caveat
+                # vs lloyd_fit: this expanded squared form can order a
+                # sub-ulp near-tie differently than the sqrt-compared
+                # literal path (parity pinned on real data in pytest;
+                # exact-tie inputs are adversarial-only).
                 d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
                 return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
@@ -334,7 +338,7 @@ def _lloyd_oracle_sql(k: int, iters: int) -> str:
         ctes.append(
             f"a{i} AS MATERIALIZED (SELECT p.vec_id, p.x, p.y,"
             f" (SELECT c.cid FROM {prev} c"
-            f"  ORDER BY (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) ASC,"
+            f"  ORDER BY sqrt((p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y)) ASC,"
             f"  c.cid ASC LIMIT 1) AS cid FROM pts p)"
         )
         ctes.append(
@@ -344,7 +348,7 @@ def _lloyd_oracle_sql(k: int, iters: int) -> str:
         )
     ctes.append(
         f"af AS (SELECT (SELECT c.cid FROM c{iters} c"
-        f" ORDER BY (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) ASC,"
+        f" ORDER BY sqrt((p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y)) ASC,"
         f" c.cid ASC LIMIT 1) AS cid FROM pts p)"
     )
     return (

@@ -81,7 +81,7 @@ def _k5_oracle() -> str:
     a{i} AS (
       SELECT e.ts, e.value,
              (SELECT p.cid FROM {prev} p
-              ORDER BY (e.value - p.c) * (e.value - p.c), p.cid LIMIT 1)
+              ORDER BY sqrt((e.value - p.c) * (e.value - p.c)), p.cid LIMIT 1)
                AS cid
       FROM events e
     ),
@@ -95,7 +95,7 @@ def _k5_oracle() -> str:
     scored AS (
       SELECT e.ts, e.value,
              (SELECT p.cid FROM {prev} p
-              ORDER BY (e.value - p.c) * (e.value - p.c), p.cid LIMIT 1)
+              ORDER BY sqrt((e.value - p.c) * (e.value - p.c)), p.cid LIMIT 1)
                AS cluster_id
       FROM events e
     )
