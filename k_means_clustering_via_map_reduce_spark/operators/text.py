@@ -581,3 +581,56 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T12 — unigram log-probability scoring (perplexity-proxy quality filter:
+# rank documents by how (un)likely their tokens are under the corpus's
+# own unigram model — the relational core of CCNet-style LM filtering,
+# with the corpus itself standing in for the external LM).
+# --------------------------------------------------------------------------
+@query(
+    "t12_unigram_logprob",
+    oracle="""
+    WITH d AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+               FROM documents),
+    tot AS (SELECT count(*) AS n FROM d),
+    p AS (SELECT term, count(*) * 1.0 / (SELECT n FROM tot) AS prob
+          FROM d GROUP BY term)
+    SELECT d.doc_id, round(-avg(ln(p.prob)), 4) AS avg_neg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM d JOIN p USING (term)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-probability per document under the corpus
+    unigram distribution: low = templated/repetitive, high = rare-token
+    noise — both tails are what a perplexity filter trims.
+
+    Scale shape (t6's): one explode + one term-keyed count agg builds
+    the probability table (vocab-sized); the per-token probability
+    lookup joins exploded tokens to it on the term key. On fixtures the
+    vocab broadcasts; at open-web vocabulary sizes the same plan
+    degrades gracefully to a hash join on term — postings-linear either
+    way, with the total-count denominator folded in as a broadcast
+    1-row aggregate (the t6 pattern)."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    probs = (
+        d.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select("term", (F.col("cnt") / F.col("n")).alias("prob"))
+    )
+    return (
+        d.join(probs, "term")
+        .groupBy("doc_id")
+        .agg(
+            r4(-F.avg(F.log("prob"))).alias("avg_neg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
