@@ -594,13 +594,16 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
                FROM documents),
-    tot AS (SELECT count(*) AS n FROM d),
-    p AS (SELECT term, count(*) * 1.0 / (SELECT n FROM tot) AS prob
-          FROM d GROUP BY term)
-    SELECT d.doc_id, round(-avg(ln(p.prob)), 4) AS avg_neg_logprob,
-           CAST(count(*) AS BIGINT) AS n_tokens
-    FROM d JOIN p USING (term)
-    GROUP BY d.doc_id ORDER BY d.doc_id
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM d GROUP BY doc_id, term),
+    c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT sum(cnt) AS n FROM c),
+    p AS (SELECT term, cnt * 1.0 / (SELECT n FROM tot) AS prob FROM c)
+    SELECT tf.doc_id,
+           round(sum(tf.tf * -ln(p.prob)) / sum(tf.tf), 4)
+             AS avg_neg_logprob,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+    FROM tf JOIN p USING (term)
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
     """,
 )
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,29 +611,33 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram distribution: low = templated/repetitive, high = rare-token
     noise — both tails are what a perplexity filter trims.
 
-    Scale shape (t6's): one explode + one term-keyed count agg builds
-    the probability table (vocab-sized); the per-token probability
-    lookup joins exploded tokens to it on the term key. On fixtures the
-    vocab broadcasts; at open-web vocabulary sizes the same plan
-    degrades gracefully to a hash join on term — postings-linear either
-    way, with the total-count denominator folded in as a broadcast
-    1-row aggregate (the t6 pattern)."""
+    Scale shape (t6's, tf-weighted): the exploded postings collapse to
+    (doc, term, tf) rows FIRST — one agg with map-side combine — and
+    everything downstream (corpus term counts, the probability lookup
+    join, the per-doc weighted mean Σ tf·-ln p / Σ tf) runs over
+    tf-distinct rows, never raw occurrences. The corpus total comes
+    from the vocab-sized count table, not a second postings scan. On
+    fixtures the vocab broadcasts; at open-web vocabulary sizes the
+    lookup degrades gracefully to a hash join on term — shuffling
+    distinct (doc, term) pairs, which on the repetitive documents this
+    filter exists to catch is far fewer rows than occurrences."""
     d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tot = d.agg(F.count(F.lit(1)).alias("n"))
-    probs = (
-        d.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(tot))
-        .select("term", (F.col("cnt") / F.col("n")).alias("prob"))
+    tf = d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").alias("n"))
+    probs = cnts.crossJoin(F.broadcast(tot)).select(
+        "term", (F.col("cnt") / F.col("n")).alias("prob")
     )
     return (
-        d.join(probs, "term")
+        tf.join(probs, "term")
         .groupBy("doc_id")
         .agg(
-            r4(-F.avg(F.log("prob"))).alias("avg_neg_logprob"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            r4(
+                F.sum(F.col("tf") * -F.log("prob")) / F.sum("tf")
+            ).alias("avg_neg_logprob"),
+            F.sum("tf").cast("bigint").alias("n_tokens"),
         )
         .orderBy("doc_id")
     )
