@@ -445,3 +445,93 @@ def test_k6_stream_attribution_equals_batch_join(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def _run_multibatch(spark, src, builder, output_mode, tmp):
+    """Run ``builder(stream)`` over ``src`` one file per micro-batch
+    (AvailableNow over a single staged file would process everything in
+    ONE batch, leaving the cross-batch state path untested)."""
+    import uuid as _uuid
+
+    name = f"mb_{_uuid.uuid4().hex[:10]}"
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        builder(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
+    """k8's max-per-user reduction claims batch-count independence; force
+    4 micro-batches and check the reduced terminal state still equals
+    the batch aggregate (and that multi-emission actually happened)."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    emitted = _run_multibatch(
+        spark,
+        src,
+        lambda s: running_user_totals(s, threshold=3300.0),
+        "update",
+        str(tmp_path),
+    )
+    n_users = ev.select("user_id").distinct().count()
+    # >1 emission per active user proves the multi-batch path ran.
+    assert emitted.count() > n_users
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n"),
+        F.round(F.max("total_value"), 4).alias("tv"),
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("tv"),
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
+
+
+def test_stream_dedup_across_micro_batches(spark, sf_dir, tmp_path):
+    """k7's append-mode dropDuplicates must emit each key exactly ONCE
+    even when its occurrences span micro-batches — state carries between
+    batches, so later re-arrivals of a seen key emit nothing."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    emitted = _run_multibatch(
+        spark,
+        src,
+        lambda s: s.dropDuplicates(["user_id", "event_type"]),
+        "append",
+        str(tmp_path),
+    )
+    got = {(r["user_id"], r["event_type"]) for r in emitted.collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in ev.distinct().collect()
+    }
+    # Exactly once per key: row count equals distinct-key count.
+    assert emitted.count() == len(want)
+    assert got == want
