@@ -70,6 +70,20 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Static conf on this build — leave whatever the session has.
             pass
+    # Size the shuffle fan-out to the session's actual parallelism, like
+    # get_spark does for our own sessions: an externally-built session
+    # (the verify driver's) carries Spark's 200-partition default, which
+    # multiplies per-JOB fixed cost ~6x on iterative operators (connected
+    # components, Lloyd's — one job per round) at test scale. The
+    # large-data case is owned by AQE coalescing either way; a cluster
+    # deployment overrides this after configure().
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 
