@@ -26,3 +26,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Session-scoped alias so @given property tests can take the shared
+    session without hypothesis's function-scoped-fixture warning."""
+    return spark

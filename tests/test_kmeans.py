@@ -203,11 +203,6 @@ def test_mllib_agreement_small_scale(spark):
     assert abs(cost(k1.centroids) - cost(mllib_centers)) / cost(k1.centroids) < 0.05
 
 
-@pytest.fixture(scope="session")
-def spark_prop(spark):
-    return spark
-
-
 def test_lloyd_join_form_equals_literal_form_highdim(spark):
     """Large-codebook parity at representative dimensionality: K=16 over
     the 64-dim embeddings, both forms, exact same centroids/iterations.

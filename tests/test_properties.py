@@ -1,0 +1,157 @@
+"""Hypothesis property tests: engine operators vs exact pure-Python
+oracles on adversarial random inputs. The kmeans property test found a
+real sub-ulp tie-break divergence this way (see
+functions/vector.py::nearest_centroid); these extend the same discipline
+to the join/graph operators whose edge cases fixtures can't reach —
+duplicate keys, empty sides, boundary-exact timestamps, self-loops,
+disconnected nodes.
+
+Each test keeps max_examples small: every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+    connected_components,
+)
+from k_means_clustering_via_map_reduce_spark.operators.rangejoin import (
+    range_join,
+)
+from k_means_clustering_via_map_reduce_spark.operators.skew import salted_join
+
+# Small domains force collisions: duplicate keys, ties, self-loops.
+_KEYS = st.integers(0, 5)
+_VALS = st.integers(-100, 100)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    probe=st.lists(st.tuples(_KEYS, _VALS), min_size=0, max_size=25),
+    build=st.lists(st.tuples(_KEYS, _VALS), min_size=0, max_size=10),
+    how=st.sampled_from(["inner", "left"]),
+    salt=st.integers(1, 5),
+)
+def test_salted_join_equals_plain_join(spark_prop, probe, build, how, salt):
+    """Salting must never change the multiset of joined rows — under
+    duplicate keys, duplicate full rows, empty sides, and every salt
+    width, for both inner and left joins."""
+    p = spark_prop.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(probe)],
+        "k BIGINT, pv BIGINT, pid BIGINT",
+    )
+    b = spark_prop.createDataFrame(
+        [(k, v) for k, v in build] or [(None, None)],
+        "k BIGINT, bv BIGINT",
+    )
+    if not build:
+        b = b.filter(F.lit(False))
+    got = sorted(
+        map(
+            tuple,
+            salted_join(
+                p, b, on=["k"], how=how, salt=salt, probe_id_col="pid"
+            )
+            .select("k", "pv", "pid", "bv")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            p.join(b, "k", how).select("k", "pv", "pid", "bv").collect(),
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lts=st.lists(st.integers(0, 200), min_size=0, max_size=20),
+    rts=st.lists(st.integers(0, 200), min_size=0, max_size=20),
+    lo=st.integers(-30, 0),
+    span=st.integers(1, 60),
+    bin_us=st.one_of(st.none(), st.integers(1, 90)),
+)
+def test_range_join_equals_bruteforce(spark_prop, lts, rts, lo, span, bin_us):
+    """The bin-bucketed range join must equal the O(n·m) definition —
+    including timestamps EXACTLY on window bounds and bin widths both
+    smaller and larger than the window span."""
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    l = spark_prop.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(lts)] or [(None, None)],
+        "lid BIGINT, lt TIMESTAMP_NTZ",
+    )
+    r = spark_prop.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(rts)] or [(None, None)],
+        "rid BIGINT, rt TIMESTAMP_NTZ",
+    )
+    if not lts:
+        l = l.filter(F.lit(False))
+    if not rts:
+        r = r.filter(F.lit(False))
+    lower_us, upper_us = lo * 1_000_000, (lo + span) * 1_000_000
+    got = sorted(
+        (r_["lid"], r_["rid"])
+        for r_ in range_join(
+            l, r, "lt", "rt", lower_us, upper_us,
+            bin_us=bin_us and bin_us * 1_000_000,
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls in enumerate(lts)
+        for ri, rs in enumerate(rts)
+        if lo <= rs - ls <= lo + span
+    )
+    assert got == want
+
+
+def _uf_components(edges, nodes):
+    """Union-find oracle: node -> smallest id in its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    algorithm=st.sampled_from(["label", "star"]),
+)
+def test_connected_components_equals_union_find(spark_prop, edges, algorithm):
+    """Both CC variants must produce exactly the union-find labeling on
+    random multigraphs with self-loops, parallel edges, and isolated
+    self-loop-only nodes (the node-set shape that previously diverged
+    between the variants)."""
+    df = spark_prop.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(df, algorithm=algorithm).collect()
+    }
+    nodes = {n for e in edges for n in e}
+    want = _uf_components(edges, nodes)
+    assert got == want
