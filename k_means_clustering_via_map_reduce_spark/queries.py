@@ -1523,3 +1523,67 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("scrub_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q38 — higher-order-function sweep: lambda-expression transforms /
+# filters / folds / pairwise zips over token arrays, entirely inside
+# whole-stage codegen (the engine's own operators build on exactly these
+# primitives — functions/text.py, functions/vector.py — so the surface
+# deserves a declared, oracled entry of its own).
+# --------------------------------------------------------------------------
+@query(
+    "q38_higher_order_functions",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(w, t -> strlen(t)), 'sum')
+                AS BIGINT) AS total_chars,
+           CAST(list_aggregate(list_transform(w, t -> strlen(t)), 'max')
+                AS BIGINT) AS max_token_len,
+           CAST(len(list_filter(w, t -> strlen(t) > 4)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(coalesce(list_aggregate(
+                  list_transform(list_zip(w[1:-2], w[2:-1]),
+                                 p -> CASE WHEN p[1] = p[2]
+                                      THEN 1 ELSE 0 END),
+                  'sum'), 0) AS BIGINT) AS n_repeats
+    FROM d ORDER BY doc_id
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lambda-expression pipeline: transform (token →
+    length), fold (sum), max, filter-count, and an adjacent-pair
+    zip_with counting immediate token repeats. All array-local
+    expressions in one codegen stage — zero shuffles except the
+    presentation sort; no Python in the loop even though every value is
+    a per-element lambda."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    lens = F.transform(toks, lambda t: F.length(t))
+    n = F.size(toks)
+    pair_repeats = F.aggregate(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("total_chars"),
+        F.array_max(lens).cast("bigint").alias("max_token_len"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        pair_repeats.alias("n_repeats"),
+    ).orderBy("doc_id")
