@@ -1587,3 +1587,54 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_long_tokens"),
         pair_repeats.alias("n_repeats"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# F4 — ORC source/sink round-trip (completes the format matrix: parquet
+# canonical, JSONL/CSV text interchange, ORC the columnar interchange
+# with other Hadoop-ecosystem engines).
+# --------------------------------------------------------------------------
+_ORC_STAGED: dict[str, object] = {}
+
+
+@query(
+    "f4_orc_roundtrip",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def f4_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents to ORC, read back, aggregate per lang with
+    min/max text md5 — same fidelity contract as F1/F2: the oracle
+    reads the ORIGINAL parquet, so any encoding corruption in the ORC
+    round-trip flips the hash. ORC is columnar with predicate-pushdown
+    and column-pruning support like parquet, so unlike the text
+    formats this round-trip keeps the scan-side scale properties.
+
+    Scale: per-partition parallel, stripe-splittable; staged once per
+    (process, sf_dir)."""
+    import tempfile as _tf
+
+    if sf_dir not in _ORC_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_orc_")
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).orc(tmp.name + "/docs")
+        _ORC_STAGED[sf_dir] = tmp
+    docs = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).orc(_ORC_STAGED[sf_dir].name + "/docs")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min(F.md5(F.encode("text", "UTF-8"))).alias("min_md5"),
+            F.max(F.md5(F.encode("text", "UTF-8"))).alias("max_md5"),
+        )
+        .orderBy("lang")
+    )

@@ -127,3 +127,77 @@ def stream_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append_stream(spark, sf_dir, attribution_join).orderBy(
         "view_id", "click_id"
     )
+
+
+# --------------------------------------------------------------------------
+# K9 — stream-static enrichment join: the OTHER streaming join shape
+# (k6 is stream-stream). A static dimension table joins each arriving
+# event statelessly — no join state at all, because the static side is
+# just (re)read per micro-batch; broadcast at dimension sizes.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "k9_stream_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS hour_ts,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY hour_ts, segment
+    """,
+)
+def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9: hourly per-segment totals over the events stream enriched
+    with the static customer dimension via a stream-static LEFT join.
+    The join itself is STATELESS (each micro-batch joins against the
+    static table — broadcast here, and at any real dimension size);
+    only the downstream windowed aggregation holds state. Complete-mode
+    terminal state must equal the batch join+rollup the oracle
+    computes.
+
+    The 100 TB/day shape: dimension updates show up on the next
+    micro-batch read (slowly-changing enrichment without restarting the
+    query) — something neither the reference's barrier loop nor a
+    static join can express."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        TUMBLE,
+        _run_complete_stream,
+    )
+
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+
+    def enrich_agg(events: DataFrame) -> DataFrame:
+        joined = (
+            _with_event_time(events)
+            .join(customer, F.col("user_id") == F.col("c_custkey"), "left")
+            .withColumn(
+                "segment", F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+            )
+        )
+        return (
+            joined.withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", TUMBLE).alias("win"), F.col("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                r4(F.sum("value")).alias("total_value"),
+            )
+        )
+
+    return (
+        _run_complete_stream(spark, sf_dir, enrich_agg)
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_ts", "segment")
+    )
