@@ -126,3 +126,74 @@ def source_quota_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "quality", "rk")
         .orderBy("source", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# P5 — source-weighted corpus mixing: keep each document with a
+# per-source probability (upweight curated sources, downweight bulk
+# scrapes) via a value-pure md5 draw — the "data mixing weights" step of
+# LM-corpus assembly, deterministic and SQL-replayable.
+# --------------------------------------------------------------------------
+MIX_SALT = "mix"
+MIX_WEIGHTS = (  # (sources, keep permille)
+    (("src0", "src1", "src2"), 1000),
+    (("src3", "src4", "src5"), 500),
+)
+MIX_DEFAULT_PERMILLE = 200
+
+
+def _mix_draw(doc_id: F.Column) -> F.Column:
+    """Uniform-ish [0, 1000) draw as a pure function of the row key:
+    first 4 hex chars of md5(salt || id) mod 1000 — replayable in any
+    engine with md5 (the oracle's exact expression)."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(MIX_SALT), doc_id.cast("string"))), 1, 4
+    )
+    return F.conv(h, 16, 10).cast("bigint") % 1000
+
+
+@query(
+    "p5_source_mixing",
+    oracle=f"""
+    WITH kept AS (
+      SELECT * FROM documents
+      WHERE CAST(('0x' || substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) % 1000
+            < CASE WHEN source IN ('src0','src1','src2') THEN 1000
+                   WHEN source IN ('src3','src4','src5') THEN 500
+                   ELSE {MIX_DEFAULT_PERMILLE} END
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def source_mixing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivor stats after weighted mixing: full-weight
+    curated sources, half-weight mid-tier, 20% bulk tail. The draw is a
+    pure function of (salt, doc_id) — independent of partitioning, row
+    order, and cluster size, so the same corpus always mixes to the
+    same subset (the reproducibility property hash_split documents,
+    extended to per-group weights).
+
+    Scale: a narrow per-row filter + one agg — no shuffle beyond the
+    aggregation; weights live in the expression (or a broadcast lookup
+    at many-source scale)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    weight = F.lit(MIX_DEFAULT_PERMILLE)
+    for sources, permille in reversed(MIX_WEIGHTS):
+        weight = F.when(F.col("source").isin(*sources), permille).otherwise(
+            weight
+        )
+    kept = d.filter(_mix_draw(F.col("doc_id")) < weight)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

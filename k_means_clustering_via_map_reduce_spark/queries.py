@@ -1638,3 +1638,52 @@ def f4_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q39 — RANGE window frame: trailing 1-hour sum per event, framed by the
+# ORDER-KEY VALUE (event-time seconds), not row count — the time-series
+# frame Q11's ROWS frame cannot express (a row 59 minutes back and a row
+# 2 days back are both "1 row away" to ROWS).
+# --------------------------------------------------------------------------
+@query(
+    "q39_range_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT)        AS n_trailing_1h,
+           round(sum(value) OVER w, 4)            AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity within its type: the frame spans
+    every event whose epoch second is within 3600 of this one's —
+    including same-second ties on BOTH sides of the current row, which
+    a ROWS frame would split arbitrarily. Order keys are FLOORED to
+    whole seconds explicitly on both sides: Spark's long cast truncates
+    while DuckDB's double cast rounds half-up, and the sub-second
+    timestamps in the fixture land rows on exactly that boundary —
+    frame membership must be integer-exact.
+
+    Scale: one hash shuffle on event_type + per-partition sort —
+    identical to q11's shape; the range frame is evaluated with a
+    sliding two-pointer over the sorted run, not a rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+            r4(F.sum("value").over(w)).alias("sum_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
