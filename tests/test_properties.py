@@ -155,3 +155,91 @@ def test_connected_components_equals_union_find(spark_prop, edges, algorithm):
     nodes = {n for e in edges for n in e}
     want = _uf_components(edges, nodes)
     assert got == want
+
+
+def _brute_jaccard(docs, threshold):
+    """Pure-Python oracle over (doc_id, lang, words) docs: distinct
+    3-gram shingle sets (whole text when < 3 words), lang-blocked
+    pairwise jaccard ≥ threshold."""
+
+    def sh(words):
+        if len(words) >= 3:
+            return {
+                " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+            }
+        return {" ".join(words)}
+
+    shs = {d: sh(w) for d, _, w in docs}
+    langs = {d: lang for d, lang, _ in docs}
+    out = {}
+    ids = sorted(shs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if langs[a] != langs[b]:
+                continue
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            j = inter / union
+            if j >= threshold:
+                out[(a, b)] = round(j, 4)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    cap=st.integers(1, 20),
+)
+def test_jaccard_capped_vs_bruteforce(spark_prop, docs, cap):
+    """The inverted-index jaccard join (with its lossless size-ratio
+    prune) must equal brute-force pairwise jaccard when the posting cap
+    does not bind, and produce a SUBSET with underestimated J when it
+    does — on tiny alphabets that force heavy shingle sharing, short
+    texts hitting the <3-token fallback, and identical documents."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles as sh_expr,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        jaccard_pairs_capped,
+    )
+
+    rows = [(i, lang, " ".join(w)) for i, (lang, w) in enumerate(docs)]
+    d = spark_prop.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING"
+    )
+    shingled = d.select(
+        "doc_id", "lang", sh_expr(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+    want = _brute_jaccard(
+        [(i, lang, w) for i, (lang, w) in enumerate(docs)],
+        JACCARD_THRESHOLD,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in jaccard_pairs_capped(
+            shingled, posting_cap=10_000
+        ).collect()
+    }
+    assert exact == want
+
+    capped = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in jaccard_pairs_capped(shingled, posting_cap=cap).collect()
+    }
+    assert set(capped) <= set(want)
+    for pair, j in capped.items():
+        assert j <= want[pair] + 1e-9
