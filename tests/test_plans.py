@@ -235,3 +235,37 @@ def test_q34_salted_exchange_actually_executes(spark, sf_dir):
     assert broadcast_hash_join_count(df) == 0
     assert "ShuffledHashJoin" in physical_plan(df)
     assert count_shuffles(df) <= 4
+
+
+def test_d6_cell_join_hash_exchange_path(spark, sf_dir):
+    """At fixture scale AQE broadcasts d6's cell self-join (measured in
+    BASELINE.md §scale: shuffle rows ≈ 0); beyond the broadcast
+    threshold the design claims ONE hash exchange on the cell id with
+    the vectors riding co-partitioned. Force the at-scale regime by
+    disabling auto-broadcast and pin that plan — and that the result
+    set is identical on both paths."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        semantic_pairs,
+    )
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    broadcast_rows = semantic_pairs(e).collect()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = semantic_pairs(e)
+        plan = physical_plan(forced)
+        assert "BroadcastHashJoin" not in plan
+        assert "hashpartitioning(cell" in plan, plan[:2000]
+        forced_rows = forced.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sorted(map(tuple, forced_rows)) == sorted(
+        map(tuple, broadcast_rows)
+    )
