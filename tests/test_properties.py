@@ -243,3 +243,56 @@ def test_jaccard_capped_vs_bruteforce(spark_prop, docs, cap):
     assert set(capped) <= set(want)
     for pair, j in capped.items():
         assert j <= want[pair] + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0,
+        max_size=15,
+        unique=True,
+    ),
+)
+def test_asof_join_equals_backward_search(spark_prop, lefts, rights):
+    """The union+window as-of join must equal a per-row backward search:
+    for each left row, the right payload at the MAX right ts ≤ left ts
+    within the key (inclusive — a right row exactly at the left ts
+    matches), NULL when none precedes. Right rows are unique per
+    (key, ts) — the operator's documented determinism contract (q20
+    pre-aggregates to guarantee it)."""
+    import datetime as _dt
+
+    from k_means_clustering_via_map_reduce_spark.operators.asof import (
+        asof_join,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + _dt.timedelta(seconds=s)
+
+    l = spark_prop.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        "lid BIGINT, k BIGINT, ts TIMESTAMP_NTZ",
+    )
+    r = spark_prop.createDataFrame(
+        [(k, ts(s), k * 1000 + s) for k, s in rights] or [(None, None, None)],
+        "k BIGINT, ts TIMESTAMP_NTZ, payload BIGINT",
+    )
+    if not rights:
+        r = r.filter(F.lit(False))
+    got = {
+        row["lid"]: row["payload"]
+        for row in asof_join(l, r, on=["k"]).collect()
+    }
+    want = {}
+    for i, (k, s) in enumerate(lefts):
+        cands = [(rs, k * 1000 + rs) for rk, rs in rights if rk == k and rs <= s]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
