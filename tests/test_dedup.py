@@ -5,6 +5,7 @@ kernel-vs-oracle checks)."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -294,3 +295,54 @@ def test_d6_cells_partition_the_corpus(spark, sf_dir):
     cells = [r["cell"] for r in e.collect()]
     assert all(0 <= c < (1 << SEMANTIC_CELL_BITS) for c in cells)
     assert len(cells) == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_minhash_crosscheck_against_mllib(spark, sf_dir):
+    """Independent-implementation check: MLlib's MinHashLSH (HashingTF
+    binary shingle vectors, approxSimilarityJoin at jaccard distance
+    <= 0.5) must recover the exact d1 pair set on the fixtures — two
+    unrelated MinHash implementations agreeing on the same corpus. The
+    engine keeps its own LSH (d2) for the slim scalar-only band
+    shuffles pinned in test_plans; this pins that the custom path isn't
+    quietly diverging from the reference library's semantics."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in Q.QUERIES["d1_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "lang", shingles(F.col("text"), 3).alias("sh"))
+    )
+    feat = HashingTF(
+        inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
+    ).transform(docs)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jdist")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in joined.filter(
+            (F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            & (F.col("datasetA.lang") == F.col("datasetB.lang"))
+        )
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+        )
+        .collect()
+    }
+    assert exact, "vacuous fixture: no exact near-dup pairs"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, (recall, exact - got)
+    # HashingTF bucket collisions can nudge borderline distances, so
+    # allow slack rather than exact set equality — but the two
+    # implementations must substantially agree.
+    assert len(exact ^ got) <= max(2, len(exact) // 2), (exact, got)
