@@ -8,12 +8,23 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Each query is timed end-to-end: plan build + execution + collect().
 Result sets are presentation-sized (the large tables only ever leave
 aggregates/top-k), so collect() measures engine work, not driver I/O.
+
+Isolation mode (for regression triage on a host with ~3x same-day
+ambient variance between full-suite runs):
+
+    python bench.py --isolate k2_kmeans_mllib [-n 3]
+
+runs ONE query n times in a fresh warmed session and prints a JSON line
+with min/median/all timings.  min-of-n warm runs is the stable statistic
+used by BASELINE.md's named tables.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -28,11 +39,7 @@ import k_means_clustering_via_map_reduce_spark.queries as Q
 Q.load_all()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="kmce-bench")
-
+def _warm(spark) -> None:
     # Warm the JVM / codegen / parquet footer caches AND the Python UDF
     # worker pool (fork + numpy/pandas import across all cores) with
     # trivial actions, so the first timed query doesn't absorb session
@@ -75,6 +82,57 @@ def main() -> None:
         )
         q.awaitTermination()
         spark.catalog.dropTempView("warm_stream")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--isolate",
+        metavar="QUERY",
+        help="time ONE named query n times instead of the full suite",
+    )
+    parser.add_argument(
+        "-n",
+        type=int,
+        default=3,
+        help="repetitions for --isolate (default 3)",
+    )
+    args = parser.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="kmce-bench")
+    _warm(spark)
+
+    if args.isolate:
+        if args.isolate not in Q.QUERIES:
+            sys.exit(f"unknown query: {args.isolate}")
+        fn = Q.QUERIES[args.isolate]
+        runs = []
+        for i in range(args.n):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            runs.append(round(dt, 3))
+            print(
+                f"# {args.isolate} run {i + 1}/{args.n}: {dt:.3f}s "
+                f"({len(rows)} rows)",
+                file=sys.stderr,
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": f"isolated:{args.isolate}",
+                    "value": min(runs),
+                    "unit": "sec",
+                    "runs": runs,
+                    "median": round(statistics.median(runs), 3),
+                    "sf": sf,
+                }
+            )
+        )
+        return
 
     timings: dict[str, float] = {}
     total = 0.0
