@@ -1,7 +1,8 @@
 """Drift guards for the rows-only queries (SURVEY.md §5.2-7).
 
-Five registered queries are deliberately not SQL-oracled (seeded LSH /
-SimHash / SRP / IVF sketches and the hash-split sample) — the driver
+Six registered queries are deliberately not SQL-oracled (seeded LSH /
+SimHash / SRP / IVF sketches, the hash-split sample, and the seeded
+MLlib KMeans fit) — the driver
 records only their row counts, so a semantic regression that preserves
 cardinality would pass CORRECTNESS silently. Each is deterministic for a
 fixed input (hash-seeded, order-insensitive), so we pin an
@@ -32,6 +33,11 @@ GOLDEN = {
     "s2_lsh_topk": ("76c5bba8fb725b1f", 100),
     "s3_ivf_topk": ("86a9659a8f3ec1e0", 100),
     "p1_stratified_sample": ("3279dd785278f7bf", 5),
+    # Seeded KMeans|| fit (k2): deterministic for a fixed input +
+    # partitioning; digest re-derived in two independent fresh sessions
+    # before pinning. Rounding to 4 decimals absorbs sub-ulp agg-order
+    # noise in avg_dim0.
+    "k2_kmeans_mllib": ("a4f8c49b0151f143", 8),
 }
 
 
