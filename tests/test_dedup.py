@@ -161,6 +161,37 @@ def test_connected_components_star_matches_label_loop(spark):
     assert star == {i: 0 for i in range(11)}
 
 
+def test_star_cc_is_the_working_fallback_beyond_label_budget(spark):
+    """The claim that justifies connected_components_star's existence:
+    on a graph whose diameter EXCEEDS the label loop's iteration budget
+    the label loop fails LOUDLY (it must not silently split the
+    component) and the star variant converges in its O(log d) rounds
+    with the correct labeling — run through d5's exact query shape
+    (component labels -> canonical_id/cluster_size aggregation)."""
+    import pytest as _pytest
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # Two disjoint paths: 0-1-...-80 (diameter 80) and 1000-...-1020.
+    edges = [(i, i + 1) for i in range(80)]
+    edges += [(i, i + 1) for i in range(1000, 1020)]
+    pairs = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=10)
+
+    comp = connected_components(pairs, algorithm="star")
+    clusters = {
+        r["canonical_id"]: r["cluster_size"]
+        for r in comp.groupBy(F.col("label").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .collect()
+    }
+    assert clusters == {0: 81, 1000: 21}
+
+
 def test_connected_components_star_keeps_self_loop_only_nodes(spark):
     """A node appearing ONLY in self-loop pairs must still get
     (id, label=id) from BOTH variants — the star variant derives its
