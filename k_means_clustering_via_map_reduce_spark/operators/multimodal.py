@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container ships no image/audio codecs, so the DECODE step is a
-clearly-marked stub (``decode_image`` raises NotImplementedError; the
-deterministic ``fake_decode`` stands in for tests). Everything Spark-side
-— schema, batch iteration, partitioning, UDF signatures — is real and
-tested: swapping the stub for PIL/ffmpeg changes one function body.
+BMP/WAV headers and full PNGs (stdlib zlib: CRC'd IHDR + IDAT inflate)
+decode for REAL in pure Python; formats that need an actual codec
+library (JPEG/WebP/...) sit behind a clearly-marked stub
+(``decode_image`` raises NotImplementedError; the deterministic
+``fake_decode`` stands in for tests). Everything Spark-side — schema,
+batch iteration, partitioning, UDF signatures — is real and tested:
+swapping the stub for PIL/ffmpeg changes one function body.
 
 Scale notes: binary payloads ride in Arrow record batches; per-partition
 work is embarrassingly parallel (no shuffle). For 100 TB of media the
@@ -45,16 +47,73 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(blob: bytes) -> "object":
-    """REAL DECODER NOT AVAILABLE IN THIS CONTAINER for compressed
-    formats (PNG/JPEG/...): plug PIL/opencv here.
+    """REAL DECODER NOT AVAILABLE IN THIS CONTAINER for formats needing
+    a codec library (JPEG/WebP/AVIF/...): plug PIL/opencv here.
 
     Kept as an explicit stub so the pipeline shape is honest about where
-    the codec-library boundary sits. BMP and WAV need no codec library —
-    ``decode_media`` parses their headers in pure Python below."""
+    the codec-library boundary sits. BMP, WAV and PNG need no codec
+    library — ``decode_media`` handles them in pure Python below (PNG
+    via stdlib zlib: IHDR CRC check + IDAT inflate)."""
     raise NotImplementedError(
         "compressed-image decoding requires PIL/opencv, not shipped in "
-        "this container; BMP/WAV decode natively via decode_media"
+        "this container; BMP/WAV/PNG decode natively via decode_media"
     )
+
+
+# color type -> samples per pixel (PNG spec, IHDR semantics).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(blob: bytes) -> dict | None:
+    """Pure-stdlib PNG decode: verify the 8-byte signature, parse IHDR
+    (width/height as big-endian u32 at offsets 16/20, bit depth /
+    color type / interlace at 24/25/28), verify the IHDR CRC32 over
+    chunk type + data (offsets 12..29), then walk the chunk list,
+    concatenate every IDAT payload and zlib-INFLATE it — for
+    non-interlaced images the decompressed filtered stream must be
+    exactly height * (1 + width * channels * bytes_per_sample) bytes.
+    Any signature/CRC/inflate/length failure returns None (the blob is
+    not a valid PNG; the caller routes it to the opaque path)."""
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n" or len(blob) < 33:
+        return None
+    if blob[12:16] != b"IHDR" or int.from_bytes(blob[8:12], "big") != 13:
+        return None
+    if int.from_bytes(blob[29:33], "big") != zlib.crc32(blob[12:29]):
+        return None
+    width = int.from_bytes(blob[16:20], "big")
+    height = int.from_bytes(blob[20:24], "big")
+    bit_depth, color_type = blob[24], blob[25]
+    interlace = blob[28]
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or width <= 0 or height <= 0:
+        return None
+    idat = bytearray()
+    pos = 33
+    while pos + 8 <= len(blob):
+        sz = int.from_bytes(blob[pos : pos + 4], "big")
+        cid = blob[pos + 4 : pos + 8]
+        if cid == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + sz]
+        if cid == b"IEND":
+            break
+        pos += 12 + sz  # length + type + data + crc
+    if idat:
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        if interlace == 0:
+            bps = max(1, bit_depth // 8)
+            if len(raw) != height * (1 + width * channels * bps):
+                return None
+    return {
+        "codec": "png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+    }
 
 
 def fake_decode(blob: bytes) -> tuple[int, int, int]:
@@ -65,7 +124,7 @@ def fake_decode(blob: bytes) -> tuple[int, int, int]:
 
 
 def decode_media(blob: bytes) -> dict | None:
-    """REAL header decode for the two formats that need no codec library.
+    """REAL decode for the three formats that need no codec library.
 
     - BMP (BITMAPINFOHEADER): signed little-endian width/height at byte
       offsets 18/22; negative height means top-down row order, so the
@@ -73,10 +132,16 @@ def decode_media(blob: bytes) -> dict | None:
     - WAV (RIFF): chunk walk from offset 12; channels/sample-rate/bits
       from the ``fmt `` chunk, sample count from the ``data`` chunk size
       over the frame size. Odd-sized chunks carry a pad byte (RIFF rule).
+    - PNG: ``_decode_png`` — signature + IHDR with CRC32 verification
+      and a real stdlib-zlib inflate of the IDAT stream (decompressed
+      filtered-scanline length cross-checked against the header's
+      geometry for non-interlaced images).
 
     Returns a feature dict, or ``None`` for any other format — the
     caller decides whether to route those to ``decode_image`` (real
     codecs) or ``fake_decode`` (tests)."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(blob)
     if blob[:2] == b"BM" and len(blob) >= 26:
         w = int.from_bytes(blob[18:22], "little", signed=True)
         h = int.from_bytes(blob[22:26], "little", signed=True)
@@ -130,6 +195,11 @@ def media_features(df: DataFrame) -> DataFrame:
                 if real is None:
                     n, w, h = fake_decode(b)
                     rows.append(("opaque", n, w, h, None, None, None))
+                elif real["codec"] == "png":
+                    rows.append(
+                        ("png", len(b), real["width"], real["height"],
+                         real["channels"], None, None)
+                    )
                 elif real["codec"] == "bmp":
                     rows.append(
                         ("bmp", len(b), real["width"], real["height"],
@@ -181,21 +251,55 @@ def media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Build REAL media bytes from doc_id formulas — a minimal-but-valid
-    BMP header for even ids, a RIFF/WAVE header for odd ids — so the
+    """Build REAL media bytes from doc_id formulas — a fully-valid PNG
+    (signature, CRC'd IHDR, zlib-deflated truecolor scanlines, IEND)
+    for ids divisible by 4, a minimal-but-valid BMP header for the
+    other even ids, a RIFF/WAVE header for odd ids — so the
     driver-checked decode path exercises actual binary parsing, not a
     stand-in. Layouts match what ``decode_media`` documents: BMP signed
     LE width/height at offsets 18/22; WAV ``fmt `` chunk at offset 12
     (channels @+10, rate @+12, bits @+22) followed by a ``data`` chunk
-    whose size field alone determines the sample count."""
+    whose size field alone determines the sample count; PNG per the
+    spec's big-endian chunk layout."""
+    import zlib
+
     import pandas as pd
+
+    def png_chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + zlib.crc32(cid + data).to_bytes(4, "big")
+        )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 4 == 0:
+                    # Complete truecolor PNG: deterministic pixel bytes,
+                    # one filter-0 byte per scanline, single IDAT.
+                    w = did % 64 + 1
+                    h = did % 48 + 1
+                    raw = b"".join(
+                        b"\x00"
+                        + bytes((did + y + j) % 256 for j in range(w * 3))
+                        for y in range(h)
+                    )
+                    ihdr = (
+                        w.to_bytes(4, "big")
+                        + h.to_bytes(4, "big")
+                        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor
+                    )
+                    blobs.append(
+                        b"\x89PNG\r\n\x1a\n"
+                        + png_chunk(b"IHDR", ihdr)
+                        + png_chunk(b"IDAT", zlib.compress(raw))
+                        + png_chunk(b"IEND", b"")
+                    )
+                elif did % 2 == 0:
                     w = did % 640 + 1
                     h = did % 480 + 1
                     blobs.append(
@@ -239,12 +343,16 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     "m2_media_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS codec,
-           CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id % 4 = 0 THEN 'png'
+                WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS codec,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 64 + 1 AS INT)
+                WHEN doc_id % 2 = 0
                 THEN CAST(doc_id % 640 + 1 AS INT) END AS decoded_w,
-           CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 48 + 1 AS INT)
+                WHEN doc_id % 2 = 0
                 THEN CAST(doc_id % 480 + 1 AS INT) END AS decoded_h,
-           CASE WHEN doc_id % 2 = 1
+           CASE WHEN doc_id % 4 = 0 THEN CAST(3 AS INT)
+                WHEN doc_id % 2 = 1
                 THEN CAST(1 + doc_id % 3 AS INT) END AS n_channels,
            CASE WHEN doc_id % 2 = 1
                 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END
@@ -256,12 +364,13 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 )
 def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2: REAL binary decode driver-checked end-to-end — deterministic
-    BMP/WAV bytes are synthesized from doc_id formulas, pushed through
-    the Arrow-batched header parser, and the DECODED fields must equal
-    the oracle's direct recomputation of those formulas. A byte-offset
-    bug in either the builder or the parser (absolute correctness of
-    the parser against fixed golden bytes is pinned separately in
-    tests/test_multimodal.py) breaks the match.
+    PNG/BMP/WAV bytes are synthesized from doc_id formulas, pushed
+    through the Arrow-batched parser (PNG rows traverse the full
+    signature → CRC'd IHDR → zlib IDAT inflate path), and the DECODED
+    fields must equal the oracle's direct recomputation of those
+    formulas. A byte-offset bug in either the builder or the parser
+    (absolute correctness of the parser against fixed golden bytes is
+    pinned separately in tests/test_multimodal.py) breaks the match.
 
     Scale: same shape as m1 — no shuffle, embarrassingly parallel
     Arrow batches; blob bytes never leave the executor."""

@@ -34,7 +34,54 @@ def test_media_features_roundtrip(spark, sf_dir):
 
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0")  # JPEG needs a real codec lib
+
+
+# The canonical 70-byte 1x1 transparent PNG (8-bit RGBA), byte-for-byte
+# as published everywhere (the ubiquitous data-URI placeholder pixel) —
+# a true golden-bytes fixture the builder code cannot have influenced.
+_GOLDEN_1X1_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    "0000000d4944415478da636460f85f0f0002870180eb47ba920000000049454e44"
+    "ae426082"
+)
+
+
+def test_decode_media_golden_png_bytes():
+    """Absolute pin: the well-known 1x1 RGBA PNG must decode to exactly
+    (png, 1, 1, 4) via the full signature -> CRC'd IHDR -> zlib IDAT
+    inflate path."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    got = decode_media(_GOLDEN_1X1_PNG)
+    assert got == {"codec": "png", "width": 1, "height": 1, "channels": 4}
+
+
+def test_decode_media_png_rejects_corruption():
+    """A flipped IHDR CRC bit, a truncated IDAT zlib stream, and a
+    geometry/IDAT length mismatch must each fail decode (None), not
+    return plausible-looking fields."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    bad_crc = bytearray(_GOLDEN_1X1_PNG)
+    bad_crc[30] ^= 0x01  # inside the IHDR CRC
+    assert decode_media(bytes(bad_crc)) is None
+
+    bad_idat = bytearray(_GOLDEN_1X1_PNG)
+    bad_idat[45] ^= 0xFF  # inside the IDAT zlib stream
+    assert decode_media(bytes(bad_idat)) is None
+
+    wrong_geom = bytearray(_GOLDEN_1X1_PNG)
+    import zlib as _zlib
+
+    wrong_geom[19] = 2  # claim width=2; re-CRC so only geometry is wrong
+    crc = _zlib.crc32(bytes(wrong_geom[12:29]))
+    wrong_geom[29:33] = crc.to_bytes(4, "big")
+    assert decode_media(bytes(wrong_geom)) is None
 
 
 def _make_bmp(w: int, h: int) -> bytes:
