@@ -1,0 +1,249 @@
+"""Watermark-semantics queries: results that DEPEND on late-data drops
+and append-mode eviction, driver-checkable against a SQL oracle.
+
+The other streaming entries (k4/k5/k7-k9) replay the whole events table
+in AvailableNow mode, where the terminal state equals a batch aggregate
+— correct, but the watermark never *changes* the answer, so a broken
+watermark would pass those oracles. The queries here stage a
+deterministic THREE-BATCH feed where it does:
+
+- batch 0 ``0-ontime``: the even-``event_id`` half of events;
+- batch 1 ``1-tick``: one synthetic row at max(on-time ts) + 3 h whose
+  only job is to advance the watermark (its own window/key never
+  surfaces in either query's output);
+- batch 2 ``2-late``: the odd half shifted BACK 30 minutes (late
+  arrivals) plus UNSHIFTED copies of the last-10-minutes on-time rows
+  (duplicate keys that are late-but-admissible).
+
+Spark's stateful operators use TWO watermarks per micro-batch
+(SPARK-40925): late events are filtered with the PREVIOUS batch's
+watermark, eviction/emission uses the current one. With
+``maxFilesPerTrigger=1`` + forced file modification times the batch
+sequence is exact, so both are pure functions of the data:
+
+    wm1 = ms_floor(max on-time ts) - 10 min   (late filter for batch 2)
+    wm2 = ms_floor(tick ts)        - 10 min   (final eviction)
+
+(Spark's event-time stats are millisecond-floored; the oracles
+replicate with ``date_trunc('milliseconds', ...)``.) Batch-2 rows
+whose hour window closed at or before wm1 are DROPPED; the tick's own
+window ends after wm2 so append mode withholds it — both effects are
+deterministic SQL over the events table, which is exactly what the
+DuckDB oracles compute.
+
+Scale: identical shape to the k4 production path — per-window/per-key
+state bounded by the watermark horizon, shuffle hashed on the state
+key; the staged three-file feed is a fixture-scale stand-in for the
+out-of-order bucket listings any 100 TB/day ingest actually sees.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+WATERMARK_DELAY = "10 minutes"
+LATE_SHIFT = "30 minutes"
+
+_LATE_STAGED: dict[str, tempfile.TemporaryDirectory] = {}
+
+
+def _stage_late_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the three-batch feed as three single-part parquet files
+    whose modification times force processing order. ``coalesce(1)``
+    guarantees one part file per batch so the watermark sequence is a
+    data-only function. Staged once per (process, sf_dir)."""
+    if sf_dir not in _LATE_STAGED:
+        tmp = tempfile.TemporaryDirectory(prefix="kmce_late_feed_")
+        src = os.path.join(tmp.name, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            # Watermarks demand TIMESTAMP; UTC session tz makes the
+            # NTZ->LTZ cast wall-clock-preserving (see windows.py).
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        ontime = ev.filter(F.col("event_id") % 2 == 0)
+        # One driver-side scalar (the on-time max) parameterizes the
+        # tick and the duplicate window — K-row collect, any scale.
+        max_ts = ontime.agg(F.max("ts")).collect()[0][0]
+        tick = spark.createDataFrame(
+            [(-1, max_ts, -1, "tick", 0.0)], schema=ontime.schema
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+        late = (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .withColumn("ts", F.col("ts") - F.expr(f"INTERVAL {LATE_SHIFT}"))
+            .unionAll(
+                ontime.filter(
+                    F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+                )
+            )
+        )
+        for i, (tag, df) in enumerate(
+            [("ontime", ontime), ("tick", tick), ("late", late)]
+        ):
+            stage = os.path.join(tmp.name, f"w{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            dst = os.path.join(src, f"{i}-{tag}.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            # The file source orders candidates by mod time; pin them a
+            # minute apart so batch order never ties.
+            os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+        _LATE_STAGED[sf_dir] = tmp
+    return os.path.join(_LATE_STAGED[sf_dir].name, "src")
+
+
+def _run_feed_append(spark: SparkSession, src: str, transform) -> DataFrame:
+    """Run ``transform(stream)`` over the staged feed one file per
+    micro-batch (AvailableNow honors the read limit), append mode to a
+    memory sink, and return the emission log."""
+    name = f"late_{uuid.uuid4().hex[:12]}"
+    schema = spark.read.parquet(src).schema
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_stream_", dir=ckpt_base
+    ) as tmp:
+        # Same stateful-stage sizing rationale as windows.py: state
+        # store count scales with shuffle partitions, not data.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                transform(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+# Shared oracle prelude: the on-time half, its max, and the batch-2
+# late-filter watermark wm1 (ms-floored max minus the delay).
+_FEED_CTES = """
+    even AS (
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events WHERE event_id % 2 = 0
+    ),
+    mx AS (
+      SELECT max(ts) AS m,
+             date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w1
+      FROM even
+    )
+"""
+
+
+@query(
+    "k10_watermark_eviction",
+    oracle=f"""
+    WITH {_FEED_CTES},
+    surviving AS (
+      SELECT ts, value FROM even
+      UNION ALL
+      SELECT e.ts - INTERVAL 30 MINUTE AS ts, e.value
+      FROM events e, mx
+      WHERE e.event_id % 2 = 1
+        AND date_trunc('hour', e.ts - INTERVAL 30 MINUTE) + INTERVAL 1 HOUR
+            > mx.w1
+      UNION ALL
+      SELECT e.ts, e.value FROM even e, mx
+      WHERE e.ts > mx.m - INTERVAL 10 MINUTE
+    )
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM surviving GROUP BY 1 ORDER BY hour_ts
+    """,
+)
+def watermark_eviction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10: hourly tumbling counts in APPEND mode over the late feed.
+    The result depends on the watermark three ways — batch-2 rows whose
+    hour closed at or before wm1 are dropped, admissible late rows
+    (shift inside the window slack, and the unshifted duplicates) merge
+    into still-open windows, and the tick's own window (end past wm2)
+    is withheld by append mode — so a watermark that stopped advancing,
+    dropped nothing, or evicted at the wrong bound diverges from the
+    oracle."""
+    src = _stage_late_feed(spark, sf_dir)
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", WATERMARK_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                r4(F.sum("value")).alias("total_value"),
+            )
+        )
+
+    return (
+        _run_feed_append(spark, src, agg)
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_ts")
+    )
+
+
+@query(
+    "k7b_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, CAST(1 AS BIGINT) AS n_emit
+    FROM events WHERE event_id % 2 = 0 ORDER BY event_id
+    """,
+)
+def dedup_within_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7b: ``dropDuplicatesWithinWatermark`` on event_id over the late
+    feed — the BOUNDED-STATE twin of k7's dropDuplicates (whose state
+    never expires; see streaming/dedup.py). Per-key state lives only
+    [ts, ts + delay], so at 100 TB/day state size tracks the watermark
+    horizon, not key cardinality.
+
+    The emission-count oracle (every even id exactly once) is sensitive
+    to all three state behaviors: the 30-min-shifted odd rows are ALL
+    below wm1 (shift > delay), so a broken late filter admits odd ids;
+    the unshifted last-10-minute duplicates pass the late filter but
+    their keys' state is still live (ts + delay outlives wm1), so a
+    state store that evicted too early double-emits those ids; and the
+    tick key is excluded Spark-side (sentinel id -1)."""
+    src = _stage_late_feed(spark, sf_dir)
+
+    def dedup(stream: DataFrame) -> DataFrame:
+        return stream.withWatermark(
+            "ts", WATERMARK_DELAY
+        ).dropDuplicatesWithinWatermark(["event_id"])
+
+    return (
+        _run_feed_append(spark, src, dedup)
+        .filter(F.col("event_id") >= 0)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_emit"))
+        .orderBy("event_id")
+    )
