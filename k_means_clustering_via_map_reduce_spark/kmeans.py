@@ -180,15 +180,20 @@ def lloyd_fit_join(
             def nearest(vs: pd.Series) -> pd.Series:
                 c = bc.value  # (k, dim)
                 mat = np.vstack(vs.to_numpy())  # (n, dim)
-                # ||v-c||² = c·c - 2 v·c (+ v·v, constant per row);
-                # argmin returns the FIRST minimum → lowest cid on ties,
-                # the reference's list.index(min(...)) semantics. Caveat
-                # vs lloyd_fit: this expanded squared form can order a
-                # sub-ulp near-tie differently than the sqrt-compared
-                # literal path (parity pinned on real data in pytest;
-                # exact-tie inputs are adversarial-only).
+                # One matmul for the expanded square, then fold the
+                # per-row v·v back in and take sqrt BEFORE argmin so
+                # the compared quantity is the same sqrt distance the
+                # literal path (lloyd_fit / nearest_centroid SQL)
+                # orders by — sub-ulp near-ties break identically in
+                # both fit paths. argmin returns the FIRST minimum →
+                # lowest cid on ties, the reference's
+                # list.index(min(...)) semantics.
                 d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
-                return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+                d += (mat * mat).sum(axis=1)[:, None]
+                np.maximum(d, 0.0, out=d)  # FP cancellation guard
+                return pd.Series(
+                    np.argmin(np.sqrt(d), axis=1).astype(np.int32)
+                )
 
             means = (
                 feats.withColumn("cluster_id", nearest(F.col("features")))

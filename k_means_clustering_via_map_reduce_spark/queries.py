@@ -32,6 +32,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def staging_key(sf_dir: str, table: str) -> tuple[str, float]:
+    """Cache key for process-lifetime staged copies (CSV/JSONL/ORC/
+    partitioned/streaming stagings): (sf_dir, source parquet mtime), so
+    an in-process rewrite of the source table invalidates the staged
+    copy instead of serving stale data. Superseded entries' staging
+    dirs are reclaimed by their TemporaryDirectory finalizers."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        mtime = _os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    return (sf_dir, mtime)
+
+
 def load_all() -> None:
     """Import every module that registers query-surface entries."""
     import k_means_clustering_via_map_reduce_spark.kmeans  # noqa: F401
@@ -931,16 +947,17 @@ def f1_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the streaming events dir."""
     import tempfile as _tf
 
-    if sf_dir not in _JSONL_STAGED:
+    key = staging_key(sf_dir, "documents")
+    if key not in _JSONL_STAGED:
         tmp = _tf.TemporaryDirectory(prefix="kmce_jsonl_")
         load_table(spark, sf_dir, "documents").write.mode(
             "overwrite"
         ).json(tmp.name + "/docs")
-        _JSONL_STAGED[sf_dir] = tmp
+        _JSONL_STAGED[key] = tmp
     docs = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, "
         "n_chars BIGINT"
-    ).json(_JSONL_STAGED[sf_dir].name + "/docs")
+    ).json(_JSONL_STAGED[key].name + "/docs")
     return (
         docs.groupBy("lang", "source")
         .agg(
@@ -1078,19 +1095,20 @@ def f2_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     csv_opts = {"header": "true", "nullValue": "\\N"}
-    if sf_dir not in _CSV_STAGED:
+    key = staging_key(sf_dir, "documents")
+    if key not in _CSV_STAGED:
         tmp = _tf.TemporaryDirectory(prefix="kmce_csv_")
         load_table(spark, sf_dir, "documents").write.mode(
             "overwrite"
         ).options(**csv_opts).csv(tmp.name + "/docs")
-        _CSV_STAGED[sf_dir] = tmp
+        _CSV_STAGED[key] = tmp
     docs = (
         spark.read.schema(
             "doc_id BIGINT, text STRING, lang STRING, source STRING, "
             "n_chars BIGINT"
         )
         .options(**csv_opts, multiLine="true")
-        .csv(_CSV_STAGED[sf_dir].name + "/docs")
+        .csv(_CSV_STAGED[key].name + "/docs")
     )
     return (
         docs.groupBy("source")
@@ -1124,15 +1142,16 @@ def staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         write_parquet,
     )
 
-    if sf_dir not in _PARTITIONED_STAGED:
+    key = staging_key(sf_dir, "events")
+    if key not in _PARTITIONED_STAGED:
         tmp = _tf.TemporaryDirectory(prefix="kmce_part_")
         write_parquet(
             load_table(spark, sf_dir, "events"),
             tmp.name + "/events",
             partition_by=("event_type",),
         )
-        _PARTITIONED_STAGED[sf_dir] = tmp
-    return _PARTITIONED_STAGED[sf_dir].name + "/events"
+        _PARTITIONED_STAGED[key] = tmp
+    return _PARTITIONED_STAGED[key].name + "/events"
 
 
 @query(
@@ -1618,16 +1637,17 @@ def f4_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (process, sf_dir)."""
     import tempfile as _tf
 
-    if sf_dir not in _ORC_STAGED:
+    key = staging_key(sf_dir, "documents")
+    if key not in _ORC_STAGED:
         tmp = _tf.TemporaryDirectory(prefix="kmce_orc_")
         load_table(spark, sf_dir, "documents").write.mode(
             "overwrite"
         ).orc(tmp.name + "/docs")
-        _ORC_STAGED[sf_dir] = tmp
+        _ORC_STAGED[key] = tmp
     docs = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, "
         "n_chars BIGINT"
-    ).orc(_ORC_STAGED[sf_dir].name + "/docs")
+    ).orc(_ORC_STAGED[key].name + "/docs")
     return (
         docs.groupBy("lang")
         .agg(

@@ -74,14 +74,17 @@ def configure(spark: SparkSession) -> SparkSession:
     # get_spark does for our own sessions: an externally-built session
     # (the verify driver's) carries Spark's 200-partition default, which
     # multiplies per-JOB fixed cost ~6x on iterative operators (connected
-    # components, Lloyd's — one job per round) at test scale. The
-    # large-data case is owned by AQE coalescing either way; a cluster
-    # deployment overrides this after configure().
+    # components, Lloyd's — one job per round) at test scale. ONLY when
+    # the conf still sits at Spark's out-of-the-box 200 though — a
+    # caller that set its own value (a cluster session configured before
+    # calling into the engine) keeps it. The large-data case is owned by
+    # AQE coalescing either way.
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
-        )
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
     except Exception:
         pass
     _ship_package(spark)

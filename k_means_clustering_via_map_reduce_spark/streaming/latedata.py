@@ -59,8 +59,12 @@ def _stage_late_feed(spark: SparkSession, sf_dir: str) -> str:
     """Stage the three-batch feed as three single-part parquet files
     whose modification times force processing order. ``coalesce(1)``
     guarantees one part file per batch so the watermark sequence is a
-    data-only function. Staged once per (process, sf_dir)."""
-    if sf_dir not in _LATE_STAGED:
+    data-only function. Staged once per (process, sf_dir, source
+    mtime)."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    key = staging_key(sf_dir, "events")
+    if key not in _LATE_STAGED:
         tmp = tempfile.TemporaryDirectory(prefix="kmce_late_feed_")
         src = os.path.join(tmp.name, "src")
         os.makedirs(src)
@@ -102,8 +106,8 @@ def _stage_late_feed(spark: SparkSession, sf_dir: str) -> str:
             # The file source orders candidates by mod time; pin them a
             # minute apart so batch order never ties.
             os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
-        _LATE_STAGED[sf_dir] = tmp
-    return os.path.join(_LATE_STAGED[sf_dir].name, "src")
+        _LATE_STAGED[key] = tmp
+    return os.path.join(_LATE_STAGED[key].name, "src")
 
 
 def _run_feed_append(spark: SparkSession, src: str, transform) -> DataFrame:

@@ -45,14 +45,17 @@ def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     check rejects a bare single-file path like events.parquet), so stage
     the events table into one — this also bakes in the ns→NTZ conversion,
     keeping the streaming schema identical to the batch loader's. Staged
-    once per (process, sf_dir); the TemporaryDirectory handle keeps the
-    files alive until interpreter exit."""
-    if sf_dir not in _STAGED:
+    once per (process, sf_dir, source mtime); the TemporaryDirectory
+    handle keeps the files alive until interpreter exit."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    key = staging_key(sf_dir, "events")
+    if key not in _STAGED:
         tmp = tempfile.TemporaryDirectory(prefix="kmce_stream_stage_")
         out = os.path.join(tmp.name, "events")
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
-        _STAGED[sf_dir] = tmp
-    return os.path.join(_STAGED[sf_dir].name, "events")
+        _STAGED[key] = tmp
+    return os.path.join(_STAGED[key].name, "events")
 
 
 def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:

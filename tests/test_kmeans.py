@@ -134,6 +134,26 @@ def test_tie_breaks_to_lowest_index(spark):
     assert by_xy[(1.0, 0.0)] == 0
 
 
+def test_tie_parity_between_fit_paths_adversarial(spark):
+    """Exact equidistant points (integer coordinates, so BOTH distance
+    formulations — literal sqrt((v-c)^2) and the join path's
+    sqrt(c.c - 2v.c + v.v) — compute the identical representable
+    value) must break to the LOWEST centroid index in lloyd_fit AND
+    lloyd_fit_join alike, leaving every iteration identical."""
+    from k_means_clustering_via_map_reduce_spark.kmeans import lloyd_fit_join
+
+    # First two rows seed centroids (0,0) and (8,0); the remaining
+    # points sit exactly on the x=4 bisector at several offsets.
+    pts = [(0.0, 0.0), (8.0, 0.0), (4.0, 0.0), (4.0, 2.0), (4.0, -6.0)]
+    a = lloyd_fit(points_df(spark, pts), k=2, max_iter=3)
+    b = lloyd_fit_join(points_df(spark, pts), k=2, max_iter=3)
+    assert a.iterations == b.iterations
+    assert a.history == b.history
+    # All ties joined cluster 0: its first-iteration mean moves to the
+    # tie points' centroid with the seed, cluster 1 keeps only its seed.
+    assert a.history[0][1] == (8.0, 0.0)
+
+
 def test_formatted_sink_matches_reference_format(spark):
     pts = load_ref_points("points2.txt")
     res = lloyd_fit(points_df(spark, pts), k=4, max_iter=7)
