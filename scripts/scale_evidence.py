@@ -22,6 +22,15 @@ the c² blow-up guard measured, not just asserted.
 Run:  python scripts/scale_evidence.py   (writes a markdown table to
 stdout; paste/refresh the BASELINE.md "Off-fixture scale evidence"
 section from it).
+
+One-off probes can narrow the sweep, e.g. the ×16 decade extension for
+the heaviest operators:
+
+    python scripts/scale_evidence.py --mults 16 \\
+        --queries d1b_jaccard_capped,p2_curation_pipeline,t6_tfidf_top_terms
+
+(custom --queries skips the d6/hot-shingle extras; --mults entries must
+stay powers of two so the d6 cell knob can scale exactly).
 """
 
 from __future__ import annotations
@@ -182,6 +191,28 @@ def shuffle_metrics(app_id: str, group: str) -> tuple[int, int]:
 
 
 def main() -> None:
+    import argparse
+
+    global MULTS, QUERIES_UNDER_TEST
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mults",
+        default=None,
+        help="comma-separated corpus multipliers (powers of two)",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query names; when given, the d6 and "
+        "hot-shingle extras are skipped",
+    )
+    args = ap.parse_args()
+    run_extras = args.queries is None
+    if args.mults:
+        MULTS = [int(x) for x in args.mults.split(",")]
+    if args.queries:
+        QUERIES_UNDER_TEST = args.queries.split(",")
+
     spark = _spark()
     sc = spark.sparkContext
     print("building corpora...", file=sys.stderr, flush=True)
@@ -216,6 +247,9 @@ def main() -> None:
     # larger runs with SEMANTIC_CELL_BITS + k, holding per-cell pair work
     # constant — measuring the operator's own scaling contract rather
     # than a fixed-cell quadratic strawman.
+    if not run_extras:
+        _emit_table(rows)
+        return
     from k_means_clustering_via_map_reduce_spark.operators.dedup import (
         SEMANTIC_CELL_BITS,
         semantic_pairs,
@@ -279,6 +313,10 @@ def main() -> None:
             flush=True,
         )
 
+    _emit_table(rows)
+
+
+def _emit_table(rows) -> None:
     print("\n| query | corpus | wall s | shuffle write MB | shuffle rows | out rows |")
     print("|---|---|---|---|---|---|")
     for qname, m, dt, wb, wr, n in rows:
