@@ -162,9 +162,11 @@ _FEED_CTES = """
 """
 
 
-@query(
-    "k10_watermark_eviction",
-    oracle=f"""
+# The watermark-semantics oracle, shared by k10 (memory sink) and k11
+# (durable parquet file sink): surviving rows = on-time half + late
+# rows whose hour window was still open at wm1 + the in-horizon
+# duplicate copies; the tick's window (end past wm2) never emits.
+_EVICTION_ORACLE = f"""
     WITH {_FEED_CTES},
     surviving AS (
       SELECT ts, value FROM even
@@ -182,8 +184,21 @@ _FEED_CTES = """
            count(*) AS n_events,
            round(sum(value), 4) AS total_value
     FROM surviving GROUP BY 1 ORDER BY hour_ts
-    """,
-)
+    """
+
+
+def _hourly_agg(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@query("k10_watermark_eviction", oracle=_EVICTION_ORACLE)
 def watermark_eviction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K10: hourly tumbling counts in APPEND mode over the late feed.
     The result depends on the watermark three ways — batch-2 rows whose
@@ -194,19 +209,8 @@ def watermark_eviction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped nothing, or evicted at the wrong bound diverges from the
     oracle."""
     src = _stage_late_feed(spark, sf_dir)
-
-    def agg(stream: DataFrame) -> DataFrame:
-        return (
-            stream.withWatermark("ts", WATERMARK_DELAY)
-            .groupBy(F.window("ts", "1 hour").alias("win"))
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                r4(F.sum("value")).alias("total_value"),
-            )
-        )
-
     return (
-        _run_feed_append(spark, src, agg)
+        _run_feed_append(spark, src, _hourly_agg)
         .select(
             F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
             "n_events",
@@ -214,6 +218,52 @@ def watermark_eviction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+@query("k11_stream_parquet_sink", oracle=_EVICTION_ORACLE)
+def stream_parquet_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11: the same watermarked hourly aggregation as k10, but written
+    through the DURABLE path — ``writeStream.format("parquet")`` with a
+    real checkpoint — then read back from the sink directory. The file
+    sink is the production shape (the memory sink exists only for
+    oracle harnesses), so this driver-checks exactly-once append
+    emission + on-disk fidelity end-to-end: the read-back must
+    reproduce k10's memory-sink result row for row, which is why both
+    share one oracle. Flattening (window.start -> TIMESTAMP_NTZ)
+    happens BEFORE the sink so the parquet schema is the engine's
+    canonical naive-UTC layout."""
+    src = _stage_late_feed(spark, sf_dir)
+    flat = lambda stream: _hourly_agg(stream).select(  # noqa: E731
+        F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+        "n_events",
+        "total_value",
+    )
+    with tempfile.TemporaryDirectory(prefix="kmce_psink_") as tmp:
+        out = os.path.join(tmp, "out")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                flat(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # Materialize before the TemporaryDirectory (and the sink files)
+        # disappear — the caller collects lazily.
+        result = spark.read.parquet(out).localCheckpoint(eager=True)
+    return result.orderBy("hour_ts")
 
 
 @query(
