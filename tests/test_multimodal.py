@@ -59,6 +59,68 @@ def test_decode_media_golden_png_bytes():
     assert got == {"codec": "png", "width": 1, "height": 1, "channels": 4}
 
 
+def test_decode_media_png_property_roundtrip():
+    """Property: for every color type / bit depth / geometry the spec
+    allows (grayscale, truecolor, palette, +alpha variants; 8- and
+    16-bit), a well-formed PNG built chunk-by-chunk from the raw
+    filtered scanlines decodes to exactly its header geometry — and the
+    channel count the color type implies."""
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        decode_media,
+    )
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + zlib.crc32(cid + data).to_bytes(4, "big")
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        color_type=st.sampled_from([0, 2, 4, 6]),  # palette needs PLTE
+        bit_depth=st.sampled_from([8, 16]),
+        seed=st.integers(0, 255),
+    )
+    def roundtrip(w, h, color_type, bit_depth, seed):
+        ch = _PNG_CHANNELS[color_type]
+        bps = bit_depth // 8
+        row = w * ch * bps
+        raw = b"".join(
+            b"\x00" + bytes((seed + y + j) % 256 for j in range(row))
+            for y in range(h)
+        )
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([bit_depth, color_type, 0, 0, 0])
+        )
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_media(blob)
+        assert got == {
+            "codec": "png",
+            "width": w,
+            "height": h,
+            "channels": ch,
+        }
+
+    roundtrip()
+
+
 def test_decode_media_png_rejects_corruption():
     """A flipped IHDR CRC bit, a truncated IDAT zlib stream, and a
     geometry/IDAT length mismatch must each fail decode (None), not

@@ -535,3 +535,40 @@ def test_stream_dedup_across_micro_batches(spark, sf_dir, tmp_path):
     # Exactly once per key: row count equals distinct-key count.
     assert emitted.count() == len(want)
     assert got == want
+
+
+def test_late_feed_staging_is_deterministic(spark, sf_dir):
+    """The k10/k7b/k11 oracles are only valid if the staged feed really
+    is three single-part files in forced modification-time order — one
+    micro-batch each under maxFilesPerTrigger=1. Pin that invariant,
+    plus the content split the oracles assume (on-time = even ids;
+    late = odd ids shifted back + unshifted last-10-minute duplicates;
+    the tick strictly newest)."""
+    from k_means_clustering_via_map_reduce_spark.streaming.latedata import (
+        _stage_late_feed,
+    )
+
+    src = _stage_late_feed(spark, sf_dir)
+    files = sorted(os.listdir(src))
+    assert files == ["0-ontime.parquet", "1-tick.parquet", "2-late.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+    ontime = spark.read.parquet(os.path.join(src, files[0]))
+    tick = spark.read.parquet(os.path.join(src, files[1]))
+    late = spark.read.parquet(os.path.join(src, files[2]))
+    assert ontime.filter(F.col("event_id") % 2 == 1).count() == 0
+    assert tick.count() == 1 and tick.first()["event_id"] == -1
+    # The tick is strictly newer than every other row's event time.
+    max_other = max(
+        ontime.agg(F.max("ts")).first()[0], late.agg(F.max("ts")).first()[0]
+    )
+    assert tick.first()["ts"] > max_other
+    # Late file = all odd ids plus SOME duplicated even ids (the
+    # in-horizon copies) — and every copy matches an on-time row.
+    dup = late.filter(F.col("event_id") % 2 == 0)
+    assert dup.count() > 0
+    assert (
+        dup.join(ontime, ["event_id", "ts", "user_id", "value"]).count()
+        == dup.count()
+    )
