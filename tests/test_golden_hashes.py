@@ -1,8 +1,9 @@
 """Drift guards for the rows-only queries (SURVEY.md §5.2-7).
 
-Six registered queries are deliberately not SQL-oracled (seeded LSH /
-SimHash / SRP / IVF sketches, the hash-split sample, and the seeded
-MLlib KMeans fit) — the driver
+Eight registered queries are deliberately not SQL-oracled (seeded LSH /
+SimHash / SRP / IVF sketches, the hash-split sample, the seeded MLlib
+KMeans fit, HLL/GK sketch aggregates; the eighth, k1b, is pinned by
+exact parity with lloyd_fit instead) — the driver
 records only their row counts, so a semantic regression that preserves
 cardinality would pass CORRECTNESS silently. Each is deterministic for a
 fixed input (hash-seeded, order-insensitive), so we pin an
@@ -38,6 +39,12 @@ GOLDEN = {
     # before pinning. Rounding to 4 decimals absorbs sub-ulp agg-order
     # noise in avg_dim0.
     "k2_kmeans_mllib": ("a4f8c49b0151f143", 8),
+    # Sketch aggregates (t5): HLL register merges are order-insensitive
+    # by construction; the GK percentile summary is stable for a fixed
+    # session conf + fixture (digest re-derived in two fresh sessions).
+    # Error-BOUND correctness vs exact answers lives in test_sketch.py;
+    # this pin only freezes the sketch outputs against silent drift.
+    "t5_sketch_stats": ("9f3e3b8847d1677a", 5),
 }
 
 
