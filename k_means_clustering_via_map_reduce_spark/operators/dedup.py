@@ -861,3 +861,116 @@ def semantic_pairs(
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D7 — segment-level boilerplate removal (the line-dedup stage of
+# CCNet/RefinedWeb-style pipelines, expressed over the fixture corpus's
+# single-line documents by segmenting each document into fixed-width
+# word chunks). Whole-document dedup (q17/d1/d2) cannot remove the
+# boilerplate *inside* otherwise-unique documents — headers, footers,
+# cookie banners — which is what repeats most at web scale; this
+# operator removes any segment that appears in >= SEGMENT_DF_CUTOFF
+# distinct documents and re-assembles the cleaned text.
+# --------------------------------------------------------------------------
+SEGMENT_WORDS = 8
+SEGMENT_DF_CUTOFF = 2
+
+
+def document_segments(docs: DataFrame, width: int = SEGMENT_WORDS) -> DataFrame:
+    """(doc_id, seg_idx, seg): each document's token list cut into
+    fixed-``width`` word chunks (the last chunk ragged). Pure JVM
+    higher-order functions — corpus-linear, no shuffle, no UDF."""
+    segs = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {width}.0) as int) - 1),"
+        f" i -> array_join(slice(w, i * {width} + 1, {width}), ' '))"
+    )
+    return (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+        )
+        .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+        .withColumn("seg_idx", F.col("seg_idx").cast("bigint"))
+    )
+
+
+_D7_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), seg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(
+               w[(i * {SEGMENT_WORDS} + 1):(i * {SEGMENT_WORDS} + {SEGMENT_WORDS})],
+               ' ') AS seg
+      FROM tok,
+           UNNEST(range(CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT))) AS t(i)
+    ), hot AS (
+      SELECT seg FROM seg
+      GROUP BY seg HAVING count(DISTINCT doc_id) >= {SEGMENT_DF_CUTOFF}
+    ), flagged AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, (h.seg IS NOT NULL) AS is_hot
+      FROM seg s LEFT JOIN hot h ON s.seg = h.seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                              AS n_segments,
+           CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(
+             string_agg(CASE WHEN NOT is_hot THEN seg END, ' ' ORDER BY seg_idx),
+             ''))                                                AS kept_md5
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("d7_segment_dedup", oracle=_D7_ORACLE)
+def d7_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-segment removal: flag every {SEGMENT_WORDS}-word
+    segment appearing in >= SEGMENT_DF_CUTOFF distinct documents, strip
+    those segments, and emit per-document (segment count, removed count,
+    md5 of the re-assembled kept text). Fully-duplicated documents reduce
+    to the empty string (md5('') — the all-removed edge is exercised by
+    the fixtures' exact-dup docs).
+
+    Scale (100 TB): segmentation is a narrow projection; the document
+    frequency count is one corpus-linear shuffle keyed on the segment
+    with map-side partial aggregation; the hot set (the corpus's
+    boilerplate catalog — tiny relative to the corpus, bounded by
+    distinct-boilerplate cardinality, not corpus size) comes back via a
+    broadcast LEFT join, so corpus rows are never shuffled on the
+    segment key a second time; re-assembly is one corpus-linear shuffle
+    on doc_id. Nothing quadratic anywhere: c docs sharing a segment cost
+    c postings rows, never c^2 pairs (contrast d1's pair-join, which
+    needs them)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    seg = document_segments(docs)
+    hot = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= SEGMENT_DF_CUTOFF)
+        .select("seg", F.lit(True).alias("is_hot"))
+    )
+    flagged = seg.join(F.broadcast(hot), "seg", "left").withColumn(
+        "is_hot", F.coalesce("is_hot", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_hot"), F.struct("seg_idx", "seg")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("is_hot").cast("bigint")).alias("n_removed"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s["seg"],
+                        ),
+                        " ",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1757,3 +1757,191 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q41 — batch sessionization: the gap-based session assignment k4's
+# streaming session_window computes with state, expressed relationally
+# (lag-gap flag + running sum) so it is exactly SQL-replayable. The
+# classic two-window composition every warehouse sessionizes with.
+# --------------------------------------------------------------------------
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@query(
+    "q41_sessionize",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                       > {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT)            AS n_events,
+           min(ts)                             AS session_start,
+           CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT)
+                                               AS duration_ms,
+           round(sum(value), 4)                AS total_value
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based sessions (30-min inactivity closes a session):
+    a new-session flag from lag(), a running sum turning flags into
+    session ids, then per-session stats. Gap comparison is in INTEGER
+    milliseconds (unix_millis / epoch_ms) — the fixtures carry
+    sub-second timestamps, and float-seconds arithmetic could disagree
+    across engines exactly at the 1800 s boundary.
+
+    Scale: one hash shuffle on user_id feeds BOTH windows and the final
+    agg (same partitioning, no re-exchange — the two window specs and
+    the groupBy share the user_id clustering); per-user event runs sort
+    within partitions. Skewed power users are the 100 TB risk; bound is
+    per-user history length, same as any sessionizer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    is_new = F.when(
+        gap_ms.isNull() | (gap_ms > SESSION_GAP_MS), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select("user_id", "event_id", "ts", "value").withColumn(
+        "session_id", F.sum(is_new).over(run).cast("bigint")
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_millis(F.max("ts").cast("timestamp")) - F.unix_millis(F.min("ts").cast("timestamp")))
+            .cast("bigint")
+            .alias("duration_ms"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q42 — NOT IN vs NOT EXISTS three-valued-logic pin: with one NULL in the
+# subquery, `x NOT IN (subq)` is never TRUE (x <> NULL is UNKNOWN), so
+# the NOT IN arm returns ZERO rows while NOT EXISTS (which tests row
+# existence, not value equality) returns the real anti-join count. The
+# classic silent-wrong-results trap, pinned engine-vs-oracle instead of
+# assumed. Fixtures carry no NULL keys, so one is synthesized.
+# --------------------------------------------------------------------------
+_Q42_BODY = """
+    WITH sub AS (
+      SELECT CASE WHEN o_custkey %% 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM %(orders)s
+    )
+    SELECT
+      CAST((SELECT count(*) FROM %(customer)s
+            WHERE c_custkey NOT IN (SELECT k FROM sub)) AS BIGINT)
+        AS not_in_nullable,
+      CAST((SELECT count(*) FROM %(customer)s c
+            WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+        AS BIGINT)
+        AS not_exists,
+      CAST((SELECT count(*) FROM %(customer)s
+            WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+        AS BIGINT)
+        AS not_in_nullfree
+"""
+
+
+@query(
+    "q42_not_in_nulls",
+    oracle=_Q42_BODY % {"orders": "orders", "customer": "customer"},
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti-join semantics via the SQL entry point: the
+    NOT IN arm must be 0 (one NULL poisons the whole predicate) while
+    the NOT EXISTS and null-filtered NOT IN arms agree on the real
+    anti-join count (on these fixtures: exactly the customers whose
+    every order row had its key nulled by the %97 rule — equality with
+    NULL never matches, so those customers "lose" their orders). Spark
+    plans the NOT IN arm as a NULL-AWARE anti join (broadcast
+    nested-loop at this shape) precisely because hash anti-join would
+    be wrong — the row pins that the engine pays that cost rather than
+    returning the fast wrong answer."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "kmce_q42_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "kmce_q42_customer"
+    )
+    return spark.sql(
+        _Q42_BODY % {"orders": "kmce_q42_orders", "customer": "kmce_q42_customer"}
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — DYNAMIC partition pruning: f3 prunes with a literal IN-filter the
+# planner sees at compile time; here the selected partition set is only
+# discoverable by executing the dim-side filter (tier = 'hot' over a
+# dimension relation), so pruning must happen at RUNTIME via the
+# broadcast-reuse subquery (`dynamicpruningexpression` in the scan's
+# PartitionFilters — pinned in tests/test_plans.py). The star-schema
+# 100 TB lever: fact partitions skipped because the dim filter said so,
+# without the user repeating the filter on the fact side.
+# --------------------------------------------------------------------------
+EVENT_TIERS = (
+    ("click", "hot"),
+    ("purchase", "hot"),
+    ("view", "cold"),
+    ("signup", "cold"),
+    ("error", "cold"),
+)
+
+_F5_DIM_VALUES = ", ".join(f"('{t}', '{tier}')" for t, tier in EVENT_TIERS)
+
+
+@query(
+    "f5_dpp_scan",
+    oracle=f"""
+    WITH dim(event_type, tier) AS (VALUES {_F5_DIM_VALUES})
+    SELECT e.event_type, date_trunc('day', e.ts) AS day,
+           count(*) AS n_events, round(sum(e.value), 4) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.tier = 'hot'
+    GROUP BY 1, 2 ORDER BY e.event_type, day
+    """,
+)
+def f5_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats for the 'hot'-tier event types, where "hot" lives in
+    a dimension relation rather than a literal predicate: the
+    partitioned fact scan cannot be pruned statically, so Catalyst
+    plants a dynamic-pruning subquery that reuses the dim broadcast and
+    skips the cold partitions' directories at runtime. Results must be
+    layout-independent: the oracle replays the join over the
+    UNPARTITIONED original."""
+    path = staged_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        list(EVENT_TIERS), "event_type string, tier string"
+    )
+    return (
+        ev.join(dim.filter(F.col("tier") == "hot"), "event_type")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )

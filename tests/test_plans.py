@@ -269,3 +269,18 @@ def test_d6_cell_join_hash_exchange_path(spark, sf_dir):
     assert sorted(map(tuple, forced_rows)) == sorted(
         map(tuple, broadcast_rows)
     )
+
+
+def test_f5_scan_is_dynamically_pruned(spark, sf_dir):
+    """f5's partition set is only discoverable by RUNNING the dim-side
+    tier filter, so the fact scan must carry a dynamicpruningexpression
+    in its PartitionFilters (the broadcast-reuse DPP subquery) — static
+    pruning is impossible and reading all partitions then filtering
+    post-join would defeat the layout at 100 TB."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        partition_filters,
+    )
+
+    df = Q.QUERIES["f5_dpp_scan"](spark, sf_dir)
+    parts = partition_filters(df)
+    assert any("dynamicpruning" in p.lower() for p in parts), parts
