@@ -377,3 +377,213 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# S5 — product quantization (PQ) with asymmetric-distance search: the
+# memory-compression half of a production IVF-PQ index (s3 is the cell-
+# probing half). Vectors compress 64 float32 dims → PQ_SUBSPACES 4-bit
+# codes (256 B → 4 B payload): at 100 TB that is the difference between
+# an index that fits executor memory and one that does not — candidate
+# scanning reads the code table, never the vectors.
+# --------------------------------------------------------------------------
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+PQ_TRAIN_SAMPLE = 256
+PQ_KMEANS_ITERS = 10
+PQ_CAND_FACTOR = 12
+
+
+def _pq_codebooks(sample):
+    """Deterministic per-subspace Lloyd's on a driver-side sample:
+    init = first PQ_CODES sample rows (the engine's O17 determinism
+    anchor), fixed PQ_KMEANS_ITERS iterations, empty cells keep their
+    previous centroid, float64 throughout. Returns
+    (PQ_SUBSPACES, PQ_CODES, sub_dim). Driver state is the codebook
+    only — (8 × 16 × 8) floats regardless of corpus size; the sample is
+    a fixed-size head slice exactly like k1's init."""
+    import numpy as np
+
+    n, dim = sample.shape
+    sub_dim = dim // PQ_SUBSPACES
+    books = []
+    for s in range(PQ_SUBSPACES):
+        x = sample[:, s * sub_dim : (s + 1) * sub_dim]  # (n, sub_dim)
+        c = x[:PQ_CODES].copy()
+        for _ in range(PQ_KMEANS_ITERS):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # first-match ties, O6 semantics
+            for j in range(PQ_CODES):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books.append(c)
+    import numpy as np
+
+    return np.stack(books)  # (subspaces, codes, sub_dim)
+
+
+def _pq_encode_udf(books):
+    """pandas UDF: per-subspace nearest-codeword ids (squared-L2, stable
+    first-match ties) — one (batch × codes) distance matrix per subspace
+    per Arrow batch. Pure per-row function: encoding is independent of
+    partitioning and row order."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    b = np.asarray(books)  # (S, K, d)
+    s_n, k_n, d_n = b.shape
+    b_sq = (b * b).sum(axis=2)  # (S, K)
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        codes = np.empty((mat.shape[0], s_n), dtype=np.int32)
+        for s in range(s_n):
+            x = mat[:, s * d_n : (s + 1) * d_n]
+            # argmin ||x-c||² == argmin c·c - 2 x·c (x·x constant per row)
+            d = b_sq[s][None, :] - 2.0 * (x @ b[s].T)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_adc_scores(codes_df: DataFrame, queries, books) -> DataFrame:
+    """(vec_id, query_id, adc): asymmetric distance of every corpus code
+    row to every query, via per-query lookup tables — table[s, j] =
+    ||q_sub_s - codeword_j||², so adc = Σ_s table[s, codes[s]]. One
+    mapInPandas pass over the CODE table (the vectors are never read
+    here); per-batch cost is pure numpy fancy-indexing."""
+    import numpy as np
+
+    b = np.asarray(books)  # (S, K, d)
+    s_n, k_n, d_n = b.shape
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.vstack([q[1] for q in queries]).astype(np.float64)
+    # tables: (Q, S, K)
+    tables = np.empty((len(q_ids), s_n, k_n))
+    for s in range(s_n):
+        qs = q_mat[:, s * d_n : (s + 1) * d_n]  # (Q, d)
+        diff = qs[:, None, :] - b[s][None, :, :]  # (Q, K, d)
+        tables[:, s, :] = (diff * diff).sum(axis=2)
+
+    out_schema = "vec_id bigint, query_id bigint, adc double"
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["codes"].to_numpy())  # (n, S)
+            vec_ids = pdf["vec_id"].to_numpy()
+            n = len(vec_ids)
+            sub_idx = np.arange(s_n)[None, :]
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                adc = tables[qi][sub_idx, codes].sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vec_ids,
+                            "query_id": np.full(n, qid),
+                            "adc": adc,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return codes_df.mapInPandas(score, out_schema)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK_K,
+) -> DataFrame:
+    """PQ-compressed ANN: train per-subspace codebooks on a
+    deterministic head sample, encode the corpus to 4-bit code arrays,
+    score every (query, code-row) pair by asymmetric distance, keep the
+    top ``k * PQ_CAND_FACTOR`` candidates per query, and exact-rerank
+    only those against the real vectors.
+
+    Scale shape: the scan that feeds candidate generation reads the
+    CODE table (4 B/vector payload — 64× smaller than the vectors);
+    per-partition top-C pre-selection bounds the shuffle to
+    (partitions × Q × C) scalar rows regardless of corpus size (the
+    global top-C by (adc, vec_id) is a subset of the union of
+    per-partition top-Cs under the same total order); only the C
+    candidates per query ever touch the full vectors again, via a
+    broadcast semi-style join. Ties break by vec_id everywhere, so the
+    result is partitioning-independent."""
+    n_cand = k * PQ_CAND_FACTOR
+    sample = (
+        corpus.orderBy("vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .select("v")
+        .toPandas()
+    )
+    import numpy as np
+
+    books = _pq_codebooks(np.vstack(sample["v"].to_numpy()).astype(np.float64))
+
+    q_rows = [
+        (r["vec_id"], r["v"])
+        for r in queries.select("vec_id", "v").orderBy("vec_id").collect()
+    ]
+
+    codes = spread(corpus).select(
+        "vec_id", _pq_encode_udf(books)(F.col("v")).alias("codes")
+    )
+    scored = _pq_adc_scores(codes, q_rows, books).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    w_local = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(w_local))
+        .filter(F.col("r") <= n_cand)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    qdf = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        vector_norm(F.col("v")).alias("qnrm"),
+    )
+    c = corpus.withColumn("nrm", vector_norm(F.col("v")))
+    reranked = (
+        c.join(F.broadcast(cand), c["vec_id"] == cand["neighbor_id"])
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("cos_sim")).alias("cos_sim"),
+        )
+    )
+
+
+@query("s5_pq_adc_topk")
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via PQ codes + asymmetric distance + exact
+    re-rank. Rows-only for the driver (seeded codebooks); pytest pins
+    recall vs s1_cosine_topk and a golden output hash."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return pq_adc_topk(e, q).orderBy("query_id", "rank")

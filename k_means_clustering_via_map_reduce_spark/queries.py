@@ -1945,3 +1945,98 @@ def f5_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# F6 — CDC merge (upsert/delete) into a parquet snapshot: the
+# incremental-maintenance face of the sink surface. Plain parquet has no
+# MERGE primitive, so the engine expresses it as the classic
+# full-outer-join rewrite; the aggregation runs over the REREAD
+# snapshot, so join logic, write fidelity, and read-back are all under
+# the oracle compare.
+# --------------------------------------------------------------------------
+_MERGE_STAGED: dict[tuple, object] = {}
+
+_F6_CDC = """
+    SELECT o_orderkey AS k, 'U' AS op,
+           o_totalprice * 1.1 AS price, 'U' AS status
+    FROM {orders} WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE), CAST(NULL AS STRING)
+    FROM {orders} WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, 'I', o_totalprice / 2, 'N'
+    FROM {orders} WHERE o_orderkey % 13 = 0
+"""
+
+
+@query(
+    "f6_merge_upsert",
+    oracle=f"""
+    WITH cdc AS ({_F6_CDC.format(orders="orders")}),
+    merged AS (
+      SELECT coalesce(c.k, b.o_orderkey) AS k,
+             CASE WHEN c.op IN ('U', 'I') THEN c.price
+                  ELSE b.o_totalprice END AS price,
+             CASE WHEN c.op IN ('U', 'I') THEN c.status
+                  ELSE b.o_orderstatus END AS status
+      FROM orders b FULL OUTER JOIN cdc c ON b.o_orderkey = c.k
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 4) AS total_price,
+           min(k) AS min_key, max(k) AS max_key
+    FROM merged GROUP BY status ORDER BY status
+    """,
+)
+def f6_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic CDC batch (updates %7, deletes %11,
+    inserts %13 under shifted keys) to the orders table via the
+    full-outer-join MERGE rewrite, write the merged snapshot to
+    parquet, read it back, and aggregate per status — matched-update,
+    matched-delete, and not-matched-insert arms all non-vacuous.
+
+    Scale: the join shuffles on the key both sides once (CDC batches
+    are usually broadcastable; this one is deliberately fact-scale to
+    exercise the shuffle path). A production deployment bounds the
+    rewrite with partition-level copy-on-write: cluster the snapshot
+    by key range / date, semi-join the CDC batch to find TOUCHED
+    partitions, and rewrite only those via dynamic partition overwrite
+    (sinks.write_parquet partition_by + partitionOverwriteMode=dynamic)
+    — rewriting 100 TB per batch is the anti-pattern this docstring
+    exists to warn about."""
+    import tempfile as _tf
+
+    base = load_table(spark, sf_dir, "orders")
+    base.createOrReplaceTempView("kmce_f6_orders")
+    cdc = spark.sql(_F6_CDC.format(orders="kmce_f6_orders"))
+    b, c = base.alias("b"), cdc.alias("c")
+    merged = (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.k"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.k"), F.col("b.o_orderkey")).alias("k"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.price"))
+            .otherwise(F.col("b.o_totalprice"))
+            .alias("price"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.status"))
+            .otherwise(F.col("b.o_orderstatus"))
+            .alias("status"),
+        )
+    )
+    key = staging_key(sf_dir, "orders")
+    if key not in _MERGE_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_merge_")
+        merged.write.mode("overwrite").parquet(tmp.name + "/snapshot")
+        _MERGE_STAGED[key] = tmp
+    snap = spark.read.parquet(_MERGE_STAGED[key].name + "/snapshot")
+    return (
+        snap.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            r4(F.sum("price")).alias("total_price"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("status")
+    )

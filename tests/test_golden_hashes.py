@@ -1,8 +1,9 @@
 """Drift guards for the rows-only queries (SURVEY.md §5.2-7).
 
-Eight registered queries are deliberately not SQL-oracled (seeded LSH /
+Nine registered queries are deliberately not SQL-oracled (seeded LSH /
 SimHash / SRP / IVF sketches, the hash-split sample, the seeded MLlib
-KMeans fit, HLL/GK sketch aggregates; the eighth, k1b, is pinned by
+KMeans fit, HLL/GK sketch aggregates, the seeded-codebook PQ-ADC
+top-k; k1b is pinned by
 exact parity with lloyd_fit instead) — the driver
 records only their row counts, so a semantic regression that preserves
 cardinality would pass CORRECTNESS silently. Each is deterministic for a
@@ -33,6 +34,9 @@ GOLDEN = {
     "d3_simhash_pairs": ("4c22c95269e71b5d", 1892),
     "s2_lsh_topk": ("76c5bba8fb725b1f", 100),
     "s3_ivf_topk": ("86a9659a8f3ec1e0", 100),
+    # PQ-ADC top-k (s5): deterministic head-sample codebooks; candidate
+    # selection proven partitioning-independent in test_similarity.py.
+    "s5_pq_adc_topk": ("cc9c69b870258aa2", 100),
     "p1_stratified_sample": ("3279dd785278f7bf", 5),
     # Seeded KMeans|| fit (k2): deterministic for a fixed input +
     # partitioning; digest re-derived in two independent fresh sessions

@@ -101,3 +101,47 @@ def test_ivf_is_ranked_consistently(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         sims = [r["cos_sim"] for r in rs]
         assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_pq_adc_topk_recall(spark, sf_dir):
+    """PQ-ADC candidate generation + exact re-rank must recover most of
+    the true top-k: 4-bit codes keep ~0.8 recall on the fixture corpus
+    with PQ_CAND_FACTOR·k candidates re-ranked (0.82 measured at
+    sf0.001, 0.77 at sf0.01)."""
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.QUERIES["s1_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.QUERIES["s5_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"PQ recall {recall} too low"
+
+
+def test_pq_encoding_partitioning_independent(spark, sf_dir):
+    """The PQ pipeline's result must not depend on input partitioning:
+    encoding is per-row pure, and per-partition top-C pre-selection
+    uses the same (adc, vec_id) total order as the global cut, so the
+    candidate set — and hence the final ranking — is identical whether
+    the corpus arrives in 1 partition or 32."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        TOPK_N_QUERIES,
+        pq_adc_topk,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    one = pq_adc_topk(e.coalesce(1), q).orderBy("query_id", "rank").collect()
+    many = (
+        pq_adc_topk(e.repartition(32), q).orderBy("query_id", "rank").collect()
+    )
+    assert one == many
