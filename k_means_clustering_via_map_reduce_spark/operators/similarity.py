@@ -380,12 +380,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# S5 — product quantization (PQ) with asymmetric-distance search: the
-# memory-compression half of a production IVF-PQ index (s3 is the cell-
-# probing half). Vectors compress 64 float32 dims → PQ_SUBSPACES 4-bit
-# codes (256 B → 4 B payload): at 100 TB that is the difference between
-# an index that fits executor memory and one that does not — candidate
-# scanning reads the code table, never the vectors.
+# S5 — product quantization (PQ) with asymmetric-distance search
+# (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+# Search", IEEE TPAMI 2011 — ADC variant): the memory-compression half
+# of a production IVF-PQ index (s3 is the cell-probing half). Vectors
+# compress 64 float32 dims → PQ_SUBSPACES 4-bit codes (256 B → 4 B
+# payload): at 100 TB that is the difference between an index that fits
+# executor memory and one that does not — candidate scanning reads the
+# code table, never the vectors.
 # --------------------------------------------------------------------------
 PQ_SUBSPACES = 8
 PQ_CODES = 16
@@ -418,8 +420,6 @@ def _pq_codebooks(sample):
                 if len(members):
                     c[j] = members.mean(axis=0)
         books.append(c)
-    import numpy as np
-
     return np.stack(books)  # (subspaces, codes, sub_dim)
 
 

@@ -641,3 +641,84 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T14 — Python UDTF extension point (SURVEY.md §2.2's third user-defined
+# family, completing scalar pandas_udf (d3/s2), grouped-map
+# applyInPandas (t8), and grouped-agg pandas UDF (t13)): a table
+# function emitting one row per distinct within-document bigram, used
+# through the SQL LATERAL join surface.
+# --------------------------------------------------------------------------
+BIGRAM_TOP_N = 20
+
+
+def _bigram_udtf():
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string, n: bigint")
+    class BigramCounts:
+        """Yield (bigram, within-doc count) per input document, bigrams
+        in lexical order (deterministic emission order, though nothing
+        downstream depends on it)."""
+
+        def eval(self, text: str):
+            toks = text.strip().split(" ")
+            c = Counter(
+                " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+            )
+            for bg, n in sorted(c.items()):
+                yield bg, n
+
+    return BigramCounts
+
+
+@query(
+    "t14_udtf_bigrams",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents),
+    bg AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+      FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    )
+    SELECT bigram,
+           CAST(count(*) AS BIGINT)            AS total_n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bg GROUP BY bigram
+    ORDER BY total_n DESC, bigram LIMIT {BIGRAM_TOP_N}
+    """,
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{BIGRAM_TOP_N} bigrams via a Python UDTF in a
+    SQL LATERAL join — the user-defined TABLE function surface
+    exercised end-to-end and oracled. The UDTF pre-counts bigrams
+    per document, so the lateral output is (distinct bigrams per doc)
+    rows, each carrying its count: the shuffle then aggregates
+    sum(n) / count(*) per bigram with map-side combine.
+
+    Scale note: a Python UDTF is the slow path by construction
+    (row-at-a-time emission through the Python worker); the engine's
+    own hot paths express the same dataflow as JVM explode +
+    aggregation (t6, d7). This entry exists because the reference has
+    NO user extension point at all (SURVEY.md §2.2) while a real
+    engine must ship one — and its correctness contract (exact parity
+    with the relational formulation) is what the oracle pins."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    spark.udtf.register("kmce_bigram_counts", _bigram_udtf())
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "kmce_t14_docs"
+    )
+    return spark.sql(
+        f"""
+        SELECT b.bigram,
+               CAST(sum(b.n) AS BIGINT)             AS total_n,
+               CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        FROM kmce_t14_docs d, LATERAL kmce_bigram_counts(d.text) b
+        GROUP BY b.bigram
+        ORDER BY total_n DESC, bigram LIMIT {BIGRAM_TOP_N}
+        """
+    )
