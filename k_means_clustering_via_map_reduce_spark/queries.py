@@ -2040,3 +2040,74 @@ def f6_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# Q43 — runtime Bloom-filter join pruning: the ROW-level complement of
+# f5's directory-level dynamic pruning. A selective dim-side filter
+# injects a bloom_filter_agg on the build side and a might_contain
+# pre-filter on the fact scan, so fact rows that cannot join are
+# dropped BEFORE the shuffle — at 100 TB this cuts shuffle volume by
+# the dim filter's selectivity without any user-written semi join.
+# --------------------------------------------------------------------------
+_BLOOM_CONFS = {
+    # Fixture tables are far below the production thresholds, so the
+    # injection rule is opened up while THIS query's plan is compiled
+    # (forced below), then every conf is restored: the cached physical
+    # plan keeps the bloom filter; no other query sees the overrides.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # Suppress broadcast so the filtered exchange actually executes —
+    # under a broadcast join the bloom filter would be pointless (the
+    # fact side never shuffles).
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "q43_bloom_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice), 4) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem⋈orders under a selective order-price filter, planned
+    with runtime Bloom-filter injection (might_contain pinned in
+    tests/test_plans.py). The filter is semantically transparent —
+    results must equal the plain join, which is exactly what the
+    oracle replays."""
+    old = {
+        k: spark.conf.get(k, None) for k in _BLOOM_CONFS
+    }
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        df = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                r4(F.sum("l_extendedprice")).alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # Force plan compilation NOW so the bloom-injection confs are in
+        # effect; the QueryExecution caches the physical plan, so the
+        # restore below cannot un-inject it.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

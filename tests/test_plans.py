@@ -284,3 +284,29 @@ def test_f5_scan_is_dynamically_pruned(spark, sf_dir):
     df = Q.QUERIES["f5_dpp_scan"](spark, sf_dir)
     parts = partition_filters(df)
     assert any("dynamicpruning" in p.lower() for p in parts), parts
+
+
+def test_q43_join_is_bloom_prefiltered(spark, sf_dir):
+    """The runtime Bloom filter must be injected: a bloom_filter_agg on
+    the filtered orders side and a might_contain pre-filter on the
+    lineitem side, dropping non-joining fact rows before the shuffle.
+    Also pins that the conf overrides used to compile q43's plan do NOT
+    leak: a plain join planned afterwards has no bloom filter."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    df = Q.QUERIES["q43_bloom_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    other = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderstatus"
+    ).count()
+    assert "might_contain" not in physical_plan(other)
