@@ -399,3 +399,172 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("doc_id", "frame_idx", "n_frames")
     )
+
+
+# --------------------------------------------------------------------------
+# M3 — REAL image resize (nearest-neighbor thumbnail) over decoded PNG
+# pixels: the feature-extract/resize stage of a multimodal training
+# pipeline, run on actual inflated + defiltered scanlines rather than a
+# stand-in. Completes the decode → feature-extract → resize →
+# frame-sample chain (m1 byte stats, m2 header decode, frame_sample).
+# --------------------------------------------------------------------------
+THUMB_GRID = 8
+
+
+def png_pixel_array(blob: bytes):
+    """Full pure-stdlib PNG pixel decode for 8-bit-depth non-interlaced
+    images: signature + IHDR (CRC-checked), IDAT concatenation, zlib
+    inflate, and PER-SCANLINE DEFILTERING for every filter type the
+    spec defines (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth). Returns a
+    (height, width*channels) uint8 numpy array, or None for anything
+    that is not such a PNG. Filters 2/0 take the vectorized path; the
+    sequential filters (Sub/Average/Paeth depend on the byte just
+    written) run a per-byte loop — correct first, and thumbnails are
+    small; a production deployment swaps in a C defilter here, not a
+    different dataflow."""
+    import zlib
+
+    import numpy as np
+
+    meta = _decode_png(blob)
+    if meta is None or blob[24] != 8:
+        return None
+    w, h, channels = meta["width"], meta["height"], meta["channels"]
+    idat = bytearray()
+    pos = 33
+    while pos + 8 <= len(blob):
+        sz = int.from_bytes(blob[pos : pos + 4], "big")
+        cid = blob[pos + 4 : pos + 8]
+        if cid == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + sz]
+        if cid == b"IEND":
+            break
+        pos += 12 + sz
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        return None
+    bpp = channels  # 8-bit depth: bytes per pixel == channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        pos += 1 + stride
+    return out
+
+
+def image_thumbnails(df: DataFrame, grid: int = THUMB_GRID) -> DataFrame:
+    """(doc_id, w, h, thumb_sum, c00, cNN): nearest-neighbor
+    ``grid``×``grid`` luma thumbnail of every decodable PNG blob —
+    source pixel for cell (Y, X) is ((Y*h)//grid, (X*w)//grid), luma is
+    the r+g+b byte sum. Rows whose blob is not an 8-bit PNG are dropped
+    (the resize stage only consumes what the decode stage produced).
+
+    Scale: identical shape to m1/m2 — Arrow-batched mapInPandas, no
+    shuffle, blobs never leave the executor; output is grid²-bounded
+    scalars per image regardless of image size."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                px = png_pixel_array(bytes(blob))
+                if px is None:
+                    continue
+                h, stride = px.shape
+                w = stride // 3
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                rgb = px.reshape(h, w, 3).astype(np.int64)
+                thumb = rgb[np.ix_(ys, xs)].sum(axis=2)  # (grid, grid) luma
+                rows.append(
+                    (
+                        int(did),
+                        int(w),
+                        int(h),
+                        int(thumb.sum()),
+                        int(thumb[0, 0]),
+                        int(thumb[grid - 1, grid - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "w", "h", "thumb_sum", "c00", "c77"],
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(
+        extract,
+        schema="doc_id BIGINT, w INT, h INT, thumb_sum BIGINT, "
+        "c00 BIGINT, c77 BIGINT",
+    )
+
+
+@query(
+    "m3_image_resize",
+    oracle=f"""
+    WITH png AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents WHERE doc_id % 4 = 0
+    ), cells AS (
+      SELECT doc_id, w, h, gy.y AS gy, gx.x AS gx,
+             (doc_id + (gy.y * h) // {THUMB_GRID}
+                     + 3 * ((gx.x * w) // {THUMB_GRID})) % 256
+           + (doc_id + (gy.y * h) // {THUMB_GRID}
+                     + 3 * ((gx.x * w) // {THUMB_GRID}) + 1) % 256
+           + (doc_id + (gy.y * h) // {THUMB_GRID}
+                     + 3 * ((gx.x * w) // {THUMB_GRID}) + 2) % 256 AS luma
+      FROM png,
+           generate_series(0, {THUMB_GRID - 1}) gy(y),
+           generate_series(0, {THUMB_GRID - 1}) gx(x)
+    )
+    SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(sum(luma) AS BIGINT)  AS thumb_sum,
+           CAST(min(CASE WHEN gy = 0 AND gx = 0 THEN luma END) AS BIGINT)
+             AS c00,
+           CAST(min(CASE WHEN gy = {THUMB_GRID - 1}
+                         AND gx = {THUMB_GRID - 1} THEN luma END) AS BIGINT)
+             AS c77
+    FROM cells GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: REAL resize driver-checked — synthesized truecolor PNGs
+    (deterministic pixel formula, see synthesize_media) are inflated,
+    defiltered, and nearest-neighbor-resized to an 8×8 luma thumbnail;
+    the oracle recomputes each sampled cell's bytes directly from the
+    pixel formula. Any error in inflate, defiltering, row geometry, or
+    the resampling index map shifts at least one sampled byte and
+    breaks the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return image_thumbnails(synthesize_media(docs)).orderBy("doc_id")

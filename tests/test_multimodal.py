@@ -251,3 +251,88 @@ def test_frame_sample_explodes(spark, sf_dir):
     for r in rows:
         assert r["frame_idx"] < r["n_frames"]
         assert r["frame_idx"] % 10 == 0
+
+
+def _png_with_filters(pixels, filters):
+    """Build a valid truecolor PNG whose scanlines use the given
+    per-row filter types, applying the spec's FORWARD filters
+    (independent logic from the decoder's inverse)."""
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    stride = w * 3
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y, ftype in enumerate(filters):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        enc = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = int(cur[i - 3]) if i >= 3 else 0
+            b = int(prev[i])
+            c = int(prev[i - 3]) if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (int(cur[i]) - pred) & 0xFF
+        raw.append(ftype)
+        raw += bytes(enc.tolist())
+
+    def chunk(cid, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + zlib.crc32(cid + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_defilter_all_five_filter_types():
+    """png_pixel_array must invert every PNG filter type exactly:
+    deterministic pixels are forward-filtered (independent
+    implementation above) with rows cycling through None/Sub/Up/
+    Average/Paeth, then decoded back — byte-exact recovery required."""
+    import numpy as np
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        png_pixel_array,
+    )
+
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    blob = _png_with_filters(pixels, filters)
+    out = png_pixel_array(blob)
+    assert out is not None
+    assert out.shape == (10, 18)
+    assert (out == pixels.reshape(10, 18)).all()
+
+
+def test_png_pixel_array_rejects_non_png():
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        png_pixel_array,
+    )
+
+    assert png_pixel_array(b"BM" + bytes(40)) is None
+    assert png_pixel_array(b"\x89PNG\r\n\x1a\n" + bytes(10)) is None
