@@ -2111,3 +2111,158 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+# --------------------------------------------------------------------------
+# Q44–Q47 — the decorrelation family: the four classic TPC-H subquery
+# shapes (Q18/Q17/Q20/Q22) that force Catalyst's subquery rewrites —
+# IN-over-grouped-HAVING, correlated scalar aggregate, two-level nested
+# IN, and global scalar + anti join. The reference has no subqueries at
+# all (its one "query" is the hard-coded K-Means driver, master.py), so
+# these pin the engine's relational surface where silent wrong results
+# classically hide. Entered through the SQL surface so the decorrelation
+# actually runs (DataFrame builds would pre-decorrelate by hand).
+# --------------------------------------------------------------------------
+_Q44_BODY = """
+    SELECT c_name, c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM %(customer)s c
+    JOIN %(orders)s o ON c.c_custkey = o.o_custkey
+    JOIN %(lineitem)s l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM %(lineitem)s
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+"""
+
+
+@query(
+    "q44_large_volume_orders",
+    oracle=_Q44_BODY
+    % {"customer": "customer", "orders": "orders", "lineitem": "lineitem"},
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over GROUP BY ... HAVING. Catalyst
+    rewrites the IN into a left-semi join against the grouped HAVING
+    aggregate — the fact table is scanned twice but never squared, and
+    the semi join's build side is only the qualifying keys. Total
+    ORDER BY via the unique o_orderkey tiebreak."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q44_{t}")
+    return spark.sql(
+        _Q44_BODY
+        % {
+            "customer": "kmce_q44_customer",
+            "orders": "kmce_q44_orders",
+            "lineitem": "kmce_q44_lineitem",
+        }
+    )
+
+
+_Q45_BODY = """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lots
+    FROM %(lineitem)s l JOIN %(part)s p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM %(lineitem)s l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+@query(
+    "q45_small_lot_revenue",
+    oracle=_Q45_BODY % {"lineitem": "lineitem", "part": "part"},
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate subquery (per-part
+    average quantity) decorrelated into a per-key aggregate joined back
+    to the probe side. The threshold compare is FP-exact on both
+    engines: l_quantity is integer-valued, so sum/avg in double carry
+    no rounding and 0.5*avg is deterministic regardless of the
+    aggregation order — no boundary-flip risk in the filter."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q45_{t}")
+    return spark.sql(
+        _Q45_BODY % {"lineitem": "kmce_q45_lineitem", "part": "kmce_q45_part"}
+    )
+
+
+_Q46_BODY = """
+    SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 4) AS s_acctbal
+    FROM %(supplier)s s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM %(lineitem)s
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM %(part)s WHERE p_name LIKE 'small%%'
+      )
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 60
+    )
+    ORDER BY s.s_suppkey
+"""
+
+
+@query(
+    "q46_small_part_suppliers",
+    oracle=_Q46_BODY
+    % {"supplier": "supplier", "lineitem": "lineitem", "part": "part"},
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two-level nested IN — suppliers who moved more
+    than a threshold volume of 'small%%' parts. The inner IN prunes
+    lineitem to the qualifying part keys (broadcast semi join at dim
+    scale) BEFORE the per-supplier aggregate, so the grouped HAVING
+    runs over the reduced set; the outer IN is a second semi join on
+    the K qualifying suppliers."""
+    for t in ("supplier", "lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q46_{t}")
+    return spark.sql(
+        _Q46_BODY
+        % {
+            "supplier": "kmce_q46_supplier",
+            "lineitem": "kmce_q46_lineitem",
+            "part": "kmce_q46_part",
+        }
+    )
+
+
+_Q47_BODY = """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_dormant,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM %(customer)s c
+    WHERE c.c_acctbal > (
+        SELECT round(avg(c2.c_acctbal), 0) FROM %(customer)s c2
+        WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM %(orders)s o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '2001-01-01'
+      )
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+@query(
+    "q47_dormant_high_balance",
+    oracle=_Q47_BODY % {"customer": "customer", "orders": "orders"},
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated global scalar subquery (the
+    above-average balance threshold) + correlated NOT EXISTS planned as
+    an anti join against the recent-order set. The scalar threshold is
+    rounded to whole units BEFORE the compare so double-summation order
+    (which differs between engines) cannot flip boundary rows — the
+    same discipline as p4's round-before-rank. Every customer has
+    SOME order on these fixtures (q5's zero-order rows come from a
+    filtered join), so dormancy is defined against a recency cutoff,
+    which keeps the anti join non-vacuous at every SF."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q47_{t}")
+    return spark.sql(
+        _Q47_BODY % {"customer": "kmce_q47_customer", "orders": "kmce_q47_orders"}
+    )

@@ -310,3 +310,34 @@ def test_q43_join_is_bloom_prefiltered(spark, sf_dir):
         "o_orderstatus"
     ).count()
     assert "might_contain" not in physical_plan(other)
+
+
+def test_decorrelation_family_plans_real_joins(spark, sf_dir):
+    """Q44/Q46's IN-over-HAVING and Q47's NOT EXISTS must decorrelate
+    into semi/anti hash joins — never a nested-loop over the fact
+    table. A BroadcastNestedLoopJoin in any of these is the
+    O(n·m) plan that dies at 100 TB (q42's null-aware NOT IN arm is
+    the one place that cost is semantically forced, and is pinned
+    THERE)."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    for name, marker in [
+        ("q44_large_volume_orders", "LeftSemi"),
+        ("q46_small_part_suppliers", "LeftSemi"),
+        ("q47_dormant_high_balance", "LeftAnti"),
+    ]:
+        df = Q.QUERIES[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert marker in plan, (name, marker, plan)
+
+
+def test_q45_correlated_avg_decorrelates_to_aggregate_join(spark, sf_dir):
+    """Q45's per-part scalar subquery must plan as ONE per-key aggregate
+    joined back on l_partkey — not a per-row re-aggregation."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q45_small_lot_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
