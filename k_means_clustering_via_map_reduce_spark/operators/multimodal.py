@@ -568,3 +568,169 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return image_thumbnails(synthesize_media(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M4 — REAL audio resample over actual PCM samples: the audio face of the
+# decode → transform chain (m2 proved header decode, m3 proved image
+# pixels; this proves sample-domain DSP). A mono 16-bit WAV with a real
+# data payload is synthesized per doc from an id formula, chunk-walked,
+# frombuffer'd to int16, low-passed with the 2-tap box filter and 2:1
+# decimated — all inside one Arrow batch, no shuffle, samples never
+# leave the executor. Integer arithmetic end-to-end (floor mean) keeps
+# the result SQL-replayable exactly.
+# --------------------------------------------------------------------------
+AUDIO_RATE_IN = 8000
+_M4_N = "doc_id % 400 + 2"  # samples per doc (>= 2 so decimation is real)
+
+
+def synthesize_pcm_wav(docs: DataFrame) -> DataFrame:
+    """Mono 16-bit little-endian WAV with a REAL ``data`` payload:
+    sample i of doc d is ``((d*31 + i*17) % 2048) - 1024`` — full
+    headroom inside int16, deterministic, and replayable as SQL."""
+    import numpy as np
+    import pandas as pd
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 400 + 2
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + i * 17) % 2048 - 1024).astype("<i2")
+                data = samples.tobytes()
+                fmt = (
+                    (1).to_bytes(2, "little")          # PCM
+                    + (1).to_bytes(2, "little")        # mono
+                    + AUDIO_RATE_IN.to_bytes(4, "little")
+                    + (AUDIO_RATE_IN * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little")        # frame size
+                    + (16).to_bytes(2, "little")       # bits
+                )
+                blobs.append(
+                    b"RIFF"
+                    + (36 + len(data)).to_bytes(4, "little")
+                    + b"WAVE"
+                    + b"fmt "
+                    + (16).to_bytes(4, "little")
+                    + fmt
+                    + b"data"
+                    + len(data).to_bytes(4, "little")
+                    + data
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, blob BINARY"
+    )
+
+
+def decode_pcm(blob: bytes):
+    """Chunk-walk a RIFF/WAVE blob and return ``(rate, samples)`` with
+    samples as an int64 numpy array (mono 16-bit PCM only — the format
+    this pipeline synthesizes; anything else returns ``None`` so the
+    caller can route to a codec library)."""
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    rate = bits = channels = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        sz = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= len(blob):
+            channels = int.from_bytes(blob[pos + 10 : pos + 12], "little")
+            rate = int.from_bytes(blob[pos + 12 : pos + 16], "little")
+            bits = int.from_bytes(blob[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if channels != 1 or bits != 16 or data is None:
+        return None
+    return rate, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def audio_resample(df: DataFrame, factor: int = 2) -> DataFrame:
+    """2:1 (or factor:1) decimation with a box-filter anti-alias pass:
+    each output sample is the FLOOR mean of its ``factor`` input
+    samples (integer domain, so the oracle replays it exactly; a
+    production resampler swaps the box filter for a windowed sinc in
+    the same batch loop). Emits per-doc scalars so the result is
+    driver-hashable without array columns."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id BIGINT, rate_in INT, rate_out INT, n_in BIGINT, "
+        "n_out BIGINT, sum_out BIGINT, min_out BIGINT, max_out BIGINT, "
+        "first_out BIGINT"
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                decoded = decode_pcm(blob)
+                if decoded is None:
+                    continue
+                rate, s = decoded
+                m = len(s) // factor * factor
+                out = s[:m].reshape(-1, factor).sum(axis=1) // factor
+                rows.append(
+                    (
+                        int(did), rate, rate // factor, len(s), len(out),
+                        int(out.sum()), int(out.min()), int(out.max()),
+                        int(out[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rate_in", "rate_out", "n_in", "n_out",
+                    "sum_out", "min_out", "max_out", "first_out",
+                ],
+            )
+
+    return df.mapInPandas(resample, schema=out_schema)
+
+
+@query(
+    "m4_audio_resample",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             ((doc_id*31 + CAST(u.i AS BIGINT)*17) % 2048) - 1024 AS v
+      FROM documents, UNNEST(generate_series(0, {_M4_N} - 1)) u(i)
+    ), pairs AS (
+      SELECT doc_id, i // 2 AS j,
+             CAST(floor(sum(v) / 2.0) AS BIGINT) AS out_v
+      FROM samp WHERE i < (({_M4_N}) // 2) * 2
+      GROUP BY doc_id, i // 2
+    )
+    SELECT doc_id, CAST(8000 AS INT) AS rate_in, CAST(4000 AS INT) AS rate_out,
+           CAST({_M4_N} AS BIGINT) AS n_in,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(out_v) AS BIGINT) AS sum_out,
+           CAST(min(out_v) AS BIGINT) AS min_out,
+           CAST(max(out_v) AS BIGINT) AS max_out,
+           CAST(min(CASE WHEN j = 0 THEN out_v END) AS BIGINT) AS first_out
+    FROM pairs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m4_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: synthesize real PCM WAVs from doc_id formulas, decode the
+    byte stream for real (chunk walk + int16 frombuffer), box-filter +
+    2:1 decimate in the integer domain, and emit per-doc scalars the
+    oracle recomputes directly from the sample formula. A byte-offset,
+    endianness, or filter-arithmetic bug anywhere in the chain breaks
+    the hash match.
+
+    Scale: same shape as m1/m2/m3 — Arrow-batched mapInPandas, 
+    embarrassingly parallel, no shuffle until the final presentation
+    sort; 100 TB of audio rides on maxPartitionBytes/maxRecordsPerBatch
+    exactly as documented in the module header."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return audio_resample(synthesize_pcm_wav(docs)).orderBy("doc_id")

@@ -336,3 +336,59 @@ def test_png_pixel_array_rejects_non_png():
 
     assert png_pixel_array(b"BM" + bytes(40)) is None
     assert png_pixel_array(b"\x89PNG\r\n\x1a\n" + bytes(10)) is None
+
+
+def test_decode_pcm_golden_wav_bytes():
+    """Absolute parser correctness against hand-built bytes: a mono
+    16-bit WAV with samples [-1024, 0, 1023, 5] must come back exactly,
+    including the negative two's-complement values."""
+    import numpy as np
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        decode_pcm,
+    )
+
+    samples = np.array([-1024, 0, 1023, 5], dtype="<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    blob = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    rate, out = decode_pcm(blob)
+    assert rate == 8000
+    assert out.tolist() == [-1024, 0, 1023, 5]
+    # Non-mono / non-16-bit blobs route to the codec boundary, not a
+    # silent misparse.
+    bad = blob.replace(
+        b"fmt " + (16).to_bytes(4, "little") + fmt,
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little") + fmt[4:],
+    )
+    assert decode_pcm(bad) is None
+
+
+def test_audio_resample_floor_mean_decimation(spark):
+    """The 2-tap box decimator must floor-divide (matching the SQL
+    oracle's floor) including on negative sums, and drop the odd tail
+    sample."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        audio_resample,
+        synthesize_pcm_wav,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id bigint")
+    row = audio_resample(synthesize_pcm_wav(docs)).collect()[0]
+    # doc 3: n = 5 samples, s[i] = ((93 + 17i) % 2048) - 1024
+    s = [((93 + 17 * i) % 2048) - 1024 for i in range(5)]
+    expect = [(s[0] + s[1]) // 2, (s[2] + s[3]) // 2]  # tail s[4] dropped
+    assert row.n_in == 5 and row.n_out == 2
+    assert row.sum_out == sum(expect)
+    assert row.min_out == min(expect) and row.max_out == max(expect)
+    assert row.first_out == expect[0]
+    assert row.rate_in == 8000 and row.rate_out == 4000
