@@ -722,3 +722,98 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY total_n DESC, bigram LIMIT {BIGRAM_TOP_N}
         """
     )
+
+
+# --------------------------------------------------------------------------
+# T15 — Gopher-rule document filter (Rae et al., arXiv:2112.11446 §A1.1):
+# the standard rule-based quality gate LM pipelines run BEFORE model-based
+# scoring. Four of the paper's rules are live on these fixtures (word
+# count bounds, mean-word-length bounds, >=2 distinct stopwords,
+# repetition via type-token ratio); the symbol/bullet/ellipsis rules are
+# identically-true on all-alphabetic synthetic text and are deliberately
+# NOT declared (a rule that cannot fail pins nothing). All arithmetic is
+# int-ratio division of identical operands on both engines, so the
+# threshold compares are FP-exact — no boundary-flip risk.
+# --------------------------------------------------------------------------
+GOPHER_WC_MIN, GOPHER_WC_MAX = 20, 80
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 4.0, 10.0
+GOPHER_MIN_STOP_KINDS = 2
+GOPHER_TTR_MIN = 0.5
+
+
+@query(
+    "t15_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, string_split(trim(text), ' ') AS w FROM documents
+    ), f AS (
+      SELECT source,
+        (len(w) BETWEEN {GOPHER_WC_MIN} AND {GOPHER_WC_MAX}) AS r_wc,
+        (list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w)
+           BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX}) AS r_mwl,
+        (len(list_distinct(list_filter(w, t -> t IN ({_STOP_SQL}))))
+           >= {GOPHER_MIN_STOP_KINDS}) AS r_stop,
+        (len(list_distinct(w)) * 1.0 / len(w) >= {GOPHER_TTR_MIN}) AS r_ttr
+      FROM d
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wordcount,
+      CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_meanlen,
+      CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+      CAST(sum(CASE WHEN r_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+      CAST(sum(CASE WHEN r_wc AND r_mwl AND r_stop AND r_ttr
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: per-source pass counts for each live Gopher rule plus the
+    conjunction — the rule-based curation gate as one narrow projection
+    + one small aggregate.
+
+    Scale: every rule is array-local inside a single codegen stage over
+    the scan (no UDF, no shuffle); the only exchange carries
+    (sources × 6 counters) of partial-agg state. At 100 TB this is a
+    pure map-side pass — the same shape as t2, which model-based
+    scoring would then rank within the survivors."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = sum_len * 1.0 / n_tok
+    n_stop_kinds = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    )
+    ttr = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    r_wc = (n_tok >= GOPHER_WC_MIN) & (n_tok <= GOPHER_WC_MAX)
+    r_mwl = (mean_len >= GOPHER_MWL_MIN) & (mean_len <= GOPHER_MWL_MAX)
+    r_stop = n_stop_kinds >= GOPHER_MIN_STOP_KINDS
+    r_ttr = ttr >= GOPHER_TTR_MIN
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (
+        d.select(
+            "source",
+            r_wc.alias("r_wc"),
+            r_mwl.alias("r_mwl"),
+            r_stop.alias("r_stop"),
+            r_ttr.alias("r_ttr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            cnt(F.col("r_wc")).alias("n_wordcount"),
+            cnt(F.col("r_mwl")).alias("n_meanlen"),
+            cnt(F.col("r_stop")).alias("n_stopwords"),
+            cnt(F.col("r_ttr")).alias("n_repetition"),
+            cnt(
+                F.col("r_wc") & F.col("r_mwl") & F.col("r_stop") & F.col("r_ttr")
+            ).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )

@@ -341,3 +341,27 @@ def test_q45_correlated_avg_decorrelates_to_aggregate_join(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_t15_gopher_rules_is_one_narrow_pass(spark, sf_dir):
+    """T15's four rules must evaluate array-local in the scan stage: the
+    plan carries no Python UDF and shuffles only per-source counter
+    state (one partial-agg exchange + the presentation sort)."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["t15_gopher_rules"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert count_shuffles(df) <= 3, physical_plan(df)
+
+
+def test_t15_every_rule_is_live(spark, sf_dir):
+    """Each declared Gopher rule must both pass and fail somewhere on
+    the fixtures — a rule that cannot fail pins nothing (the paper's
+    symbol/bullet rules are excluded for exactly that reason)."""
+    rows = Q.QUERIES["t15_gopher_rules"](spark, sf_dir).collect()
+    n_docs = sum(r.n_docs for r in rows)
+    for col in ("n_wordcount", "n_meanlen", "n_stopwords", "n_repetition",
+                "n_pass_all"):
+        passed = sum(r[col] for r in rows)
+        assert 0 < passed < n_docs, (col, passed, n_docs)
