@@ -301,3 +301,137 @@ def dedup_within_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_emit"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# K12 — foreachBatch incremental upsert: the "write to anything" sink
+# arm (k11 covers the built-in file sink). Each micro-batch's per-type
+# aggregate is MERGEd into a copy-on-write parquet snapshot, with a
+# batch-id ledger making re-delivery a no-op — the exactly-once recipe
+# Spark documents for idempotent foreachBatch sinks (checkpoint replays
+# a batch after a crash; the ledger, not the sink, absorbs it).
+# --------------------------------------------------------------------------
+def merge_batch_into_snapshot(batch_df: DataFrame, batch_id: int,
+                              root: str) -> bool:
+    """Apply one micro-batch to the snapshot under ``root``:
+    ``applied/<batch_id>`` ledger marker → skip if present (idempotent
+    replay); else full-outer MERGE of the batch's per-type aggregate
+    into the latest ``snap-<n>`` and write ``snap-<batch_id>``.
+    Returns whether the batch was applied.
+
+    Scale: the snapshot is (event-type cardinality) rows — the merge
+    join is broadcast-sized by construction. For a 100 TB/day keyspace
+    the same loop writes partition-level copy-on-write (dynamic
+    partition overwrite on the merge keys' partitions) instead of a
+    whole-snapshot rewrite — f6 documents that shape batch-side."""
+    import glob as _glob
+
+    spark = batch_df.sparkSession
+    applied = os.path.join(root, "applied")
+    os.makedirs(applied, exist_ok=True)
+    marker = os.path.join(applied, str(batch_id))
+    if os.path.exists(marker):
+        return False
+    delta = batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_events"),
+        F.sum("value").alias("d_value"),
+    )
+    snaps = sorted(
+        _glob.glob(os.path.join(root, "snap-*")),
+        key=lambda p: int(p.rsplit("-", 1)[1]),
+    )
+    if snaps:
+        prev = spark.read.parquet(snaps[-1])
+    else:
+        prev = spark.createDataFrame(
+            [], "event_type STRING, n_events BIGINT, total_value DOUBLE"
+        )
+    merged = (
+        prev.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("d_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("total_value"), F.lit(0.0))
+                + F.coalesce(F.col("d_value"), F.lit(0.0))
+            ).alias("total_value"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(root, f"snap-{batch_id}")
+    )
+    with open(marker, "w") as fh:
+        fh.write("applied")
+    return True
+
+
+@query(
+    "k12_foreachbatch_upsert",
+    oracle=f"""
+    WITH {_FEED_CTES},
+    feed AS (
+      SELECT event_type, value FROM even
+      UNION ALL
+      SELECT 'tick' AS event_type, 0.0 AS value
+      UNION ALL
+      SELECT event_type, value FROM events WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT e.event_type, e.value FROM events e, mx
+      WHERE e.event_id % 2 = 0 AND e.ts > mx.m - INTERVAL 10 MINUTE
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM feed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def foreachbatch_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12: stream the three-batch feed through ``foreachBatch``,
+    merge-upserting each batch's per-type aggregate into a parquet
+    snapshot guarded by a batch-id ledger. After the stream drains,
+    batch 0 is RE-DELIVERED by hand — the crash-replay case — and must
+    be a ledger no-op: if the guard fails, the even half double-counts
+    and the oracle compare breaks, so idempotency itself is
+    driver-checked, not just asserted in pytest. No watermark is
+    involved (foreachBatch sees every row; k10/k11 pin eviction), so
+    the oracle is the plain per-type aggregate of the full feed."""
+    src = _stage_late_feed(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="kmce_upsert_") as tmp:
+        root = os.path.join(tmp, "state")
+        os.makedirs(root)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_batch_into_snapshot(df, bid, root)
+            )
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Crash-replay simulation: re-deliver batch 0's exact data with
+        # its original batch id. The ledger must reject it.
+        batch0 = spark.read.parquet(os.path.join(src, "0-ontime.parquet"))
+        assert merge_batch_into_snapshot(batch0, 0, root) is False
+        import glob as _glob
+
+        snaps = sorted(
+            _glob.glob(os.path.join(root, "snap-*")),
+            key=lambda p: int(p.rsplit("-", 1)[1]),
+        )
+        result = (
+            spark.read.parquet(snaps[-1])
+            .select(
+                "event_type",
+                "n_events",
+                r4(F.col("total_value")).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return result.orderBy("event_type")

@@ -572,3 +572,39 @@ def test_late_feed_staging_is_deterministic(spark, sf_dir):
         dup.join(ontime, ["event_id", "ts", "user_id", "value"]).count()
         == dup.count()
     )
+
+
+def test_merge_batch_into_snapshot_ledger_and_accumulation(spark, tmp_path):
+    """The foreachBatch merge (k12) must accumulate across distinct
+    batch ids and no-op on a re-delivered id — the exactly-once ledger
+    contract, unit-scale."""
+    from k_means_clustering_via_map_reduce_spark.streaming.latedata import (
+        merge_batch_into_snapshot,
+    )
+
+    root = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.0), ("view", 10.0)],
+        "event_type string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [("click", 4.0), ("purchase", 7.0)], "event_type string, value double"
+    )
+    assert merge_batch_into_snapshot(b0, 0, root) is True
+    assert merge_batch_into_snapshot(b0, 0, root) is False  # replay
+    assert merge_batch_into_snapshot(b1, 1, root) is True
+
+    import glob
+
+    latest = sorted(
+        glob.glob(root + "/snap-*"), key=lambda p: int(p.rsplit("-", 1)[1])
+    )[-1]
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.read.parquet(latest).collect()
+    }
+    assert got == {
+        "click": (3, 7.0),
+        "view": (1, 10.0),
+        "purchase": (1, 7.0),
+    }
