@@ -2266,3 +2266,74 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q47_BODY % {"customer": "kmce_q47_customer", "orders": "kmce_q47_orders"}
     )
+
+
+# --------------------------------------------------------------------------
+# F7 — raw text-line ingestion: the log-file face of the source surface
+# (f1/f2/f4 cover structured interchange; real corpora also arrive as
+# semi-structured text lines that must be regex-parsed into columns).
+# Documents are formatted as one `key=value` log line each, written with
+# the text sink, re-read with spark.read.text, and re-structured with
+# JVM-side regexp_extract — per-group text md5s make any formatting,
+# escaping, or parse drift flip the compare. The oracle reads the
+# ORIGINAL parquet: parse fidelity is the assertion.
+# --------------------------------------------------------------------------
+_TEXT_STAGED: dict[tuple, object] = {}
+
+_F7_LINE_RE = r"^id=(\d+) lang=(\S+) source=(\S+) chars=(\d+) :: (.*)$"
+
+
+@query(
+    "f7_textline_roundtrip",
+    oracle="""
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def f7_textline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format documents as log lines, round-trip through the text
+    source/sink, regex-parse back to columns, and aggregate with
+    fidelity hashes.
+
+    The line format is valid because the corpus is line-safe (no
+    embedded newlines — pinned by the md5 compare itself: a newline
+    would split a line, drop a doc, and flip n_docs/min_md5). Parsing
+    is a single narrow JVM regexp projection — no UDF, no shuffle
+    before the small aggregate; at 100 TB the text source splits by
+    line offsets, so this is scan-parallel exactly like production log
+    ingestion."""
+    import tempfile as _tf
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _TEXT_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_text_")
+        load_table(spark, sf_dir, "documents").select(
+            F.concat(
+                F.lit("id="), F.col("doc_id"),
+                F.lit(" lang="), F.col("lang"),
+                F.lit(" source="), F.col("source"),
+                F.lit(" chars="), F.col("n_chars"),
+                F.lit(" :: "), F.col("text"),
+            ).alias("value")
+        ).write.mode("overwrite").text(tmp.name + "/docs")
+        _TEXT_STAGED[key] = tmp
+    lines = spark.read.text(_TEXT_STAGED[key].name + "/docs")
+    parsed = lines.select(
+        F.regexp_extract("value", _F7_LINE_RE, 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("value", _F7_LINE_RE, 2).alias("lang"),
+        F.regexp_extract("value", _F7_LINE_RE, 3).alias("source"),
+        F.regexp_extract("value", _F7_LINE_RE, 4).cast("bigint").alias("n_chars"),
+        F.regexp_extract("value", _F7_LINE_RE, 5).alias("text"),
+    )
+    return (
+        parsed.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min(F.md5(F.encode("text", "UTF-8"))).alias("min_md5"),
+            F.max(F.md5(F.encode("text", "UTF-8"))).alias("max_md5"),
+        )
+        .orderBy("source", "lang")
+    )
