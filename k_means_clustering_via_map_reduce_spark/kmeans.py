@@ -480,3 +480,228 @@ def k2_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# K13 — scalable K-Means|| initialization (Bahmani et al., VLDB 2012),
+# DETERMINISTIC and therefore SQL-oracle-able. MLlib's own KMeans|| is
+# seeded-random (which is why k2 is rows-only); this variant replaces
+# the RNG with a value-pure md5 draw (p5's idiom) and quantizes every
+# distance/cost to a 1e-6 grid (k5's trick for making iterative math
+# replay in unrolled SQL), so the full distributed seeding — R rounds of
+# cost-proportional oversampling — becomes an exact DuckDB replay.
+# --------------------------------------------------------------------------
+KMPP_OVERSAMPLE = 8.0   # l: expected candidates drawn per round
+KMPP_ROUNDS = 3
+_KMPP_SALT = "kmpp"
+_KMPP_HEX = 6           # draw granularity: 16^6 buckets
+
+
+def _kmpp_d2(vcol, vec) -> F.Column:
+    """Squared euclidean distance from an array<double> column to a
+    literal centroid, rounded to the 1e-6 grid BEFORE any min/sum so
+    both engines agree bit-for-bit downstream."""
+    arr = F.array(*[F.lit(float(x)) for x in vec])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vcol, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _kmpp_draw(vec_id, r: int) -> F.Column:
+    """Value-pure uniform draw in [0, 1): md5 of (salt, round, id) —
+    independent of partitioning, row order, and cluster size."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_KMPP_SALT}{r}_"), vec_id.cast("string"))),
+            1,
+            _KMPP_HEX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h / F.lit(float(16 ** _KMPP_HEX))
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: float = KMPP_OVERSAMPLE,
+    rounds: int = KMPP_ROUNDS,
+) -> list[tuple[int, int, list[float]]]:
+    """Run the distributed K-Means|| seeding loop and return the
+    candidate set as ``(round_added, vec_id, vector)`` (round 0 = the
+    deterministic seed: the minimum-id row, mirroring k1's first-row
+    init).
+
+    Per round: ONE narrow pass computes each point's grid-rounded
+    squared distance to the nearest current candidate (literal-centroid
+    broadcast — no join, no shuffle; the k1b broadcast-variable form
+    applies verbatim when the candidate set outgrows literal plans),
+    one scalar aggregate yields the round's total cost, and points with
+    ``u(id, round) < l * d2 / cost`` join the candidate set. Only the
+    O(l) selected rows ever reach the driver — the kmeans|| contract
+    (candidates ~ l*rounds regardless of corpus size), so the loop is
+    100 TB-shaped exactly like MLlib's own implementation
+    (mllib KMeans.scala initKMeansParallel).
+    """
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    cands: list[tuple[int, int, list[float]]] = [(0, seed["vec_id"], list(seed["v"]))]
+    for r in range(1, rounds + 1):
+        per_cand = [_kmpp_d2(F.col("v"), vec) for _, _, vec in cands]
+        d2 = per_cand[0] if len(per_cand) == 1 else F.least(*per_cand)
+        scored = e.select("vec_id", "v", d2.alias("d2"))
+        cost = scored.agg(F.round(F.sum("d2"), 6)).collect()[0][0]
+        picked = (
+            scored.filter(
+                _kmpp_draw(F.col("vec_id"), r)
+                < F.lit(oversample) * F.col("d2") / F.lit(float(cost))
+            )
+            .select("vec_id", "v")
+            .collect()
+        )
+        cands.extend((r, row["vec_id"], list(row["v"])) for row in picked)
+    return cands
+
+
+@query(
+    "k13_kmeanspp_init",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c1 AS (
+      SELECT 0 AS round_added, vec_id, v FROM e ORDER BY vec_id LIMIT 1
+    ),
+    d_1 AS (
+      SELECT e.vec_id,
+             min(round(list_sum(list_transform(
+                 generate_series(1, 64),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)) AS d2
+      FROM e, c1 c
+      GROUP BY e.vec_id
+    ),
+    s1 AS (
+      SELECT 1 AS round_added, d.vec_id, e.v
+      FROM d_1 d JOIN e ON e.vec_id = d.vec_id,
+           (SELECT round(sum(d2), 6) AS cost FROM d_1) t
+      WHERE CAST(('0x' || substr(md5('{_KMPP_SALT}1_' || CAST(d.vec_id AS VARCHAR)), 1, {_KMPP_HEX})) AS BIGINT)
+              / {float(16 ** _KMPP_HEX)}
+            < {KMPP_OVERSAMPLE} * d.d2 / t.cost
+    ),
+    c2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM s1),
+    d_2 AS (
+      SELECT e.vec_id,
+             min(round(list_sum(list_transform(
+                 generate_series(1, 64),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)) AS d2
+      FROM e, c2 c
+      GROUP BY e.vec_id
+    ),
+    s2 AS (
+      SELECT 2 AS round_added, d.vec_id, e.v
+      FROM d_2 d JOIN e ON e.vec_id = d.vec_id,
+           (SELECT round(sum(d2), 6) AS cost FROM d_2) t
+      WHERE CAST(('0x' || substr(md5('{_KMPP_SALT}2_' || CAST(d.vec_id AS VARCHAR)), 1, {_KMPP_HEX})) AS BIGINT)
+              / {float(16 ** _KMPP_HEX)}
+            < {KMPP_OVERSAMPLE} * d.d2 / t.cost
+    ),
+    c3 AS (SELECT * FROM c2 UNION ALL SELECT * FROM s2),
+    d_3 AS (
+      SELECT e.vec_id,
+             min(round(list_sum(list_transform(
+                 generate_series(1, 64),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)) AS d2
+      FROM e, c3 c
+      GROUP BY e.vec_id
+    ),
+    s3 AS (
+      SELECT 3 AS round_added, d.vec_id, e.v
+      FROM d_3 d JOIN e ON e.vec_id = d.vec_id,
+           (SELECT round(sum(d2), 6) AS cost FROM d_3) t
+      WHERE CAST(('0x' || substr(md5('{_KMPP_SALT}3_' || CAST(d.vec_id AS VARCHAR)), 1, {_KMPP_HEX})) AS BIGINT)
+              / {float(16 ** _KMPP_HEX)}
+            < {KMPP_OVERSAMPLE} * d.d2 / t.cost
+    ),
+    cfinal AS (SELECT * FROM c3 UNION ALL SELECT * FROM s3),
+    dist AS (
+      SELECT e.vec_id AS x_id, c.vec_id AS c_id,
+             round(list_sum(list_transform(
+                 generate_series(1, 64),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
+      FROM e, cfinal c
+    ),
+    near AS (
+      SELECT x_id, c_id FROM (
+        SELECT x_id, c_id,
+               row_number() OVER (PARTITION BY x_id ORDER BY d2, c_id) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT c.round_added, c.vec_id,
+           CAST(count(n.x_id) AS BIGINT) AS weight
+    FROM cfinal c LEFT JOIN near n ON n.c_id = c.vec_id
+    GROUP BY c.round_added, c.vec_id
+    ORDER BY c.vec_id
+    """,
+)
+def k13_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13: the K-Means|| seeding loop end-to-end, driver-checked — the
+    distributed half of production K-Means initialization (what k2's
+    MLlib fit runs internally, but deterministic). Output: every
+    candidate with the round it was drawn in and its attraction weight
+    (points whose nearest final candidate it is, grid-rounded distance,
+    ties to the lowest candidate id) — exactly the weighted set the
+    local refine step (a K-row weighted Lloyd's, k1's domain) consumes.
+
+    Scale: R narrow corpus passes + R scalar aggregates + one final
+    K-group count shuffle. Nothing data-sized reaches the driver; the
+    candidate set is O(l·R) by construction. The SQL oracle replays all
+    three rounds unrolled (the k1/k5 quantized-trajectory pattern) —
+    disproving k2's "KMeans|| is not SQL-expressible" for the
+    deterministic variant."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = kmeans_parallel_init(emb)
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    assign = e.select(
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _kmpp_d2(F.col("v"), vec).alias("d"),
+                        F.lit(cid).cast("bigint").alias("c"),
+                    )
+                    for _, cid, vec in cands
+                ]
+            )
+        )["c"].alias("c_id")
+    )
+    weights = assign.groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("weight")
+    )
+    meta = spark.createDataFrame(
+        [(r, cid) for r, cid, _ in cands], "round_added INT, vec_id BIGINT"
+    )
+    return (
+        meta.join(weights, meta.vec_id == weights.c_id, "left")
+        .select(
+            "round_added",
+            "vec_id",
+            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
+        )
+        .orderBy("vec_id")
+    )

@@ -398,7 +398,10 @@ def foreachbatch_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     involved (foreachBatch sees every row; k10/k11 pin eviction), so
     the oracle is the plain per-type aggregate of the full feed."""
     src = _stage_late_feed(spark, sf_dir)
-    with tempfile.TemporaryDirectory(prefix="kmce_upsert_") as tmp:
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_upsert_", dir=ckpt_base
+    ) as tmp:
         root = os.path.join(tmp, "state")
         os.makedirs(root)
         stream = (

@@ -280,3 +280,32 @@ def test_lloyd_join_form_equals_literal_form(spark, fname, k, max_iter):
     assert len(a.centroids) == len(b.centroids)
     for ca, cb in zip(a.centroids, b.centroids):
         assert math.dist(ca, cb) < 1e-9
+
+
+def test_kmeans_parallel_init_contract(spark, sf_dir):
+    """K13 seeding contract: the seed is the minimum-id row, every
+    candidate is a corpus row drawn in a declared round, the draw is
+    deterministic across repeat runs, and attraction weights partition
+    the corpus."""
+    from k_means_clustering_via_map_reduce_spark.kmeans import (
+        kmeans_parallel_init,
+    )
+    from k_means_clustering_via_map_reduce_spark.queries import QUERIES
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = kmeans_parallel_init(emb)
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert cands[0][0] == 0 and cands[0][1] == min(ids)
+    assert all(cid in ids for _, cid, _ in cands)
+    assert all(0 <= r <= 3 for r, _, _ in cands)
+    assert len({cid for _, cid, _ in cands}) == len(cands)  # no re-draws
+    # Oversampling must actually draw beyond the seed on real data.
+    assert len(cands) > 1
+
+    again = kmeans_parallel_init(emb)
+    assert [(r, c) for r, c, _ in again] == [(r, c) for r, c, _ in cands]
+
+    rows = QUERIES["k13_kmeanspp_init"](spark, sf_dir).collect()
+    assert len(rows) == len(cands)
+    assert sum(r.weight for r in rows) == emb.count()
