@@ -78,6 +78,16 @@ class Engine:
         """Production-path K-Means (MLlib, n-dim, KMeans|| init)."""
         return mllib_fit(df, k, **kw)
 
+    def init_kmeans_parallel(self, df: DataFrame, **kw):
+        """Deterministic K-Means|| seeding (k13): returns the weighted
+        candidate set ``(round_added, vec_id, vector)`` for a local
+        refine via ``fit``; reproducible across runs/partitionings."""
+        from k_means_clustering_via_map_reduce_spark.kmeans import (
+            kmeans_parallel_init,
+        )
+
+        return kmeans_parallel_init(df, **kw)
+
     def run_reference_workload(
         self,
         points_path: str,
