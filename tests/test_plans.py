@@ -365,3 +365,21 @@ def test_t15_every_rule_is_live(spark, sf_dir):
                 "n_pass_all"):
         passed = sum(r[col] for r in rows)
         assert 0 < passed < n_docs, (col, passed, n_docs)
+
+
+def test_k13_assignment_is_literal_broadcast(spark, sf_dir):
+    """K13's weight pass must assign points to candidates via the
+    literal-centroid expression — no join against a candidate relation,
+    no cartesian; the only join in the final plan is the K-row
+    meta-to-weights stitch."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["k13_kmeanspp_init"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # Formatted explain names each node twice (tree + details), so one
+    # physical join = two mentions.
+    joins = sum(plan.count(j) for j in
+                ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert joins <= 2, plan
