@@ -608,3 +608,71 @@ def test_merge_batch_into_snapshot_ledger_and_accumulation(spark, tmp_path):
         "view": (1, 10.0),
         "purchase": (1, 7.0),
     }
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpoint continuity for the k12 sink pattern: drain the source
+    with one file present, then add two more files and RESTART against
+    the same checkpoint + state roots. The resumed run must process
+    only the new files (the ledger sees no replayed batch 0 unless the
+    checkpoint re-delivers it, in which case the ledger absorbs it) and
+    the final snapshot must equal the all-data aggregate — the
+    exactly-once-across-restart contract a production ingest relies
+    on."""
+    import glob
+
+    from k_means_clustering_via_map_reduce_spark.streaming.latedata import (
+        merge_batch_into_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(i, rows):
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{i}.parquet"))
+        os.utime(os.path.join(src, f"{i}.parquet"),
+                 (1_700_000_000 + 60 * i,) * 2)
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_batch_into_snapshot(df, bid, state)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(0, [("click", 1.0), ("view", 2.0)])
+    run()  # first incarnation drains file 0
+
+    write_file(1, [("click", 3.0)])
+    write_file(2, [("view", 4.0), ("purchase", 5.0)])
+    run()  # restart: same checkpoint, must pick up files 1-2 only
+
+    latest = sorted(
+        glob.glob(state + "/snap-*"), key=lambda p: int(p.rsplit("-", 1)[1])
+    )[-1]
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.read.parquet(latest).collect()
+    }
+    assert got == {
+        "click": (2, 4.0),
+        "view": (2, 6.0),
+        "purchase": (1, 5.0),
+    }
+    # Three applied batches across the two incarnations, no double-apply.
+    assert sorted(os.listdir(state + "/applied")) == ["0", "1", "2"]
