@@ -2337,3 +2337,80 @@ def f7_textline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F8 — small-file compaction with range clustering: the OPERATIONAL scan
+# lever f3/f5 don't cover. Streaming ingest (k11) and per-task writers
+# leave thousands of small files; compaction rewrites them into few
+# large, time-clustered files (repartitionByRange on ts +
+# sortWithinPartitions), giving back scan parallelism sized by data (not
+# file count) AND min/max footer pruning for time-range predicates.
+# Layout must never change results: the oracle replays the range
+# aggregate over the ORIGINAL events parquet, and the clustering claims
+# (file count collapsed, per-file ts ranges disjoint) are pinned with
+# parquet footer statistics in tests/test_sinks.py.
+# --------------------------------------------------------------------------
+_COMPACT_STAGED: dict[tuple, object] = {}
+
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+def staged_compacted_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the small-file layout then its compaction, once per
+    (process, sf_dir, mtime). Returns the root with ``small/`` and
+    ``compacted/`` beneath it."""
+    import tempfile as _tf
+
+    key = staging_key(sf_dir, "events")
+    if key not in _COMPACT_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_compact_")
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(COMPACT_SMALL_FILES).write.parquet(tmp.name + "/small")
+        (
+            spark.read.parquet(tmp.name + "/small")
+            .repartitionByRange(COMPACT_TARGET_FILES, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.parquet(tmp.name + "/compacted")
+        )
+        _COMPACT_STAGED[key] = tmp
+    return _COMPACT_STAGED[key].name
+
+
+@query(
+    "f8_compacted_scan",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f8_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range aggregate read from the COMPACTED layout: 64 ingest
+    files rewritten into 4 time-clustered ones. The ts predicate is
+    pushed to the scan, where the clustered layout lets parquet skip
+    whole files/row-groups by footer min/max — at 100 TB the difference
+    between touching a day's files and touching every ingest file ever
+    written. Values must equal the oracle's replay over the original
+    un-compacted table (compaction is an organizational rewrite, never
+    a semantic one)."""
+    root = staged_compacted_events(spark, sf_dir)
+    ev = spark.read.parquet(root + "/compacted")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

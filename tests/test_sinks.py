@@ -182,3 +182,43 @@ def test_csv_round_trip_adversarial_text(spark, tmp_path):
     )
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_f8_compaction_collapses_files_and_clusters_time(spark, sf_dir):
+    """The compaction rewrite must actually deliver its two claims:
+    (1) file count collapses from the 64 ingest files to the target 4;
+    (2) per-file ts ranges are pairwise disjoint (footer min/max
+    clustering — what lets a time predicate skip whole files).
+    Equal endpoints are allowed: rows sharing one timestamp may
+    straddle a range boundary."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        COMPACT_TARGET_FILES,
+        staged_compacted_events,
+    )
+
+    root = staged_compacted_events(spark, sf_dir)
+    small = glob.glob(root + "/small/part-*.parquet")
+    compacted = glob.glob(root + "/compacted/part-*.parquet")
+    assert len(small) > COMPACT_TARGET_FILES * 4
+    assert 0 < len(compacted) <= COMPACT_TARGET_FILES
+
+    ranges = []
+    for f in compacted:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
