@@ -497,19 +497,30 @@ _KMPP_SALT = "kmpp"
 _KMPP_HEX = 6           # draw granularity: 16^6 buckets
 
 
-def _kmpp_d2(vcol, vec) -> F.Column:
+def _kmpp_d2(vcol, cvec) -> F.Column:
     """Squared euclidean distance from an array<double> column to a
-    literal centroid, rounded to the 1e-6 grid BEFORE any min/sum so
-    both engines agree bit-for-bit downstream."""
-    arr = F.array(*[F.lit(float(x)) for x in vec])
+    centroid array column/literal, rounded to the 1e-6 grid BEFORE any
+    min/sum so both engines agree bit-for-bit downstream."""
     return F.round(
         F.aggregate(
-            F.zip_with(vcol, arr, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(vcol, cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         ),
         6,
     )
+
+
+def _kmpp_min_d2(vcol, cands) -> F.Column:
+    """Grid-rounded distance to the NEAREST candidate, evaluated as one
+    ``transform`` over a single array-of-arrays literal: plan/codegen
+    size stays O(dim) regardless of candidate count (the per-candidate
+    expression form recompiles an O(cands·dim) tree every round — at
+    round 3 with ~25 candidates that is the dominant wall cost)."""
+    mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _, _, vec in cands]
+    )
+    return F.array_min(F.transform(mat, lambda c: _kmpp_d2(vcol, c)))
 
 
 def _kmpp_draw(vec_id, r: int) -> F.Column:
@@ -557,9 +568,9 @@ def kmeans_parallel_init(
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     cands: list[tuple[int, int, list[float]]] = [(0, seed["vec_id"], list(seed["v"]))]
     for r in range(1, rounds + 1):
-        per_cand = [_kmpp_d2(F.col("v"), vec) for _, _, vec in cands]
-        d2 = per_cand[0] if len(per_cand) == 1 else F.least(*per_cand)
-        scored = e.select("vec_id", "v", d2.alias("d2"))
+        scored = e.select(
+            "vec_id", "v", _kmpp_min_d2(F.col("v"), cands).alias("d2")
+        )
         cost = scored.agg(F.round(F.sum("d2"), 6)).collect()[0][0]
         picked = (
             scored.filter(
@@ -677,16 +688,26 @@ def k13_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
+    # One transform over a single literal array of (vec, id) structs —
+    # same O(1)-in-candidate-count plan shape as _kmpp_min_d2; struct
+    # ordering gives (min d, then min id): the lowest-id tie-break.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in vec]).alias("vec"),
+                F.lit(cid).cast("bigint").alias("c"),
+            )
+            for _, cid, vec in cands
+        ]
+    )
     assign = e.select(
         F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _kmpp_d2(F.col("v"), vec).alias("d"),
-                        F.lit(cid).cast("bigint").alias("c"),
-                    )
-                    for _, cid, vec in cands
-                ]
+            F.transform(
+                pairs,
+                lambda p: F.struct(
+                    _kmpp_d2(F.col("v"), p["vec"]).alias("d"),
+                    p["c"].alias("c"),
+                ),
             )
         )["c"].alias("c_id")
     )
