@@ -726,3 +726,45 @@ def k13_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def refine_weighted_candidates(
+    cands: list[tuple[int, int, list[float]]],
+    weights: dict[int, int],
+    k: int,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """The LOCAL half of K-Means|| (Bahmani et al. §3.3): recluster the
+    O(l·R) weighted candidates down to k centers. Driver-side numpy by
+    design — the input is K-row-sized whatever the corpus was, so this
+    is the same "small local problem" MLlib solves after its own
+    parallel init (LocalKMeans.kMeansPlusPlus).
+
+    Deterministic where the paper leaves it random: init = the k
+    heaviest candidates (ties to the lowest vec_id), then weighted
+    Lloyd's (argmin ties to the lowest candidate index) until the max
+    center move is <= tol. Returns k centers (fewer only if fewer
+    candidates exist)."""
+    import numpy as np
+
+    order = sorted(cands, key=lambda c: (-weights.get(c[1], 0), c[1]))
+    pts = np.asarray([vec for _, _, vec in cands], dtype=np.float64)
+    wts = np.asarray(
+        [float(weights.get(cid, 0)) for _, cid, _ in cands], dtype=np.float64
+    )
+    centers = np.asarray([vec for _, _, vec in order[:k]], dtype=np.float64)
+    for _ in range(max_iter):
+        d = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)  # first-match = lowest index
+        new = centers.copy()
+        for j in range(len(centers)):
+            m = assign == j
+            wsum = wts[m].sum()
+            if wsum > 0:
+                new[j] = (pts[m] * wts[m, None]).sum(axis=0) / wsum
+        move = float(np.sqrt(((new - centers) ** 2).sum(axis=1)).max())
+        centers = new
+        if move <= tol:
+            break
+    return [list(c) for c in centers]

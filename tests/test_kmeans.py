@@ -309,3 +309,42 @@ def test_kmeans_parallel_init_contract(spark, sf_dir):
     rows = QUERIES["k13_kmeanspp_init"](spark, sf_dir).collect()
     assert len(rows) == len(cands)
     assert sum(r.weight for r in rows) == emb.count()
+
+
+def test_refine_weighted_candidates_beats_naive_init(spark, sf_dir):
+    """The point of K-Means|| seeding: reclustering the weighted
+    candidate set must yield k centers whose corpus WSSSE is no worse
+    than the naive first-k-rows init those candidates replace — and the
+    refine must be deterministic."""
+    import numpy as np
+
+    from k_means_clustering_via_map_reduce_spark.kmeans import (
+        kmeans_parallel_init,
+        refine_weighted_candidates,
+    )
+    from k_means_clustering_via_map_reduce_spark.queries import QUERIES
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = kmeans_parallel_init(emb)
+    weights = {
+        r.vec_id: r.weight
+        for r in QUERIES["k13_kmeanspp_init"](spark, sf_dir).collect()
+    }
+    k = 8
+    refined = refine_weighted_candidates(cands, weights, k)
+    assert len(refined) == k
+    assert refine_weighted_candidates(cands, weights, k) == refined
+
+    pts = np.asarray(
+        [list(r.embedding) for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+
+    def wssse(centers):
+        c = np.asarray(centers, dtype=np.float64)
+        d = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return float(d.min(axis=1).sum())
+
+    naive = pts[:k]  # first k rows by vec_id — k1's init
+    assert wssse(refined) <= wssse(naive)
