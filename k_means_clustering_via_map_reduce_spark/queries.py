@@ -2414,3 +2414,75 @@ def f8_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q48 — map-function sweep: the MAP face of the scalar-function surface
+# (§2.2's last unchecked cell; arrays = q35, json = q24, higher-order =
+# q38). Per order, the line→quantity MAP is built from pre-aggregated
+# entries (fixture linenumbers are NOT unique per order, so a naive
+# map_from_entries would throw DUPLICATE_MAP_KEY — the dedup aggregate
+# is part of the semantics), then every map primitive must agree with
+# its relational equivalent, which is exactly what the oracle computes
+# map-free.
+# --------------------------------------------------------------------------
+@query(
+    "q48_map_functions",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, l_linenumber, sum(l_quantity) AS q
+      FROM lineitem WHERE l_orderkey < 1000
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           round(min(CASE WHEN l_linenumber = 1 THEN q END), 4) AS qty1,
+           round(sum(q), 4) AS sum_vals,
+           CAST(count(CASE WHEN q >= 25 THEN 1 END) AS BIGINT) AS n_big,
+           CAST(min(l_linenumber) AS BIGINT) AS first_key,
+           round(2 * sum(q), 4) AS sum_doubled
+    FROM per GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map primitives vs relational ground truth: size ≡ distinct-key
+    count, try_element_at ≡ keyed lookup (NULL where line 1 is absent —
+    ~80% of fixture orders, so the null path is live), map_values
+    fold ≡ SUM, map_filter ≡ filtered count, map_keys order ≡ MIN (keys
+    sorted at build), transform_values ≡ scalar rewrite. Integer-valued
+    quantities keep every fold FP-exact regardless of either engine's
+    summation order.
+
+    Scale: one (orderkey, linenumber) pre-aggregate + one per-order
+    collect_list — both partial-agg'd map-side; maps stay row-local and
+    never cross the driver compare (only scalars do)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.col("l_orderkey") < 1000)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("l_linenumber", "q")))
+    )
+    mapped = per.groupBy("l_orderkey").agg(m.alias("m"))
+    doubled = F.transform_values(F.col("m"), lambda k, v: 2 * v)
+    return mapped.select(
+        "l_orderkey",
+        F.size("m").cast("bigint").alias("n_keys"),
+        r4(F.try_element_at("m", F.lit(1))).alias("qty1"),
+        r4(
+            F.aggregate(
+                F.map_values("m"), F.lit(0.0), lambda acc, v: acc + v
+            )
+        ).alias("sum_vals"),
+        F.size(F.map_filter("m", lambda k, v: v >= 25))
+        .cast("bigint")
+        .alias("n_big"),
+        F.element_at(F.map_keys("m"), 1).cast("bigint").alias("first_key"),
+        r4(
+            F.aggregate(
+                F.map_values(doubled), F.lit(0.0), lambda acc, v: acc + v
+            )
+        ).alias("sum_doubled"),
+    ).orderBy("l_orderkey")
