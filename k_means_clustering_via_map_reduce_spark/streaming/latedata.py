@@ -336,8 +336,17 @@ def merge_batch_into_snapshot(batch_df: DataFrame, batch_id: int,
         F.count(F.lit(1)).cast("bigint").alias("d_events"),
         F.sum("value").alias("d_value"),
     )
+    # Merge ONLY onto snapshots from EARLIER batches. A crash between
+    # the snapshot write and the ledger write leaves snap-<batch_id> on
+    # disk without a marker; on replay, merging onto that half-committed
+    # snapshot would double-apply the batch — deriving snap-<batch_id>
+    # from its predecessor again is idempotent instead.
     snaps = sorted(
-        _glob.glob(os.path.join(root, "snap-*")),
+        (
+            p
+            for p in _glob.glob(os.path.join(root, "snap-*"))
+            if int(p.rsplit("-", 1)[1]) < batch_id
+        ),
         key=lambda p: int(p.rsplit("-", 1)[1]),
     )
     if snaps:

@@ -676,3 +676,36 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     }
     # Three applied batches across the two incarnations, no double-apply.
     assert sorted(os.listdir(state + "/applied")) == ["0", "1", "2"]
+
+
+def test_merge_snapshot_replay_after_partial_commit_is_idempotent(
+    spark, tmp_path
+):
+    """Crash window: snapshot written, ledger marker NOT yet written.
+    The replayed batch must re-derive its snapshot from the PREDECESSOR
+    (not from its own half-committed output), leaving totals
+    unchanged."""
+    import glob
+    import os as _os
+
+    from k_means_clustering_via_map_reduce_spark.streaming.latedata import (
+        merge_batch_into_snapshot,
+    )
+
+    root = str(tmp_path / "state")
+    b0 = spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+    b1 = spark.createDataFrame([("click", 2.0)], "event_type string, value double")
+    assert merge_batch_into_snapshot(b0, 0, root)
+    assert merge_batch_into_snapshot(b1, 1, root)
+
+    def totals():
+        latest = sorted(
+            glob.glob(root + "/snap-*"), key=lambda p: int(p.rsplit("-", 1)[1])
+        )[-1]
+        r = spark.read.parquet(latest).collect()[0]
+        return (r.n_events, r.total_value)
+
+    assert totals() == (2, 3.0)
+    _os.remove(root + "/applied/1")  # simulate the crash-before-marker
+    assert merge_batch_into_snapshot(b1, 1, root) is True  # replay applies
+    assert totals() == (2, 3.0)  # ...but totals are identical
