@@ -348,3 +348,32 @@ def test_refine_weighted_candidates_beats_naive_init(spark, sf_dir):
 
     naive = pts[:k]  # first k rows by vec_id — k1's init
     assert wssse(refined) <= wssse(naive)
+
+
+def test_kmeans_parallel_candidate_count_tracks_oversampling_not_corpus(
+    spark,
+):
+    """The kmeans|| scale contract MEASURED: expected draws per round
+    equal the oversampling parameter l (sum of l*d2/cost over the
+    corpus is l by construction), so the candidate set stays O(l*R)
+    as the corpus grows — this is what makes the per-round driver
+    collect legitimate at any scale. 500-vec vs 2000-vec corpora must
+    both land near 1 + l*R, not scale 4x with the data."""
+    from k_means_clustering_via_map_reduce_spark.kmeans import (
+        KMPP_OVERSAMPLE,
+        KMPP_ROUNDS,
+        kmeans_parallel_init,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    expected = 1 + KMPP_OVERSAMPLE * KMPP_ROUNDS
+    sizes = {}
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        sizes[sf_dir] = (emb.count(), len(kmeans_parallel_init(emb)))
+    (n1, c1), (n2, c2) = sizes.values()
+    assert n2 == 4 * n1  # the corpora really differ 4x
+    for c in (c1, c2):
+        assert expected / 3 <= c <= expected * 3, (sizes, expected)
+    # Candidate growth must be decoupled from corpus growth.
+    assert c2 < 2 * c1 + 10, sizes
