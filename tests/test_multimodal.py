@@ -392,3 +392,50 @@ def test_audio_resample_floor_mean_decimation(spark):
     assert row.min_out == min(expect) and row.max_out == max(expect)
     assert row.first_out == expect[0]
     assert row.rate_in == 8000 and row.rate_out == 4000
+
+
+def test_audio_decode_resample_property_roundtrip():
+    """Property: for ANY mono int16 sample vector, a WAV built from it
+    chunk-walks back to the exact samples, and the box decimator equals
+    the pure-Python floor-mean (negative sums included)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        decode_pcm,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=2, max_size=200
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def roundtrip(samples, rate):
+        arr = np.asarray(samples, dtype="<i2")
+        data = arr.tobytes()
+        fmt = (
+            (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        blob = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        got_rate, got = decode_pcm(blob)
+        assert got_rate == rate
+        assert got.tolist() == samples
+        m = len(got) // 2 * 2
+        out = got[:m].reshape(-1, 2).sum(axis=1) // 2
+        expect = [
+            (samples[2 * j] + samples[2 * j + 1]) // 2
+            for j in range(len(samples) // 2)
+        ]
+        assert out.tolist() == expect
+
+    roundtrip()
