@@ -974,3 +974,101 @@ def d7_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D8 — fuzzy string join via symmetric-delete blocking (SymSpell family,
+# public algorithm: Garbe's symmetric delete spelling correction): the
+# entity-matching/data-cleaning join the rest of the dedup family
+# doesn't cover — match strings at edit distance <= 1 WITHOUT the
+# quadratic cross join a naive levenshtein predicate forces. Blocking
+# key set K(s) = {s} ∪ del1(s); completeness for lev<=1 is exact
+# (substitution: both sides share the deletion at the differing
+# position; insertion/deletion: the shorter string IS a deletion of the
+# longer; equality: s itself), and an exact levenshtein verify drops
+# the false candidates key-sharing admits (e.g. transpositions at
+# distance 2).
+# --------------------------------------------------------------------------
+_D8_KEYS = """
+    array_union(
+      array(%(col)s),
+      transform(sequence(1, length(%(col)s)),
+                i -> concat(substr(%(col)s, 1, i - 1),
+                            substr(%(col)s, i + 1)))
+    )
+"""
+
+_D8_PROBE = """
+    concat(substr(p_name, 1, CAST(p_partkey %% length(p_name) AS INT)),
+           substr(p_name, CAST(p_partkey %% length(p_name) AS INT) + 2))
+"""
+
+
+@query(
+    "d8_fuzzy_join",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    probes AS (
+      SELECT p_partkey AS probe_id,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+               || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+               AS q
+      FROM part WHERE p_partkey % 3 = 0
+    )
+    SELECT p.probe_id, p.q,
+           CAST(count(*) AS BIGINT) AS n_name_matches,
+           CAST(sum(n.n_parts) AS BIGINT) AS n_part_matches,
+           min(n.p_name) AS first_match
+    FROM probes p JOIN names n ON levenshtein(p.q, n.p_name) <= 1
+    GROUP BY p.probe_id, p.q ORDER BY p.probe_id
+    """,
+)
+def fuzzy_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: probes (every third part's name with one deterministically
+    chosen character dropped) fuzzy-joined back to the DISTINCT name
+    vocabulary at edit distance <= 1. Engine plan: explode K(s) on both
+    sides, ONE equi-join on the deletion key, pair-dedup, exact
+    levenshtein verify; the oracle brute-forces the same predicate over
+    the full cross space, so blocking completeness itself is under the
+    hash compare — a missed candidate class would drop rows.
+
+    Scale: the join side is the name VOCABULARY (dedup'd first), not
+    the row corpus; each string emits length+1 keys, so candidates are
+    (vocab x L) postings joined by key — never |probes| x |corpus|.
+    The same shape handles 100 TB corpora against million-term
+    dictionaries: both exploded sides stay postings-linear and the
+    verify is per-candidate, not per-pair-space."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn("nk", F.expr(_D8_KEYS % {"col": "p_name"}))
+        .select("p_name", "n_parts", F.explode("nk").alias("key"))
+    )
+    probes = (
+        part.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.col("p_partkey").alias("probe_id"),
+            F.expr(_D8_PROBE.replace("%%", "%")).alias("q"),
+        )
+        .withColumn("qk", F.expr(_D8_KEYS % {"col": "q"}))
+        .select("probe_id", "q", F.explode("qk").alias("key"))
+    )
+    cands = (
+        probes.join(names, "key")
+        .select("probe_id", "q", "p_name", "n_parts")
+        .distinct()
+        .filter(F.levenshtein(F.col("q"), F.col("p_name")) <= 1)
+    )
+    return (
+        cands.groupBy("probe_id", "q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_name_matches"),
+            F.sum("n_parts").cast("bigint").alias("n_part_matches"),
+            F.min("p_name").alias("first_match"),
+        )
+        .orderBy("probe_id")
+    )

@@ -377,3 +377,62 @@ def test_minhash_crosscheck_against_mllib(spark, sf_dir):
     # allow slack rather than exact set equality — but the two
     # implementations must substantially agree.
     assert len(exact ^ got) <= max(2, len(exact) // 2), (exact, got)
+
+
+def test_symmetric_delete_blocking_is_complete_for_lev1(spark):
+    """D8's blocking contract: every pair at levenshtein distance <= 1
+    must share at least one symmetric-delete key — checked against a
+    brute-force python levenshtein over a seeded random vocabulary
+    (including transposition-shaped near-misses that the verify step,
+    not the blocking, must reject)."""
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    vocab = list(
+        {
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(120)
+        }
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def keys(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if lev(a, b) <= 1
+    }
+    assert truth, "seeded vocab produced no lev<=1 pairs"
+    for a, b in truth:
+        assert keys(a) & keys(b), (a, b)
+
+    # And the engine-side SQL key expression agrees with the python set.
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D8_KEYS,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in vocab], "s string")
+    got = {
+        r.s: set(r.k)
+        for r in df.select(
+            "s", F.expr(_D8_KEYS % {"col": "s"}).alias("k")
+        ).collect()
+    }
+    assert got == {s: keys(s) for s in vocab}

@@ -383,3 +383,14 @@ def test_k13_assignment_is_literal_broadcast(spark, sf_dir):
     joins = sum(plan.count(j) for j in
                 ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert joins <= 2, plan
+
+
+def test_d8_fuzzy_join_is_key_blocked(spark, sf_dir):
+    """D8 must join on the deletion KEY (hash/broadcast equi join) —
+    never a levenshtein-theta cross product."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["d8_fuzzy_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
