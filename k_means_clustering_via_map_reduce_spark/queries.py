@@ -2320,11 +2320,17 @@ def f7_textline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").text(tmp.name + "/docs")
         _TEXT_STAGED[key] = tmp
     lines = spark.read.text(_TEXT_STAGED[key].name + "/docs")
+    # try_cast, not cast: under ANSI mode a malformed line (regexp miss
+    # -> '' extract) must become NULL, not kill the whole ingest job.
     parsed = lines.select(
-        F.regexp_extract("value", _F7_LINE_RE, 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("value", _F7_LINE_RE, 1)
+        .try_cast("bigint")
+        .alias("doc_id"),
         F.regexp_extract("value", _F7_LINE_RE, 2).alias("lang"),
         F.regexp_extract("value", _F7_LINE_RE, 3).alias("source"),
-        F.regexp_extract("value", _F7_LINE_RE, 4).cast("bigint").alias("n_chars"),
+        F.regexp_extract("value", _F7_LINE_RE, 4)
+        .try_cast("bigint")
+        .alias("n_chars"),
         F.regexp_extract("value", _F7_LINE_RE, 5).alias("text"),
     )
     return (

@@ -42,3 +42,28 @@ def test_all_queries_have_unique_names():
 def test_query_runs_and_is_nonempty_schema(spark, sf_dir, name):
     df = Q.QUERIES[name](spark, sf_dir)
     assert df.schema.fields, f"{name} produced an empty schema"
+
+
+def test_f7_parse_rejects_malformed_lines(spark):
+    """F7's regexp re-structuring must NULL out (not mis-assign) lines
+    that don't match the log format — the guard that makes the fidelity
+    hashes meaningful."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.queries import _F7_LINE_RE
+
+    rows = [
+        ("id=7 lang=en source=web chars=11 :: hello world",),
+        ("garbage line with no structure",),
+        ("id=x lang=en source=web chars=2 :: xx",),  # non-numeric id
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = df.select(
+        F.regexp_extract("value", _F7_LINE_RE, 1)
+        .try_cast("bigint")
+        .alias("doc_id"),
+        F.regexp_extract("value", _F7_LINE_RE, 5).alias("text"),
+    ).collect()
+    assert (got[0].doc_id, got[0].text) == (7, "hello world")
+    assert got[1].doc_id is None and got[1].text == ""
+    assert got[2].doc_id is None
