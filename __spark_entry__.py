@@ -20,50 +20,52 @@ import k_means_clustering_via_map_reduce_spark.queries as _Q
 _Q.load_all()
 
 # The verify driver records CORRECTNESS rows for the FIRST 50 registry
-# entries in iteration order (observed r03: rows == first 50 of the dict,
-# exactly).  Registration order is module-import order, which left 37
-# queries unrecorded in r03.  To guarantee every query gets a driver row
-# across consecutive rounds, order the registry by verification debt:
-#   1. queries with no driver row in any round (r01-r03),
-#   2. queries verified in r02 but sampled out of r03,
-#   3. queries with a green r03 row (re-verified as the budget allows).
-# Within each tier, registration order is preserved.  New queries default
-# to tier 1 (they appear in neither set below).
+# entries in iteration order (observed r03/r04: rows == first 50 of the
+# dict, exactly).  To guarantee every query gets a fresh driver row on a
+# rotating schedule, order the registry by verification debt, computed AT
+# IMPORT TIME from the CORRECTNESS_r0*.json records the driver itself
+# wrote: each query is keyed by the latest round in which it has a green
+# row (err None, or the contractual ``no_oracle`` for rows-only entries,
+# with no explicit mismatch), and the registry iterates oldest-green
+# first.  Queries with no driver row in any round (e.g. newly added ones)
+# sort first.  Within a tier, registration order is preserved.  This
+# replaces the round-3/4 hard-coded frozensets the r04 VERDICT flagged as
+# structurally stale (VERDICT r04 "Next round" #1).
 
-_VERIFIED_R03 = frozenset({
-    "q1_pricing_summary", "q2_filter_project", "q3_join_agg", "q4_star_join",
-    "q5_left_join_null", "q6_semi_join", "q7_anti_join", "q8_top_k",
-    "q9_distinct_agg", "q10_window_rank", "q11_running_sum", "q12_set_ops",
-    "q13_scalar_sweep", "q14_rollup", "q15_time_bucket", "q16_conditional_agg",
-    "q17_dedup_exact", "q18_text_stats", "q19_cube", "q22_lag_delta",
-    "q23_intersect", "q24_json_extract", "q25_pivot",
-    "q26_correlated_subquery", "q27_supplier_stats", "q29_percentiles",
-    "q30_full_outer_activity", "q31_window_distribution", "q32_grouping_sets",
-    "q33_gap_fill", "q34_salted_join", "q35_array_functions",
-    "q36_date_functions", "q37_regexp_functions", "q38_higher_order_functions",
-    "q39_range_frame", "q40_null_semantics", "f1_jsonl_roundtrip",
-    "f2_csv_roundtrip", "f3_partition_pruned_scan", "f4_orc_roundtrip",
-    "p3_token_packing", "k1_kmeans_lloyd", "k1b_lloyd_join_largek",
-    "k2_kmeans_mllib", "d1_jaccard_pairs", "d2_minhash_lsh_pairs",
-    "d3_simhash_pairs", "d4_embedding_dup_pairs", "d5_dedup_clusters",
-})
 
-_VERIFIED_R02_ONLY = frozenset({
-    "m1_media_bytes", "s1_cosine_topk", "s2_lsh_topk", "s3_ivf_topk",
-    "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
-    "t5_sketch_stats", "t6_tfidf_top_terms", "t7_bpeish_tokens",
-    "t8_zscore_by_lang", "q20_asof_join", "q21_sliding_window",
-    "p1_stratified_sample", "k4_stream_tumbling", "k4_session_windows",
-    "k4_stream_sliding",
-})
+def _latest_green_round() -> dict[str, int]:
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(ch for ch in os.path.basename(path)
+                              if ch.isdigit()))
+            with open(path) as fh:
+                records = json.load(fh)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            err = rec.get("err")
+            green = (err is None or err == "no_oracle") and \
+                rec.get("rows_match") is not False and \
+                rec.get("schema_match") is not False and \
+                rec.get("hash_match") is not False
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _debt_order(names):
-    tier1 = [n for n in names
-             if n not in _VERIFIED_R03 and n not in _VERIFIED_R02_ONLY]
-    tier2 = [n for n in names if n in _VERIFIED_R02_ONLY]
-    tier3 = [n for n in names if n in _VERIFIED_R03]
-    return tier1 + tier2 + tier3
+    latest = _latest_green_round()
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (latest.get(n, 0), order[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

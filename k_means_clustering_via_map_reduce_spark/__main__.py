@@ -14,6 +14,7 @@ parallelism, SURVEY.md §4.2).
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -43,8 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--sf-dir",
-        default="/root/testdata/sf0.001",
-        help="fixture dir for --explain-query",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR"),
+        help="fixture dir for --explain-query (default: the "
+        "SPARK_GRAFT_SF_DIR env var, as bench.py uses)",
     )
     return p
 
@@ -53,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.explain_query is not None:
+        if args.sf_dir is None:
+            parser.error(
+                "--explain-query needs a fixture dir: pass --sf-dir or "
+                "set SPARK_GRAFT_SF_DIR"
+            )
         return _explain(args.explain_query, args.sf_dir)
     if args.points is None or args.k is None:
         parser.error("--points and --k are required (or use --explain-query)")

@@ -572,6 +572,11 @@ def kmeans_parallel_init(
             "vec_id", "v", _kmpp_min_d2(F.col("v"), cands).alias("d2")
         )
         cost = scored.agg(F.round(F.sum("d2"), 6)).collect()[0][0]
+        # Degenerate round: every remaining point coincides with a
+        # candidate (cost == 0.0 would make d2/cost NaN and draw
+        # nothing) or the input was empty (cost is NULL -> None).
+        if not cost:
+            break
         picked = (
             scored.filter(
                 _kmpp_draw(F.col("vec_id"), r)
@@ -580,7 +585,14 @@ def kmeans_parallel_init(
             .select("vec_id", "v")
             .collect()
         )
-        cands.extend((r, row["vec_id"], list(row["v"])) for row in picked)
+        # collect() order is partition-dependent; sort so the returned
+        # LIST (not just the set) is canonical across partitionings —
+        # refine_weighted_candidates' FP weighted sums are
+        # order-sensitive.
+        cands.extend(
+            (r, row["vec_id"], list(row["v"]))
+            for row in sorted(picked, key=lambda row: row["vec_id"])
+        )
     return cands
 
 
@@ -596,7 +608,7 @@ def kmeans_parallel_init(
     d_1 AS (
       SELECT e.vec_id,
              min(round(list_sum(list_transform(
-                 generate_series(1, 64),
+                 generate_series(1, len(e.v)),
                  i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)) AS d2
       FROM e, c1 c
       GROUP BY e.vec_id
@@ -613,7 +625,7 @@ def kmeans_parallel_init(
     d_2 AS (
       SELECT e.vec_id,
              min(round(list_sum(list_transform(
-                 generate_series(1, 64),
+                 generate_series(1, len(e.v)),
                  i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)) AS d2
       FROM e, c2 c
       GROUP BY e.vec_id
@@ -630,7 +642,7 @@ def kmeans_parallel_init(
     d_3 AS (
       SELECT e.vec_id,
              min(round(list_sum(list_transform(
-                 generate_series(1, 64),
+                 generate_series(1, len(e.v)),
                  i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6)) AS d2
       FROM e, c3 c
       GROUP BY e.vec_id
@@ -647,7 +659,7 @@ def kmeans_parallel_init(
     dist AS (
       SELECT e.vec_id AS x_id, c.vec_id AS c_id,
              round(list_sum(list_transform(
-                 generate_series(1, 64),
+                 generate_series(1, len(e.v)),
                  i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
       FROM e, cfinal c
     ),

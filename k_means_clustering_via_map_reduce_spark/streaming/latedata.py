@@ -430,7 +430,13 @@ def foreachbatch_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Crash-replay simulation: re-deliver batch 0's exact data with
         # its original batch id. The ledger must reject it.
         batch0 = spark.read.parquet(os.path.join(src, "0-ontime.parquet"))
-        assert merge_batch_into_snapshot(batch0, 0, root) is False
+        # Explicit raise (not `assert`) so the driver-checked idempotency
+        # probe survives `python -O`, which strips asserts entirely.
+        if merge_batch_into_snapshot(batch0, 0, root) is not False:
+            raise AssertionError(
+                "ledger accepted a replayed batch id — exactly-once "
+                "idempotency probe failed"
+            )
         import glob as _glob
 
         snaps = sorted(
