@@ -148,17 +148,33 @@ def main() -> None:
             flush=True,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "engine_query_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # The driver preserves only the TAIL of this output (observed: last
+    # ~2000 chars of the one JSON line), so order the per-query map by
+    # time ASCENDING: the heaviest (most regression-relevant) timings
+    # sit at the end of the dict and survive any tail cut.
+    ordered = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    record = {
+        "metric": "engine_query_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": ordered,
+        "sf": sf,
+    }
+    # Truncation-proof durable copy: the full timing map, written into
+    # the repo so the d*/f*/k* numbers survive regardless of the
+    # driver's artifact policy (VERDICT r04 "What's wrong" #2).
+    local_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_LOCAL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
     )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+    except OSError as exc:  # never let the durable copy kill the bench
+        print(f"# BENCH_LOCAL write failed: {exc}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

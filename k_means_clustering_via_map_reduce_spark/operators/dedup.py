@@ -1057,11 +1057,18 @@ def fuzzy_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qk", F.expr(_D8_KEYS % {"col": "q"}))
         .select("probe_id", "q", F.explode("qk").alias("key"))
     )
+    # Exact verify BEFORE the pair-dedup so only true matches reach the
+    # distinct's exchange (a pair sharing L keys still deduplicates
+    # correctly afterwards). Catalyst's PushPredicateThroughNonJoin was
+    # already rewriting the reversed spelling into this plan — measured
+    # bit-identical shuffle rows both ways, BASELINE.md §round-5 d8 —
+    # but the source now states the intended plan rather than relying
+    # on the optimizer rule.
     cands = (
         probes.join(names, "key")
         .select("probe_id", "q", "p_name", "n_parts")
-        .distinct()
         .filter(F.levenshtein(F.col("q"), F.col("p_name")) <= 1)
+        .distinct()
     )
     return (
         cands.groupBy("probe_id", "q")

@@ -2423,6 +2423,72 @@ def f8_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F9 — gzip-compressed JSONL round-trip: the compressed-TEXT ingest
+# surface (web-corpus JSONL is near-universally shipped gzip'd). Same
+# fidelity contract as f1: the oracle reads the ORIGINAL parquet, so any
+# corruption through compress→decompress→parse flips the md5 aggregate.
+# --------------------------------------------------------------------------
+_GZ_STAGED: dict[tuple, object] = {}
+
+GZ_JSONL_FILES = 16
+
+
+@query(
+    "f9_gzip_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def f9_gzip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as gzip-compressed JSON-lines, read them back
+    with an explicit schema, aggregate with per-group fidelity hashes
+    against the original parquet.
+
+    Splittability caveat (the operational contract of this source):
+    gzip is a NON-splittable codec — a ``.json.gz`` file can never be
+    divided across scan tasks, however large it is (Spark may still
+    pack several small WHOLE files into one task). Parallelism
+    therefore comes from FILE COUNT, which the writer controls: we
+    repartition to ``GZ_JSONL_FILES`` before the write so the read
+    side has that many independent units of work. At 100 TB the same rule holds — ingest pipelines
+    should emit many bounded-size .gz files (or use a splittable
+    codec: bzip2 splits but is slow; zstd/lz4 on text files are also
+    whole-file in Spark's text/json sources — only container formats
+    like parquet/orc make zstd splittable). Spark picks the gzip
+    decode path from the extension automatically; no conf needed."""
+    import tempfile as _tf
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _GZ_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_gzjsonl_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(GZ_JSONL_FILES)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(tmp.name + "/docs")
+        )
+        _GZ_STAGED[key] = tmp
+    docs = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).json(_GZ_STAGED[key].name + "/docs")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min(F.md5(F.encode("text", "UTF-8"))).alias("min_md5"),
+            F.max(F.md5(F.encode("text", "UTF-8"))).alias("max_md5"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q48 — map-function sweep: the MAP face of the scalar-function surface
 # (§2.2's last unchecked cell; arrays = q35, json = q24, higher-order =
 # q38). Per order, the line→quantity MAP is built from pre-aggregated

@@ -222,3 +222,41 @@ def test_f8_compaction_collapses_files_and_clusters_time(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (ranges,)
+
+
+def test_f9_gzip_layout_and_parallelism_contract(spark, sf_dir):
+    """f9's scale story is that parallelism under a non-splittable codec
+    comes from file count: the staged write must emit GZ_JSONL_FILES
+    gzip part files (each one scan task on read), and the read-side
+    DataFrame must see that many input partitions."""
+    import glob
+
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    Q.load_all()
+    Q.QUERIES["f9_gzip_jsonl_roundtrip"](spark, sf_dir).collect()
+    (key,) = [k for k in Q._GZ_STAGED if k[0] == sf_dir]
+    root = Q._GZ_STAGED[key].name + "/docs"
+    parts = glob.glob(os.path.join(root, "part-*"))
+    assert len(parts) == Q.GZ_JSONL_FILES
+    assert all(p.endswith(".json.gz") for p in parts)
+    docs = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).json(root)
+    # The non-splittable contract: a .gz file is never SPLIT across
+    # tasks (Spark may still bin several small whole files into one
+    # FilePartition, so partitions <= files) — every file's rows must
+    # land in exactly one partition, and file count must still yield
+    # real parallelism.
+    n_parts = docs.rdd.getNumPartitions()
+    assert 1 < n_parts <= Q.GZ_JSONL_FILES
+    file_to_parts = (
+        docs.select(F.input_file_name().alias("f"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("f")
+        .agg(F.countDistinct("pid").alias("n"))
+        .collect()
+    )
+    assert len(file_to_parts) == Q.GZ_JSONL_FILES
+    assert all(r["n"] == 1 for r in file_to_parts)
