@@ -139,6 +139,7 @@ def lloyd_fit_join(
     max_iter: int = 20,
     tol: float = 1e-3,
     array_col: str | None = None,
+    init_centroids: list[list[float]] | None = None,
 ) -> LloydResult:
     """Lloyd's with the centroids shipped as a BROADCAST VARIABLE into an
     Arrow-batched numpy argmin — identical semantics to ``lloyd_fit``
@@ -164,8 +165,14 @@ def lloyd_fit_join(
     spark = df.sparkSession
     sc = spark.sparkContext
     try:
-        first_k = feats.orderBy("__ord").limit(k).collect()
-        centroids = [tuple(r["features"]) for r in first_k]
+        if init_centroids is not None:
+            # Externally seeded fit (e.g. k14's K-Means|| + weighted
+            # refine chain); everything downstream — assignment ties,
+            # empty-cluster drop, id-matched convergence — is identical.
+            centroids = [tuple(c) for c in init_centroids]
+        else:
+            first_k = feats.orderBy("__ord").limit(k).collect()
+            centroids = [tuple(r["features"]) for r in first_k]
         dim = len(centroids[0])
 
         iterations = 0
@@ -696,13 +703,39 @@ def k13_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cands = kmeans_parallel_init(emb)
-    e = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    weights = candidate_weights(emb, cands)
+    meta = spark.createDataFrame(
+        [(r, cid) for r, cid, _ in cands], "round_added INT, vec_id BIGINT"
     )
-    # One transform over a single literal array of (vec, id) structs —
-    # same O(1)-in-candidate-count plan shape as _kmpp_min_d2; struct
-    # ordering gives (min d, then min id): the lowest-id tie-break.
+    return (
+        meta.join(weights, meta.vec_id == weights.c_id, "left")
+        .select(
+            "round_added",
+            "vec_id",
+            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def candidate_weights(
+    emb: DataFrame,
+    cands: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attraction weight of each K-Means|| candidate: how many corpus
+    points have it as their nearest candidate (grid-rounded distance,
+    ties to the lowest candidate id). One narrow pass + one
+    O(candidates)-group aggregate; the assignment is a single
+    ``transform`` over ONE literal array of (vec, id) structs — same
+    O(1)-in-candidate-count plan shape as ``_kmpp_min_d2``; struct
+    ordering gives (min d, then min id): the lowest-id tie-break.
+    Returns a DataFrame (c_id BIGINT, weight BIGINT)."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
     pairs = F.array(
         *[
             F.struct(
@@ -723,20 +756,8 @@ def k13_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["c"].alias("c_id")
     )
-    weights = assign.groupBy("c_id").agg(
+    return assign.groupBy("c_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("weight")
-    )
-    meta = spark.createDataFrame(
-        [(r, cid) for r, cid, _ in cands], "round_added INT, vec_id BIGINT"
-    )
-    return (
-        meta.join(weights, meta.vec_id == weights.c_id, "left")
-        .select(
-            "round_added",
-            "vec_id",
-            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
-        )
-        .orderBy("vec_id")
     )
 
 
@@ -780,3 +801,121 @@ def refine_weighted_candidates(
         if move <= tol:
             break
     return [list(c) for c in centers]
+
+
+def corpus_wssse(
+    emb: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Within-set sum of squared errors of the corpus against ``centers``:
+    one narrow broadcast-centers pass (numpy matmul per Arrow batch, the
+    lloyd_fit_join assignment shape) + one scalar aggregate. Nothing
+    data-sized reaches the driver."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(centers, dtype=np.float64)
+    )
+
+    @pandas_udf("double")
+    def min_d2(vs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.vstack(vs.to_numpy())
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        d += (mat * mat).sum(axis=1)[:, None]
+        np.maximum(d, 0.0, out=d)
+        return pd.Series(d.min(axis=1))
+
+    return float(
+        emb.select(
+            min_d2(F.col(vec_col).cast("array<double>")).alias("d2")
+        ).agg(F.sum("d2")).collect()[0][0]
+    )
+
+
+K14_K = 8
+K14_MAX_ITER = 10
+
+
+def production_fit(
+    emb: DataFrame,
+    k: int = K14_K,
+    max_iter: int = K14_MAX_ITER,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LloydResult:
+    """The full deterministic production K-Means chain (Bahmani et al.
+    VLDB 2012 end-to-end): K-Means|| distributed seeding (k13's
+    ``kmeans_parallel_init``) → attraction weights (one narrow pass) →
+    driver-local weighted refine of the O(l·R) candidate set down to k
+    seeds (``refine_weighted_candidates``) → seeded distributed Lloyd's
+    (``lloyd_fit_join``: broadcast-matrix assignment, K-group partial
+    aggregate per iteration). Every stage is deterministic, so the whole
+    fit is value-pure — unlike MLlib's seeded-random k2 path.
+
+    Scale: identical per-stage shapes to k13/k1b — R narrow corpus
+    passes for seeding, one weight pass, a K-row local problem, then
+    max_iter Lloyd's iterations whose only shuffle is the K-group mean."""
+    cands = kmeans_parallel_init(emb, id_col=id_col, vec_col=vec_col)
+    weights = {
+        r["c_id"]: r["weight"]
+        for r in candidate_weights(
+            emb, cands, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
+    seeds = refine_weighted_candidates(cands, weights, k)
+    return lloyd_fit_join(
+        emb,
+        k=k,
+        order_col=id_col,
+        max_iter=max_iter,
+        tol=tol,
+        array_col=vec_col,
+        init_centroids=seeds,
+    )
+
+
+@query("k14_production_fit")
+def k14_production_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K14: the k13 seeding closed through to a full fit — K-Means||
+    candidates, weighted local refine, seeded Lloyd's to convergence
+    (k=8, 10-iteration budget: k2's exact fit shape, deterministic).
+    Rows-only for the driver (the seeded fit composes k13's oracled
+    seeding with k1b's pinned-parity Lloyd's; the full chain at 64-dim
+    has no tractable SQL oracle) — quality is pinned by pytest: corpus
+    WSSSE must not lose to MLlib's own KMeans|| fit at the same k and
+    iteration budget (tests/test_kmeans.py), and the output is
+    golden-hash pinned (tests/test_golden_hashes.py). Output: one row
+    per final cluster with size, centroid norm, and the fit-level WSSSE
+    (same scalar on every row, 4-decimal) so the hash pins fit quality,
+    not just cluster shapes."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = production_fit(emb)
+    wssse = corpus_wssse(emb, [list(c) for c in res.centroids])
+    cents = spark.createDataFrame(
+        [
+            (i, float(sum(v * v for v in c) ** 0.5))
+            for i, c in enumerate(res.centroids)
+        ],
+        schema="cluster_id INT, c_norm DOUBLE",
+    )
+    counts = (
+        assign_clusters_broadcast(emb, res.centroids, array_col="embedding")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return (
+        cents.join(counts, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.round("c_norm", 4).alias("c_norm"),
+            F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+            F.round(F.lit(wssse), 4).alias("fit_wssse"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1,6 +1,6 @@
 """Drift guards for the rows-only queries (SURVEY.md §5.2-7).
 
-Nine registered queries are deliberately not SQL-oracled (seeded LSH /
+Ten registered queries are deliberately not SQL-oracled (seeded LSH /
 SimHash / SRP / IVF sketches, the hash-split sample, the seeded MLlib
 KMeans fit, HLL/GK sketch aggregates, the seeded-codebook PQ-ADC
 top-k; k1b is pinned by
@@ -43,6 +43,13 @@ GOLDEN = {
     # before pinning. Rounding to 4 decimals absorbs sub-ulp agg-order
     # noise in avg_dim0.
     "k2_kmeans_mllib": ("a4f8c49b0151f143", 8),
+    # Production-init full fit (k14): every stage deterministic
+    # (value-pure md5 draws, canonical candidate order, seeded Lloyd's);
+    # digest re-derived in two fresh sessions AND under a different
+    # core-count/shuffle-partition config before pinning. fit_wssse in
+    # the output makes the hash pin fit QUALITY, not just cluster
+    # shapes.
+    "k14_production_fit": ("dd683f85d46b9930", 8),
     # Sketch aggregates (t5): HLL register merges are order-insensitive
     # by construction; the GK percentile summary is stable for a fixed
     # session conf + fixture (digest re-derived in two fresh sessions).
