@@ -127,3 +127,148 @@ def stateful_totals_query(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# K8b — the SAME operator on transformWithStateInPandas, Spark 4.x's
+# successor API to applyInPandasWithState (SPARK-49564 / the
+# "transformWithState" track): typed named state variables acquired from
+# a handle in init(), per-key handleInputRows, optional timers; requires
+# the RocksDB state store provider. k8 is kept on the legacy API for
+# comparison; new stateful operators should start here.
+#
+# RUNTIME DEPENDENCY GATE: PySpark's transformWithState Python protocol
+# speaks protobuf to the JVM-side state server
+# (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+# google.protobuf), so the operator hard-requires the ``protobuf``
+# package at STREAM RUNTIME — without it the driver worker crashes after
+# the query starts (observed: ImportError inside
+# validateAndMaybeEvolveStateSchema → STREAM_FAILED). The query entry
+# therefore self-registers only where the dependency exists; the gate
+# itself is pinned in tests/test_stateful.py so a container that gains
+# protobuf automatically promotes k8b into the driver-checked registry.
+# (applyInPandasWithState — k8 — uses the plain Arrow channel and has no
+# such dependency.)
+# --------------------------------------------------------------------------
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_runtime_available() -> bool:
+    """True when transformWithStateInPandas can actually RUN here (the
+    protobuf state-server protocol dependency importable)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_running_totals_processor(threshold: float):
+    """Build the StatefulProcessor class instance for per-user running
+    totals — identical semantics to ``running_totals_fn`` (k8): state is
+    (count, sum, flagged); ``crossed`` is true exactly once, on the
+    batch where the cumulative total first exceeds ``threshold``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prior = self._totals.get()
+            n, total, flagged = prior if prior is not None else (0, 0.0, False)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            newly_crossed = (not flagged) and total > threshold
+            self._totals.update((n, total, flagged or newly_crossed))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "crossed": [newly_crossed],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_user_totals_tws(
+    events: DataFrame, threshold: float = 100.0
+) -> DataFrame:
+    """``running_user_totals`` on the transformWithStateInPandas API.
+    The caller must run the query under the RocksDB state store provider
+    (``ROCKSDB_PROVIDER``) — the transformWithState operator refuses the
+    default HDFS-backed provider."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_running_totals_processor(threshold),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+K8B_ORACLE = f"""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           CAST(sum(value) > {K8_THRESHOLD} AS BIGINT) AS ever_crossed
+    FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+
+def stateful_totals_tws_query(spark, sf_dir: str) -> DataFrame:
+    """K8b: k8's per-user running totals re-expressed on Spark 4.x's
+    supported stateful extension point (transformWithStateInPandas +
+    RocksDB state store), same emission-log-to-terminal-state reduction
+    and the SAME SQL oracle — so the two APIs are pinned equivalent by
+    the driver itself. The provider conf is set only for this query's
+    stream (per-query at checkpoint creation) and restored after."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.queries import r4
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _run_complete_stream,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        emitted = _run_complete_stream(
+            spark,
+            sf_dir,
+            lambda s: running_user_totals_tws(
+                s.select("user_id", "value"), threshold=K8_THRESHOLD
+            ),
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            r4(F.max("total_value")).alias("total_value"),
+            F.max(F.col("crossed").cast("int"))
+            .cast("bigint")
+            .alias("ever_crossed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+if tws_runtime_available():  # see the dependency-gate note above
+    query("k8b_stateful_totals_tws", oracle=K8B_ORACLE)(
+        stateful_totals_tws_query
+    )

@@ -190,6 +190,122 @@ def shuffle_metrics(app_id: str, group: str) -> tuple[int, int]:
     )
 
 
+def _task_shuffle_read_rows(app_id: str, group: str) -> list[int]:
+    """Per-task shuffle-read record counts for the heaviest-read stage
+    of the jobs in ``group`` — the join stage, where key skew shows up
+    as one task reading the hot key's entire partition."""
+    jobs = _rest(f"/applications/{app_id}/jobs")
+    stage_ids: set[int] = set()
+    for j in jobs:
+        if j.get("jobGroup") == group:
+            stage_ids.update(j["stageIds"])
+    best: tuple[int, list[int]] = (0, [])
+    for sid in stage_ids:
+        try:
+            attempts = _rest(f"/applications/{app_id}/stages/{sid}")
+        except Exception:
+            continue
+        for att in attempts:
+            if att.get("status") != "COMPLETE":
+                continue
+            tasks = _rest(
+                f"/applications/{app_id}/stages/{sid}/"
+                f"{att['attemptId']}/taskList?length=5000"
+            )
+            reads = [
+                t.get("taskMetrics", {})
+                .get("shuffleReadMetrics", {})
+                .get("recordsRead", 0)
+                for t in tasks
+                if t.get("taskMetrics")
+            ]
+            total = sum(reads)
+            if total > best[0]:
+                best = (total, reads)
+    return best[1]
+
+
+def skew_probe(spark: SparkSession) -> None:
+    """VERDICT r04 #7: measure that ``salted_join`` actually flattens a
+    skewed key's per-task shuffle distribution (q34 proves result
+    equality only). Synthetic zipf-ish workload: 2M probe rows, 50% on
+    ONE hot key, the rest uniform over 10k cold keys; 10,001-row build
+    side. Broadcast and AQE skew-splitting are disabled for the
+    measurement — exactly the documented salting scenario (broadcast
+    infeasible, runtime re-planning unavailable/undesired). Reports
+    max/median per-task shuffle-read rows for the join stage, salted vs
+    plain, plus result-count equality."""
+    import statistics
+
+    from k_means_clustering_via_map_reduce_spark.operators.skew import (
+        salted_join,
+    )
+
+    sc = spark.sparkContext
+    app_id = _app_id()
+    # Runtime-settable confs; restored after the probe.
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_probe, n_cold_keys = 2_000_000, 10_000
+        probe = spark.range(n_probe, numPartitions=32).select(
+            F.col("id").alias("row_id"),
+            F.when(F.pmod("id", F.lit(2)) == 0, F.lit(0))
+            .otherwise(
+                F.pmod(F.xxhash64("id"), F.lit(n_cold_keys)) + 1
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+        build = spark.range(n_cold_keys + 1).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("payload")
+        )
+        results = []
+        for label, df in (
+            ("plain_join", probe.join(build, "k")),
+            (
+                "salted_join(16)",
+                salted_join(probe, build, ["k"], probe_id_col="row_id"),
+            ),
+        ):
+            grp = f"skew:{label}"
+            sc.setJobGroup(grp, grp)
+            t0 = time.perf_counter()
+            n = df.count()
+            dt = time.perf_counter() - t0
+            sc.setJobGroup("", "")
+            reads = _task_shuffle_read_rows(app_id, grp)
+            mx = max(reads) if reads else 0
+            med = int(statistics.median(reads)) if reads else 0
+            results.append((label, n, dt, mx, med))
+            print(
+                f"# {grp}: out={n} wall={dt:.1f}s max-task={mx:,} "
+                f"median-task={med:,} tasks={len(reads)}",
+                file=sys.stderr,
+                flush=True,
+            )
+        assert results[0][1] == results[1][1], "salted join changed results"
+        print("\n| variant | out rows | wall s | max task shuffle rows "
+              "| median task | max/median skew |")
+        print("|---|---|---|---|---|---|")
+        for label, n, dt, mx, med in results:
+            ratio = mx / med if med else float("inf")
+            print(
+                f"| {label} | {n:,} | {dt:.1f} | {mx:,} | {med:,} "
+                f"| {ratio:.1f}× |"
+            )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def main() -> None:
     import argparse
 
@@ -206,7 +322,16 @@ def main() -> None:
         help="comma-separated query names; when given, the d6 and "
         "hot-shingle extras are skipped",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="run ONLY the salted-join skew probe (zipf-keyed synthetic "
+        "join, per-task shuffle distribution salted vs plain)",
+    )
     args = ap.parse_args()
+    if args.skew:
+        skew_probe(_spark())
+        return
     run_extras = args.queries is None
     if args.mults:
         MULTS = [int(x) for x in args.mults.split(",")]

@@ -80,3 +80,33 @@ def test_stateful_running_totals(spark):
         finally:
             q.stop()
             spark.catalog.dropTempView(name)
+
+
+def test_k8b_tws_gate_is_honest(spark, sf_dir):
+    """k8b (transformWithStateInPandas) self-registers ONLY where its
+    protobuf state-server dependency exists. Where it does, the full
+    query must run and agree with k8 (same operator on the legacy
+    applyInPandasWithState API, same oracle); where it doesn't, it must
+    NOT be registered (an entry that can only STREAM_FAIL would break
+    the driver's zero-failure record dishonestly)."""
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        stateful_totals_tws_query,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        assert "k8b_stateful_totals_tws" not in QUERIES
+        assert "k8b_stateful_totals_tws" not in ORACLE_SQL
+        import pytest
+
+        pytest.skip("protobuf not installed: transformWithState cannot run")
+    assert "k8b_stateful_totals_tws" in QUERIES
+    k8b = sorted(map(tuple, stateful_totals_tws_query(spark, sf_dir).collect()))
+    k8 = sorted(
+        map(tuple, QUERIES["k8_stateful_totals"](spark, sf_dir).collect())
+    )
+    assert k8b == k8
