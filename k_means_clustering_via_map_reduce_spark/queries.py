@@ -2558,3 +2558,173 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sum_doubled"),
     ).orderBy("l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Q49 — RECURSIVE CTE (new in Spark 4.0, SPARK-24497): iterative
+# hierarchy traversal expressed declaratively. Synthetic parent-child
+# over part (parent = partkey DIV 10: a stable ~5-level decimal trie),
+# each node walked to its root with depth tracking. Execution is the
+# classic recursive-union loop: each step is one distributed scan of the
+# previous step's frontier — linear in (rows × chain length), the same
+# shape as d5's label propagation but engine-managed.
+# --------------------------------------------------------------------------
+@query(
+    "q49_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM anc WHERE cur >= 10
+    )
+    SELECT CAST(cur AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(node) AS BIGINT) AS sum_nodes
+    FROM anc WHERE cur < 10
+    GROUP BY root, depth ORDER BY root, depth
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every part walked up the decimal trie to its single-digit root;
+    output counts parts per (root, chain depth). Recursion terminates
+    structurally (cur strictly shrinks), well under Spark's default
+    recursion limit; DuckDB replays the identical WITH RECURSIVE."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q49_part")
+    return spark.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM q49_part
+        UNION ALL
+        SELECT node, cur DIV 10, depth + 1 FROM anc WHERE cur >= 10
+      )
+      SELECT CAST(cur AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(node) AS BIGINT) AS sum_nodes
+      FROM anc WHERE cur < 10
+      GROUP BY root, depth ORDER BY root, depth""")
+
+
+# --------------------------------------------------------------------------
+# Q50 — UNPIVOT: wide→long reshaping, the inverse face of Q25's PIVOT
+# (completing the reshape pair). Spark's df.unpivot is a zero-shuffle
+# narrow explode of measure columns; the oracle replays it as the
+# portable UNION ALL rewrite.
+# --------------------------------------------------------------------------
+@query(
+    "q50_unpivot",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 4)      AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_price,
+             round(sum(l_discount), 4)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM base
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM base
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM base
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag measure columns unpivoted to (flag, measure, val)
+    long format. The unpivot itself is narrow (each input row emits its
+    measures locally — no shuffle beyond the feeding aggregate), so the
+    reshape adds nothing to the 100 TB cost of the aggregation it
+    follows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        r4(F.sum("l_discount")).alias("sum_disc"),
+    )
+    return base.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "val",
+    ).orderBy("l_returnflag", "measure")
+
+
+# --------------------------------------------------------------------------
+# Q51 — LATERAL join: per-row correlated table subquery (top-3 customers
+# per nation by balance), the join face q26's scalar correlated subquery
+# and q8's global window top-k don't cover. Catalyst decorrelates the
+# lateral into a ranked window join — no per-row re-execution.
+# --------------------------------------------------------------------------
+@query(
+    "q51_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 4) AS c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance for EACH nation via a
+    correlated LATERAL subquery with ORDER BY + LIMIT — identical SQL on
+    both engines. Ties inside the top-3 are broken by (c_acctbal DESC,
+    c_name), making the selected set total-order deterministic."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q51_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q51_customer"
+    )
+    return spark.sql("""
+      SELECT n.n_name, t.c_name, round(t.c_acctbal, 4) AS c_acctbal
+      FROM q51_nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM q51_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3
+      ) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+
+
+# --------------------------------------------------------------------------
+# F10 — VARIANT semi-structured type (new in Spark 4.0): props parsed
+# ONCE into the binary variant encoding, then typed path extraction via
+# variant_get — the open-schema ingestion path for JSON whose shape is
+# not declared up front (q24 is the closed-schema from_json face). The
+# string-typed re-extraction (digit length) pins that the variant
+# round-trips values, not just numbers that happen to cast.
+# --------------------------------------------------------------------------
+@query(
+    "f10_variant_json",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(length(props->>'$.k')) AS BIGINT) AS sum_k_digits
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props → VARIANT via parse_json, per-type aggregation of a
+    bigint-typed get and a string-typed get of the same path. All
+    expressions are JVM-side; at 100 TB the variant parse is a narrow
+    projection and (with a parquet VARIANT column) Spark 4 shreds
+    variants into columnar form so path gets keep pushdown/pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                "variant_get(parse_json(props), '$.k', 'bigint')"
+            ).alias("k"),
+            F.length(
+                F.expr("variant_get(parse_json(props), '$.k', 'string')")
+            ).alias("k_digits"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k_digits").cast("bigint").alias("sum_k_digits"),
+        )
+        .orderBy("event_type")
+    )
