@@ -394,3 +394,26 @@ def test_d8_fuzzy_join_is_key_blocked(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q51_lateral_decorrelates_to_window_join(spark, sf_dir):
+    """Q51's correlated LATERAL (ORDER BY + LIMIT per nation) must plan
+    as a ranked-window + single equi-join — never a per-outer-row
+    re-execution (nested-loop) of the subquery."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q51_lateral_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_q49_recursive_cte_runs_on_union_loop(spark, sf_dir):
+    """Q49 must execute on Spark 4's recursive-union operator
+    (UnionLoop) — the engine-managed fixpoint loop — not on some
+    unrolled approximation."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q49_recursive_cte"](spark, sf_dir)
+    assert "UnionLoop" in physical_plan(df)
