@@ -817,3 +817,53 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "t16_sql_udf_score",
+    oracle="""
+    WITH s AS (SELECT source,
+      CASE WHEN lang = 'en' THEN round(ln(1 + n_chars) * 1.1, 6)
+           ELSE round(ln(1 + n_chars), 6) END AS sc FROM documents)
+    SELECT source, count(*) AS n_docs, round(sum(sc), 4) AS total_score,
+           round(avg(sc), 4) AS avg_score
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def sql_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: declarative SQL scalar UDF (Spark 4.0 SQL UDFs,
+    SPARK-46057) — `CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN
+    expr` — applied to a per-document score, completing the
+    user-defined family on its FAST side: unlike every Python-based
+    extension point (t8 grouped-map, t13 grouped-agg, t14 UDTF), a SQL
+    UDF is inlined by Catalyst into plain JVM expressions, so the
+    aggregate below plans as partial_sum(CASE WHEN ...) inside
+    whole-stage codegen with NO Python boundary (verified in
+    tests/test_plans.py).
+
+    This is the engine's recommended UDF tier for 100 TB: express the
+    logic declaratively, get pushdown/codegen/partial-agg for free;
+    drop to pandas UDFs only for genuinely procedural logic.
+
+    The reference's hard-coded "query" has no user extension point at
+    all (SURVEY.md §2.2 UDF row)."""
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "t16_documents"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION t16_doc_score(
+          nc BIGINT, lang STRING)
+        RETURNS DOUBLE
+        RETURN CASE WHEN lang = 'en' THEN round(ln(1 + nc) * 1.1, 6)
+                    ELSE round(ln(1 + nc), 6) END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT source, count(*) AS n_docs,
+               round(sum(t16_doc_score(n_chars, lang)), 4) AS total_score,
+               round(avg(t16_doc_score(n_chars, lang)), 4) AS avg_score
+        FROM t16_documents GROUP BY source ORDER BY source
+        """
+    )

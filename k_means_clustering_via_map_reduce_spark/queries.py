@@ -2728,3 +2728,170 @@ def f10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q52 — DECIMAL-exact money aggregation. The reference's only numeric
+# type is Python float (mapper.py:30-33 parses x,y as float); the engine
+# declares the exact fixed-point surface a billing-grade aggregate needs.
+# Every intermediate stays in decimal (no FP drift): the per-row net is
+# rounded HALF_UP to the 4-decimal money grid and cast back to
+# DECIMAL(18,4) on BOTH sides, so decimal sums are bit-exact across
+# engines; only the final presentation casts to double.
+# --------------------------------------------------------------------------
+@query(
+    "q52_decimal_money",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
+             CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                  (CAST(1 AS DECIMAL(18,4)) -
+                   CAST(l_discount AS DECIMAL(18,4))), 4)
+                  AS DECIMAL(18,4)) AS n
+      FROM lineitem)
+    SELECT l_returnflag, count(*) AS n_items,
+           CAST(sum(p) AS DOUBLE) AS gross,
+           CAST(sum(n) AS DOUBLE) AS net,
+           round(CAST(sum(n) AS DOUBLE)/count(*), 4) AS avg_net
+    FROM d GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact revenue per return flag.
+
+    DECIMAL(18,4) × (1 − DECIMAL(18,4)) is exact on both engines
+    (Spark: precision 38/scale 8 intermediate, no precision loss;
+    DuckDB: width 37/scale 8), so rounding THAT product to the money
+    grid is deterministic — summing doubles instead would make the
+    result order-dependent in the last ulp. round() is HALF_UP on
+    positive values in both engines.
+
+    Scale: identical plan shape to q1 (partial+final hash agg on a
+    3-value key); decimal sums carry 16-byte state per group — the
+    exactness costs nothing at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    net = F.round(
+        price * (F.lit(1).cast("decimal(18,4)") - disc), 4
+    ).cast("decimal(18,4)")
+    return (
+        li.select("l_returnflag", price.alias("p"), net.alias("n"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("p").cast("double").alias("gross"),
+            F.sum("n").cast("double").alias("net"),
+            F.round(
+                F.sum("n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_net"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q53 — INTERVAL-type arithmetic: literal day/minute intervals and a
+# per-row VARIABLE interval via make_interval. Completes the temporal
+# surface q36 opened (q36 covers calendar scalars; this covers the
+# interval algebra). The elapsed-seconds check deliberately avoids
+# timestampdiff/date_diff, whose boundary-crossing-vs-elapsed semantics
+# differ between Spark and DuckDB — epoch subtraction is dialect-free.
+# --------------------------------------------------------------------------
+@query(
+    "q53_interval_arith",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS ts_p90,
+           ts - INTERVAL 7 DAY AS ts_m7d,
+           ts + to_minutes(event_id % 120) AS ts_var,
+           CAST(epoch(ts + to_minutes(event_id % 120)) - epoch(ts)
+                AS BIGINT) AS var_secs
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic sweep over event timestamps.
+
+    All four derived columns are narrow JVM projections (one codegen
+    stage); at 100 TB this is a pure map with full pushdown. The
+    fixture timestamps are all >7 days past the epoch so ts_m7d can't
+    underflow, and event_id%120 minutes never crosses a DST boundary
+    (session timezone pinned UTC engine-wide in session.configure)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "ts",
+            (F.col("ts") + F.expr("INTERVAL '90' MINUTE")).alias("ts_p90"),
+            (F.col("ts") - F.expr("INTERVAL '7' DAY")).alias("ts_m7d"),
+            (
+                F.col("ts")
+                + F.expr(
+                    "make_interval(0,0,0,0,0, CAST(event_id % 120 AS INT), 0)"
+                )
+            ).alias("ts_var"),
+        )
+        .withColumn(
+            "var_secs",
+            (F.unix_timestamp("ts_var") - F.unix_timestamp("ts"))
+            .cast("bigint"),
+        )
+        .drop("ts")
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q54 — collation-aware grouping (Spark 4.0 string collations,
+# SPARK-46830): case-insensitive aggregation via UTF8_LCASE instead of
+# the lower()-rewrite idiom. The reference has no string surface at all;
+# the engine declares the collated comparison face because corpus joins
+# on user-supplied keys (hosts, tags, emails) are case-insensitive in
+# practice. The mixed-case input is synthesized in-query (fixtures are
+# clean lowercase) so the collation genuinely merges 3 case variants
+# per key — lower() canonicalizes only the OUTPUT label.
+# --------------------------------------------------------------------------
+@query(
+    "q54_collation_groupby",
+    oracle="""
+    WITH m AS (SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                           WHEN event_id % 3 = 1 THEN
+                             upper(event_type[1]) || lower(event_type[2:])
+                           ELSE event_type END AS mixed, value FROM events)
+    SELECT lower(mixed) AS etype, count(*) AS n, round(sum(value), 4) AS total
+    FROM m GROUP BY lower(mixed) ORDER BY etype
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group mixed-case event types under the UTF8_LCASE collation.
+
+    The grouping key is `collate(mixed, 'UTF8_LCASE')` — the hash
+    exchange partitions on the collation-normalized key directly, so
+    UPPER/Initcap/lower variants of one type land in one group without
+    rewriting the data. DuckDB replays with an explicit lower() group
+    key (simple case folding ≡ UTF8_LCASE on this ASCII corpus).
+
+    Scale: same one-exchange agg as q15; collation support means the
+    normalization travels with the TYPE (joins, aggs, distinct all
+    inherit it) instead of being re-spelled per query."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = (
+        F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+        .when(F.col("event_id") % 3 == 1, F.initcap("event_type"))
+        .otherwise(F.col("event_type"))
+    )
+    return (
+        ev.select(F.collate(mixed, "UTF8_LCASE").alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("etype"), "n", "total"
+        )
+        .orderBy("etype")
+    )

@@ -417,3 +417,45 @@ def test_q49_recursive_cte_runs_on_union_loop(spark, sf_dir):
 
     df = Q.QUERIES["q49_recursive_cte"](spark, sf_dir)
     assert "UnionLoop" in physical_plan(df)
+
+
+def test_t16_sql_udf_inlines_to_jvm(spark, sf_dir):
+    """The SQL UDF tier's whole value is that Catalyst inlines the
+    function body into plain JVM expressions: the plan must contain NO
+    Python evaluation node (BatchEvalPython / ArrowEvalPython /
+    MapInPandas) and exactly the q18-style agg exchanges."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        count_shuffles,
+        physical_plan,
+    )
+
+    df = Q.QUERIES["t16_sql_udf_score"](spark, sf_dir)
+    plan = physical_plan(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan
+    # spread() fan-out + partial/final agg exchange + presentation sort.
+    assert count_shuffles(df) <= 3
+
+
+def test_q54_collated_group_single_exchange(spark, sf_dir):
+    """Collation-aware grouping must hash-partition on the collated key
+    directly — one agg exchange plus the presentation sort, exactly
+    like the uncollated q15 shape."""
+    from k_means_clustering_via_map_reduce_spark.plans import count_shuffles
+
+    df = Q.QUERIES["q54_collation_groupby"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+
+
+def test_q52_decimal_sums_stay_partial_final(spark, sf_dir):
+    """Decimal exactness must not cost the partial-agg split: two
+    HashAggregates around one exchange, no sort-based fallback."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        count_shuffles,
+        physical_plan,
+    )
+
+    df = Q.QUERIES["q52_decimal_money"](spark, sf_dir)
+    assert physical_plan(df).count("HashAggregate") >= 2
+    assert count_shuffles(df) <= 2
