@@ -197,3 +197,75 @@ def source_mixing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# P6 — deterministic epoch shuffle + sharding: the "shuffle the corpus
+# differently every epoch" step of LM training-data assembly, as a
+# value-pure relational query. Order key = md5(epoch_salt || doc_id);
+# shard = leading hex nibbles mod N. Changing the salt re-deals both the
+# global order and the shard assignment; nothing depends on partitioning,
+# row order, or cluster size (p1/p5's reproducibility property, extended
+# to ORDERING).
+# --------------------------------------------------------------------------
+EPOCH_SALT = "epoch7|"
+EPOCH_SHARDS = 8
+
+
+@query(
+    "p6_epoch_shuffle",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, n_chars,
+          md5('{EPOCH_SALT}' || CAST(doc_id AS VARCHAR)) AS okey,
+          CAST(('0x' || substr(md5('{EPOCH_SALT}' ||
+               CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            % {EPOCH_SHARDS} AS shard
+        FROM documents),
+    t AS (SELECT shard,
+                 CAST(row_number() OVER (PARTITION BY shard ORDER BY okey)
+                      AS BIGINT) AS rk,
+                 doc_id, okey,
+                 count(*) OVER (PARTITION BY shard) AS n_in_shard,
+                 CAST(sum(n_chars) OVER (PARTITION BY shard) AS BIGINT)
+                   AS sum_chars_shard
+          FROM b)
+    SELECT shard, rk, doc_id, okey, n_in_shard, sum_chars_shard
+    FROM t WHERE rk <= 3 ORDER BY shard, rk
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: per-shard head of the epoch-shuffled corpus plus shard-level
+    stats — the first 3 docs each shard would stream, with the shard's
+    doc count and char budget beside them.
+
+    Both window specs (the ranked head and the unordered shard totals)
+    partition on `shard`, so Catalyst computes them over ONE hash
+    exchange (pinned in tests/test_plans.py); a training loader at
+    100 TB does the same thing per epoch with a sort WITHIN each shard
+    file write (f8's repartitionByRange idiom) rather than a global
+    sort. The md5 order key is uniform enough that shards stay balanced
+    at any corpus size (no hot shard, no skew salt needed)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    okey = F.md5(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(okey, 1, 4), 16, 10).cast("bigint") % EPOCH_SHARDS
+    )
+    base = d.select(
+        "doc_id", "n_chars", okey.alias("okey"), shard.alias("shard")
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("shard").orderBy("okey")
+    w_all = Window.partitionBy("shard")
+    return (
+        base.select(
+            "shard",
+            F.row_number().over(w_rank).cast("bigint").alias("rk"),
+            "doc_id",
+            "okey",
+            F.count(F.lit(1)).over(w_all).alias("n_in_shard"),
+            F.sum("n_chars").over(w_all).alias("sum_chars_shard"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("shard", "rk")
+    )

@@ -2895,3 +2895,75 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("etype")
     )
+
+
+# --------------------------------------------------------------------------
+# F11 — schema-evolution read (mergeSchema): a corpus written in batches
+# whose schema GREW over time (a `quality` score column added mid-stream)
+# read back as one table, old batches surfacing NULL for the new column.
+# The operational reality of any long-lived 100 TB store: you cannot
+# rewrite history when the pipeline adds a field.
+# --------------------------------------------------------------------------
+_EVOLVED_STAGED: dict[str, object] = {}
+
+
+@query(
+    "f11_schema_evolution",
+    oracle="""
+    WITH m AS (SELECT lang, n_chars,
+          CASE WHEN doc_id % 2 = 1 THEN round(ln(1 + n_chars), 4) END
+            AS quality
+        FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_scored,
+           round(sum(quality), 4) AS sum_quality,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def f11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage documents as two parquet batches — v1 (even doc_ids)
+    written BEFORE the `quality` column existed, v2 (odd doc_ids) with
+    it — then read both through `mergeSchema=true` and aggregate with
+    null-skipping count/sum so the evolved column's NULL back-fill is
+    load-bearing in the oracle compare.
+
+    Scale: mergeSchema reconciles footers at planning time (one footer
+    read per file — at 100 TB pin the superset schema in a catalog /
+    `spark.read.schema(...)` instead of paying per-file merge, which
+    this entry documents as the production form); the scan itself stays
+    columnar with pushdown, and old files simply lack the pruned
+    column's pages. The oracle replays from the ORIGINAL table, so a
+    dropped row, a mis-back-filled NULL, or a batch routed to the wrong
+    schema flips the hash."""
+    import tempfile as _tf
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _EVOLVED_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_evolve_")
+        d = load_table(spark, sf_dir, "documents")
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "source", "n_chars"
+        ).write.mode("overwrite").parquet(tmp.name + "/docs/v1")
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.round(F.log1p("n_chars"), 4).alias("quality"),
+        ).write.mode("overwrite").parquet(tmp.name + "/docs/v2")
+        _EVOLVED_STAGED[key] = tmp
+    root = _EVOLVED_STAGED[key].name
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        root + "/docs/v1", root + "/docs/v2"
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality").alias("n_scored"),
+            F.round(F.sum("quality"), 4).alias("sum_quality"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

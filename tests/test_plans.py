@@ -459,3 +459,13 @@ def test_q52_decimal_sums_stay_partial_final(spark, sf_dir):
     df = Q.QUERIES["q52_decimal_money"](spark, sf_dir)
     assert physical_plan(df).count("HashAggregate") >= 2
     assert count_shuffles(df) <= 2
+
+
+def test_p6_shared_shard_exchange(spark, sf_dir):
+    """Both p6 window specs partition on shard: ONE hash exchange for
+    the ranked head + shard totals (plus spread fan-out and the
+    presentation sort)."""
+    from k_means_clustering_via_map_reduce_spark.plans import count_shuffles
+
+    df = Q.QUERIES["p6_epoch_shuffle"](spark, sf_dir)
+    assert count_shuffles(df) <= 3
