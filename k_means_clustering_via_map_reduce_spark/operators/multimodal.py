@@ -734,3 +734,139 @@ def m4_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as documented in the module header."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return audio_resample(synthesize_pcm_wav(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M5 — REAL video frame sampling over a raw-frame container: the
+# frame-extraction stage of a video training pipeline (decode container →
+# stride-sample frames → per-frame features), with actual frame payloads
+# rather than the `frame_sample` stub shape above. The container is the
+# engine's own trivial "KVID" format (magic + u32 frame count + u16 w/h +
+# n_frames × w·h grayscale bytes) because real codec parsing (H.264/VP9)
+# needs external libraries — that boundary stays behind
+# ``decode_image``'s documented NotImplementedError stub; everything
+# Spark-side (schema, Arrow batching, per-frame explode, aggregation) is
+# the production shape.
+# --------------------------------------------------------------------------
+VIDEO_W = VIDEO_H = 8
+VIDEO_SAMPLE_STEP = 4
+
+
+def synthesize_video(docs: DataFrame) -> DataFrame:
+    """KVID container with REAL frame payloads: pixel p of frame f of
+    doc d is ``(d*31 + f*7 + p*3) % 256`` — deterministic and
+    SQL-replayable; doc d carries ``d % 24 + 4`` frames."""
+    import numpy as np
+    import pandas as pd
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 24 + 4
+                f = np.arange(n).reshape(-1, 1)
+                p = np.arange(VIDEO_W * VIDEO_H).reshape(1, -1)
+                px = ((did * 31 + f * 7 + p * 3) % 256).astype(np.uint8)
+                blobs.append(
+                    b"KVID"
+                    + n.to_bytes(4, "little")
+                    + VIDEO_W.to_bytes(2, "little")
+                    + VIDEO_H.to_bytes(2, "little")
+                    + px.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, blob BINARY"
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, step: int = VIDEO_SAMPLE_STEP
+) -> DataFrame:
+    """Parse each KVID blob and emit one row per SAMPLED frame (every
+    ``step``-th), carrying the frame's exact integer pixel sum — the
+    per-frame feature a real pipeline would replace with an embedding.
+
+    The frame stride-slice is a zero-copy numpy reshape over the blob;
+    unsampled frames are never materialized as rows. Blobs stay inside
+    the executor; only (doc_id, frame_idx, scalars) leave the stage."""
+    import numpy as np
+    import pandas as pd
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_idx": [],
+                   "frame_sum": []}
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[:4] != b"KVID":
+                    continue  # non-video blob: skip, never crash the task
+                n = int.from_bytes(blob[4:8], "little")
+                w = int.from_bytes(blob[8:10], "little")
+                h = int.from_bytes(blob[10:12], "little")
+                arr = np.frombuffer(blob[12:], dtype=np.uint8).reshape(
+                    n, w * h
+                )
+                for fi in range(0, n, step):
+                    out["doc_id"].append(int(did))
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(fi)
+                    out["frame_sum"].append(int(arr[fi].sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        sample,
+        schema="doc_id BIGINT, n_frames BIGINT, frame_idx BIGINT, "
+               "frame_sum BIGINT",
+    )
+
+
+@query(
+    "m5_video_frame_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, doc_id % 24 + 4 AS n_frames FROM documents),
+    fr AS (SELECT doc_id, n_frames,
+                  unnest(range(0, n_frames, {VIDEO_SAMPLE_STEP}))
+                    AS frame_idx FROM d),
+    px AS (SELECT doc_id, n_frames, frame_idx,
+                  unnest(range(0, {VIDEO_W * VIDEO_H})) AS p FROM fr),
+    s AS (SELECT doc_id, n_frames, frame_idx,
+                 sum((doc_id*31 + frame_idx*7 + p*3) % 256) AS fs
+          FROM px GROUP BY 1,2,3)
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           count(*) AS n_sampled, CAST(sum(fs) AS BIGINT) AS sum_px,
+           round(sum(fs)/(count(*)*{float(VIDEO_W * VIDEO_H)}), 4)
+             AS mean_px
+    FROM s GROUP BY doc_id, n_frames ORDER BY doc_id
+    """,
+)
+def m5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: synthesize real raw-frame videos from doc_id formulas,
+    chunk-parse the container, stride-sample every 4th frame, and
+    aggregate exact per-frame pixel sums per video. The oracle
+    recomputes every sampled pixel from the formula, so a header-offset,
+    stride, frame-count, or sampling-phase bug flips the hash.
+
+    Scale: synthesis and sampling are Arrow-batched mapInPandas stages
+    with no shuffle — frames are decoded where the blob lives and only
+    per-frame scalar rows (frames/step per video) cross into the
+    per-video aggregate; 100 TB of video is embarrassingly parallel in
+    the same way as m1-m4. Integer pixel sums keep every stage
+    FP-exact."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    frames = sample_video_frames(synthesize_video(docs))
+    return (
+        frames.groupBy("doc_id", "n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("frame_sum").alias("sum_px"),
+            F.round(
+                F.sum("frame_sum")
+                / (F.count(F.lit(1)) * (VIDEO_W * VIDEO_H)),
+                4,
+            ).alias("mean_px"),
+        )
+        .orderBy("doc_id")
+    )

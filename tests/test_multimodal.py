@@ -439,3 +439,40 @@ def test_audio_decode_resample_property_roundtrip():
         assert out.tolist() == expect
 
     roundtrip()
+
+
+def test_m5_kvid_sampler_golden_and_phase(spark):
+    """Hand-built KVID container: the sampler must honor the header
+    geometry (not the synthesis formula), emit exactly the stride-0
+    sampling phase, and sum the real payload bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    # 2x2 frames, 5 of them, payload = arbitrary non-formula bytes.
+    frames = np.arange(20, dtype=np.uint8).reshape(5, 4) * 3 % 251
+    blob = (
+        b"KVID" + (5).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + frames.tobytes()
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "blob": [bytearray(blob)]}),
+        schema="doc_id BIGINT, blob BINARY",
+    )
+    rows = sorted(
+        (r.frame_idx, r.frame_sum, r.n_frames)
+        for r in sample_video_frames(df, step=2).collect()
+    )
+    expect = [(fi, int(frames[fi].sum()), 5) for fi in (0, 2, 4)]
+    assert rows == expect
+
+    # A non-KVID blob must be skipped, not crash the task.
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [8], "blob": [bytearray(b"JUNKxxxx")]}),
+        schema="doc_id BIGINT, blob BINARY",
+    )
+    assert sample_video_frames(bad).count() == 0
