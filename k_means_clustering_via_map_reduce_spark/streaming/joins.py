@@ -201,3 +201,76 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts", "segment")
     )
+
+
+def left_outer_attribution(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """K15 join body: every view, attributed clicks attached when they
+    exist — the UNMATCHED views emit a NULL-click row only once the
+    watermark proves no qualifying click can still arrive."""
+    v = _with_event_time(views).withWatermark("ts", WATERMARK).alias("v")
+    c = _with_event_time(clicks).withWatermark("ts", WATERMARK).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"""
+            v.user_id = c.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("c.ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
+@query(
+    "k15_stream_outer_join",
+    oracle=f"""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    m AS (SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+                 v.ts AS view_ts, c.ts AS click_ts
+          FROM v JOIN c ON v.user_id = c.user_id
+            AND c.ts > v.ts AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 10 MINUTE AS w),
+    unmatched AS (
+      SELECT v.event_id AS view_id, NULL::BIGINT AS click_id, v.user_id,
+             v.ts AS view_ts, NULL::TIMESTAMP AS click_ts
+      FROM v, wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.event_id)
+        AND v.ts + {ATTRIBUTION_WINDOW_SQL} < wm.w)
+    SELECT * FROM m UNION ALL SELECT * FROM unmatched
+    ORDER BY view_id, click_id
+    """,
+)
+def k15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K15 — stream-stream LEFT OUTER interval join: k6's attribution
+    with the no-click views KEPT. Unlike every other streaming entry,
+    the NULL-side rows are *watermark-manufactured*: Spark may emit an
+    unmatched view only when the watermark passes ``view.ts + window``
+    (the point at which a matching click is provably impossible), so the
+    RESULT — not just the timing — depends on eviction semantics.
+
+    The oracle replays exactly that contract: matched pairs are the
+    batch interval join; NULL rows are the unmatched views whose
+    eviction bound lies strictly below the terminal JOIN watermark —
+    which is the MIN of the two sides' watermarks,
+    ``least(max view ts, max click ts) - delay``, NOT the global events
+    max (each watermark node tracks only the rows that flow through it;
+    the corpus's last event is often a purchase neither side sees).
+    Views nearer the stream's end stay buffered when AvailableNow
+    terminates, and are correctly ABSENT. A join
+    that drops late state too early, never evicts, or emits unmatched
+    rows eagerly (the batch left-join shortcut) all flip the hash.
+
+    Scale: state is O(window · arrival rate) per key like k6 — the
+    outer flavor adds only a matched-bit per buffered view; emission
+    is driven by the same watermark bookkeeping that bounds the state."""
+    res = _run_append_stream(spark, sf_dir, left_outer_attribution)
+    return res.orderBy("view_id", "click_id")
