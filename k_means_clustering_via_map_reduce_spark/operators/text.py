@@ -867,3 +867,61 @@ def sql_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t16_documents GROUP BY source ORDER BY source
         """
     )
+
+
+@query(
+    "t17_url_parse",
+    oracle="""
+    WITH u AS (SELECT doc_id, source || '.example.com' AS host,
+          '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+          n_chars AS q FROM documents)
+    SELECT host, count(*) AS n_docs, CAST(sum(q) AS BIGINT) AS sum_q,
+           min(path) AS min_path, max(path) AS max_path
+    FROM u GROUP BY host ORDER BY host
+    """,
+)
+def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17: URL component extraction with `parse_url` — the
+    host/path/query-param decomposition every web-corpus pipeline runs
+    before host-level dedup, domain mixing (p5's weights are per-host
+    in practice), and robots/blocklist joins.
+
+    URLs are synthesized in-query from document fields, so the oracle
+    recomputes each component from the SAME fields directly — parse_url
+    is thereby pinned against ground truth rather than against another
+    parser's quirks. The query-param path exercises the
+    (url, 'QUERY', key) three-argument form.
+
+    Scale: parse_url is a narrow JVM projection (one codegen stage, no
+    UDF); the host aggregate is the standard partial+final hash agg.
+    At 100 TB host cardinality is millions — still a plain hash key,
+    with d1b's posting-cap idiom available if one host dominates."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("n_chars").cast("string"),
+        F.lit("&s=1"),
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("q_param").cast("bigint")).alias("sum_q"),
+            F.min("path").alias("min_path"),
+            F.max("path").alias("max_path"),
+        )
+        .orderBy("host")
+    )

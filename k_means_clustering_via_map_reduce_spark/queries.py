@@ -2967,3 +2967,160 @@ def f11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F12 — bucketed-table co-located join, driver-checked. The bucketed
+# sink (`sources/sinks.write_bucketed`) was previously pytest-only
+# surface; this entry runs the read side end-to-end: both join sides
+# persisted hash-bucketed on the join key, then sort-merge-joined with
+# ZERO exchange under the join — the shuffle-once-at-write-time lever
+# for repeated 100 TB fact joins.
+# --------------------------------------------------------------------------
+_BUCKETED_STAGED: dict[str, object] = {}
+
+
+@query(
+    "f12_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    ORDER BY c_mktsegment, o_orderstatus
+    """,
+)
+def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(segment, status) order stats through BUCKETED tables.
+
+    Staging writes orders and customer hash-bucketed (8 buckets) and
+    bucket-sorted on the custkey; the join carries a `merge` hint so
+    the plan is a SortMergeJoin whose BOTH inputs read co-located
+    buckets directly (`Bucketed: true`, no Exchange under the join —
+    pinned in tests/test_plans.py). The layout must never change
+    results: the oracle replays the plain join over the ORIGINAL
+    parquet.
+
+    Scale: at 100 TB the fact-table shuffle is paid ONCE at ingest
+    (write_bucketed's repartition) and amortized over every subsequent
+    key join/aggregation; bucket count is the parallelism knob and
+    would be sized to cluster cores × small multiple, not 8."""
+    from k_means_clustering_via_map_reduce_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    key = staging_key(sf_dir, "orders")
+    if _BUCKETED_STAGED.get("key") != key:
+        # A previous PROCESS may have left the managed-table location on
+        # disk while this session's in-memory catalog has no entry for
+        # it — saveAsTable then refuses with LOCATION_ALREADY_EXISTS.
+        # Drop catalog entries AND stale locations before staging.
+        import os
+        import shutil as _sh
+        from urllib.parse import urlparse as _urlparse
+
+        warehouse = _urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path
+        for tbl in ("f12_orders_b", "f12_customer_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            _sh.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ),
+            "f12_orders_b",
+            ("o_custkey",),
+            8,
+            sort_cols=("o_custkey",),
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            "f12_customer_b",
+            ("c_custkey",),
+            8,
+            sort_cols=("c_custkey",),
+        )
+        _BUCKETED_STAGED["key"] = key
+    ob = spark.table("f12_orders_b")
+    cb = spark.table("f12_customer_b")
+    return (
+        ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q55 — IGNORE NULLS navigation: per-user forward fill (last click value
+# at-or-before each event) and backward fill (next click value
+# at-or-after), over NULLs synthesized from the event type. Completes
+# the window family's null-navigation face (q33 gap-fills a SERIES;
+# this navigates sparse values inside an EVENT sequence — the
+# last-known-attribute idiom of sessionized telemetry).
+# --------------------------------------------------------------------------
+@query(
+    "q55_ignore_nulls_nav",
+    oracle="""
+    WITH b AS (SELECT event_id, user_id, ts,
+          CASE WHEN event_type = 'click' THEN round(value, 4) END AS cv
+        FROM events)
+    SELECT event_id, user_id,
+           last_value(cv IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_click_v,
+           first_value(cv IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_click_v
+    FROM b ORDER BY event_id LIMIT 1000
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward/backward fill of the sparse click value per user.
+
+    Both fills share ONE user_id hash exchange (two frames over the
+    same partitioning+ordering); boundary rows before a user's first
+    click / after their last stay NULL on both engines — the
+    null-preserving corner the IGNORE NULLS modifier is usually
+    assumed, not checked, to honor.
+
+    Scale: one exchange + per-partition sort, the q11 shape; the fill
+    itself is frame-local state (a single remembered value), not a
+    join against the click subset."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "click", F.round("value", 4)
+        ).alias("cv"),
+    )
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            F.last("cv", ignorenulls=True).over(w_ff).alias("last_click_v"),
+            F.first("cv", ignorenulls=True).over(w_bf).alias("next_click_v"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )

@@ -469,3 +469,30 @@ def test_p6_shared_shard_exchange(spark, sf_dir):
 
     df = Q.QUERIES["p6_epoch_shuffle"](spark, sf_dir)
     assert count_shuffles(df) <= 3
+
+
+def test_f12_bucketed_join_no_join_exchange(spark, sf_dir):
+    """Both f12 sides read co-located buckets: the SortMergeJoin must
+    have NO Exchange beneath it (the only shuffles are the aggregate
+    and the presentation sort), and the scans must report the bucketed
+    layout."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        count_shuffles,
+        physical_plan,
+    )
+
+    df = Q.QUERIES["f12_bucketed_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    assert count_shuffles(df) <= 2
+
+
+def test_q55_fills_share_one_window_exchange(spark, sf_dir):
+    """Forward and backward fill partition+order identically: one
+    user_id exchange plus the presentation sort."""
+    from k_means_clustering_via_map_reduce_spark.plans import count_shuffles
+
+    df = Q.QUERIES["q55_ignore_nulls_nav"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
