@@ -3124,3 +3124,85 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(1000)
     )
+
+
+# --------------------------------------------------------------------------
+# Q56 — ordered-set string aggregation (LISTAGG, Spark 4.0 SPARK-42746):
+# DISTINCT values concatenated under an explicit WITHIN GROUP ordering.
+# Without the ordering clause the result is partition-order-dependent —
+# the classic nondeterminism trap this entry pins shut on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q56_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ','
+                      ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct order statuses per priority as one ordered CSV cell.
+
+    Scale: LISTAGG is the one aggregate whose STATE is output-sized —
+    fine here (≤3 statuses) and for any bounded-domain column, but at
+    100 TB an unbounded listagg is a driver-killer by construction;
+    the engine's contract is ordered-DISTINCT over bounded domains
+    (beyond that, keep rows relational — explode is free, concat is
+    not)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q56_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n
+        FROM q56_orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q57 — deterministic MODE + exact MEDIAN per group. Spark's
+# mode(expr, true) breaks frequency ties toward the LOWEST value — the
+# oracle replays that contract relationally (count → rank by (cnt DESC,
+# value)) instead of trusting DuckDB's own arbitrary-tie mode; median is
+# interpolated percentile(0.5) on both engines (q29's h-formula).
+# --------------------------------------------------------------------------
+@query(
+    "q57_mode_median",
+    oracle="""
+    WITH c AS (SELECT event_type, user_id % 10 AS b, count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, b, row_number() OVER
+            (PARTITION BY event_type ORDER BY cnt DESC, b) AS rk FROM c)
+    SELECT e.event_type, r.b AS mode_bucket,
+           round(median(e.value), 4) AS med_value, count(*) AS n
+    FROM events e JOIN r ON e.event_type = r.event_type AND r.rk = 1
+    GROUP BY e.event_type, r.b ORDER BY e.event_type
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common user bucket (deterministic tie-break) and exact
+    median value per event type.
+
+    Scale: mode's state is a per-group value→count map — bounded here
+    (10 buckets) but corpus-sized for high-cardinality columns, where
+    t5's sketches are the production substitute; exact median requires
+    the full sorted group (Spark buffers per group), with
+    approx_percentile as the bounded-memory fallback. Declaring the
+    exact forms WITH their memory contracts is the point of this
+    entry."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("mode(user_id % 10, true)").alias("mode_bucket"),
+            F.round(F.expr("median(value)"), 4).alias("med_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
