@@ -1079,3 +1079,75 @@ def fuzzy_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D9 — incremental batch-vs-corpus dedup: the gate every CONTINUOUS
+# ingestion pipeline runs — "of this recrawl batch, what do we already
+# have?" — deduping the incoming batch against the existing corpus
+# WITHOUT ever comparing the corpus to itself (d1/d2/d6 are the
+# full-corpus builds; this is the steady-state increment). Fixture texts
+# are all unique, so the incoming batch is synthesized in-query as a
+# recrawl: doc_id % 5 == 0 pages come back byte-identical under a new
+# crawl id (true dups), doc_id % 5 == 1 pages come back edited (must
+# ingest) — both arms live, both SQL-replayed.
+# --------------------------------------------------------------------------
+@query(
+    "d9_incremental_dedup",
+    oracle="""
+    WITH base AS (SELECT DISTINCT md5(text) AS h FROM documents),
+    inc AS (SELECT doc_id + 100000 AS new_id, source,
+                   CASE WHEN doc_id % 5 = 0 THEN text
+                        ELSE text || ' updated' END AS text
+            FROM documents WHERE doc_id % 5 < 2),
+    n AS (SELECT new_id, source, md5(text) AS h FROM inc)
+    SELECT source, count(*) AS n_new,
+           CAST(sum(CASE WHEN h IN (SELECT h FROM base)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(count(*) - sum(CASE WHEN h IN (SELECT h FROM base)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_ingest
+    FROM n GROUP BY source ORDER BY source
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source triage of a recrawl batch against the corpus hash set.
+
+    The corpus side is reduced to DISTINCT content hashes BEFORE the
+    join (32-byte rows, never text), and the membership test is a LEFT
+    SEMI join on the hash — at 100 TB the base hash set lives as its
+    own bucketed table (f12's lever) keyed on the hash, so the daily
+    increment joins shuffle-free against it; only the (small) batch
+    ever re-shuffles. The near-dup variant swaps md5 for d2's MinHash
+    band keys with the same new-vs-base-only join shape.
+
+    Scale: corpus self-pairs are structurally impossible here — the
+    increment's cost is O(batch) + one hash-set probe, independent of
+    corpus growth except through the (bucketed, sorted) index scan."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    inc = d.filter(F.col("doc_id") % 5 < 2).select(
+        (F.col("doc_id") + 100000).alias("new_id"),
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" updated")))
+        .alias("text"),
+    )
+    base_h = d.select(
+        F.md5(F.encode("text", "UTF-8")).alias("h")
+    ).distinct()
+    newh = inc.select(
+        "new_id", "source", F.md5(F.encode("text", "UTF-8")).alias("h")
+    )
+    dup_ids = newh.join(base_h, "h", "left_semi").select(
+        "new_id", F.lit(1).alias("dup")
+    )
+    n_dup = F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+    return (
+        newh.join(F.broadcast(dup_ids), "new_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            n_dup.alias("n_dup"),
+            (F.count(F.lit(1)) - n_dup).alias("n_ingest"),
+        )
+        .orderBy("source")
+    )

@@ -587,3 +587,57 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return pq_adc_topk(e, q).orderBy("query_id", "rank")
+
+
+@query(
+    "s6_filtered_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    en AS (SELECT e.* FROM e JOIN documents d ON e.vec_id = d.doc_id
+           WHERE d.lang = 'en'),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {TOPK_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, en.vec_id AS neighbor_id,
+             list_dot_product(q.qv, en.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(en.v, en.v))) AS cos,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.qv, en.v)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(en.v, en.v))) DESC,
+                        en.vec_id ASC) AS rank
+      FROM q JOIN en ON en.vec_id != q.query_id)
+    SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim
+    FROM scored WHERE rank <= {TOPK_K} ORDER BY query_id, rank
+    """,
+)
+def s6_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: metadata-filtered similarity search — top-k cosine neighbors
+    among ONLY the corpus rows passing a document predicate
+    (lang = 'en'), the retrieval shape of every filtered vector store
+    ("nearest English documents").
+
+    PRE-filtering is the declared contract: the predicate semi-joins
+    the corpus down BEFORE any distance is computed, so k results are
+    guaranteed (post-filtering an unfiltered top-k loses recall when
+    the filter is selective — the classic filtered-ANN bug, which this
+    oracle would catch as missing rows). The predicate side broadcasts
+    (it is an id list); the filtered corpus then flows through the s1
+    broadcast-probe/window plan unchanged.
+
+    Scale: at selectivity s the scan cost drops to s·corpus; for the
+    IVF path (s3) the same semi-join applies per probed cell. The
+    window top-k keeps only (queries × k) rows past the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    en_ids = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = e.join(F.broadcast(en_ids), "vec_id", "left_semi")
+    queries = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return brute_force_topk(corpus, queries).orderBy("query_id", "rank")

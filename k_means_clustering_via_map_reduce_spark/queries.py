@@ -3206,3 +3206,65 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# F13 — XML ingestion (Spark 4.0 built-in XML, SPARK-44751): from_xml
+# with an explicit schema over element AND attribute extraction. The
+# last text-interchange format in the matrix (f1 JSONL, f2 CSV, f7 log
+# lines, f10 VARIANT, f13 XML). XML is synthesized in-query from
+# document fields, so the oracle replays the SAME fields directly —
+# from_xml is pinned against ground truth, and the per-row id-attribute
+# equality check (n_id_ok == n_docs) proves row-level parse fidelity,
+# not just aggregate luck.
+# --------------------------------------------------------------------------
+@query(
+    "f13_xml_ingest",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(*) AS n_id_ok
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse per-document XML records (attribute `_id`, elements
+    `lang`/`chars`) with an explicit schema and aggregate per language.
+
+    Scale: from_xml is a narrow JVM projection — no UDF, no shuffle
+    before the aggregate; a 100 TB XML corpus reads as text lines (f7's
+    splittable contract) with from_xml as the parse stage. Schema
+    inference is prohibited engine-wide (SURVEY.md §1.5): the explicit
+    schema keeps the parse deterministic and malformed records NULL
+    (ANSI-safe) instead of corpus-dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars></doc>"),
+    )
+    parsed = d.select("doc_id", xml.alias("x")).select(
+        "doc_id",
+        F.from_xml("x", "_id BIGINT, lang STRING, chars BIGINT").alias("p"),
+    )
+    return (
+        parsed.select(
+            "doc_id",
+            F.col("p._id").alias("xid"),
+            F.col("p.lang").alias("lang"),
+            F.col("p.chars").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("sum_chars"),
+            F.sum(F.when(F.col("xid") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_id_ok"),
+        )
+        .orderBy("lang")
+    )
