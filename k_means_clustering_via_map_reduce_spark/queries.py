@@ -3268,3 +3268,125 @@ def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q58 — multiplicity-preserving set ops: INTERSECT ALL (bag semantics —
+# min of per-side multiplicities) beside UNION's distinct fold.
+# Completes the set-op family q12 (EXCEPT ALL / UNION ALL) and q23
+# (INTERSECT) opened: every ANSI set operator now has a driver-checked
+# entry in exactly one multiplicity flavor that distinguishes it from
+# the others. Non-vacuous on fixtures: the high-value key list carries
+# repeat customers (507 bag rows vs 148 distinct at sf0.001).
+# --------------------------------------------------------------------------
+@query(
+    "q58_set_ops_all",
+    oracle="""
+    WITH hi AS (SELECT o_custkey AS k FROM orders
+                WHERE o_totalprice > 150000),
+    op AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    ia AS (SELECT k FROM hi INTERSECT ALL SELECT k FROM op),
+    ud AS (SELECT k FROM hi UNION SELECT k FROM op)
+    SELECT 'intersect_all' AS op, count(*) AS n,
+           count(DISTINCT k) AS n_distinct FROM ia
+    UNION ALL
+    SELECT 'union_distinct' AS op, count(*) AS n,
+           count(DISTINCT k) AS n_distinct FROM ud
+    ORDER BY op
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL vs UNION(distinct) multiplicity counts over the
+    same two keyed inputs.
+
+    Scale: Spark plans INTERSECT ALL as one hash aggregate per side +
+    a join on the key with generate-style multiplicity replay — never a
+    pair blow-up; UNION distinct is union + hash aggregate. Both
+    shapes are single-exchange on the key."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q58_orders"
+    )
+    return spark.sql(
+        """
+        WITH hi AS (SELECT o_custkey AS k FROM q58_orders
+                    WHERE o_totalprice > 150000),
+        op AS (SELECT o_custkey AS k FROM q58_orders
+               WHERE o_orderstatus = 'O'),
+        ia AS (SELECT k FROM hi INTERSECT ALL SELECT k FROM op),
+        ud AS (SELECT k FROM hi UNION SELECT k FROM op)
+        SELECT 'intersect_all' AS op, count(*) AS n,
+               count(DISTINCT k) AS n_distinct FROM ia
+        UNION ALL
+        SELECT 'union_distinct' AS op, count(*) AS n,
+               count(DISTINCT k) AS n_distinct FROM ud
+        ORDER BY op
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# F14 — catalog DML: CTAS + INSERT INTO, driver-checked. The
+# table-lifecycle surface a user migrating FROM the reference's
+# file-shuffling scripts TO the engine actually touches first: create a
+# managed table from a query, append a second batch with INSERT INTO,
+# read the union back. (UPDATE/DELETE on raw parquet require a
+# transactional table format; the engine's declared equivalent is f6's
+# MERGE rewrite + partition-level copy-on-write.)
+# --------------------------------------------------------------------------
+@query(
+    "f14_ctas_insert",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4)
+             AS total_bal
+    FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS the BUILDING segment into a managed parquet table, INSERT
+    INTO the MACHINERY segment, aggregate the combined table. The
+    oracle reads the ORIGINAL customer table, so a lost INSERT batch,
+    a double-applied CTAS, or append-vs-overwrite confusion flips the
+    hash.
+
+    Scale: CTAS/INSERT INTO are the same distributed parquet writes as
+    df.write (one file per task); INSERT INTO appends new files without
+    touching existing ones — at 100 TB the append pattern composes
+    with partitionBy (f3) and bucketing (f12), and f8's compaction
+    handles the small-file accumulation INSERT streams create."""
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "f14_customer"
+    )
+    # Fresh table per run: CTAS must see neither a catalog entry nor a
+    # stale warehouse location from a previous process (f12's lesson).
+    import os
+
+    warehouse = _urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    spark.sql("DROP TABLE IF EXISTS f14_seg")
+    _sh.rmtree(os.path.join(warehouse, "f14_seg"), ignore_errors=True)
+    spark.sql(
+        """
+        CREATE TABLE f14_seg USING parquet AS
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM f14_customer
+        WHERE c_mktsegment = 'BUILDING'
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO f14_seg
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM f14_customer
+        WHERE c_mktsegment = 'MACHINERY'
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(c_acctbal), 4) AS total_bal
+        FROM f14_seg GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
