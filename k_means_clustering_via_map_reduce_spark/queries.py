@@ -52,6 +52,7 @@ def load_all() -> None:
     """Import every module that registers query-surface entries."""
     import k_means_clustering_via_map_reduce_spark.kmeans  # noqa: F401
     import k_means_clustering_via_map_reduce_spark.operators  # noqa: F401
+    import k_means_clustering_via_map_reduce_spark.sources.python_source  # noqa: F401
     import k_means_clustering_via_map_reduce_spark.streaming  # noqa: F401
 
 
@@ -3389,4 +3390,56 @@ def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(c_acctbal), 4) AS total_bal
         FROM f14_seg GROUP BY c_mktsegment ORDER BY c_mktsegment
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q59 — null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+# MATCH each other, unlike plain = (where NULL = NULL is NULL and the
+# rows silently vanish from an inner join). The join-predicate face of
+# q40/q42's three-valued-logic family, with NULLs synthesized on BOTH
+# sides so the NULL×NULL pair block is live in the result.
+# --------------------------------------------------------------------------
+@query(
+    "q59_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE user_id END AS k FROM events),
+    b AS (SELECT event_id AS b_id, CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE user_id END AS k FROM events)
+    SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair counts through a null-safe equi-join, split into the
+    NULL-key block vs keyed matches.
+
+    Scale: `<=>` remains a HASH-joinable equi-predicate (NULL hashes
+    like any value under null-safe semantics) — Spark plans the same
+    shuffled hash join as plain `=`, it does NOT degrade to a nested
+    loop; but every NULL on both sides lands in ONE key group, so at
+    100 TB a null-heavy column makes `<=>` the textbook skew key —
+    filter the NULL block out and union it back (or salt, q34) when
+    nulls dominate."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(a.k.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_pairs"),
     )

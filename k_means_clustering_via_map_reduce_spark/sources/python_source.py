@@ -1,0 +1,128 @@
+"""F15 — custom Python DataSource (Spark 4.0, SPARK-44076): the
+user-defined SOURCE extension point, completing the extension family
+(scalar/grouped/table functions are t8/t13/t14/t16; this is the input
+side). A real connector (REST API, message bus, bespoke binary store)
+implements exactly this shape: declare a schema, split the scan into
+``InputPartition``s, and yield rows per partition on the EXECUTORS.
+
+The demo source synthesizes deterministic "sensor readings" from row
+formulas, so the driver oracle can recompute every value — connector
+plumbing (schema contract, partition planning, per-partition iteration,
+option parsing) is proven without external infrastructure, the same
+honest-stub discipline as the multimodal codec boundary
+(operators/multimodal.py).
+
+The reference's only source is its hand-split CSV scan
+(master.py:113-133, mapper.py:22-43); this is the engine's answer to
+"what if my data isn't in a file format Spark ships".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.queries import query
+
+try:  # pragma: no cover - import guard mirrors the k8b dependency gate
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    _HAVE_DATASOURCE = True
+except ImportError:  # pre-4.0 PySpark
+    _HAVE_DATASOURCE = False
+
+
+SENSOR_ROWS = 1000
+SENSOR_PARTS = 8
+
+
+if _HAVE_DATASOURCE:
+
+    class SensorReader(DataSourceReader):
+        """Partition-parallel reader: partition i yields rows
+        i, i+P, i+2P, ... — a deterministic round-robin split, so the
+        result is independent of partition count (pinned in
+        tests/test_sinks.py)."""
+
+        def __init__(self, options):
+            self.n = int(options.get("rows", str(SENSOR_ROWS)))
+            self.parts = int(options.get("partitions", str(SENSOR_PARTS)))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, part):
+            # Runs on the executor for exactly one InputPartition.
+            for r in range(part.value, self.n, self.parts):
+                yield (r, r % 10, float((r * 37) % 1000) / 10.0)
+
+    class SensorSource(DataSource):
+        """``spark.read.format("kmce_sensor")`` — schema + reader
+        factory. Writer support would subclass DataSourceWriter the
+        same way; streaming support, SimpleDataSourceStreamReader."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "kmce_sensor"
+
+        def schema(self) -> str:
+            return "reading_id BIGINT, sensor BIGINT, temp DOUBLE"
+
+        def reader(self, schema):
+            return SensorReader(self.options)
+
+
+def read_sensor(
+    spark: SparkSession,
+    rows: int = SENSOR_ROWS,
+    partitions: int = SENSOR_PARTS,
+) -> DataFrame:
+    """Register (idempotent) and read the custom source."""
+    spark.dataSource.register(SensorSource)
+    return (
+        spark.read.format("kmce_sensor")
+        .option("rows", str(rows))
+        .option("partitions", str(partitions))
+        .load()
+    )
+
+
+if _HAVE_DATASOURCE:
+
+    @query(
+        "f15_python_datasource",
+        oracle=f"""
+        WITH r AS (SELECT unnest(range(0, {SENSOR_ROWS})) AS reading_id),
+        s AS (SELECT reading_id, reading_id % 10 AS sensor,
+                     ((reading_id * 37) % 1000) / 10.0 AS temp FROM r)
+        SELECT sensor, count(*) AS n, round(sum(temp), 4) AS sum_temp
+        FROM s GROUP BY sensor ORDER BY sensor
+        """,
+    )
+    def f15_python_datasource(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Scan the custom Python source across 8 InputPartitions and
+        aggregate per sensor; the oracle regenerates every reading from
+        the row formula, so a dropped partition, a mis-split range, or
+        an option-parsing bug flips the hash.
+
+        Scale: partition planning happens on the driver (cheap
+        metadata); row production is executor-side and Arrow-batched by
+        the DataSource framework. A Python source pays the
+        Python-worker toll per batch — the documented contract is
+        connectors-and-stubs here, bulk columnar data through the
+        native readers (f1-f14)."""
+        return (
+            read_sensor(spark)
+            .groupBy("sensor")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("temp"), 4).alias("sum_temp"),
+            )
+            .orderBy("sensor")
+        )

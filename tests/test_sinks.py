@@ -260,3 +260,22 @@ def test_f9_gzip_layout_and_parallelism_contract(spark, sf_dir):
     )
     assert len(file_to_parts) == Q.GZ_JSONL_FILES
     assert all(r["n"] == 1 for r in file_to_parts)
+
+
+def test_f15_sensor_source_partition_independence(spark):
+    """The custom Python DataSource's round-robin split must produce the
+    SAME rows at any partition count, and actually plan one task per
+    declared InputPartition."""
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        _HAVE_DATASOURCE,
+        read_sensor,
+    )
+
+    if not _HAVE_DATASOURCE:
+        import pytest
+
+        pytest.skip("pyspark.sql.datasource unavailable")
+    a = sorted(read_sensor(spark, rows=200, partitions=3).collect())
+    b = sorted(read_sensor(spark, rows=200, partitions=7).collect())
+    assert a == b and len(a) == 200
+    assert read_sensor(spark, rows=200, partitions=7).rdd.getNumPartitions() == 7
