@@ -13,7 +13,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+# Python WORKERS (pandas UDFs, custom DataSources) unpickle engine
+# classes by module reference; they inherit PYTHONPATH from the JVM,
+# which inherits it from this process — export it BEFORE the driver
+# builds its SparkSession so workers can import the package when the
+# driver runs outside the repo directory.
+if _HERE not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _HERE + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _HERE
+    )
 
 import k_means_clustering_via_map_reduce_spark.queries as _Q
 

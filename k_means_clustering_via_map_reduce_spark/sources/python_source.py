@@ -126,3 +126,133 @@ if _HAVE_DATASOURCE:
             )
             .orderBy("sensor")
         )
+
+
+# --------------------------------------------------------------------------
+# K16 — custom STREAMING Python DataSource (SimpleDataSourceStreamReader):
+# the streaming half of f15's connector surface. A real connector (queue
+# consumer, CDC tail, HTTP poll) implements exactly this: offsets as
+# plain dicts, read(start) -> (rows, nextOffset) prefetched on the
+# driver, readBetweenOffsets replaying committed ranges on recovery.
+# --------------------------------------------------------------------------
+TICK_TOTAL = 1000
+TICK_CHANNELS = 5
+
+
+def _tick_rows(start: int, end: int):
+    # A LIST, not a generator: the simple-reader wrapper caches the
+    # prefetched batch and pickles it for recovery replay — generators
+    # fail that pickle at planInputPartitions time.
+    return [
+        (r, r % TICK_CHANNELS, float((r * 13) % 100))
+        for r in range(start, end)
+    ]
+
+
+if _HAVE_DATASOURCE:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class TickStreamReader(SimpleDataSourceStreamReader):
+        """Offset = {"pos": next_unread_row}. ``read`` drains every row
+        available at the trigger (the AvailableNow contract: the
+        prefetched chunk at trigger start IS the batch — a partial
+        chunk would simply be the next trigger's work in a live
+        stream); ``readBetweenOffsets`` deterministically replays any
+        committed range after recovery, which the restart pytest
+        exercises across two runs sharing a checkpoint."""
+
+        def __init__(self, options):
+            self.total = int(options.get("total", str(TICK_TOTAL)))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = max(pos, self.total)
+            return _tick_rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return _tick_rows(start["pos"], end["pos"])
+
+    class TickStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "kmce_ticks"
+
+        def schema(self) -> str:
+            return "tick_id BIGINT, chan BIGINT, v DOUBLE"
+
+        def simpleStreamReader(self, schema):
+            return TickStreamReader(self.options)
+
+
+def run_tick_stream(
+    spark: SparkSession, total: int, checkpoint: str
+) -> DataFrame:
+    """Aggregate the tick stream per channel in complete mode through a
+    memory sink; returns the materialized terminal table."""
+    import os
+    import uuid
+
+    spark.dataSource.register(TickStreamSource)
+    name = f"ticks_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("kmce_ticks")
+        .option("total", str(total))
+        .load()
+        .groupBy("chan")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+if _HAVE_DATASOURCE:
+
+    @query(
+        "k16_python_stream_source",
+        oracle=f"""
+        WITH r AS (SELECT unnest(range(0, {TICK_TOTAL})) AS tick_id),
+        s AS (SELECT tick_id, tick_id % {TICK_CHANNELS} AS chan,
+                     CAST((tick_id * 13) % 100 AS DOUBLE) AS v FROM r)
+        SELECT chan, count(*) AS n, round(sum(v), 4) AS sum_v
+        FROM s GROUP BY chan ORDER BY chan
+        """,
+    )
+    def k16_python_stream_source(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-channel totals of the custom tick stream, run as a REAL
+        streaming query (complete mode, AvailableNow, checkpointed).
+        The oracle regenerates every tick from the row formula: a
+        dropped offset range, a double-read, or an option-parsing bug
+        flips the hash. Restart continuity (initialOffset from the
+        checkpoint + readBetweenOffsets replay) is pinned separately in
+        tests/test_sinks.py across two runs sharing one checkpoint.
+
+        Scale: the simple-reader prefetch runs on the DRIVER — right
+        for control-plane-sized feeds (the contract of
+        SimpleDataSourceStreamReader); bulk streams use the partitioned
+        DataSourceStreamReader or the native file/Kafka sources (k4-k15
+        family)."""
+        import tempfile
+
+        ckpt_base = "/dev/shm" if __import__("os").path.isdir("/dev/shm") \
+            else None
+        with tempfile.TemporaryDirectory(
+            prefix="kmce_ticks_", dir=ckpt_base
+        ) as tmp:
+            res = run_tick_stream(spark, TICK_TOTAL, tmp)
+        return res.orderBy("chan")

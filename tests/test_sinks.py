@@ -279,3 +279,33 @@ def test_f15_sensor_source_partition_independence(spark):
     b = sorted(read_sensor(spark, rows=200, partitions=7).collect())
     assert a == b and len(a) == 200
     assert read_sensor(spark, rows=200, partitions=7).rdd.getNumPartitions() == 7
+
+
+def test_k16_tick_stream_restart_exactly_once(spark, tmp_path):
+    """Two AvailableNow runs sharing one checkpoint: run 1 consumes
+    ticks 0..400, run 2 (source grown to 1000) must resume from the
+    COMMITTED offset and consume only 400..1000 — the terminal
+    complete-mode aggregate equals the full-feed aggregate with no
+    double count of the first 400."""
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        _HAVE_DATASOURCE,
+        TICK_CHANNELS,
+        run_tick_stream,
+    )
+
+    if not _HAVE_DATASOURCE:
+        import pytest
+
+        pytest.skip("pyspark.sql.datasource unavailable")
+
+    ckpt = str(tmp_path / "tick_ckpt")
+    run_tick_stream(spark, 400, ckpt)
+    res = {
+        r["chan"]: (r["n"], r["sum_v"])
+        for r in run_tick_stream(spark, 1000, ckpt).collect()
+    }
+    expect = {}
+    for r in range(1000):
+        n, s = expect.get(r % TICK_CHANNELS, (0, 0.0))
+        expect[r % TICK_CHANNELS] = (n + 1, s + float((r * 13) % 100))
+    assert res == {c: (n, round(s, 4)) for c, (n, s) in expect.items()}
