@@ -496,3 +496,24 @@ def test_q55_fills_share_one_window_exchange(spark, sf_dir):
 
     df = Q.QUERIES["q55_ignore_nulls_nav"](spark, sf_dir)
     assert count_shuffles(df) <= 2
+
+
+def test_q59_null_safe_join_stays_hash_joinable(spark, sf_dir):
+    """`<=>` must plan as a HASH join (broadcast or shuffled) — the
+    null-safe predicate is an equi-key, not a theta condition; a
+    BroadcastNestedLoopJoin here would be the quadratic trap the
+    docstring rules out."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    plan = physical_plan(Q.QUERIES["q59_null_safe_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_d9_incremental_probe_never_cartesian(spark, sf_dir):
+    """The batch-vs-corpus membership probe is a keyed semi join on the
+    content hash — no pair space, no corpus self-join."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    plan = physical_plan(Q.QUERIES["d9_incremental_dedup"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
