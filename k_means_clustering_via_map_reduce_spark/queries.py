@@ -3443,3 +3443,111 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q60 — bivariate statistical aggregates: corr / covar_samp /
+# stddev_samp per group. The df.stat face of the aggregate surface —
+# what a feature-engineering pass computes before training. 6-decimal
+# rounding: these are ratios of large co-moment sums, stable far beyond
+# 1e-6 relative despite distributed summation order.
+# --------------------------------------------------------------------------
+@query(
+    "q60_corr_covar",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_sd
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity/price correlation, quantity/discount covariance, and
+    quantity spread per return flag.
+
+    Scale: Spark computes all three via single-pass mergeable co-moment
+    state (Welford-style partial aggregation) — one exchange of
+    (groups × a few doubles), the same partial+final shape as q1; no
+    second pass, no centering join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "qty_disc_covar"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q61 — time-weighted average over irregular samples: each value
+# weighted by its holding interval (seconds until the next sample in
+# the same series), the hypertable/metrics operator a plain avg gets
+# WRONG whenever sampling density correlates with value. dt is floored
+# to whole seconds on BOTH sides (Spark unix_timestamp floors; DuckDB
+# CAST(epoch) ROUNDS — the q39 boundary divergence, pinned here with an
+# explicit floor in the oracle).
+# --------------------------------------------------------------------------
+@query(
+    "q61_time_weighted_avg",
+    oracle="""
+    WITH b AS (SELECT user_id % 100 AS ub, event_id, ts, value AS v
+               FROM events),
+    l AS (SELECT ub, event_id, ts, v,
+                 lead(ts) OVER (PARTITION BY ub ORDER BY ts, event_id)
+                   AS nxt FROM b),
+    d AS (SELECT ub, v, CAST(floor(epoch(nxt)) - floor(epoch(ts))
+                             AS BIGINT) AS dt
+          FROM l WHERE nxt IS NOT NULL)
+    SELECT ub, count(*) AS n_iv, CAST(sum(dt) AS BIGINT) AS total_s,
+           round(sum(v*dt)/sum(dt), 6) AS tw_avg,
+           round(avg(v), 6) AS plain_avg
+    FROM d GROUP BY ub ORDER BY ub
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted vs plain average per user bucket; the final
+    (open-ended) sample of each series carries no interval and is
+    excluded on both sides — the standard last-point convention.
+
+    Scale: ONE series-key exchange serves both the lead() interval
+    construction and the aggregate (q41's shared-exchange idiom); the
+    weighting itself is row-local arithmetic. The plain_avg column sits
+    beside tw_avg so the fixture demonstrates they genuinely diverge
+    (sampling density is value-correlated here)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("ub").orderBy("ts", "event_id")
+    base = (
+        ev.select(
+            (F.col("user_id") % 100).alias("ub"),
+            "event_id",
+            "ts",
+            F.col("value").alias("v"),
+        )
+        .withColumn("nxt", F.lead("ts").over(w))
+        .withColumn(
+            "dt",
+            (F.unix_timestamp("nxt") - F.unix_timestamp("ts"))
+            .cast("bigint"),
+        )
+    )
+    return (
+        base.filter(F.col("dt").isNotNull())
+        .groupBy("ub")
+        .agg(
+            F.count(F.lit(1)).alias("n_iv"),
+            F.sum("dt").alias("total_s"),
+            F.round(F.sum(F.col("v") * F.col("dt")) / F.sum("dt"), 6)
+            .alias("tw_avg"),
+            F.round(F.avg("v"), 6).alias("plain_avg"),
+        )
+        .orderBy("ub")
+    )
