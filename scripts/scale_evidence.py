@@ -306,6 +306,63 @@ def skew_probe(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def incremental_probe(spark: SparkSession) -> None:
+    """d9's declared cost shape, measured: a FIXED recrawl batch (built
+    from the x1 fixture, 2/5 of its docs) probed against corpora grown
+    x1..x8. The dup/ingest split must be IDENTICAL at every corpus size
+    (grown copies carry disjoint prefixed vocabularies, so only copy-0
+    originals can match the batch), while total shuffle grows with the
+    corpus only through the DISTINCT hash-set build — the probe side is
+    batch-sized at any corpus scale."""
+    sc = spark.sparkContext
+    app_id = _app_id()
+    src_docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    batch = src_docs.filter(F.col("doc_id") % 5 < 2).select(
+        (F.col("doc_id") + 100_000_000).alias("new_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" updated")))
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+    rows = []
+    for m in MULTS:
+        corpus = spark.read.parquet(
+            os.path.join(WORK, f"x{m}", "documents.parquet")
+        )
+        grp = f"incremental:x{m}"
+        sc.setJobGroup(grp, grp)
+        t0 = time.perf_counter()
+        base_h = corpus.select(
+            F.md5(F.encode("text", "UTF-8")).alias("h")
+        ).distinct()
+        newh = batch.select(
+            "new_id", F.md5(F.encode("text", "UTF-8")).alias("h")
+        )
+        dup = newh.join(base_h, "h", "left_semi").count()
+        total = batch.count()
+        dt = time.perf_counter() - t0
+        sc.setJobGroup("", "")
+        srows, sbytes = shuffle_metrics(app_id, grp)
+        rows.append((f"x{m}", total, dup, total - dup, dt, srows, sbytes))
+        print(
+            f"# {grp}: batch={total} dup={dup} wall={dt:.1f}s "
+            f"shuffle_rows={srows:,} shuffle_MB={sbytes / 1e6:.1f}",
+            file=sys.stderr,
+            flush=True,
+        )
+    base_split = (rows[0][2], rows[0][3])
+    for r in rows:
+        assert (r[2], r[3]) == base_split, \
+            f"dup/ingest split changed at {r[0]}: {r[2]}/{r[3]}"
+    print("\n| corpus | batch | dup | ingest | wall s | shuffle rows "
+          "| shuffle MB |")
+    print("|---|---|---|---|---|---|---|")
+    for name, total, dup, ing, dt, srows, sbytes in rows:
+        print(
+            f"| {name} | {total} | {dup} | {ing} | {dt:.1f} "
+            f"| {srows:,} | {sbytes / 1e6:.1f} |"
+        )
+
+
 def main() -> None:
     import argparse
 
@@ -323,6 +380,12 @@ def main() -> None:
         "hot-shingle extras are skipped",
     )
     ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="run ONLY the d9 incremental-dedup probe (fixed batch vs "
+        "grown corpora, dup-split invariance + shuffle growth)",
+    )
+    ap.add_argument(
         "--skew",
         action="store_true",
         help="run ONLY the salted-join skew probe (zipf-keyed synthetic "
@@ -332,9 +395,15 @@ def main() -> None:
     if args.skew:
         skew_probe(_spark())
         return
-    run_extras = args.queries is None
     if args.mults:
         MULTS = [int(x) for x in args.mults.split(",")]
+    if args.incremental:
+        spark = _spark()
+        print("building corpora...", file=sys.stderr, flush=True)
+        build_corpora(spark)
+        incremental_probe(spark)
+        return
+    run_extras = args.queries is None
     if args.queries:
         QUERIES_UNDER_TEST = args.queries.split(",")
 
