@@ -274,3 +274,79 @@ def k15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is driven by the same watermark bookkeeping that bounds the state."""
     res = _run_append_stream(spark, sf_dir, left_outer_attribution)
     return res.orderBy("view_id", "click_id")
+
+
+def full_outer_attribution(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """K17 join body: k15's kept-views PLUS unattributed clicks — both
+    NULL sides manufactured by watermark eviction, each under its OWN
+    bound (see k17's docstring)."""
+    v = _with_event_time(views).withWatermark("ts", WATERMARK).alias("v")
+    c = _with_event_time(clicks).withWatermark("ts", WATERMARK).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"""
+            v.user_id = c.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}
+            """
+        ),
+        "full_outer",
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.coalesce(F.col("v.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.col("v.ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("c.ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
+@query(
+    "k17_stream_full_outer_join",
+    oracle=f"""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    m AS (SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+                 v.ts AS view_ts, c.ts AS click_ts
+          FROM v JOIN c ON v.user_id = c.user_id
+            AND c.ts > v.ts AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 10 MINUTE AS w),
+    uv AS (SELECT v.event_id AS view_id, NULL::BIGINT AS click_id,
+                  v.user_id, v.ts AS view_ts, NULL::TIMESTAMP AS click_ts
+           FROM v, wm
+           WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.event_id)
+             AND v.ts + {ATTRIBUTION_WINDOW_SQL} < wm.w),
+    uc AS (SELECT NULL::BIGINT AS view_id, c.event_id AS click_id,
+                  c.user_id, NULL::TIMESTAMP AS view_ts, c.ts AS click_ts
+           FROM c, wm
+           WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.event_id)
+             AND c.ts < wm.w)
+    SELECT * FROM m UNION ALL SELECT * FROM uv UNION ALL SELECT * FROM uc
+    ORDER BY view_id NULLS LAST, click_id NULLS LAST
+    """,
+)
+def k17_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K17 — stream-stream FULL OUTER interval join, completing the
+    streaming outer family (k6 inner, k15 left). Each NULL side has a
+    DIFFERENT watermark-derived eviction bound, and the oracle encodes
+    both: an unmatched VIEW emits once the watermark passes
+    ``view.ts + window`` (no future click can land in its window —
+    k15's bound), while an unmatched CLICK emits once the watermark
+    merely passes ``click.ts`` (a matching view must PRECEDE the click,
+    and any future view arrives with ts above the watermark; a click
+    needs no window-length grace). Both bounds are measured against the
+    per-side-min terminal watermark (k15's least() contract) — getting
+    either bound wrong, or reusing the view bound for clicks, flips the
+    hash.
+
+    Scale: identical state machine to k6/k15 — the full-outer flavor
+    tracks a matched-bit on BOTH buffers; state remains
+    O(window · rate) per key with clicks evicting a full window sooner
+    than views."""
+    res = _run_append_stream(spark, sf_dir, full_outer_attribution)
+    return res.orderBy(
+        F.col("view_id").asc_nulls_last(), F.col("click_id").asc_nulls_last()
+    )
