@@ -125,3 +125,34 @@ class Engine:
         )
 
         return stream_tumbling_counts(self.spark, sf_dir)
+
+
+def observed(
+    df: DataFrame, name: str, metrics: dict[str, "F.Column"]
+) -> tuple[DataFrame, "object"]:
+    """Attach zero-cost pipeline metrics to a DataFrame via Spark's
+    Observation API: the named aggregate expressions are computed
+    DURING the job that materializes ``df`` (piggybacked on the
+    existing pass — no second scan), and read back from the returned
+    Observation after an action.
+
+    The operational face of a production pipeline: row counts, null
+    rates, and invariant checks (e.g. "no negative prices survived the
+    filter") collected per run without paying an extra aggregation
+    job — at 100 TB a separate validation pass would double the scan
+    bill. Pinned in tests/test_engine.py.
+
+    Usage::
+
+        df, obs = observed(df, "ingest", {
+            "rows": F.count(F.lit(1)),
+            "null_keys": F.sum(F.col("k").isNull().cast("long")),
+        })
+        df.write.parquet(...)          # any action
+        assert obs.get["null_keys"] == 0
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *named), obs

@@ -85,3 +85,34 @@ def test_cli_parser_accepts_reference_parameters():
     )
     assert (args.points, args.k, args.max_iter) == ("Input/points2.txt", 4, 7)
     assert args.tol == 1e-3
+
+
+def test_observed_metrics_piggyback_on_one_pass(spark, sf_dir):
+    """Observation metrics must report the same facts a separate
+    aggregation would, collected during the SAME job."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.engine import observed
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    df, obs = observed(
+        orders,
+        "gate",
+        {
+            "rows": F.count(F.lit(1)),
+            "neg_prices": F.sum(
+                (F.col("o_totalprice") < 0).cast("long")
+            ),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    n = df.count()
+    got = obs.get
+    assert got["rows"] == n > 0
+    assert got["neg_prices"] == 0
+    assert got["max_price"] == orders.agg(
+        F.max("o_totalprice")
+    ).collect()[0][0]
