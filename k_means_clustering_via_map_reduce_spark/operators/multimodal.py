@@ -48,15 +48,21 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 def decode_image(blob: bytes) -> "object":
     """REAL DECODER NOT AVAILABLE IN THIS CONTAINER for formats needing
-    a codec library (JPEG/WebP/AVIF/...): plug PIL/opencv here.
+    a codec library (color/progressive JPEG, WebP, AVIF, ...): plug
+    PIL/opencv here.
 
-    Kept as an explicit stub so the pipeline shape is honest about where
-    the codec-library boundary sits. BMP, WAV and PNG need no codec
-    library — ``decode_media`` handles them in pure Python below (PNG
-    via stdlib zlib: IHDR CRC check + IDAT inflate)."""
+    Kept as an explicit stub so the pipeline shape is honest about
+    where the codec-library boundary sits. Natively decoded WITHOUT a
+    codec library: BMP, WAV and PNG via ``decode_media`` (PNG through
+    stdlib zlib: IHDR CRC check + IDAT inflate + full defiltering), and
+    BASELINE GRAYSCALE JPEG via ``operators/jpeg.py`` (real DCT /
+    huffman encode+decode, driver-checked as m6) — the boundary is now
+    color/progressive/arithmetic JPEG and the modern formats, which add
+    table plumbing rather than new Spark-side structure."""
     raise NotImplementedError(
-        "compressed-image decoding requires PIL/opencv, not shipped in "
-        "this container; BMP/WAV/PNG decode natively via decode_media"
+        "color/progressive compressed-image decoding requires "
+        "PIL/opencv, not shipped in this container; BMP/WAV/PNG decode "
+        "via decode_media, baseline grayscale JPEG via operators/jpeg.py"
     )
 
 
@@ -870,3 +876,103 @@ def m5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M6 — REAL JPEG round-trip (operators/jpeg.py): baseline grayscale
+# encode (blockwise DCT → quantize → huffman entropy code, byte
+# stuffing) and full decode (marker walk → huffman → dequantize →
+# inverse DCT), closing the compressed-image half of the codec boundary
+# the way round 4's PNG work closed lossless images. The entry's images
+# are FLAT PER 8×8 BLOCK under an all-ones quant table, which makes the
+# lossy pipeline bit-EXACT (DC-only blocks, integer-exact quantization)
+# and therefore fully SQL-oracle-able — the AC/run-length/ZRL paths and
+# lossy behavior are property-tested in tests/test_jpeg.py instead.
+# --------------------------------------------------------------------------
+JPEG_GRID = 4  # blocks per side -> 32x32 images
+
+
+def jpeg_roundtrip(docs: DataFrame) -> DataFrame:
+    """Per doc: synthesize a 32×32 block-flat grayscale image from the
+    doc_id formula, ENCODE it as a real baseline JPEG, DECODE the bytes
+    back, and emit scalars computed from the DECODED pixels only."""
+    import numpy as np
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (
+        Q_ONES,
+        decode_gray,
+        encode_gray,
+    )
+
+    g = JPEG_GRID
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "w": [], "h": [], "n_px": [],
+            "sum_px": [], "min_px": [], "max_px": [], "jpeg_ok": [],
+        }
+        for pdf in batches:
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r = np.arange(g).reshape(-1, 1)
+                c = np.arange(g).reshape(1, -1)
+                blocks = ((did * 7 + r * 11 + c * 13) % 256).astype(
+                    np.uint8
+                )
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                dec = decode_gray(encode_gray(img, Q_ONES))
+                out["doc_id"].append(did)
+                out["h"].append(dec.shape[0])
+                out["w"].append(dec.shape[1])
+                out["n_px"].append(int(dec.size))
+                out["sum_px"].append(int(dec.astype(np.int64).sum()))
+                out["min_px"].append(int(dec.min()))
+                out["max_px"].append(int(dec.max()))
+                out["jpeg_ok"].append(bool((dec == img).all()))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        schema="doc_id BIGINT, w BIGINT, h BIGINT, n_px BIGINT, "
+               "sum_px BIGINT, min_px BIGINT, max_px BIGINT, "
+               "jpeg_ok BOOLEAN",
+    )
+
+
+@query(
+    "m6_jpeg_roundtrip",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, unnest(range(0, {JPEG_GRID})) AS r
+               FROM documents),
+    bc AS (SELECT doc_id, r, unnest(range(0, {JPEG_GRID})) AS c FROM b),
+    px AS (SELECT doc_id, (doc_id*7 + r*11 + c*13) % 256 AS v FROM bc)
+    SELECT doc_id,
+           CAST({JPEG_GRID * 8} AS BIGINT) AS w,
+           CAST({JPEG_GRID * 8} AS BIGINT) AS h,
+           CAST({JPEG_GRID * JPEG_GRID * 64} AS BIGINT) AS n_px,
+           CAST(sum(v) * 64 AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           TRUE AS jpeg_ok
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: per-doc scalars computed from pixels that traveled the FULL
+    JPEG pipeline — blockwise DCT, quantization, zigzag, huffman
+    entropy coding with byte stuffing, then the complete inverse on
+    decode. The oracle recomputes every block value from the synthesis
+    formula and asserts `jpeg_ok` TRUE: any codec bug — a wrong
+    huffman table, a zigzag slip, a DC-prediction error, a stuffing
+    mishap — yields non-identical pixels and flips the hash.
+
+    Block-flat images under the all-ones quant table are the
+    exactness anchor (DC-only, integer-exact); lossy behavior, AC
+    runs, and golden bytes are pinned in tests/test_jpeg.py.
+
+    Scale: same shape as m1-m5 — Arrow-batched mapInPandas, no
+    shuffle, compressed bytes never leave the executor."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return jpeg_roundtrip(docs).orderBy("doc_id")
