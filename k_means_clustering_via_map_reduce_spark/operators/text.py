@@ -925,3 +925,68 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@query(
+    "t18_arrow_native_udf",
+    oracle=r"""
+    WITH t AS (SELECT source,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+          length(text) AS n_chars2 FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars2) AS BIGINT) AS total_chars,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def arrow_native_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18: the ARROW-NATIVE extension point (`mapInArrow`) — the last
+    face of the user-defined family (t8 grouped-map pandas, t13
+    grouped-agg pandas, t14 UDTF, t16 SQL-inlined, here RecordBatch in
+    → RecordBatch out with ALL compute in pyarrow.compute kernels).
+
+    Versus a pandas UDF, nothing is ever materialized as Python
+    objects or pandas blocks: batches stay Arrow end-to-end and the
+    kernels (trim, regex split, list lengths) are C++ vectorized — the
+    right tier when the logic IS expressible in Arrow kernels but not
+    in Spark SQL functions. Both regex engines here are RE2 ('\\s+'
+    behaves identically), and utf8_length matches DuckDB's
+    codepoint-counting length.
+
+    Scale: identical shape to every m-entry — Arrow-batched, narrow,
+    no shuffle before the per-source aggregate."""
+    import pyarrow as pa
+
+    def tokenize(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("source"),
+                    pc.list_value_length(toks).cast(pa.int64()),
+                    pc.utf8_length(batch.column("text")).cast(pa.int64()),
+                ],
+                names=["source", "n_tokens", "n_chars2"],
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    out = d.select("source", "text").mapInArrow(
+        tokenize, schema="source STRING, n_tokens BIGINT, n_chars2 BIGINT"
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars2").alias("total_chars"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
