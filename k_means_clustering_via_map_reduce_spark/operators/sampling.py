@@ -269,3 +269,98 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("shard", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# P7 — temperature-scaled mixture sampling: keep-rates COMPUTED from the
+# data (rate_s ∝ n_s^(α-1), the multilingual-LM "temperature" reweight
+# of XLM-R / mT5, α = 0.5) rather than p5's static table. Two passes:
+# a tiny per-stratum count aggregate (|langs| rows) broadcast back onto
+# the corpus, then the same value-pure md5 draw as p5. α = 0.5 keeps the
+# weight function at sqrt(), which IEEE 754 rounds correctly in every
+# engine — the computed permille thresholds are bit-identical between
+# Spark and the oracle (a generic pow() would not guarantee that).
+# --------------------------------------------------------------------------
+P7_SALT = "temp"
+P7_TARGET_FRAC = 0.5  # corpus-level keep budget before per-lang reweighting
+
+
+@query(
+    "p7_temperature_mix",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS total_n, sum(sqrt(n)) AS z FROM counts),
+    rates AS (
+      SELECT lang, n,
+             CAST(least(1000, floor(1000 * {P7_TARGET_FRAC} * total_n
+                                    * sqrt(n) / (z * n)))
+                  AS BIGINT) AS permille
+      FROM counts, tot),
+    kept AS (
+      SELECT d.lang, d.doc_id, d.n_chars, r.permille
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST(('0x' || substr(md5('{P7_SALT}'
+                   || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 1000
+            < r.permille)
+    SELECT lang, permille, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM kept GROUP BY lang, permille ORDER BY lang
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang survivor stats under temperature sampling: rare
+    languages keep (almost) everything, the dominant one is cut hardest
+    — expected keep-rate ratio between langs i,j is sqrt(n_j/n_i).
+
+    Scale: pass 1 is a partial-agg count collapsing to |langs| rows
+    (broadcast); pass 2 is a narrow per-row filter. Nothing shuffles
+    the corpus itself; the draw is a pure function of (salt, doc_id) so
+    the mixture is reproducible across reruns, partitionings, and
+    engines."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total_n"), F.sum(F.sqrt("n")).alias("z")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1000),
+            F.floor(
+                1000
+                * P7_TARGET_FRAC
+                * F.col("total_n")
+                * F.sqrt("n")
+                / (F.col("z") * F.col("n"))
+            ),
+        )
+        .cast("bigint")
+        .alias("permille"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(P7_SALT), F.col("doc_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(draw < F.col("permille"))
+        .groupBy("lang", "permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -990,3 +990,93 @@ def arrow_native_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# T19 — n-gram CONTAINMENT (Broder's asymmetric near-dup measure):
+# |grams(A) ∩ grams(B)| / |grams(A)|. Jaccard (d1) misses subset
+# relationships — a paragraph quoted whole inside a 10× longer page
+# scores near zero Jaccard but containment 1.0 in the A→B direction —
+# so containment is the measure for quote/excerpt/superset detection,
+# and it is DIRECTIONAL: both (a,b) orderings are emitted, normalized
+# by each side's own shingle count.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "t19_ngram_containment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+             AS containment
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs ≥ {threshold} via the inverted
+    index: explode shingles → equi-join postings on (lang, shingle) →
+    count co-occurrences per ORDERED pair → normalize by the LEFT
+    side's shingle count. The oracle brute-forces the within-lang cross
+    space, so postings-blocking completeness sits under the hash.
+
+    Scale: shuffle is the posting list (docs × shingles-per-doc,
+    linear), keyed on the shingle — d1b's shape; the pair-count state
+    only holds pairs that SHARE a gram. Containment needs no |A ∪ B|,
+    so unlike Jaccard there is no union-size recomputation: one count
+    plus one broadcast-sized n_sh lookup closes the score."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+
+    shingled = d.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    post = shingled.select(
+        "doc_id", "lang", "n_sh", F.explode("sh").alias("g")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    common = (
+        a.join(
+            b,
+            [
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.g") == F.col("b.g"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("a_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.filter(
+            F.col("n_common") * 1.0 / F.col("a_n") >= CONTAINMENT_THRESHOLD
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("n_common") * 1.0 / F.col("a_n"), 4).alias(
+                "containment"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -3551,3 +3551,203 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ub")
     )
+
+
+# --------------------------------------------------------------------------
+# Q62 — TPC-H Q5 shape: the classic CYCLIC join graph (local-supplier
+# volume). Unlike q4's pure star, the c_nationkey = s_nationkey edge
+# closes a cycle customer–orders–lineitem–supplier–customer, the
+# canonical join-ORDER benchmark: a bad order materializes the
+# customer×supplier cross-nation space, a good one keeps the fact table
+# flowing through two hash joins plus broadcast dims. The reference's
+# substrate (one map + one reduce, master.py:215-258) cannot express a
+# multi-join at all; Catalyst picks the order and AQE re-plans at
+# runtime.
+# --------------------------------------------------------------------------
+@query(
+    "q62_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation from lineitems whose customer and supplier
+    share a nation, one region + one order-year selected.
+
+    Scale plan: orders⋈lineitem is the only big shuffle pair (both
+    sides hash on orderkey); supplier/nation/region are explicit
+    broadcasts so the l_suppkey + the cycle-closing c_nationkey =
+    s_nationkey predicate evaluate map-side; the o_orderdate range
+    prunes the fact flow before any join. At 100 TB the same plan
+    holds with customer promoted to a shuffle join — AQE decides from
+    runtime sizes, nothing here hand-schedules it."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (
+                F.col("o_orderdate")
+                >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+            )
+            & (
+                F.col("o_orderdate")
+                < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+            )
+        )
+        .groupBy("n_name")
+        .agg(
+            r4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q63 — approximate COUNT(DISTINCT) with a checked error bound: the
+# sketch-aggregate face of q9's exact distinct. HLL++ register merge is
+# max() — commutative and associative — so the approx value is a pure
+# function of the VALUE SET, independent of partitioning and merge
+# order; the query asserts the estimate lands within 10% of exact
+# (rsd=0.02 ⇒ 5σ) and ships the exact count + the bound verdict, which
+# the oracle reproduces engine-independently. At 100 TB this is the
+# aggregate that turns a two-shuffle exact distinct into one narrow
+# mergeable-state pass.
+# --------------------------------------------------------------------------
+@query(
+    "q63_approx_distinct_bound",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS approx_within_10pct
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs HLL++ distinct customers per order priority; the
+    approx value itself is engine-internal (register layout differs
+    across engines), so the contract column is the BOUND CHECK, which
+    both engines can state exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("approx") - F.col("exact_custs"))
+                <= 0.10 * F.col("exact_custs")
+            ).alias("approx_within_10pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# F16 — malformed-record ingest policy: real corpus files carry broken
+# rows, and the loss policy (drop vs quarantine) must be explicit, not
+# incidental. The staging writes a pipe-separated CSV with every
+# doc_id % 7 == 0 row deliberately corrupted (non-numeric n_chars);
+# DROPMALFORMED must then reproduce EXACTLY the clean subset of the
+# original parquet (the oracle's predicate replays the corruption
+# rule), and the PERMISSIVE + columnNameOfCorruptRecord quarantine path
+# is pinned in tests/test_sources.py. Schema-on-read is what makes the
+# policy enforceable — an inferred schema would silently widen n_chars
+# to string and "parse" the broken rows.
+# --------------------------------------------------------------------------
+_F16_STAGED: dict[tuple, object] = {}
+
+F16_BAD_MOD = 7
+
+
+def staged_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as pipe-separated CSV text with doc_id % 7 == 0
+    rows corrupted (n_chars field replaced by a non-numeric token)."""
+    import tempfile as _tf
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F16_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_badcsv_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("lang"),
+                    F.col("source"),
+                    F.when(
+                        F.col("doc_id") % F16_BAD_MOD == 0, F.lit("CORRUPT")
+                    ).otherwise(F.col("n_chars").cast("string")),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(tmp.name + "/csv")
+        )
+        _F16_STAGED[key] = tmp
+    return _F16_STAGED[key].name + "/csv"
+
+
+F16_SCHEMA = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+
+
+@query(
+    "f16_malformed_csv",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_ok,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % {F16_BAD_MOD} <> 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang survivor stats reading the corrupted CSV under
+    DROPMALFORMED: exactly the rows the corruption rule spared, with
+    values bit-equal to the original parquet."""
+    path = staged_malformed_csv(spark, sf_dir)
+    survivors = (
+        spark.read.schema(F16_SCHEMA)
+        .options(sep="|", mode="DROPMALFORMED")
+        .csv(path)
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_ok"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

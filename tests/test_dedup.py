@@ -436,3 +436,46 @@ def test_symmetric_delete_blocking_is_complete_for_lev1(spark):
         ).collect()
     }
     assert got == {s: keys(s) for s in vocab}
+
+
+def test_t19_containment_is_directional(spark, sf_dir):
+    """Containment must catch subset pairs Jaccard misses: a 3-shingle
+    excerpt inside a 30-shingle page scores 1.0 in the excerpt→page
+    direction and ~0.1 the other way."""
+    import pyspark.sql.functions as F
+
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+
+    words = [f"w{i}" for i in range(32)]
+    page = " ".join(words)
+    excerpt = " ".join(words[:5])  # 3 shingles, all present in page
+    df = spark.createDataFrame(
+        [(1, excerpt, "en"), (2, page, "en")], "doc_id long, text string, lang string"
+    )
+    sh = df.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in sh}
+    c_ab = len(sets[1] & sets[2]) / len(sets[1])
+    c_ba = len(sets[1] & sets[2]) / len(sets[2])
+    assert c_ab == 1.0 and c_ba < 0.2
+
+
+def test_t19_fixture_pairs_are_asymmetric(spark, sf_dir):
+    """On the real fixture the emitted pair set is NOT symmetric —
+    the directional measure genuinely differs from Jaccard's."""
+    from k_means_clustering_via_map_reduce_spark.queries import QUERIES
+
+    rows = QUERIES["t19_ngram_containment"](spark, sf_dir).collect()
+    pairs = {(r["a_id"], r["b_id"]): r["containment"] for r in rows}
+    assert pairs, "fixture should produce containment pairs"
+    # Direction matters: a near-superset scores 1.0 one way and < 1.0
+    # the other (or passes the threshold in only one direction).
+    asym = [
+        p
+        for p in pairs
+        if pairs.get((p[1], p[0])) != pairs[p]
+    ]
+    assert asym, "expected direction-dependent containment values"

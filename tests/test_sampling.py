@@ -57,3 +57,39 @@ def test_stratified_sample_fractions(spark, sf_dir):
     got = {r["lang"]: r["n"] for r in s.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     for lg in langs:
         assert 0.25 * tot[lg] <= got.get(lg, 0) <= 0.75 * tot[lg], lg
+
+
+def test_p7_temperature_flattens_lang_skew(spark, sf_dir):
+    """Temperature α=0.5 must CUT the dominant language hardest:
+    keep-rate ordering is the inverse of corpus-count ordering, and the
+    kept mixture is strictly flatter than the input (max/min lang ratio
+    shrinks toward its sqrt)."""
+    import pyspark.sql.functions as F
+
+    from k_means_clustering_via_map_reduce_spark.queries import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    n_in = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = {
+        r["lang"]: (r["n_kept"], r["permille"])
+        for r in QUERIES["p7_temperature_mix"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(n_in)
+    # Keep-rate (permille) ordering inverts the count ordering.
+    by_count = sorted(n_in, key=n_in.get)
+    permilles = [out[lang][1] for lang in by_count]
+    assert permilles == sorted(permilles, reverse=True)
+    # Mixture flatter than input: max/min kept ratio < max/min input ratio.
+    in_ratio = max(n_in.values()) / min(n_in.values())
+    kept = {lang: out[lang][0] for lang in out}
+    kept_ratio = max(kept.values()) / max(1, min(kept.values()))
+    assert kept_ratio < in_ratio
+    # Value-pure draw: rerun is bit-identical.
+    again = {
+        r["lang"]: (r["n_kept"], r["permille"])
+        for r in QUERIES["p7_temperature_mix"](spark, sf_dir).collect()
+    }
+    assert again == out

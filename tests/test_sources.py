@@ -1,0 +1,59 @@
+"""Source-side ingest policies: malformed-record handling (f16's
+quarantine path) — DROPMALFORMED loss accounting plus the PERMISSIVE
+corrupt-record capture that a production pipeline would route to a
+quarantine sink instead of silently dropping."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from k_means_clustering_via_map_reduce_spark.queries import (
+    F16_BAD_MOD,
+    F16_SCHEMA,
+    staged_malformed_csv,
+)
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+
+def test_f16_permissive_quarantines_exactly_the_corrupted_rows(
+    spark, sf_dir
+):
+    d = load_table(spark, sf_dir, "documents")
+    n_total = d.count()
+    n_bad_expected = d.filter(F.col("doc_id") % F16_BAD_MOD == 0).count()
+    path = staged_malformed_csv(spark, sf_dir)
+
+    perm = (
+        spark.read.schema(F16_SCHEMA + ", _corrupt_record STRING")
+        .options(
+            sep="|",
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+        )
+        .csv(path)
+        .cache()  # Spark disallows corrupt-column-only queries on raw CSV
+    )
+    try:
+        assert perm.count() == n_total  # PERMISSIVE loses nothing
+        bad = perm.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == n_bad_expected
+        # Quarantined rows keep their raw line for replay/repair.
+        sample = bad.limit(5).collect()
+        assert all("|CORRUPT" in r["_corrupt_record"] for r in sample)
+        # The parse-failed numeric field is NULL, parseable prefix intact.
+        assert all(r["n_chars"] is None for r in sample)
+    finally:
+        perm.unpersist()
+
+    dropped = (
+        spark.read.schema(F16_SCHEMA)
+        .options(sep="|", mode="DROPMALFORMED")
+        .csv(path)
+    )
+    # TRAP: a bare .count() on a DROPMALFORMED CSV scan is optimized to
+    # skip field parsing entirely, so malformed rows are never detected
+    # and the count comes back UNFILTERED (all 500). Any query that
+    # actually reads columns (f16's aggregate, or this collect) parses
+    # and drops correctly — but loss accounting must touch the data.
+    assert dropped.count() == n_total  # the documented count-only trap
+    assert len(dropped.collect()) == n_total - n_bad_expected
