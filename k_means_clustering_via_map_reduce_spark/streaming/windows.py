@@ -447,3 +447,152 @@ def stream_to_parquet_sink(
             .start()
         )
         q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# K18 — CHAINED stateful aggregations (SPARK-40925, Spark 3.5+/4.x
+# multiple-stateful-operators): 15-minute windowed counts re-aggregated
+# into hourly rollups INSIDE one streaming query, append mode. Before
+# SPARK-40925 this required two queries bridged by a sink; the unlock is
+# `window(window_time(w1), '1 hour')` — the finalized inner window's
+# event-time feeds the outer window, and the downstream operator filters
+# late records against the PREVIOUS eviction watermark so rows emitted
+# exactly at finalization are not re-dropped.
+#
+# Feed: the whole events table in batch 1, then two tick rows 3h past
+# max in batches 2 and 3 (k10's flush idiom — the batch-2 tick advances
+# the watermark past every real window, the batch-3 tick triggers the
+# batch in which both levels finalize and emit; the ticks' own windows
+# never finalize and are absent from the result). The oracle is then the
+# plain two-level batch aggregate over ALL events — no eviction bound.
+# --------------------------------------------------------------------------
+CHAIN_INNER = "15 minutes"
+CHAIN_OUTER = "1 hour"
+
+_CHAIN_STAGED: dict[tuple, tempfile.TemporaryDirectory] = {}
+
+
+def _stage_chain_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered single-part files: events, tick(+3h),
+    tick(+3h1m)."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    key = staging_key(sf_dir, "events")
+    if key not in _CHAIN_STAGED:
+        tmp = tempfile.TemporaryDirectory(prefix="kmce_chain_feed_")
+        src = os.path.join(tmp.name, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # one scalar
+        tick1 = spark.createDataFrame(
+            [(-1, max_ts, -1, "tick", 0.0)], schema=ev.schema
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+        tick2 = tick1.withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+        )
+        for i, (tag, df) in enumerate(
+            [("events", ev), ("tick1", tick1), ("tick2", tick2)]
+        ):
+            stage = os.path.join(tmp.name, f"w{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            dst = os.path.join(src, f"{i}-{tag}.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+        _CHAIN_STAGED[key] = tmp
+    return os.path.join(_CHAIN_STAGED[key].name, "src")
+
+
+def chained_windowed_agg(stream: DataFrame) -> DataFrame:
+    """15-min windowed counts/sums, re-windowed to the hour via
+    window_time — two stateful operators in one query plan."""
+    lvl1 = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", CHAIN_INNER).alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n15"), F.sum("value").alias("v15"))
+    )
+    return (
+        lvl1.groupBy(
+            F.window(F.window_time("w1"), CHAIN_OUTER).alias("w2"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subwindows"),
+            F.sum("n15").cast("bigint").alias("n_events"),
+            r4(F.sum("v15")).alias("total_value"),
+        )
+        .select(
+            F.col("w2.start").cast("timestamp_ntz").alias("hour_ts"),
+            "event_type",
+            "n_subwindows",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "k18_chained_stream_agg",
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15,
+                      date_trunc('hour', ts) AS hour_ts, event_type, value
+               FROM events),
+    l1 AS (SELECT hour_ts, w15, event_type, count(*) AS n15,
+                  sum(value) AS v15
+           FROM b GROUP BY 1, 2, 3)
+    SELECT hour_ts, event_type,
+           CAST(count(*) AS BIGINT) AS n_subwindows,
+           CAST(sum(n15) AS BIGINT) AS n_events,
+           round(sum(v15), 4) AS total_value
+    FROM l1 GROUP BY 1, 2 ORDER BY hour_ts, event_type
+    """,
+)
+def chained_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K18: run the chained 15min→1h aggregation as one append-mode
+    streaming query over the tick-flushed feed; emitted rows must equal
+    the two-level batch aggregate (n_subwindows pins that the outer
+    level genuinely consumed inner-window rows, not raw events).
+
+    Scale: two (window, key)-hashed stateful exchanges, each with state
+    bounded by the watermark horizon; the inner level pre-reduces
+    15-minute partials so the hourly state sees 4 rows per key-hour
+    instead of the raw event stream — the streaming form of a partial
+    aggregate."""
+    src = _stage_chain_feed(spark, sf_dir)
+    name = f"chain_{uuid.uuid4().hex[:12]}"
+    schema = spark.read.parquet(src).schema
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_stream_", dir=ckpt_base
+    ) as tmp:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                chained_windowed_agg(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result.orderBy("hour_ts", "event_type")

@@ -709,3 +709,34 @@ def test_merge_snapshot_replay_after_partial_commit_is_idempotent(
     _os.remove(root + "/applied/1")  # simulate the crash-before-marker
     assert merge_batch_into_snapshot(b1, 1, root) is True  # replay applies
     assert totals() == (2, 3.0)  # ...but totals are identical
+
+
+def test_k18_plan_has_two_stateful_operators(spark, sf_dir):
+    """The chained query must contain TWO stateful aggregation stages in
+    ONE plan (SPARK-40925) — if Spark silently planned a single agg, the
+    n_subwindows contract would still hold batch-side, so pin the plan."""
+    import os
+    import tempfile
+
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _stage_chain_feed,
+        chained_windowed_agg,
+    )
+
+    src = _stage_chain_feed(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    with tempfile.TemporaryDirectory(prefix="k18_plan_") as tmp:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            chained_windowed_agg(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_state = len(q.lastProgress["stateOperators"])
+        finally:
+            q.stop()
+    assert n_state == 2, f"expected 2 stateful operators, got {n_state}"
