@@ -1151,3 +1151,93 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# D10 — duplicate-SPAN profiling (exact substring dedup, Lee et al.
+# 2022 "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499, the ExactSubstr method's relational form): for each
+# document, the fraction of its ROLLING 8-word grams (positions, not
+# distinct shingles — a span repeated inside one doc counts every
+# occurrence) that also appear in at least one OTHER document. High
+# dup_fraction marks boilerplate-heavy or templated docs; this is the
+# per-document removal signal, complementing d1/d2 (pairs), d5
+# (clusters) and d7 (per-segment df-cutoff).
+# --------------------------------------------------------------------------
+DUP_SPAN_W = 8
+DUP_SPAN_THRESHOLD = 0.2
+
+
+@query(
+    "d10_dup_span_profile",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(w) - {DUP_SPAN_W - 1}),
+               i -> array_to_string(w[i:i+{DUP_SPAN_W - 1}], ' '))) AS gram
+      FROM d),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+    per AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(CASE WHEN df.nd >= 2 THEN 1 END) AS n_dup
+      FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup AS BIGINT) AS n_dup_grams,
+           round(n_dup * 1.0 / n_grams, 4) AS dup_fraction
+    FROM per WHERE n_dup * 1.0 / n_grams >= {DUP_SPAN_THRESHOLD}
+    ORDER BY doc_id
+    """,
+)
+def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose cross-doc duplicated-span fraction ≥ {threshold},
+    with gram counts. Every doc in the fixture has ≥ 10 words, so the
+    rolling-gram sequence is never empty.
+
+    Scale: n_grams is a NARROW per-row size() (no join — the oracle
+    joins the full posting list back for it; the engine doesn't need
+    to); the posting list shuffles once on the gram key for the
+    distinct-doc count, and positions join only against the
+    CROSS-DOC-DUPLICATED gram subset (d7's hot-set shape) — on a clean
+    corpus that subset is small, so the second shuffle carries far less
+    than the postings. Both stages are postings-linear; nothing is
+    quadratic in documents."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(DUP_SPAN_W - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, DUP_SPAN_W)),
+    )
+    base = d.select("doc_id", grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    g = base.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per = (
+        g.join(dup_grams, "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        per.filter(
+            F.col("n_dup_grams") * 1.0 / F.col("n_grams")
+            >= DUP_SPAN_THRESHOLD
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+            F.round(
+                F.col("n_dup_grams") * 1.0 / F.col("n_grams"), 4
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -479,3 +479,37 @@ def test_t19_fixture_pairs_are_asymmetric(spark, sf_dir):
         if pairs.get((p[1], p[0])) != pairs[p]
     ]
     assert asym, "expected direction-dependent containment values"
+
+
+def test_d10_dup_span_bounds(spark, sf_dir):
+    """Two identical docs → every span duplicated (fraction 1.0); a
+    doc sharing nothing → absent from the profile."""
+    import pyspark.sql.functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        DUP_SPAN_W,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    unique = " ".join(f"u{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, unique)], "doc_id long, text string"
+    )
+    w = F.split(F.trim(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(DUP_SPAN_W - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, DUP_SPAN_W)),
+    )
+    g = df.select("doc_id", F.explode(grams).alias("gram"))
+    nd = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        g.join(nd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("nd") >= 2, 1)).alias("n_dup"),
+        )
+        .collect()
+    )
+    frac = {r["doc_id"]: r["n_dup"] / r["n"] for r in per}
+    assert frac[1] == 1.0 and frac[2] == 1.0 and frac[3] == 0.0
