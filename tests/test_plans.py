@@ -517,3 +517,37 @@ def test_d9_incremental_probe_never_cartesian(spark, sf_dir):
 
     plan = physical_plan(Q.QUERIES["d9_incremental_dedup"](spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q62_cyclic_join_pushes_date_and_broadcasts_dims(spark, sf_dir):
+    """TPC-H Q5 shape: the order-year range reaches the orders scan,
+    every dim side broadcasts (at fixture scale even customer), and the
+    fact table shuffles at most twice (orders⋈lineitem + agg) — the
+    cycle-closing c_nationkey = s_nationkey edge must NOT turn into a
+    nation-pair blowup (no nested-loop anywhere)."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q62_local_supplier_volume"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+    assert broadcast_hash_join_count(df) >= 3
+    assert count_shuffles(df) <= 2
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_t19_containment_never_cartesian(spark, sf_dir):
+    """The directional containment join is postings-blocked on
+    (lang, shingle) — an equi hash join, never a pair-space scan."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    plan = physical_plan(Q.QUERIES["t19_ngram_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_d10_dup_span_never_cartesian(spark, sf_dir):
+    """Both d10 stages key on the gram — doc pairs never materialize."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    plan = physical_plan(Q.QUERIES["d10_dup_span_profile"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
