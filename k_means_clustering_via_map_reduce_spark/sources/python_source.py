@@ -256,3 +256,156 @@ if _HAVE_DATASOURCE:
         ) as tmp:
             res = run_tick_stream(spark, TICK_TOTAL, tmp)
         return res.orderBy("chan")
+
+
+# --------------------------------------------------------------------------
+# F17 — custom Python DataSource WRITER (the output half of f15's
+# connector surface; Spark 4 DataSourceWriter API). A real connector
+# (REST bulk endpoint, message bus producer, bespoke store) implements
+# exactly this: per-partition executor-side ``write(iterator) →
+# WriterCommitMessage``, then a driver-side ``commit(messages)`` that
+# finalizes atomically (or ``abort`` that rolls back). The demo sink
+# writes JSON-lines files with a rename-on-close discipline and a
+# commit-time _MANIFEST.json, so partial task output is never visible
+# to readers — the same protocol parquet's OutputCommitter implements
+# natively.
+# --------------------------------------------------------------------------
+if _HAVE_DATASOURCE:
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class JsonlCommit(WriterCommitMessage):
+        filename: str
+        n_rows: int
+
+    class JsonlSinkWriter(DataSourceWriter):
+        """Executor side: stream the partition's rows to
+        part-{pid}.jsonl.tmp, rename on success (readers never see a
+        torn file), report (filename, row count) to the driver."""
+
+        def __init__(self, options, overwrite):
+            self.path = options.get("path")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            fname = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            n = 0
+            with open(fname + ".tmp", "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            _os.rename(fname + ".tmp", fname)
+            return JsonlCommit(_os.path.basename(fname), n)
+
+        def commit(self, messages):
+            import json as _json
+            import os as _os
+
+            manifest = {
+                "files": sorted(m.filename for m in messages),
+                "rows": sum(m.n_rows for m in messages),
+            }
+            with open(
+                _os.path.join(self.path, "_MANIFEST.json"), "w"
+            ) as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                p = _os.path.join(self.path, m.filename)
+                if _os.path.exists(p):
+                    _os.remove(p)
+
+    class JsonlSink(DataSource):
+        """``df.write.format("kmce_jsonl_sink").option("path", dir)`` —
+        local-filesystem demo; a cluster deployment points ``path`` at
+        a shared store (the write/commit protocol is identical)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "kmce_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlSinkWriter(self.options, overwrite)
+
+
+_F17_STAGED: dict[tuple, object] = {}
+
+
+def write_jsonl_sink(df: DataFrame, path: str) -> None:
+    """Write through the custom sink (register is idempotent)."""
+    spark = df.sparkSession
+    spark.dataSource.register(JsonlSink)
+    df.write.format("kmce_jsonl_sink").option("path", path).mode(
+        "append"
+    ).save()
+
+
+if _HAVE_DATASOURCE:
+
+    @query(
+        "f17_python_datasink",
+        oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+    )
+    def f17_python_datasink(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Round-trip documents through the custom Python sink (6
+        write partitions → 6 committed files + manifest) and aggregate
+        the read-back against the original parquet — f1's fidelity
+        contract applied to the user-defined OUTPUT path.
+
+        Scale: writes are per-partition streaming appends (no driver
+        collect, no shuffle beyond the explicit repartition that sets
+        file count); commit is one driver-side metadata write, O(tasks)
+        not O(rows) — the same asymmetics every sane distributed sink
+        has. The Python-worker toll applies per batch; bulk columnar
+        output belongs to the native writers (f1-f14), custom sinks to
+        systems Spark has no native client for."""
+        import os as _os
+        import tempfile as _tf
+
+        from k_means_clustering_via_map_reduce_spark.queries import (
+            staging_key,
+        )
+        from k_means_clustering_via_map_reduce_spark.sources import (
+            load_table,
+        )
+
+        key = staging_key(sf_dir, "documents")
+        if key not in _F17_STAGED:
+            tmp = _tf.TemporaryDirectory(prefix="kmce_pysink_")
+            d = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "n_chars"
+            )
+            write_jsonl_sink(d.repartition(6), tmp.name)
+            _F17_STAGED[key] = tmp
+        out = _F17_STAGED[key].name
+        back = spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT"
+        ).json(_os.path.join(out, "*.jsonl"))
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("lang")
+        )

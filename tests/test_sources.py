@@ -57,3 +57,36 @@ def test_f16_permissive_quarantines_exactly_the_corrupted_rows(
     # and drops correctly — but loss accounting must touch the data.
     assert dropped.count() == n_total  # the documented count-only trap
     assert len(dropped.collect()) == n_total - n_bad_expected
+
+
+def test_f17_sink_commit_protocol(spark, sf_dir):
+    """The custom sink's commit discipline: every committed file is
+    listed in the manifest, row counts add up, and no .tmp residue
+    survives (rename-on-close means readers never see torn files)."""
+    import json
+    import os
+    import tempfile
+
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        write_jsonl_sink,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n_in = d.count()
+    with tempfile.TemporaryDirectory(prefix="f17_test_") as out:
+        write_jsonl_sink(d.repartition(4), out)
+        names = sorted(os.listdir(out))
+        files = [n for n in names if n.endswith(".jsonl")]
+        assert len(files) == 4
+        assert not [n for n in names if n.endswith(".tmp")]
+        man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert man["files"] == files
+        assert man["rows"] == n_in
+        n_lines = sum(
+            1
+            for f in files
+            for _ in open(os.path.join(out, f))
+        )
+        assert n_lines == n_in
