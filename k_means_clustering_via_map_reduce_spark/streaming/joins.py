@@ -350,3 +350,79 @@ def k17_stream_full_outer_join(
     return res.orderBy(
         F.col("view_id").asc_nulls_last(), F.col("click_id").asc_nulls_last()
     )
+
+
+def joined_hourly(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """K19 body: the k6 inner interval join feeding an hourly windowed
+    aggregation of the pairs — TWO stateful operators (join + agg) in
+    one streaming plan (SPARK-40925's join→agg combination; k18 is
+    agg→agg)."""
+    v = _with_event_time(views).withWatermark("ts", WATERMARK).alias("v")
+    c = _with_event_time(clicks).withWatermark("ts", WATERMARK).alias("c")
+    pairs = v.join(
+        c,
+        F.expr(
+            f"""
+            v.user_id = c.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}
+            """
+        ),
+    ).select(F.col("v.ts").alias("vts"), F.col("c.value").alias("cv"))
+    return (
+        pairs.groupBy(F.window("vts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            r4(F.sum("cv")).alias("click_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+            "n_pairs",
+            "click_value",
+        )
+    )
+
+
+@query(
+    "k19_stream_join_then_agg",
+    oracle=f"""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    m AS (SELECT v.ts AS vts, c.value AS cv
+          FROM v JOIN c ON v.user_id = c.user_id
+            AND c.ts > v.ts AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 10 MINUTE - {ATTRIBUTION_WINDOW_SQL} AS w)
+    SELECT date_trunc('hour', vts) AS hour_ts,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(cv), 4) AS click_value
+    FROM m, wm
+    WHERE date_trunc('hour', vts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1 ORDER BY hour_ts
+    """,
+)
+def k19_stream_join_then_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K19 — interval join CHAINED into a windowed aggregation inside
+    one append-mode query: hourly attributed-pair counts + click value,
+    keyed on the VIEW's hour.
+
+    The semantic pin is the aggregation's eviction bound: a view-hour
+    window can keep receiving JOIN OUTPUT until the watermark passes
+    ``view.ts + attribution_window`` (a click up to 24 h later still
+    lands in that view's hour), so the join delays its OUTPUT watermark
+    by its state-retention interval and the downstream agg finalizes
+    windows only below ``least(max view ts, max click ts) - delay -
+    24 h`` — measured, and exactly what the oracle encodes (using the
+    un-delayed k15 bound over-reports 8 fixture windows and flips the
+    hash). This is why pre-SPARK-40925 Spark rejected agg-after-join
+    outright: correctness REQUIRES the per-operator watermark
+    bookkeeping.
+
+    Scale: join state O(window · rate) per user key as k6; agg state is
+    per open hour window — bounded by the SAME delayed watermark, a few
+    hundred windows deep at a 24 h attribution horizon."""
+    return _run_append_stream(spark, sf_dir, joined_hourly).orderBy(
+        "hour_ts"
+    )

@@ -740,3 +740,39 @@ def test_k18_plan_has_two_stateful_operators(spark, sf_dir):
         finally:
             q.stop()
     assert n_state == 2, f"expected 2 stateful operators, got {n_state}"
+
+
+def test_k19_join_then_agg_has_two_stateful_operators(spark, sf_dir):
+    """k19's plan must carry the join AND the agg as stateful stages in
+    one query (SPARK-40925's join→agg combination)."""
+    import os
+    import tempfile
+
+    from k_means_clustering_via_map_reduce_spark.streaming.joins import (
+        joined_hourly,
+    )
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _events_stream,
+        _stage_events_dir,
+    )
+    import pyspark.sql.functions as F
+
+    events_dir = _stage_events_dir(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="k19_plan_") as tmp:
+        stream = _events_stream(spark, events_dir)
+        q = (
+            joined_hourly(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "click"),
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_state = len(q.lastProgress["stateOperators"])
+        finally:
+            q.stop()
+    assert n_state == 2, f"expected join+agg stateful pair, got {n_state}"
