@@ -1080,3 +1080,58 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T20 — vocabulary profile per language: token count, type count,
+# type-token ratio, hapax-legomenon fraction. The corpus-health signal
+# a training-data pipeline watches for TEMPLATED/generated text (TTR
+# collapses) and OCR noise or scrape garbage (hapax fraction spikes);
+# Heaps'-law drift across snapshots is the standard monitoring use.
+# --------------------------------------------------------------------------
+@query(
+    "t20_vocab_profile",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT lang, tok, count(*) AS n FROM w GROUP BY lang, tok)
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) * 1.0 / sum(n), 4) AS ttr,
+           round(count(CASE WHEN n = 1 THEN 1 END) * 1.0 / count(*), 4)
+             AS hapax_frac
+    FROM tf GROUP BY lang ORDER BY lang
+    """,
+)
+def vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang vocabulary statistics over the token stream.
+
+    Scale: one (lang, token)-keyed partial-agg exchange builds the term
+    frequencies (map-side combine collapses repeated tokens before the
+    shuffle — the shuffle carries the VOCABULARY, not the token
+    stream), then a |langs|-row rollup. At 100 TB the vocabulary is
+    the only large state and it is exactly what must be counted;
+    nothing here is quadratic or driver-sided."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = d.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    tf = w.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.sum("n"), 4).alias("ttr"),
+            F.round(
+                F.count(F.when(F.col("n") == 1, 1))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("hapax_frac"),
+        )
+        .orderBy("lang")
+    )

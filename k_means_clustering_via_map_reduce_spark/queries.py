@@ -3751,3 +3751,86 @@ def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q64 — TPC-H Q21 shape: DOUBLE correlation on the same fact table
+# (EXISTS + NOT EXISTS, both correlated to the outer lineitem on
+# orderkey with a suppkey inequality). The hardest standard
+# decorrelation case after the q44-q47 family: a naive plan rescans
+# lineitem per outer row; the right plan is ONE pass feeding a
+# LeftSemi and a LeftAnti hash join (pinned in tests/test_plans.py).
+# Adapted to the fixture schema ("late" → l_returnflag = 'R'): blamed
+# suppliers — the only supplier who returned a line in a finished
+# multi-supplier order.
+# --------------------------------------------------------------------------
+@query(
+    "q64_blamed_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by count of finished multi-supplier orders
+    where they alone returned a line.
+
+    Scale plan: the fact table is read once per correlation arm, each
+    arm reduced to (orderkey, suppkey) before its join — the semi arm
+    keeps any-other-supplier orders, the anti arm removes
+    other-supplier-returned ones; both hash on l_orderkey, the same
+    key the base flow already carries, so AQE coalesces the exchanges.
+    No per-row re-scan, no nested loop (pinned); supplier is a
+    broadcast dim. This is the plan Catalyst's decorrelation produces
+    from the SQL form too — the explicit semi/anti build keeps the
+    intent visible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    base = (
+        l1.filter(F.col("l1.l_returnflag") == "R")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+    )
+    semi = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

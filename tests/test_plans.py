@@ -551,3 +551,15 @@ def test_d10_dup_span_never_cartesian(spark, sf_dir):
 
     plan = physical_plan(Q.QUERIES["d10_dup_span_profile"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q64_double_correlation_is_semi_plus_anti(spark, sf_dir):
+    """The Q21 shape must run as ONE semi + ONE anti hash join over
+    single-pass lineitem reductions — no nested loop, no per-row
+    rescans."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q64_blamed_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:800]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
