@@ -364,3 +364,106 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# P8 — contamination-aware train/eval split: carve a held-out set with
+# the value-pure draw, then REMOVE from train any document sharing a
+# near-dup fingerprint with an eval document — the split-decontamination
+# step every LM training pipeline runs so the held-out loss measures
+# generalization, not memorized near-duplicates leaking across the cut.
+# (t9 decontaminates against an EXTERNAL eval-gram list; p8 is the
+# within-corpus split form.) Composes existing primitives: p5's md5
+# draw + t4's min-shingle-md5 fingerprint + a semi join.
+# --------------------------------------------------------------------------
+P8_SALT = "split"
+P8_EVAL_PERMILLE = 100  # 10% held out
+
+
+@query(
+    "p8_decontaminated_split",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w,
+                      CAST(('0x' || substr(md5('{P8_SALT}'
+                           || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                        % 1000 < {P8_EVAL_PERMILLE} AS is_eval
+               FROM documents),
+    f AS (SELECT doc_id, lang, is_eval,
+                 CASE WHEN len(w) >= 5 THEN
+                   list_min(list_transform(generate_series(1, len(w) - 4),
+                            i -> md5(array_to_string(w[i:i+4], ' '))))
+                 ELSE md5(array_to_string(w, ' ')) END AS fp
+          FROM d),
+    efp AS (SELECT DISTINCT fp FROM f WHERE is_eval),
+    t AS (SELECT f.*, (NOT is_eval AND fp IN (SELECT fp FROM efp))
+                   AS contaminated
+          FROM f)
+    SELECT lang,
+           CAST(count(CASE WHEN is_eval THEN 1 END) AS BIGINT) AS n_eval,
+           CAST(count(CASE WHEN NOT is_eval THEN 1 END) AS BIGINT)
+             AS n_train,
+           CAST(count(CASE WHEN contaminated THEN 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(count(CASE WHEN NOT is_eval AND NOT contaminated THEN 1
+                      END) AS BIGINT) AS n_train_clean
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang split accounting: held-out size, raw train size, the
+    contaminated train docs removed (fixture: the planted near-dup
+    pairs whose twins landed across the cut — non-zero, pinned in
+    pytest), and the clean train count.
+
+    Scale: the draw and the fingerprint are narrow per-row
+    projections; eval fingerprints are |eval| rows (broadcast — at a
+    10% cut of 100 TB that is still only a digest per eval doc, and a
+    shuffle semi join replaces the broadcast when it outgrows the
+    driver); one semi join flags contamination. Nothing shuffles the
+    corpus; the fingerprint is the SAME 1-perm MinHash t4 ships, so
+    blocking strength is a documented, tested primitive."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        min_shingle_md5_fingerprint,
+    )
+
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(P8_SALT), F.col("doc_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        (draw < P8_EVAL_PERMILLE).alias("is_eval"),
+        min_shingle_md5_fingerprint(F.col("text"), 5).alias("fp"),
+    )
+    eval_fp = base.filter("is_eval").select("fp").distinct()
+    train = base.filter(~F.col("is_eval"))
+    contaminated = train.join(
+        F.broadcast(eval_fp), "fp", "left_semi"
+    ).select("doc_id", F.lit(True).alias("contaminated"))
+    flagged = base.join(contaminated, "doc_id", "left").na.fill(
+        {"contaminated": False}
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("is_eval"), 1)).alias("n_eval"),
+            F.count(F.when(~F.col("is_eval"), 1)).alias("n_train"),
+            F.count(F.when(F.col("contaminated"), 1)).alias("n_removed"),
+            F.count(
+                F.when(~F.col("is_eval") & ~F.col("contaminated"), 1)
+            ).alias("n_train_clean"),
+        )
+        .orderBy("lang")
+    )

@@ -93,3 +93,25 @@ def test_p7_temperature_flattens_lang_skew(spark, sf_dir):
         for r in QUERIES["p7_temperature_mix"](spark, sf_dir).collect()
     }
     assert again == out
+
+
+def test_p8_decontamination_is_live_and_consistent(spark, sf_dir):
+    """The fixture's planted near-dups must actually cross the split
+    (n_removed > 0 somewhere — a decontamination step that never fires
+    is untested), and the per-lang accounting must balance:
+    train = removed + clean, eval + train = corpus."""
+    import pyspark.sql.functions as F
+
+    from k_means_clustering_via_map_reduce_spark.queries import QUERIES
+
+    rows = QUERIES["p8_decontaminated_split"](spark, sf_dir).collect()
+    assert sum(r["n_removed"] for r in rows) > 0
+    for r in rows:
+        assert r["n_train"] == r["n_removed"] + r["n_train_clean"]
+    d = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n_eval"] + r["n_train"] == totals[r["lang"]]
