@@ -296,3 +296,91 @@ def test_asof_join_equals_backward_search(spark_prop, lefts, rights):
         cands = [(rs, k * 1000 + rs) for rk, rs in rights if rk == k and rs <= s]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+def test_containment_and_dup_span_match_python_on_random_docs(spark_prop):
+    """Property: on seeded random word-soup corpora, the engine's
+    containment scores and dup-span counts equal a pure-Python
+    set/ngram oracle — the kernel-vs-oracle pattern for the two
+    round-5 gram operators."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(24):
+        n = rng.randint(10, 40)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # Plant a superset pair: doc 100 contains doc 101's text verbatim.
+    inner = " ".join(rng.choice(vocab) for _ in range(12))
+    docs.append((100, inner + " " + " ".join(rng.choice(vocab) for _ in range(25))))
+    docs.append((101, inner))
+    df = spark_prop.createDataFrame(docs, "doc_id long, text string")
+
+    def py_shingles(text, n=3):
+        w = text.strip().split(" ")
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: py_shingles(t) for i, t in docs}
+
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got == sets
+
+    # Containment: the planted pair scores 1.0 in the inner→outer
+    # direction, matching the python sets.
+    c = len(sets[101] & sets[100]) / len(sets[101])
+    assert c == 1.0
+
+    # Dup-span positions (rolling 8-grams) vs python.
+    W = 8
+
+    def py_grams(text):
+        w = text.strip().split(" ")
+        return [" ".join(w[i : i + W]) for i in range(max(len(w) - W + 1, 0))]
+
+    all_grams = {}
+    for i, t in docs:
+        for g in py_grams(t):
+            all_grams.setdefault(g, set()).add(i)
+    want = {}
+    for i, t in docs:
+        gs = py_grams(t)
+        if gs:
+            want[i] = (
+                len(gs),
+                sum(1 for g in gs if len(all_grams[g]) >= 2),
+            )
+
+    w = F.split(F.trim(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(W - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, W)),
+    )
+    g = df.filter(F.size(w) >= W).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    nd = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        g.join(nd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("nd") >= 2, 1)).alias("n_dup"),
+        )
+        .collect()
+    )
+    got2 = {r["doc_id"]: (r["n"], r["n_dup"]) for r in per}
+    assert got2 == want
