@@ -1194,8 +1194,9 @@ DUP_SPAN_THRESHOLD = 0.2
 )
 def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs whose cross-doc duplicated-span fraction ≥ {threshold},
-    with gram counts. Every doc in the fixture has ≥ 10 words, so the
-    rolling-gram sequence is never empty.
+    with gram counts. Docs shorter than DUP_SPAN_W words yield an empty
+    gram array (guarded below) and drop out, matching the oracle's empty
+    generate_series.
 
     Scale: n_grams is a NARROW per-row size() (no join — the oracle
     joins the full posting list back for it; the engine doesn't need
@@ -1207,10 +1208,19 @@ def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in documents."""
     d = spread(load_table(spark, sf_dir, "documents"))
     w = F.split(F.trim(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - F.lit(DUP_SPAN_W - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, DUP_SPAN_W)),
-    )
+    # Guarded like functions/text.py shingles(): for a doc shorter than
+    # DUP_SPAN_W words F.sequence(1, size-7) would be DESCENDING and
+    # F.slice would throw on the non-positive start. The oracle's
+    # generate_series returns NO rows there, so the matching engine
+    # semantics is an EMPTY gram array (the doc simply drops out), not
+    # shingles()'s whole-text fallback gram.
+    grams = F.when(
+        F.size(w) >= DUP_SPAN_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(DUP_SPAN_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, DUP_SPAN_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     base = d.select("doc_id", grams.alias("grams")).withColumn(
         "n_grams", F.size("grams")
     )

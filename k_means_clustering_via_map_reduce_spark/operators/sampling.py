@@ -292,8 +292,8 @@ P7_TARGET_FRAC = 0.5  # corpus-level keep budget before per-lang reweighting
     tot AS (SELECT sum(n) AS total_n, sum(sqrt(n)) AS z FROM counts),
     rates AS (
       SELECT lang, n,
-             CAST(least(1000, floor(1000 * {P7_TARGET_FRAC} * total_n
-                                    * sqrt(n) / (z * n)))
+             CAST(least(1000, floor(round(1000 * {P7_TARGET_FRAC} * total_n
+                                          * sqrt(n) / (z * n), 6)))
                   AS BIGINT) AS permille
       FROM counts, tot),
     kept AS (
@@ -327,12 +327,19 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.least(
             F.lit(1000),
+            # z = sum(sqrt(n)) is an order-dependent FP sum; round the
+            # pre-floor product to 6 decimals on BOTH sides so a value
+            # landing within FP jitter of an integer boundary cannot
+            # floor() differently across engines or partitionings.
             F.floor(
-                1000
-                * P7_TARGET_FRAC
-                * F.col("total_n")
-                * F.sqrt("n")
-                / (F.col("z") * F.col("n"))
+                F.round(
+                    1000
+                    * P7_TARGET_FRAC
+                    * F.col("total_n")
+                    * F.sqrt("n")
+                    / (F.col("z") * F.col("n")),
+                    6,
+                )
             ),
         )
         .cast("bigint")

@@ -279,11 +279,19 @@ if _HAVE_DATASOURCE:
     class JsonlCommit(WriterCommitMessage):
         filename: str
         n_rows: int
+        part_id: int
 
     class JsonlSinkWriter(DataSourceWriter):
-        """Executor side: stream the partition's rows to
-        part-{pid}.jsonl.tmp, rename on success (readers never see a
-        torn file), report (filename, row count) to the driver."""
+        """Executor side: stream the partition's rows to an
+        ATTEMPT-unique ``part-{pid}-a{attemptId}.jsonl.tmp``, rename on
+        close, report (attempt filename, row count, partition) to the
+        driver. Task retries and speculative attempts each get their own
+        file — two live attempts can never interleave into one path —
+        and the driver-side ``commit()`` promotes exactly the winning
+        attempt per partition (the one whose WriterCommitMessage Spark
+        delivered) to the canonical ``part-{pid}.jsonl`` name, then
+        sweeps losing-attempt residue. Readers only ever see promoted
+        finals plus ``_MANIFEST.json``."""
 
         def __init__(self, options, overwrite):
             self.path = options.get("path")
@@ -295,22 +303,40 @@ if _HAVE_DATASOURCE:
 
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
-            fname = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            aname = f"part-{pid:05d}-a{ctx.taskAttemptId()}.jsonl"
+            apath = _os.path.join(self.path, aname)
             n = 0
-            with open(fname + ".tmp", "w") as f:
+            with open(apath + ".tmp", "w") as f:
                 for row in iterator:
                     f.write(_json.dumps(row.asDict()) + "\n")
                     n += 1
-            _os.rename(fname + ".tmp", fname)
-            return JsonlCommit(_os.path.basename(fname), n)
+            _os.rename(apath + ".tmp", apath)
+            return JsonlCommit(aname, n, pid)
 
         def commit(self, messages):
             import json as _json
             import os as _os
+            import re as _re
 
+            # Spark delivers ONE commit message per partition (the
+            # winning attempt); promote it, then sweep every
+            # non-promoted attempt file / torn .tmp left by retries.
+            finals = []
+            for m in messages:
+                final = f"part-{m.part_id:05d}.jsonl"
+                _os.replace(
+                    _os.path.join(self.path, m.filename),
+                    _os.path.join(self.path, final),
+                )
+                finals.append(final)
+            attempt_pat = _re.compile(r"^part-\d{5}-a\d+\.jsonl(\.tmp)?$")
+            for n in _os.listdir(self.path):
+                if attempt_pat.match(n):
+                    _os.remove(_os.path.join(self.path, n))
             manifest = {
-                "files": sorted(m.filename for m in messages),
+                "files": sorted(finals),
                 "rows": sum(m.n_rows for m in messages),
             }
             with open(
@@ -320,11 +346,12 @@ if _HAVE_DATASOURCE:
 
         def abort(self, messages):
             import os as _os
+            import re as _re
 
-            for m in messages:
-                p = _os.path.join(self.path, m.filename)
-                if _os.path.exists(p):
-                    _os.remove(p)
+            attempt_pat = _re.compile(r"^part-\d{5}-a\d+\.jsonl(\.tmp)?$")
+            for n in _os.listdir(self.path):
+                if attempt_pat.match(n):
+                    _os.remove(_os.path.join(self.path, n))
 
     class JsonlSink(DataSource):
         """``df.write.format("kmce_jsonl_sink").option("path", dir)`` —

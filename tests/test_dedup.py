@@ -513,3 +513,33 @@ def test_d10_dup_span_bounds(spark, sf_dir):
     )
     frac = {r["doc_id"]: r["n_dup"] / r["n"] for r in per}
     assert frac[1] == 1.0 and frac[2] == 1.0 and frac[3] == 0.0
+
+
+def test_d10_short_doc_guard(spark, tmp_path):
+    """A document shorter than DUP_SPAN_W words must yield an EMPTY
+    gram array and silently drop out — matching the oracle's empty
+    generate_series — instead of crashing F.slice with a non-positive
+    start (the unguarded-descending-F.sequence trap shingles()
+    documents). Crafted corpus: one 3-word doc plus two identical
+    12-word docs that must still profile as 100% duplicated."""
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+    from tests.oracle_utils import compare_to_oracle
+
+    long = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "too few words", "en", "web", 13),
+        (2, long, "en", "web", len(long)),
+        (3, long, "en", "web", len(long)),
+    ]
+    import pandas as pd
+
+    sf = str(tmp_path)
+    # single-file parquet (like the driver testdata) so DuckDB's
+    # read_parquet(path) sees a file, not a Spark part-file directory
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{sf}/documents.parquet")
+    out = Q.QUERIES["d10_dup_span_profile"](spark, sf)
+    got = {r.doc_id: r.dup_fraction for r in out.collect()}
+    assert got == {2: 1.0, 3: 1.0}  # short doc absent, dups fully spanned
+    compare_to_oracle(out, Q.ORACLE_SQL["d10_dup_span_profile"], sf)

@@ -90,3 +90,38 @@ def test_f17_sink_commit_protocol(spark, sf_dir):
             for _ in open(os.path.join(out, f))
         )
         assert n_lines == n_in
+
+
+def test_f17_sink_retry_attempt_isolation(tmp_path):
+    """A task retry / speculative duplicate writes its OWN attempt file
+    (never sharing a path with a live attempt), and driver-side
+    commit() promotes only the winning attempt per partition, sweeping
+    the loser and any torn .tmp — the failure modes commit protocols
+    exist for. Driver-side logic is exercised directly: two attempt
+    files for partition 0 exist, Spark delivered one winner."""
+    import json
+    import os
+
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        JsonlCommit,
+        JsonlSinkWriter,
+    )
+
+    out = str(tmp_path)
+    win, lose = "part-00000-a7.jsonl", "part-00000-a3.jsonl"
+    open(os.path.join(out, win), "w").write('{"doc_id": 1}\n')
+    open(os.path.join(out, lose), "w").write('{"doc_id": 1}\n')
+    # a third attempt died mid-write: torn .tmp never renamed
+    open(os.path.join(out, lose + ".tmp"), "w").write('{"doc')
+
+    w = JsonlSinkWriter({"path": out}, overwrite=False)
+    w.commit([JsonlCommit(filename=win, n_rows=1, part_id=0)])
+
+    names = sorted(os.listdir(out))
+    assert names == ["_MANIFEST.json", "part-00000.jsonl"]
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man == {"files": ["part-00000.jsonl"], "rows": 1}
+    # abort path: attempt residue is removed, committed finals stay
+    open(os.path.join(out, "part-00001-a9.jsonl.tmp"), "w").write("x")
+    w.abort([None])
+    assert sorted(os.listdir(out)) == ["_MANIFEST.json", "part-00000.jsonl"]
