@@ -3834,3 +3834,122 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q65 — TPC-H Q2 shape: the multi-column correlated MIN subquery whose
+# aggregate ranges over a JOIN RESULT (lineitem ⋈ supplier ⋈ nation ⋈
+# region), not a base table — the one classic decorrelation pattern
+# q44-q47/q64 do not cover. The fixture has no partsupp, so lineitem
+# plays it: supply cost = l_extendedprice / l_quantity (an IEEE-exact
+# double division both engines compute identically, so the
+# min-equality filter carries no boundary-flip risk). Min-cost
+# European supplier per size-15 part. Entered through the SQL surface
+# so Catalyst's scalar-subquery decorrelation actually runs: the right
+# plan computes ONE per-partkey min aggregate over the
+# region-restricted join and joins it back — no per-outer-row re-scan,
+# no nested loop (pinned in tests/test_plans.py).
+# --------------------------------------------------------------------------
+_Q65_BODY = """
+    SELECT DISTINCT round(s.s_acctbal, 4) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_type,
+           round(l.l_extendedprice / l.l_quantity, 4) AS supply_cost
+    FROM %(part)s p
+    JOIN %(lineitem)s l ON p.p_partkey = l.l_partkey
+    JOIN %(supplier)s s ON s.s_suppkey = l.l_suppkey
+    JOIN %(nation)s n ON s.s_nationkey = n.n_nationkey
+    JOIN %(region)s r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM %(lineitem)s l2
+        JOIN %(supplier)s s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN %(nation)s n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN %(region)s r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+_Q65_TABLES = ("part", "lineitem", "supplier", "nation", "region")
+
+
+@query(
+    "q65_min_cost_supplier",
+    oracle=_Q65_BODY % {t: t for t in _Q65_TABLES},
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part across the 4-way dim chain (TPC-H Q2
+    shape). (s_name, p_partkey) is a unique key of the DISTINCT output
+    and both appear in the ORDER BY chain, so the sort is total.
+
+    Scale plan: Catalyst decorrelates the correlated scalar MIN into a
+    per-l_partkey min aggregate over the region-filtered join, then an
+    equi-join back to the outer flow on (partkey, cost) — the fact
+    table is scanned twice but never re-scanned per row; supplier /
+    nation / region are broadcast dims on both arms; the p_size and
+    r_name filters reach the scans. A correlated-MIN-over-join that
+    silently re-executed per outer row would be quadratic in parts —
+    the plan pin exists to make that regression loud."""
+    for t in _Q65_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q65_{t}")
+    return spark.sql(_Q65_BODY % {t: f"kmce_q65_{t}" for t in _Q65_TABLES})
+
+
+# --------------------------------------------------------------------------
+# F18 — snapshot-versioned table read (time travel): reproducible-corpus
+# pinning, the lakehouse-lifecycle capability training pipelines rely on
+# (train @ corpus-version N must replay bit-identically after any number
+# of later appends). Composes f17's atomic-manifest commit protocol with
+# f14's table lifecycle; mechanism in sources/versioned.py. The staged
+# table commits v1 = every third document, then APPENDS the rest as v2 —
+# and the query reads AT VERSION 1 afterwards, so a versioning bug
+# (reader lists the data dir, manifest includes v2 files, commit not
+# atomic) surfaces as extra rows against the oracle's v1 predicate.
+# --------------------------------------------------------------------------
+_F18_STAGED: dict[tuple, object] = {}
+
+
+@query(
+    "f18_time_travel_read",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY source ORDER BY source
+    """,
+)
+def f18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate a version-1 time-travel read taken AFTER version 2 was
+    committed; must equal the v1 snapshot exactly (the oracle's
+    doc_id % 3 = 0 predicate on the original table).
+
+    Scale: a commit is one distributed parquet write plus an O(#files)
+    driver-side manifest; the versioned read is a plain parquet scan of
+    the pinned file list (pushdown/pruning/codegen unchanged) — the
+    Delta/Iceberg snapshot-read asymptotics, minimally."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F18_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_versioned_")
+        d = load_table(spark, sf_dir, "documents")
+        commit_append(d.filter(F.col("doc_id") % 3 == 0), tmp.name)
+        commit_append(d.filter(F.col("doc_id") % 3 != 0), tmp.name)
+        _F18_STAGED[key] = tmp
+    snap = read_version(spark, _F18_STAGED[key].name, version=1)
+    return (
+        snap.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,113 @@
+"""Snapshot-versioned parquet table — manifest-file time travel.
+
+The lakehouse-lifecycle capability a training-data pipeline leans on
+hardest: REPRODUCIBLE CORPUS PINNING. A training run records "corpus @
+version N" and every later re-read of version N must return bit-identical
+data, no matter how many appends happened since. This is the core
+mechanism of Delta Lake / Iceberg snapshot reads, re-expressed minimally:
+
+- data files are IMMUTABLE once written (appends add files, never touch
+  existing ones);
+- each commit writes ``_manifests/v{N}.json`` naming the complete file
+  list visible at version N (previous manifest's files + the new ones);
+- the manifest write is the COMMIT POINT, made atomic with the same
+  tmp-file + rename discipline as the f17 sink: a crash after the data
+  write but before the manifest rename leaves orphan data files that no
+  manifest references — invisible to every reader, reclaimable by a
+  vacuum that keeps any file named in any manifest;
+- readers NEVER list the data directory; they read exactly the files a
+  manifest names, so concurrent in-flight appends cannot tear a read.
+
+The reference (a fixed two-stage MapReduce over one static CSV,
+master.py:12-266) has no table lifecycle at all; this is engine surface
+beyond it, composing f17's commit protocol with f14's table lifecycle.
+
+Scale: a commit is one parquet write (distributed) plus one O(#files)
+driver-side JSON write — metadata cost is proportional to file count,
+not rows, the same asymptotics as Delta's transaction log. Reads are
+plain parquet scans of the pinned file list: pushdown, pruning and
+whole-stage codegen all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"v{version:05d}.json")
+
+
+def latest_version(root: str) -> int:
+    """Highest committed version, or 0 if the table is empty."""
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(n[1:6])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def commit_append(df: DataFrame, root: str) -> int:
+    """Append ``df`` as a new immutable snapshot; returns the new
+    version. Optimistic concurrency: two racing committers both write
+    their (uniquely-named) data files, but only one wins the manifest
+    slot — ``os.link`` fails with EEXIST for the loser, whose data
+    files stay orphaned/invisible (retry = recompute parent + relink).
+    """
+    txn = uuid.uuid4().hex[:12]
+    parent = latest_version(root)
+    data_dir = os.path.join(root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn}")
+    df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(os.path.relpath(data_dir, root), n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    prev_files = (
+        read_manifest(root, parent)["files"] if parent else []
+    )
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "files": prev_files + new_files,
+        "added": new_files,
+    }
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        # link (not rename): atomic AND refuses to clobber an existing
+        # manifest, so the slower of two racing commits loses loudly
+        # instead of silently overwriting the winner's snapshot.
+        os.link(tmp, _manifest_path(root, parent + 1))
+    finally:
+        os.remove(tmp)
+    return parent + 1
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the exact file set manifest N names (latest
+    when ``version`` is None). Never lists the data directory."""
+    if version is None:
+        version = latest_version(root)
+    files = read_manifest(root, version)["files"]
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])

@@ -563,3 +563,21 @@ def test_q64_double_correlation_is_semi_plus_anti(spark, sf_dir):
     plan = physical_plan(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:800]
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q65_correlated_min_over_join_decorrelates(spark, sf_dir):
+    """The TPC-H Q2 shape must decorrelate: ONE per-partkey min
+    aggregate over the region-restricted join (a partial+final
+    HashAggregate pair), equi-joined back to the outer flow — never a
+    per-outer-row rescan (no nested loop / cartesian). Dims broadcast
+    on both arms, and the p_size / r_name filters reach the scans."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q65_min_cost_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_min" in plan, plan[:800]  # decorrelated aggregate
+    assert broadcast_hash_join_count(df) >= 6  # 3 dims x both arms
+    pushed = pushed_filters(df)
+    assert any("p_size" in p for p in pushed), pushed
+    assert any("r_name" in p for p in pushed), pushed

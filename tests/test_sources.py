@@ -125,3 +125,57 @@ def test_f17_sink_retry_attempt_isolation(tmp_path):
     open(os.path.join(out, "part-00001-a9.jsonl.tmp"), "w").write("x")
     w.abort([None])
     assert sorted(os.listdir(out)) == ["_MANIFEST.json", "part-00000.jsonl"]
+
+
+def test_f18_versioned_table_time_travel(spark, sf_dir, tmp_path):
+    """The versioned-table contract: (1) a later append does NOT change
+    a version-N read; (2) an aborted commit — data files written, crash
+    before the manifest rename — leaves nothing visible to any reader;
+    (3) a racing commit to the same version slot loses loudly instead
+    of clobbering the winner's snapshot."""
+    import os
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        latest_version,
+        read_version,
+    )
+
+    root = str(tmp_path)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assert commit_append(d.filter(F.col("doc_id") % 3 == 0), root) == 1
+    v1_before = sorted(r.doc_id for r in read_version(spark, root, 1).collect())
+
+    assert commit_append(d.filter(F.col("doc_id") % 3 != 0), root) == 2
+    v1_after = sorted(r.doc_id for r in read_version(spark, root, 1).collect())
+    assert v1_after == v1_before  # later append invisible at version 1
+    assert len(read_version(spark, root).collect()) == d.count()
+
+    # aborted commit: data dir written, no manifest ever linked
+    orphan = os.path.join(root, "data", "txn-00003-deadbeef")
+    d.limit(5).write.parquet(orphan)
+    assert latest_version(root) == 2
+    assert sorted(
+        r.doc_id for r in read_version(spark, root).collect()
+    ) == sorted(r.doc_id for r in d.collect())  # orphans invisible
+
+    # racing commit: both committers read parent=2; the winner links
+    # v3 while the loser is still writing data files — the loser's
+    # link must fail loudly, never clobber. Pin the loser's parent
+    # view to simulate the interleaving.
+    import json
+    from unittest import mock
+
+    import k_means_clustering_via_map_reduce_spark.sources.versioned as V
+
+    man3 = os.path.join(root, "_manifests", "v00003.json")
+    json.dump({"version": 3, "parent": 2, "files": [], "added": []},
+              open(man3, "w"))
+    with mock.patch.object(V, "latest_version", return_value=2):
+        try:
+            commit_append(d.limit(1), root)
+            raised = False
+        except FileExistsError:
+            raised = True
+    assert raised
+    assert json.load(open(man3))["files"] == []  # winner untouched
