@@ -641,3 +641,142 @@ def s6_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.join(F.broadcast(en_ids), "vec_id", "left_semi")
     queries = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return brute_force_topk(corpus, queries).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# S7 — PERSISTED IVF index: build once, serve many. s3 refits its coarse
+# quantizer on every call; a production ANN service trains/encodes at
+# ingest and the query path only LOADS — this entry splits the two.
+# The index is two catalog tables: ``s7_centroids`` (the coarse
+# codebook, nlist rows) and ``s7_postings`` (vec_id, v, nrm, cell),
+# hash-BUCKETED on the cell id (f12's lever) so every cell-keyed join
+# or aggregate over the corpus is shuffle-free forever after — at
+# 100 TB the corpus-sized shuffle is paid once at index build, never
+# per query.
+# --------------------------------------------------------------------------
+S7_BUCKETS = 8
+_S7_STAGED: dict = {}
+
+
+def build_ivf_index(corpus: DataFrame, prefix: str = "s7") -> None:
+    """Index build (the ingest-time job): train the seeded coarse
+    quantizer, persist the codebook and the cell-bucketed postings.
+    This is the ONLY place the quantizer is fit; the serve path never
+    refits (pinned in tests/test_similarity.py by making the fit
+    entrypoint explode under monkeypatch while searches keep working).
+    """
+    import os as _os
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    from k_means_clustering_via_map_reduce_spark.kmeans import mllib_fit
+    from k_means_clustering_via_map_reduce_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    spark = corpus.sparkSession
+    # stale-location guard (f12's lesson): a previous process may have
+    # left the managed location while this catalog has no entry
+    warehouse = _urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    for tbl in (f"{prefix}_centroids", f"{prefix}_postings"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _sh.rmtree(_os.path.join(warehouse, tbl), ignore_errors=True)
+
+    model, _ = mllib_fit(
+        corpus, k=IVF_NLIST, array_col="v", max_iter=10, seed=IVF_SEED
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    spark.createDataFrame(
+        list(enumerate(centers)), "cell int, center array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_centroids")
+
+    assign = _cell_probe_udf(centers, 1)
+    postings = (
+        spread(corpus)
+        .withColumn("cell", assign(F.col("v"))[0])
+        .withColumn("nrm", vector_norm(F.col("v")))
+        .select("cell", "vec_id", "v", "nrm")
+    )
+    write_bucketed(
+        postings, f"{prefix}_postings", ("cell",), S7_BUCKETS,
+        sort_cols=("cell",),
+    )
+
+
+def ivf_search_persisted(
+    spark: SparkSession,
+    queries: DataFrame,
+    k: int = TOPK_K,
+    nprobe: int = IVF_NPROBE,
+    prefix: str = "s7",
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Serve path: load the SAVED codebook (nlist rows — a driver-side
+    scalar read, not data-sized) and probe the bucketed postings. No
+    fit, no corpus write, no corpus shuffle: with the default broadcast
+    probe the postings are scanned in place; with
+    ``broadcast_probe=False`` (a query set too big to broadcast) the
+    merge join reads co-located buckets on the corpus side and only the
+    probe side is exchanged — either way the corpus never moves."""
+    centers = [
+        r.center
+        for r in spark.table(f"{prefix}_centroids").orderBy("cell").collect()
+    ]
+    probe = _cell_probe_udf(centers, nprobe)
+    c = spark.table(f"{prefix}_postings")
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            vector_norm(F.col("v")).alias("qnrm"),
+        )
+        .withColumn("cell", F.explode(probe(F.col("qv"))))
+    )
+    joined = (
+        c.join(F.broadcast(q), "cell")
+        if broadcast_probe
+        else c.join(q.hint("merge"), "cell")
+    )
+    scored = joined.filter(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("cos_sim")).alias("cos_sim"),
+        )
+    )
+
+
+@query("s7_persisted_ivf_topk")
+def s7_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k through the PERSISTED IVF index: build runs once per
+    corpus (staged), every call after that is serve-only. Same seeded
+    quantizer parameters as s3, so the output must EQUAL s3's exactly
+    (pinned in tests/test_similarity.py) and shares its golden hash
+    at sf0.001; rows-only for the driver (the k-means fit in the build
+    phase is not SQL-expressible)."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    key = staging_key(sf_dir, "embeddings")
+    if _S7_STAGED.get("key") != key:
+        build_ivf_index(e)
+        _S7_STAGED["key"] = key
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return ivf_search_persisted(spark, q).orderBy("query_id", "rank")

@@ -1,6 +1,6 @@
 """Drift guards for the rows-only queries (SURVEY.md §5.2-7).
 
-Ten registered queries are deliberately not SQL-oracled (seeded LSH /
+Eleven registered queries are deliberately not SQL-oracled (seeded LSH /
 SimHash / SRP / IVF sketches, the hash-split sample, the seeded MLlib
 KMeans fit, HLL/GK sketch aggregates, the seeded-codebook PQ-ADC
 top-k; k1b is pinned by
@@ -37,6 +37,10 @@ GOLDEN = {
     # PQ-ADC top-k (s5): deterministic head-sample codebooks; candidate
     # selection proven partitioning-independent in test_similarity.py.
     "s5_pq_adc_topk": ("cc9c69b870258aa2", 100),
+    # Persisted-IVF top-k (s7): identical seeded quantizer + probe
+    # parameters as s3, so the digest must EQUAL s3's — the persistence
+    # round-trip (bucketed postings + saved codebook) changes nothing.
+    "s7_persisted_ivf_topk": ("86a9659a8f3ec1e0", 100),
     "p1_stratified_sample": ("3279dd785278f7bf", 5),
     # Seeded KMeans|| fit (k2): deterministic for a fixed input +
     # partitioning; digest re-derived in two independent fresh sessions

@@ -145,3 +145,76 @@ def test_pq_encoding_partitioning_independent(spark, sf_dir):
         pq_adc_topk(e.repartition(32), q).orderBy("query_id", "rank").collect()
     )
     assert one == many
+
+
+def test_s7_equals_s3_and_recall(spark, sf_dir, vectors):
+    """The persisted-index serve path must return EXACTLY what s3's
+    fit-per-call path returns (same seeded quantizer, same probe
+    parameters — persistence round-trip changes nothing), which also
+    transfers s3's recall bound; the recall floor vs exact numpy top-k
+    is asserted directly anyway."""
+    s7 = [tuple(r) for r in
+          Q.QUERIES["s7_persisted_ivf_topk"](spark, sf_dir).collect()]
+    s3 = [tuple(r) for r in
+          Q.QUERIES["s3_ivf_topk"](spark, sf_dir).collect()]
+    assert s7 == s3
+    ids, mat = vectors
+    want = numpy_topk(ids, mat)
+    got: dict[int, list[int]] = {}
+    for qid, _rank, nid, _cos in s7:
+        got.setdefault(qid, []).append(nid)
+    hits = total = 0
+    for q, neighbors in want.items():
+        total += len(neighbors)
+        hits += len(set(neighbors) & set(got.get(q, [])))
+    assert hits / total >= 0.4, f"s7 recall {hits / total} too low"
+
+
+def test_s7_serve_path_never_refits(spark, sf_dir, monkeypatch):
+    """The query path must run entirely off the SAVED tables: with the
+    index staged, the k-means fit entrypoint is rigged to explode and
+    the search must still succeed (a refit-per-query regression fails
+    loudly here)."""
+    import k_means_clustering_via_map_reduce_spark.kmeans as KM
+
+    Q.QUERIES["s7_persisted_ivf_topk"](spark, sf_dir).collect()  # stage
+
+    def boom(*a, **k):
+        raise AssertionError("serve path called mllib_fit")
+
+    monkeypatch.setattr(KM, "mllib_fit", boom)
+    rows = Q.QUERIES["s7_persisted_ivf_topk"](spark, sf_dir).collect()
+    assert len(rows) == 100
+
+
+def test_s7_bucketed_postings_join_shape(spark, sf_dir):
+    """Index-serve plan pins. Default (broadcast probe): the corpus is
+    scanned in place — the ONLY shuffle is the top-k window. Big-probe
+    fallback (merge join): the postings side reads co-located buckets
+    (`Bucketed: true`) so only the probe side and the window exchange —
+    the corpus never moves in either shape."""
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        TOPK_N_QUERIES,
+        ivf_search_persisted,
+    )
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        count_shuffles,
+        physical_plan,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    Q.QUERIES["s7_persisted_ivf_topk"](spark, sf_dir).collect()  # stage
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+
+    fast = ivf_search_persisted(spark, q)
+    assert "BroadcastHashJoin" in physical_plan(fast)
+    assert count_shuffles(fast) <= 1  # the window only
+
+    big = ivf_search_persisted(spark, q, broadcast_probe=False)
+    plan = physical_plan(big)
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    assert count_shuffles(big) <= 2  # probe alignment + window
