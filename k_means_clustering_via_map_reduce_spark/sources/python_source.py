@@ -436,3 +436,263 @@ if _HAVE_DATASOURCE:
             )
             .orderBy("lang")
         )
+
+
+# --------------------------------------------------------------------------
+# K20 — custom streaming source chained into an event-time WATERMARKED
+# windowed aggregate: the composition a real queue-consumer pipeline is.
+# k16 proves the connector in complete mode (watermark never changes the
+# answer there); k20 runs a user-defined source through append-mode
+# eviction state, reusing latedata.py's three-batch discipline with the
+# batch schedule encoded IN the reader (offset = batch index, one
+# scheduled batch per read() call = one micro-batch):
+#
+#   batch 0 "ontime": rows r in [0, N), ts = BASE + r*STEP (~3h20m span);
+#   batch 1 "tick":   one row at max(on-time ts) + 3 h — only job is to
+#                     advance the watermark (its window never emits);
+#   batch 2 "late":   the on-time rows replayed 30 min EARLIER (their
+#                     hour windows closed at wm1 -> dropped) plus
+#                     unshifted duplicates of the last-10-minutes rows
+#                     (late-but-admissible; merge into the final window).
+#
+# Batch-2 filtering uses the PREVIOUS batch's watermark wm1 =
+# max(on-time) - delay, eviction the current wm2 = tick - delay
+# (SPARK-40925) — every timestamp is integer seconds, so both bounds
+# are exact integer arithmetic the DuckDB oracle replays verbatim.
+# --------------------------------------------------------------------------
+ETICK_BASE = 1_704_067_200  # 2024-01-01 00:00:00 UTC, hour-aligned
+ETICK_N = 600
+ETICK_STEP = 20  # seconds between on-time rows
+ETICK_CHANNELS = 5
+ETICK_LATE_SHIFT = 1800  # 30 minutes
+ETICK_TICK_GAP = 10800  # 3 hours
+ETICK_DELAY_S = 600  # watermark delay, 10 minutes
+ETICK_MAX0 = ETICK_BASE + (ETICK_N - 1) * ETICK_STEP
+ETICK_TICK_TS = ETICK_MAX0 + ETICK_TICK_GAP
+
+
+def _etick_batch(i: int):
+    # A LIST (pickled for recovery replay, k16's lesson).
+    if i == 0:
+        return [
+            (r, ETICK_BASE + r * ETICK_STEP, r % ETICK_CHANNELS,
+             float((r * 13) % 100))
+            for r in range(ETICK_N)
+        ]
+    if i == 1:
+        return [(-1, ETICK_TICK_TS, -1, 0.0)]
+    if i == 2:
+        shifted = [
+            (r, ETICK_BASE + r * ETICK_STEP - ETICK_LATE_SHIFT,
+             r % ETICK_CHANNELS, float((r * 13) % 100))
+            for r in range(ETICK_N)
+        ]
+        dups = [
+            (r, ETICK_BASE + r * ETICK_STEP, r % ETICK_CHANNELS,
+             float((r * 13) % 100))
+            for r in range(ETICK_N)
+            if ETICK_BASE + r * ETICK_STEP > ETICK_MAX0 - ETICK_DELAY_S
+        ]
+        return shifted + dups
+    return []
+
+
+if _HAVE_DATASOURCE:
+
+    class EventTickStreamReader(SimpleDataSourceStreamReader):
+        """Offset = {"b": next_unread_batch}; each read() hands the
+        engine exactly one scheduled batch, so the watermark advances
+        between batches just as it would consuming a live queue."""
+
+        def __init__(self, options):
+            self.batches = int(options.get("batches", "3"))
+
+        def initialOffset(self):
+            return {"b": 0}
+
+        def read(self, start):
+            b = start["b"]
+            if b >= self.batches:
+                # No-progress contract differs from the progress case:
+                # the wrapper probes an end==start result with next(it),
+                # so it must be an empty ITERATOR (a list raises
+                # TypeError at latestOffset under a live trigger).
+                return iter([]), {"b": b}
+            return _etick_batch(b), {"b": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for b in range(start["b"], end["b"]):
+                rows.extend(_etick_batch(b))
+            return rows
+
+    class EventTickStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "kmce_eticks"
+
+        def schema(self) -> str:
+            return "event_id BIGINT, ts_sec BIGINT, chan BIGINT, v DOUBLE"
+
+        def simpleStreamReader(self, schema):
+            return EventTickStreamReader(self.options)
+
+
+_ETICK_LAST_PROGRESS: list = []  # final run's progress events, for pins
+
+
+def run_etick_stream(
+    spark: SparkSession,
+    batches: int,
+    checkpoint: str,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Watermarked hourly-per-channel aggregate over the custom source,
+    APPEND mode (the emission log IS the answer — a window surfaces
+    only once its end passes the eviction watermark).
+
+    The simple-reader prefetch wrapper hands AvailableNow only its
+    FIRST prefetched chunk, which would collapse the schedule into one
+    micro-batch — so this runs a live processing-time trigger and stops
+    at a DETERMINISTIC terminal condition instead: the no-data batch
+    (numInputRows == 0) whose watermark equals the feed's final value,
+    i.e. eviction has caught up with everything the schedule can ever
+    emit. Until that batch exists the loop just keeps polling; the
+    outcome does not depend on trigger timing."""
+    import datetime as _dt
+    import os
+    import time
+    import uuid
+
+    spark.dataSource.register(EventTickStreamSource)
+    final_wm_sec = (
+        ETICK_TICK_TS if batches >= 2 else ETICK_MAX0
+    ) - ETICK_DELAY_S
+    target_wm = _dt.datetime.fromtimestamp(
+        final_wm_sec, _dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+    name = f"eticks_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.format("kmce_eticks")
+            .option("batches", str(batches))
+            .load()
+            .select(
+                F.col("ts_sec").cast("timestamp").alias("ts"),
+                "chan",
+                "v",
+            )
+            .withWatermark("ts", f"{ETICK_DELAY_S} seconds")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "chan")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("v"), 4).alias("sum_v"),
+            )
+        )
+        # The append-mode MEMORY sink cannot recover from a checkpoint;
+        # restart scenarios write through the durable parquet file sink
+        # (k11's production shape) and read the emission log back.
+        writer = (
+            stream.writeStream.format("parquet").option("path", sink_dir)
+            if sink_dir
+            else stream.writeStream.format("memory").queryName(name)
+        )
+        q = (
+            writer.outputMode("append")
+            .option("checkpointLocation", os.path.join(checkpoint, "ckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                p = q.lastProgress
+                if (
+                    p
+                    and p["numInputRows"] == 0
+                    and p.get("eventTime", {}).get("watermark") == target_wm
+                ):
+                    break
+                time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"etick stream never reached watermark {target_wm}"
+                )
+            _ETICK_LAST_PROGRESS[:] = [dict(e) for e in q.recentProgress]
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if sink_dir:
+        return spark.read.parquet(sink_dir).localCheckpoint(eager=True)
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+if _HAVE_DATASOURCE:
+
+    @query(
+        "k20_stream_source_watermark",
+        oracle=f"""
+        WITH r AS (SELECT unnest(range(0, {ETICK_N})) AS r),
+        ontime AS (
+          SELECT {ETICK_BASE} + r * {ETICK_STEP} AS ts_sec,
+                 r % {ETICK_CHANNELS} AS chan,
+                 CAST((r * 13) % 100 AS DOUBLE) AS v
+          FROM r),
+        dups AS (
+          SELECT * FROM ontime
+          WHERE ts_sec > {ETICK_MAX0} - {ETICK_DELAY_S}),
+        late AS (
+          SELECT ts_sec - {ETICK_LATE_SHIFT} AS ts_sec, chan, v
+          FROM ontime
+          WHERE ((ts_sec - {ETICK_LATE_SHIFT}) // 3600) * 3600 + 3600
+                > {ETICK_MAX0} - {ETICK_DELAY_S}),
+        surviving AS (
+          SELECT * FROM ontime UNION ALL
+          SELECT * FROM dups UNION ALL
+          SELECT * FROM late)
+        SELECT make_timestamp((ts_sec // 3600) * 3600 * 1000000) AS hour_ts,
+               chan, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(v), 4) AS sum_v
+        FROM surviving
+        WHERE (ts_sec // 3600) * 3600 + 3600
+              <= {ETICK_TICK_TS} - {ETICK_DELAY_S}
+        GROUP BY 1, 2 ORDER BY hour_ts, chan
+        """,
+    )
+    def k20_stream_source_watermark(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Append-mode emission log of the watermarked hourly-channel
+        aggregate over the custom streaming source. The oracle replays
+        both watermark bounds in integer arithmetic: late replays whose
+        hour window closed at wm1 are dropped, admissible duplicates
+        merge, the tick's own window never emits — a source that
+        re-delivered a batch, skipped one, or a watermark that stopped
+        advancing all diverge.
+
+        Scale: state is per-(window, chan), bounded by the watermark
+        horizon; the shuffle hashes on the state key exactly as the
+        native-source k4/k10 path — the Python source changes WHERE
+        rows enter, not the stateful plan. Restart/offset-replay is
+        pinned in tests/test_sinks.py across two runs sharing one
+        checkpoint."""
+        import tempfile as _tf
+
+        ckpt_base = "/dev/shm" if __import__("os").path.isdir("/dev/shm") \
+            else None
+        with _tf.TemporaryDirectory(
+            prefix="kmce_eticks_", dir=ckpt_base
+        ) as tmp:
+            res = run_etick_stream(spark, 3, tmp)
+        return res.select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+            "chan",
+            "n_events",
+            "sum_v",
+        ).orderBy("hour_ts", "chan")

@@ -309,3 +309,63 @@ def test_k16_tick_stream_restart_exactly_once(spark, tmp_path):
         n, s = expect.get(r % TICK_CHANNELS, (0, 0.0))
         expect[r % TICK_CHANNELS] = (n + 1, s + float((r * 13) % 100))
     assert res == {c: (n, round(s, 4)) for c, (n, s) in expect.items()}
+
+
+def test_k20_etick_restart_exactly_once_and_state(spark, tmp_path):
+    """Two live-trigger runs sharing one checkpoint: run 1 consumes
+    only the on-time batch and stops at its terminal watermark; run 2
+    (full schedule) must resume from the COMMITTED offset — the union
+    of the two append-mode emission logs equals the full-schedule
+    oracle exactly, with no (window, chan) emitted twice (exactly-once
+    across restart: a re-read of batch 0 would double-emit the early
+    windows, a lost offset would drop them). The admissible duplicates
+    arriving in run 2 prove the restored watermark still admits
+    late-but-in-horizon rows. The watermarked aggregate must carry
+    exactly ONE stateful operator."""
+    import duckdb
+
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        _ETICK_LAST_PROGRESS,
+        _HAVE_DATASOURCE,
+        run_etick_stream,
+    )
+
+    if not _HAVE_DATASOURCE:
+        import pytest
+
+        pytest.skip("pyspark.sql.datasource unavailable")
+
+    def emitted(df):
+        rows = [
+            ((r["win"]["start"], r["chan"]), (r["n_events"], r["sum_v"]))
+            for r in df.collect()
+        ]
+        # exactly-once: the durable emission log must never carry a
+        # (window, chan) twice — a replayed batch 0 would
+        assert len({k for k, _ in rows}) == len(rows), "double emission"
+        return dict(rows)
+
+    ckpt = str(tmp_path / "etick_ckpt")
+    sink = str(tmp_path / "etick_sink")
+    run1 = emitted(run_etick_stream(spark, 1, ckpt, sink_dir=sink))
+    full = emitted(run_etick_stream(spark, 3, ckpt, sink_dir=sink))
+
+    # run 1 emitted the early windows; run 2 only ADDED the rest
+    assert run1 and set(run1) < set(full)
+    assert all(full[k] == v for k, v in run1.items())
+
+    want = {
+        (r[0].to_pydatetime(), r[1]): (r[2], r[3])
+        for r in duckdb.sql(
+            Q.ORACLE_SQL["k20_stream_source_watermark"]
+        ).fetchdf().itertuples(index=False, name=None)
+    }
+    assert full == want
+
+    state_ops = [
+        p["stateOperators"]
+        for p in _ETICK_LAST_PROGRESS
+        if p.get("stateOperators")
+    ]
+    assert state_ops and all(len(ops) == 1 for ops in state_ops)
