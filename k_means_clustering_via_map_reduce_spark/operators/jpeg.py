@@ -7,12 +7,12 @@ level shift), so a byte-offset, bit-reader, table, or transform bug
 anywhere in the chain is observable.
 
 Scope (and the honest boundary that remains): baseline sequential DCT,
-single 8-bit component, no chroma subsampling, standard Annex K huffman
-tables. Color JPEG / progressive / arithmetic coding stay out of scope —
-they add table plumbing, not new Spark-side structure. Pure
-numpy float64 DCT via an orthonormal matrix product: deterministic
-across partitions and runs (same BLAS-free einsum path), which is what
-the golden-hash pin requires.
+8-bit, grayscale AND 3-component YCbCr 4:2:0 color (interleaved MCUs,
+both Annex K quant tables, all four Annex K huffman tables, BT.601
+full-range color transform). Progressive / arithmetic coding and
+WebP/AVIF stay out of scope. Pure numpy float64 DCT via an orthonormal
+matrix product: deterministic across partitions and runs (same
+BLAS-free einsum path), which is what the golden-hash pin requires.
 
 Reference: the format itself is public (ITU-T T.81, Annex K tables);
 the reference repo has no media surface at all (SURVEY.md §2.2).
@@ -41,6 +41,21 @@ STD_LUMA = np.array(
         [24, 35, 55, 64, 81, 104, 113, 92],
         [49, 64, 78, 87, 103, 121, 120, 101],
         [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.1 Table K.2 — the conventional chroma quantization table.
+STD_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
     ],
     dtype=np.int32,
 )
@@ -77,6 +92,29 @@ _AC_VALS = [
 ]
 
 
+# Annex K.3.3.2 chroma huffman specs.
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _build_codes(bits, vals):
     """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 C.2."""
     codes = {}
@@ -105,6 +143,8 @@ def _build_decode(bits, vals):
 
 _DC_DEC = _build_decode(_DC_BITS, _DC_VALS)
 _AC_DEC = _build_decode(_AC_BITS, _AC_VALS)
+_DC_ENC_C = _build_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_ENC_C = _build_codes(_AC_BITS_C, _AC_VALS_C)
 
 # Orthonormal DCT-II matrix (float64): coeffs = C @ x @ C.T.
 _C = np.zeros((8, 8))
@@ -192,6 +232,65 @@ def _dht_payload(cls_id: int, bits, vals) -> bytes:
     return bytes([cls_id]) + bytes(bits) + bytes(vals)
 
 
+def _encode_block(bw, block, qt, dc_enc, ac_enc, prev_dc: int) -> int:
+    """DCT → quantize → zigzag → huffman one level-shifted 8×8 block;
+    returns the new DC predictor. Shared by the gray and color paths —
+    byte-for-byte the original grayscale emission."""
+    coeffs = _C @ block @ _C.T
+    q = np.round(coeffs / qt).astype(np.int64).flatten()[_ZIGZAG]
+    diff = int(q[0]) - prev_dc
+    prev_dc = int(q[0])
+    cat = _category(diff)
+    code, length = dc_enc[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for i in range(1, 64):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]  # ZRL
+            bw.write(zc, zl)
+            run -= 16
+        cat = _category(v)
+        ac, al = ac_enc[(run << 4) | cat]
+        bw.write(ac, al)
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        ec, el = ac_enc[0x00]  # EOB
+        bw.write(ec, el)
+    return prev_dc
+
+
+def _decode_block(r, dc_dec, ac_dec, qt, prev_dc: int):
+    """Huffman → dezigzag → dequantize → inverse DCT one block; returns
+    (level-shifted-back float block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = r.huffman(dc_dec)
+    prev_dc += _receive_extend(r, cat)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = r.huffman(ac_dec)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0x0F
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += run
+        zz[i] = _receive_extend(r, cat)
+        i += 1
+    q = np.zeros(64, dtype=np.int64)
+    q[_ZIGZAG] = zz
+    coeffs = q.reshape(8, 8).astype(np.float64) * qt
+    return _C.T @ coeffs @ _C + 128.0, prev_dc
+
+
 def encode_gray(pixels: np.ndarray, qtable: np.ndarray = STD_LUMA) -> bytes:
     """Encode an (h, w) uint8 array as a baseline grayscale JPEG.
     Dimensions must be multiples of 8 (the fixtures' contract; general
@@ -220,35 +319,7 @@ def encode_gray(pixels: np.ndarray, qtable: np.ndarray = STD_LUMA) -> bytes:
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
             block = shifted[by : by + 8, bx : bx + 8]
-            coeffs = _C @ block @ _C.T
-            q = np.round(coeffs / qt).astype(np.int64).flatten()[_ZIGZAG]
-            # DC difference
-            diff = int(q[0]) - prev_dc
-            prev_dc = int(q[0])
-            cat = _category(diff)
-            code, length = _DC_ENC[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            # AC run-length
-            run = 0
-            for i in range(1, 64):
-                v = int(q[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = _AC_ENC[0xF0]  # ZRL
-                    bw.write(zc, zl)
-                    run -= 16
-                cat = _category(v)
-                ac, al = _AC_ENC[(run << 4) | cat]
-                bw.write(ac, al)
-                bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                ec, el = _AC_ENC[0x00]  # EOB
-                bw.write(ec, el)
+            prev_dc = _encode_block(bw, block, qt, _DC_ENC, _AC_ENC, prev_dc)
     bw.flush()
     return bytes(head) + bytes(bw.out) + b"\xff\xd9"
 
@@ -308,27 +379,183 @@ def decode_gray(blob: bytes) -> np.ndarray:
     prev_dc = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = r.huffman(dc_dec)
-            prev_dc += _receive_extend(r, cat)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = r.huffman(ac_dec)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0x0F
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += run
-                zz[i] = _receive_extend(r, cat)
-                i += 1
-            q = np.zeros(64, dtype=np.int64)
-            q[_ZIGZAG] = zz
-            coeffs = q.reshape(8, 8).astype(np.float64) * qt
-            block = _C.T @ coeffs @ _C + 128.0
+            block, prev_dc = _decode_block(r, dc_dec, ac_dec, qt, prev_dc)
             out[by : by + 8, bx : bx + 8] = np.clip(
                 np.round(block), 0, 255
             ).astype(np.uint8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Color: 3-component YCbCr, 4:2:0 subsampling, interleaved MCUs
+# ---------------------------------------------------------------------------
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601 forward transform, float64 (h, w, 3)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """Exact algebraic inverse of :func:`rgb_to_ycbcr` (float64)."""
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def encode_rgb420(
+    pixels: np.ndarray,
+    q_luma: np.ndarray = STD_LUMA,
+    q_chroma: np.ndarray = STD_CHROMA,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:2:0 color
+    JPEG: BT.601 to YCbCr, chroma 2×2 box-averaged, MCU = four Y blocks
+    + one Cb + one Cr interleaved in T.81 scan order, per-component DC
+    predictors, luma tables for Y and chroma tables for Cb/Cr.
+    Dimensions must be multiples of 16 (one MCU)."""
+    h, w, nc = pixels.shape
+    assert nc == 3, "RGB input required"
+    assert h % 16 == 0 and w % 16 == 0, "dimensions must be 16-aligned"
+    ql = q_luma.astype(np.int32)
+    qc = q_chroma.astype(np.int32)
+
+    ycc = rgb_to_ycbcr(pixels.astype(np.float64))
+    ys = ycc[..., 0] - 128.0
+    # 4:2:0: average each 2x2 chroma neighborhood
+    cbs = ycc[..., 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) - 128.0
+    crs = ycc[..., 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) - 128.0
+
+    head = bytearray()
+    head += b"\xff\xd8"  # SOI
+    head += _marker(0xDB, bytes([0]) + bytes(ql.flatten()[_ZIGZAG].tolist()))
+    head += _marker(0xDB, bytes([1]) + bytes(qc.flatten()[_ZIGZAG].tolist()))
+    head += _marker(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        # 3 components: Y id 1 sampling 2x2 qtable 0; Cb/Cr 1x1 qtable 1
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    head += _marker(0xC4, _dht_payload(0x00, _DC_BITS, _DC_VALS))
+    head += _marker(0xC4, _dht_payload(0x10, _AC_BITS, _AC_VALS))
+    head += _marker(0xC4, _dht_payload(0x01, _DC_BITS_C, _DC_VALS_C))
+    head += _marker(0xC4, _dht_payload(0x11, _AC_BITS_C, _AC_VALS_C))
+    # Y uses DC0/AC0, Cb and Cr DC1/AC1
+    head += _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    bw = _BitWriter()
+    dc = [0, 0, 0]  # per-component predictors
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                block = ys[my + dy : my + dy + 8, mx + dx : mx + dx + 8]
+                dc[0] = _encode_block(bw, block, ql, _DC_ENC, _AC_ENC, dc[0])
+            cy, cx = my // 2, mx // 2
+            dc[1] = _encode_block(
+                bw, cbs[cy : cy + 8, cx : cx + 8], qc,
+                _DC_ENC_C, _AC_ENC_C, dc[1],
+            )
+            dc[2] = _encode_block(
+                bw, crs[cy : cy + 8, cx : cx + 8], qc,
+                _DC_ENC_C, _AC_ENC_C, dc[2],
+            )
+    bw.flush()
+    return bytes(head) + bytes(bw.out) + b"\xff\xd9"
+
+
+def decode_color(blob: bytes) -> np.ndarray:
+    """Decode a baseline 4:2:0 YCbCr JPEG within this module's scope to
+    an (h, w, 3) uint8 RGB array. The marker walk READS both quant
+    tables, all four huffman tables, and the per-component sampling
+    factors/table ids — a mismatch raises instead of mis-decoding."""
+    assert blob[:2] == b"\xff\xd8", "not a JPEG (SOI missing)"
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    h = w = None
+    comp_spec = None  # [(comp_id, sampling, qtable_id)]
+    scan_spec = None  # [(comp_id, dc_id, ac_id)]
+    scan_start = None
+    while pos < len(blob):
+        assert blob[pos] == 0xFF, "marker expected"
+        mk = blob[pos + 1]
+        if mk == 0xD9:
+            break
+        seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        payload = blob[pos + 4 : pos + 2 + seg_len]
+        if mk == 0xDB:
+            z = np.array(list(payload[1:65]), dtype=np.int32)
+            qt = np.zeros(64, dtype=np.int32)
+            qt[_ZIGZAG] = z
+            qts[payload[0]] = qt.reshape(8, 8)
+        elif mk == 0xC0:
+            assert payload[0] == 8 and payload[5] == 3, \
+                "8-bit 3-component baseline only"
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            comp_spec = [
+                (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
+                for i in range(3)
+            ]
+        elif mk == 0xC4:
+            cls_id = payload[0]
+            bits = list(payload[1:17])
+            vals = list(payload[17 : 17 + sum(bits)])
+            (huff_dc if cls_id >> 4 == 0 else huff_ac)[cls_id & 0x0F] = (
+                _build_decode(bits, vals)
+            )
+        elif mk == 0xDA:
+            n = payload[0]
+            assert n == 3, "3-component scan expected"
+            scan_spec = [
+                (payload[1 + 2 * i], payload[2 + 2 * i] >> 4,
+                 payload[2 + 2 * i] & 0x0F)
+                for i in range(3)
+            ]
+            scan_start = pos + 2 + seg_len
+            break
+        elif mk in (0xC2, 0xC1, 0xC3):
+            raise NotImplementedError(
+                "progressive/extended JPEG out of baseline scope"
+            )
+        pos += 2 + seg_len
+    assert None not in (h, w, comp_spec, scan_spec, scan_start), \
+        "truncated JPEG header"
+    assert [s for _, s, _ in comp_spec] == [0x22, 0x11, 0x11], \
+        "only 4:2:0 sampling supported"
+    assert h % 16 == 0 and w % 16 == 0, "16-aligned dimensions expected"
+
+    table_ids = {cid: (dc, ac) for cid, dc, ac in scan_spec}
+    q_by_comp = [qts[q] for _, _, q in comp_spec]
+    r = _BitReader(blob[scan_start : len(blob) - 2])
+    ys = np.zeros((h, w))
+    cbs = np.zeros((h // 2, w // 2))
+    crs = np.zeros((h // 2, w // 2))
+    dc = [0, 0, 0]
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                d_id, a_id = table_ids[comp_spec[0][0]]
+                block, dc[0] = _decode_block(
+                    r, huff_dc[d_id], huff_ac[a_id], q_by_comp[0], dc[0]
+                )
+                ys[my + dy : my + dy + 8, mx + dx : mx + dx + 8] = block
+            cy, cx = my // 2, mx // 2
+            for ci, plane in ((1, cbs), (2, crs)):
+                d_id, a_id = table_ids[comp_spec[ci][0]]
+                block, dc[ci] = _decode_block(
+                    r, huff_dc[d_id], huff_ac[a_id], q_by_comp[ci], dc[ci]
+                )
+                plane[cy : cy + 8, cx : cx + 8] = block
+    # nearest-neighbor (2x2 replicate) chroma upsample
+    cb_full = np.kron(cbs, np.ones((2, 2)))
+    cr_full = np.kron(crs, np.ones((2, 2)))
+    rgb = ycbcr_to_rgb(np.stack([ys, cb_full, cr_full], axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

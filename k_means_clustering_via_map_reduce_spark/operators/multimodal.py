@@ -48,21 +48,23 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 def decode_image(blob: bytes) -> "object":
     """REAL DECODER NOT AVAILABLE IN THIS CONTAINER for formats needing
-    a codec library (color/progressive JPEG, WebP, AVIF, ...): plug
-    PIL/opencv here.
+    a codec library (progressive/arithmetic JPEG, WebP, AVIF, ...):
+    plug PIL/opencv here.
 
     Kept as an explicit stub so the pipeline shape is honest about
     where the codec-library boundary sits. Natively decoded WITHOUT a
     codec library: BMP, WAV and PNG via ``decode_media`` (PNG through
-    stdlib zlib: IHDR CRC check + IDAT inflate + full defiltering), and
+    stdlib zlib: IHDR CRC check + IDAT inflate + full defiltering),
     BASELINE GRAYSCALE JPEG via ``operators/jpeg.py`` (real DCT /
-    huffman encode+decode, driver-checked as m6) — the boundary is now
-    color/progressive/arithmetic JPEG and the modern formats, which add
-    table plumbing rather than new Spark-side structure."""
+    huffman encode+decode, driver-checked as m6), and BASELINE 4:2:0
+    COLOR JPEG (BT.601 + chroma subsampling + interleaved MCUs,
+    driver-checked as m6b) — the boundary is now progressive /
+    arithmetic JPEG and the modern formats."""
     raise NotImplementedError(
-        "color/progressive compressed-image decoding requires "
+        "progressive/arithmetic compressed-image decoding requires "
         "PIL/opencv, not shipped in this container; BMP/WAV/PNG decode "
-        "via decode_media, baseline grayscale JPEG via operators/jpeg.py"
+        "via decode_media, baseline gray+4:2:0-color JPEG via "
+        "operators/jpeg.py"
     )
 
 
@@ -976,3 +978,104 @@ def m6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, compressed bytes never leave the executor."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return jpeg_roundtrip(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M6B — COLOR JPEG round-trip: baseline 3-component YCbCr 4:2:0
+# (operators/jpeg.py encode_rgb420/decode_color — BT.601 transform,
+# chroma box-subsampling, interleaved MCUs, both Annex K quant tables,
+# all four huffman tables). The entry's images are CONSTANT-COLOR per
+# 16×16 MCU under all-ones quant tables, which makes the full lossy
+# color pipeline bit-EXACT (flat chroma survives the 2×2 box average
+# losslessly; flat Y/Cb/Cr blocks are DC-only with sub-half-LSB total
+# reconstruction error) and therefore SQL-oracle-able per channel.
+# Lossy color behavior and golden bytes are pinned in tests/test_jpeg.py.
+# --------------------------------------------------------------------------
+JPEG_COLOR_TILES = 2  # MCU tiles per side -> 32x32x3 images
+
+
+def jpeg_color_roundtrip(docs: DataFrame) -> DataFrame:
+    """Per doc: synthesize a 32×32 RGB image of four constant MCU tiles
+    from the doc_id formula, ENCODE as a real 4:2:0 color JPEG, DECODE,
+    and emit per-channel scalars from the DECODED pixels only."""
+    import numpy as np
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (
+        Q_ONES,
+        decode_color,
+        encode_rgb420,
+    )
+
+    g = JPEG_COLOR_TILES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "doc_id": [], "w": [], "h": [],
+            "sum_r": [], "sum_g": [], "sum_b": [], "rgb_ok": [],
+        }
+        for pdf in batches:
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.zeros((g * 16, g * 16, 3), dtype=np.uint8)
+                t = 0
+                for ty in range(0, g * 16, 16):
+                    for tx in range(0, g * 16, 16):
+                        img[ty : ty + 16, tx : tx + 16] = [
+                            (did * 7 + t * 29) % 256,
+                            (did * 11 + t * 31) % 256,
+                            (did * 13 + t * 37) % 256,
+                        ]
+                        t += 1
+                dec = decode_color(encode_rgb420(img, Q_ONES, Q_ONES))
+                out["doc_id"].append(did)
+                out["h"].append(dec.shape[0])
+                out["w"].append(dec.shape[1])
+                for ch, k in enumerate(("sum_r", "sum_g", "sum_b")):
+                    out[k].append(int(dec[..., ch].astype(np.int64).sum()))
+                out["rgb_ok"].append(bool((dec == img).all()))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return docs.select("doc_id").mapInPandas(
+        run,
+        schema="doc_id BIGINT, w BIGINT, h BIGINT, sum_r BIGINT, "
+               "sum_g BIGINT, sum_b BIGINT, rgb_ok BOOLEAN",
+    )
+
+
+@query(
+    "m6b_jpeg_color_roundtrip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(range(0, {JPEG_COLOR_TILES * JPEG_COLOR_TILES}))
+                        AS t
+               FROM documents),
+    px AS (SELECT doc_id,
+                  (doc_id*7 + t*29) % 256 AS r,
+                  (doc_id*11 + t*31) % 256 AS g,
+                  (doc_id*13 + t*37) % 256 AS b
+           FROM t)
+    SELECT doc_id,
+           CAST({JPEG_COLOR_TILES * 16} AS BIGINT) AS w,
+           CAST({JPEG_COLOR_TILES * 16} AS BIGINT) AS h,
+           CAST(sum(r) * 256 AS BIGINT) AS sum_r,
+           CAST(sum(g) * 256 AS BIGINT) AS sum_g,
+           CAST(sum(b) * 256 AS BIGINT) AS sum_b,
+           TRUE AS rgb_ok
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m6b_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6B: per-doc per-channel scalars from pixels that traveled the
+    FULL color JPEG pipeline — BT.601 forward transform, 4:2:0 chroma
+    subsampling, interleaved-MCU DCT/huffman encode, complete decode,
+    inverse transform. The oracle recomputes every tile's RGB from the
+    synthesis formula and asserts `rgb_ok` TRUE: a sampling-factor
+    slip, a chroma-table mixup, a per-component DC-predictor error, or
+    an MCU-order bug yields non-identical pixels and flips the hash.
+
+    Scale: identical shape to m6 — Arrow-batched mapInPandas, no
+    shuffle, compressed bytes never leave the executor."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return jpeg_color_roundtrip(docs).orderBy("doc_id")

@@ -92,3 +92,121 @@ def test_progressive_rejected_loudly():
     blob[sof + 1] = 0xC2  # progressive
     with pytest.raises(NotImplementedError):
         decode_gray(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Color (4:2:0 YCbCr) path
+# ---------------------------------------------------------------------------
+
+def _tile_image(seed=0, side=32):
+    """Four constant-color 16x16 tiles — the 4:2:0 exactness anchor
+    (chroma box-average of a constant tile is lossless; flat Y/Cb/Cr
+    blocks are DC-only, integer-exact under Q1)."""
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (  # noqa
+        encode_rgb420,
+    )
+
+    img = np.zeros((side, side, 3), dtype=np.uint8)
+    t = 0
+    for ty in range(0, side, 16):
+        for tx in range(0, side, 16):
+            img[ty : ty + 16, tx : tx + 16] = [
+                (seed * 7 + t * 29) % 256,
+                (seed * 11 + t * 31) % 256,
+                (seed * 13 + t * 37) % 256,
+            ]
+            t += 1
+    return img
+
+
+def test_color_tile_flat_is_bit_exact_under_q1():
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (
+        decode_color,
+        encode_rgb420,
+    )
+
+    for seed in range(8):
+        img = _tile_image(seed)
+        dec = decode_color(encode_rgb420(img, Q_ONES, Q_ONES))
+        assert (dec == img).all(), f"seed {seed} not exact"
+
+
+def test_color_std_tables_smooth_bounded_and_compressed():
+    """Lossy contract on a smooth gradient: bounded per-pixel error
+    (chroma subsampling + quantization) and real compression."""
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (
+        decode_color,
+        encode_rgb420,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.stack(
+        [(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    blob = encode_rgb420(img)
+    dec = decode_color(blob)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 12 and len(blob) < img.size // 2
+
+
+def test_color_noise_roundtrip_within_chroma_bound():
+    """Random noise under Q1: luma is block-exact within 1 (as gray),
+    chroma error is dominated by the 2x2 box average — each channel
+    must stay within the algebraic subsampling bound (|dCb|,|dCr| <=
+    192 over a 2x2 box never moves RGB more than ~2*192*0.9, but with
+    Q1 the only chroma loss IS the box average, so reconstructed 2x2
+    means must match the original 2x2 chroma means to <=1)."""
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (
+        decode_color,
+        encode_rgb420,
+        rgb_to_ycbcr,
+    )
+
+    rng = np.random.RandomState(11)
+    # range-limited noise keeps the reconstruction in gamut: the
+    # worst-case chroma shift from 2x2 box-averaging range-64 noise
+    # moves RGB by < 60, so no channel clips and the YCbCr-domain
+    # comparison below is valid (clipping would contaminate Y).
+    img = rng.randint(96, 160, (32, 32, 3)).astype(np.uint8)
+    dec = decode_color(encode_rgb420(img, Q_ONES, Q_ONES))
+    ycc_in = rgb_to_ycbcr(img.astype(np.float64))
+    ycc_out = rgb_to_ycbcr(dec.astype(np.float64))
+    # luma survives within rounding
+    assert np.abs(ycc_in[..., 0] - ycc_out[..., 0]).max() <= 2.0
+    for ch in (1, 2):
+        mean_in = ycc_in[..., ch].reshape(16, 2, 16, 2).mean(axis=(1, 3))
+        mean_out = ycc_out[..., ch].reshape(16, 2, 16, 2).mean(axis=(1, 3))
+        assert np.abs(mean_in - mean_out).max() <= 2.0
+
+
+def test_color_golden_bytes_pinned():
+    """Format drift guard for the color path: canonical tile image."""
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (
+        encode_rgb420,
+    )
+
+    digest = hashlib.sha256(
+        encode_rgb420(_tile_image(3), Q_ONES, Q_ONES)
+    ).hexdigest()[:16]
+    assert digest == "f7832ae648eb2721", digest
+
+
+def test_color_header_structure():
+    """The emitted stream must carry the full 3-component table set in
+    order: two DQT segments (ids 0, 1), SOF0 with sampling 0x22/0x11/
+    0x11 and qtable ids 0/1/1, FOUR DHT segments, and an SOS binding Y
+    to DC0/AC0 and both chromas to DC1/AC1 — the layout any external
+    baseline decoder needs to accept the file."""
+    from k_means_clustering_via_map_reduce_spark.operators.jpeg import (
+        encode_rgb420,
+    )
+
+    blob = encode_rgb420(_tile_image(1), Q_ONES, Q_ONES)
+    assert blob.count(b"\xff\xdb") == 2
+    assert blob.count(b"\xff\xc4") == 4
+    sof = blob.index(b"\xff\xc0") + 4
+    payload = blob[sof : sof + 15]
+    assert payload[5] == 3  # components
+    assert list(payload[6:]) == [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    sos = blob.index(b"\xff\xda") + 4
+    assert list(blob[sos : sos + 7]) == [3, 1, 0x00, 2, 0x11, 3, 0x11]
