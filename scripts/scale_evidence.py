@@ -363,6 +363,128 @@ def incremental_probe(spark: SparkSession) -> None:
         )
 
 
+def ann_probe(spark: SparkSession) -> None:
+    """VERDICT r05 #6: the similarity family's measured growth decades.
+    For each corpus scale, run the approximate searchers (s2 SRP-LSH,
+    s3 IVF, s5 PQ-ADC) and the exact filtered searcher (s6) against the
+    SAME grown corpus, recording wall time, shuffle-write rows/bytes,
+    and recall vs that scale's own brute-force truth (s1). The declared
+    scale shapes under test: banded join (s2), cell probe (s3), code
+    scan (s5), filter semi-join + broadcast probe (s6) — all shuffle
+    corpus-linear or less, never pair-quadratic; recall floors must
+    hold at EVERY size (an index whose recall decays with corpus growth
+    is mis-banded/mis-celled). Ends with a repeat-run bit-identity
+    check at the largest scale: every searcher is deterministic for a
+    fixed corpus (seeded hyperplanes / seeded k-means / head-sample
+    codebooks), so two runs must hash identically."""
+    import hashlib
+
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    Q.load_all()
+    sc = spark.sparkContext
+    app_id = _app_id()
+    under_test = ["s2_lsh_topk", "s3_ivf_topk", "s5_pq_adc_topk",
+                  "s6_filtered_topk"]
+    approx = {"s2_lsh_topk", "s3_ivf_topk", "s5_pq_adc_topk"}
+    rows = []
+    for m in MULTS:
+        sf = os.path.join(WORK, f"x{m}")
+        truth: dict[int, set] = {}
+        for r in Q.QUERIES["s1_cosine_topk"](spark, sf).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for qname in under_test:
+            group = f"{qname}@x{m}"
+            sc.setJobGroup(group, group)
+            t0 = time.perf_counter()
+            got = Q.QUERIES[qname](spark, sf).collect()
+            dt = time.perf_counter() - t0
+            sc.setJobGroup("", "")
+            wb, wr = shuffle_metrics(app_id, group)
+            if qname in approx:
+                by_q: dict[int, set] = {}
+                for r in got:
+                    by_q.setdefault(r["query_id"], set()).add(
+                        r["neighbor_id"]
+                    )
+                hits = sum(
+                    len(v & by_q.get(k, set())) for k, v in truth.items()
+                )
+                recall = hits / sum(len(v) for v in truth.values())
+            else:
+                recall = float("nan")  # s6 is exact within its filter
+            rows.append((qname, m, dt, wr, wb, len(got), recall))
+            print(
+                f"# {group}: {dt:.1f}s shuffleW={wb/1e6:.1f}MB ({wr} rows) "
+                f"out={len(got)} recall={recall:.3f}",
+                file=sys.stderr,
+                flush=True,
+            )
+        # s5 with its candidate-pool knob scaled with the corpus (the
+        # d6 cell-knob pattern): a FIXED rerank pool decays on growing
+        # random corpora (the fixed-knob rows above measure that
+        # honestly); the operator's scaling contract is C ∝ N — pool
+        # rows stay ≪ corpus, recall must then hold at every size.
+        from k_means_clustering_via_map_reduce_spark.operators import (
+            similarity as S,
+        )
+
+        saved_factor = S.PQ_CAND_FACTOR
+        S.PQ_CAND_FACTOR = saved_factor * m
+        try:
+            group = f"s5_pq_adc(Cxm)@x{m}"
+            sc.setJobGroup(group, group)
+            t0 = time.perf_counter()
+            got = Q.QUERIES["s5_pq_adc_topk"](spark, sf).collect()
+            dt = time.perf_counter() - t0
+            sc.setJobGroup("", "")
+            wb, wr = shuffle_metrics(app_id, group)
+            by_q = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(
+                len(v & by_q.get(k, set())) for k, v in truth.items()
+            )
+            recall = hits / sum(len(v) for v in truth.values())
+            rows.append(("s5_pq_adc(Cxm)", m, dt, wr, wb, len(got), recall))
+            print(
+                f"# {group}: {dt:.1f}s shuffleW={wb/1e6:.1f}MB ({wr} rows) "
+                f"out={len(got)} recall={recall:.3f}",
+                file=sys.stderr,
+                flush=True,
+            )
+        finally:
+            S.PQ_CAND_FACTOR = saved_factor
+    print("\n| query | scale | wall s | shuffle rows | shuffle MB "
+          "| out | recall vs s1 |")
+    print("|---|---|---|---|---|---|---|")
+    for qname, m, dt, wr, wb, n, recall in rows:
+        rc = "exact" if recall != recall else f"{recall:.3f}"
+        print(
+            f"| {qname} | x{m} | {dt:.1f} | {wr:,} | {wb/1e6:.1f} "
+            f"| {n} | {rc} |"
+        )
+    # repeat-run bit-identity at the largest scale
+    big = os.path.join(WORK, f"x{MULTS[-1]}")
+    print("\nrepeat-run check (x%d):" % MULTS[-1])
+    for qname in under_test:
+        digests = []
+        for _ in range(2):
+            pdf = Q.QUERIES[qname](spark, big).toPandas()
+            canon = sorted(
+                tuple(map(str, r))
+                for r in pdf[sorted(pdf.columns)].itertuples(
+                    index=False, name=None
+                )
+            )
+            digests.append(
+                hashlib.sha256(repr(canon).encode()).hexdigest()[:16]
+            )
+        same = digests[0] == digests[1]
+        print(f"  {qname}: {digests[0]} == {digests[1]} -> {same}")
+        assert same, f"{qname} not deterministic across reruns"
+
+
 def main() -> None:
     import argparse
 
@@ -391,12 +513,24 @@ def main() -> None:
         help="run ONLY the salted-join skew probe (zipf-keyed synthetic "
         "join, per-task shuffle distribution salted vs plain)",
     )
+    ap.add_argument(
+        "--ann",
+        action="store_true",
+        help="run ONLY the similarity-family probe (s2/s3/s5/s6 across "
+        "grown corpora: wall, shuffle, recall-vs-s1, repeat-run check)",
+    )
     args = ap.parse_args()
     if args.skew:
         skew_probe(_spark())
         return
     if args.mults:
         MULTS = [int(x) for x in args.mults.split(",")]
+    if args.ann:
+        spark = _spark()
+        print("building corpora...", file=sys.stderr, flush=True)
+        build_corpora(spark)
+        ann_probe(spark)
+        return
     if args.incremental:
         spark = _spark()
         print("building corpora...", file=sys.stderr, flush=True)
