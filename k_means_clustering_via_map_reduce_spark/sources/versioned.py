@@ -102,6 +102,54 @@ def commit_append(df: DataFrame, root: str) -> int:
     return parent + 1
 
 
+def expire_versions(root: str, keep_last: int) -> list[int]:
+    """Retention: drop manifests older than the newest ``keep_last``
+    versions (time travel to them stops working; later versions keep
+    every file they reference, since manifests are cumulative file
+    lists). Returns the expired version numbers. The latest version is
+    always kept; ``keep_last`` < 1 is rejected."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = latest_version(root)
+    expired = [v for v in range(1, latest - keep_last + 1)]
+    for v in expired:
+        os.remove(_manifest_path(root, v))
+    return expired
+
+
+def vacuum(root: str) -> list[str]:
+    """Garbage-collect data files no surviving manifest references:
+    losers of racing commits, aborted-commit orphans, and files whose
+    only referencing manifests were expired. Safe by construction —
+    the reachable set is computed from the manifests that EXIST, and
+    readers only ever open manifest-listed files, so deleting the
+    complement can never break a readable version. Returns the deleted
+    relative paths. O(#files) driver-side metadata work."""
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    live: set[str] = set()
+    if os.path.isdir(mdir):
+        for n in os.listdir(mdir):
+            if n.startswith("v") and n.endswith(".json"):
+                with open(os.path.join(mdir, n)) as f:
+                    live.update(json.load(f)["files"])
+    removed = []
+    ddir = os.path.join(root, _DATA_DIR)
+    if os.path.isdir(ddir):
+        for txn in sorted(os.listdir(ddir)):
+            tdir = os.path.join(ddir, txn)
+            for n in sorted(os.listdir(tdir)):
+                rel = os.path.join(_DATA_DIR, txn, n)
+                if n.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(tdir, n))
+                    removed.append(rel)
+            if not any(n.endswith(".parquet") for n in os.listdir(tdir)):
+                # only bookkeeping files (_SUCCESS etc.) remain
+                import shutil
+
+                shutil.rmtree(tdir)
+    return removed
+
+
 def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

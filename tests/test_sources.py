@@ -179,3 +179,52 @@ def test_f18_versioned_table_time_travel(spark, sf_dir, tmp_path):
             raised = True
     assert raised
     assert json.load(open(man3))["files"] == []  # winner untouched
+
+
+def test_f18_vacuum_and_retention(spark, sf_dir, tmp_path):
+    """The lifecycle tail: expire_versions drops old manifests (their
+    exclusive time travel stops), vacuum deletes exactly the data files
+    no surviving manifest references (aborted-commit orphans included),
+    and every surviving version still reads bit-identically after both
+    — reachability is computed from existing manifests, so vacuum can
+    never break a readable version."""
+    import os
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        expire_versions,
+        latest_version,
+        read_version,
+        vacuum,
+    )
+
+    root = str(tmp_path)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    commit_append(d.filter(F.col("doc_id") % 3 == 0), root)
+    commit_append(d.filter(F.col("doc_id") % 3 == 1), root)
+    commit_append(d.filter(F.col("doc_id") % 3 == 2), root)
+    # an aborted commit's orphan data dir
+    d.limit(7).write.parquet(os.path.join(root, "data", "txn-00004-dead"))
+
+    before_v2 = sorted(r.doc_id for r in read_version(spark, root, 2).collect())
+    before_v3 = sorted(r.doc_id for r in read_version(spark, root, 3).collect())
+
+    assert expire_versions(root, keep_last=2) == [1]
+    removed = vacuum(root)
+    # v1's files are all referenced by v2/v3 (cumulative manifests), so
+    # only the orphan txn dir may be collected
+    assert removed and all("txn-00004-dead" in p for p in removed)
+    assert not os.path.exists(os.path.join(root, "data", "txn-00004-dead"))
+
+    assert latest_version(root) == 3
+    assert sorted(
+        r.doc_id for r in read_version(spark, root, 2).collect()
+    ) == before_v2
+    assert sorted(
+        r.doc_id for r in read_version(spark, root, 3).collect()
+    ) == before_v3
+    # the expired version is genuinely gone
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 1)
