@@ -1135,3 +1135,73 @@ def vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T21 — Zipf-slope corpus-health fit: least-squares slope of
+# log(frequency) against log(rank) over each language's top-K head
+# (natural text sits near -1; templated/generated text flattens toward
+# 0, boilerplate floods steepen it). The regression-aggregate
+# complement to t20's TTR/hapax monitor — the standard corpus-drift
+# dashboard number, fit with the SQL regression aggregates so the
+# whole computation stays JVM-side.
+# --------------------------------------------------------------------------
+ZIPF_HEAD_K = 500
+
+
+@query(
+    "t21_zipf_slope",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT lang, tok, count(*) AS n FROM w GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tok ASC) AS rnk
+      FROM tf)
+    SELECT lang,
+           round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rnk)), 4) AS fit_r2,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM ranked WHERE rnk <= {ZIPF_HEAD_K}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang Zipf fit over the top-{K} frequency head: slope, R²,
+    and point count. Rank ties break by token so the rank assignment —
+    and therefore the fit — is engine-exact; the log/regression
+    arithmetic is plain double math rounded to 4 decimals on both
+    sides.
+
+    Scale: the (lang, token) partial agg is t20's vocabulary-sized
+    shuffle; the rank window moves only per-lang vocabularies; the
+    regression aggregates collapse the top-K head to 3 scalars per
+    language map-side. Nothing data-sized reaches the driver."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = d.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    tf = w.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    ranked = tf.withColumn("rnk", F.row_number().over(win)).filter(
+        F.col("rnk") <= ZIPF_HEAD_K
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.round(F.expr("regr_slope(ln(n), ln(rnk))"), 4).alias(
+                "zipf_slope"
+            ),
+            F.round(F.expr("regr_r2(ln(n), ln(rnk))"), 4).alias("fit_r2"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("lang")
+    )

@@ -3953,3 +3953,90 @@ def f18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# F19 — DYNAMIC partition overwrite: INSERT OVERWRITE that replaces
+# ONLY the partitions present in the incoming data, leaving every other
+# partition untouched. The write-side twin of f3/f5's read-side
+# pruning, and the idiom every partitioned ingest job uses to restate
+# one day/source without rewriting the table. The classic data-loss bug
+# this pins: under the default STATIC mode the same INSERT OVERWRITE
+# silently wipes ALL partitions — here the untouched sources must
+# survive with their original rows, and the restated source must carry
+# exactly the modified rows, or the oracle hash flips.
+# --------------------------------------------------------------------------
+@query(
+    "f19_dynamic_partition_overwrite",
+    oracle="""
+    WITH eff AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN source = 'src3' THEN n_chars + 1000000
+                  ELSE n_chars END AS n_chars
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM eff GROUP BY source ORDER BY source
+    """,
+)
+def f19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents partitioned by source, then dynamically
+    INSERT OVERWRITE only the 'src3' partition with shifted n_chars;
+    aggregate the read-back. Untouched partitions must keep their
+    original rows (static-mode wipeout, a doubled write, or a lost
+    partition all flip the hash).
+
+    Scale: dynamic overwrite commits at partition granularity — the
+    job rewrites only the partitions the incoming frame contains, so
+    restating one day of a 100 TB date-partitioned corpus moves one
+    day's bytes. Composes with f3's partition-pruned reads; the
+    conf is per-write here (set and restored) rather than session-wide.
+    """
+    import os as _os
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
+    d = load_table(spark, sf_dir, "documents")
+    # 'src3' exists at every fixture scale (TESTDATA sources are
+    # src0..src19); restating a REAL partition keeps the oracle
+    # non-vacuous — a no-op restatement would hash-match even under a
+    # broken write path.
+    warehouse = _urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    spark.sql("DROP TABLE IF EXISTS f19_docs_part")
+    _sh.rmtree(
+        _os.path.join(warehouse, "f19_docs_part"), ignore_errors=True
+    )
+    (
+        d.select("doc_id", "lang", "n_chars", "source")
+        .write.partitionBy("source")
+        .saveAsTable("f19_docs_part")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated = (
+            d.filter(F.col("source") == "src3")
+            .select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") + 1_000_000).alias("n_chars"),
+                "source",
+            )
+        )
+        restated.write.mode("overwrite").insertInto("f19_docs_part")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.table("f19_docs_part")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

@@ -228,3 +228,51 @@ def test_f18_vacuum_and_retention(spark, sf_dir, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, 1)
+
+
+def test_f19_static_overwrite_wipes_dynamic_preserves(spark, sf_dir):
+    """The trap f19 exists to pin, contrasted live: the SAME
+    INSERT OVERWRITE of one source's rows wipes every other partition
+    under the default STATIC mode but preserves them under dynamic —
+    so a deployment that forgot the conf loses data silently. (f19's
+    oracle catches the wipeout; this test demonstrates the mechanism.)
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    n_sources = d.select("source").distinct().count()
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    web = d.filter(F.col("source") == "src3")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        for mode, expect_sources in (
+            ("static", 1),          # wipeout: only 'web' survives
+            ("dynamic", n_sources), # restatement: everything survives
+        ):
+            spark.sql("DROP TABLE IF EXISTS f19_mode_probe")
+            shutil.rmtree(
+                os.path.join(warehouse, "f19_mode_probe"),
+                ignore_errors=True,
+            )
+            d.write.partitionBy("source").saveAsTable("f19_mode_probe")
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", mode
+            )
+            web.write.mode("overwrite").insertInto("f19_mode_probe")
+            spark.catalog.refreshTable("f19_mode_probe")
+            got = (
+                spark.table("f19_mode_probe")
+                .select("source")
+                .distinct()
+                .count()
+            )
+            assert got == expect_sources, (mode, got)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.sql("DROP TABLE IF EXISTS f19_mode_probe")
