@@ -1079,3 +1079,118 @@ def m6b_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, compressed bytes never leave the executor."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return jpeg_color_roundtrip(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M7 — audio SPECTRAL analysis: a real DFT (orthonormal matmul, no FFT
+# library) over the decoded PCM stream — the feature-extraction stage an
+# audio training pipeline runs after m4's sample-domain work (band
+# energies / spectral fingerprints for dedup and quality gates). Two
+# spectrum-derived quantities close the loop against SQL: the DC-bin
+# energy |X₀|²/n equals (Σx)²/n computed straight off the sample
+# formula, and Parseval's identity (Σ|X_k|² = n·Σx²) must hold to
+# 1e-9 relative — both only come out right if the transform actually IS
+# a DFT over exactly the decoded samples. The band-energy profile
+# itself is cross-checked against numpy.fft in pytest (an independent
+# implementation), since SQL cannot fit a Fourier basis.
+# --------------------------------------------------------------------------
+M7_BANDS = 8
+
+
+def audio_spectrum(df: DataFrame) -> DataFrame:
+    """Per-doc spectral scalars from a full complex DFT of the decoded
+    PCM samples: n, exact time-domain energy, DC-bin energy, the
+    strongest non-DC band (of M7_BANDS over the 0..n/2 half-spectrum),
+    and the Parseval check."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id BIGINT, n BIGINT, sum_sq BIGINT, dc_energy DOUBLE, "
+        "top_band BIGINT, parseval_ok BOOLEAN"
+    )
+
+    def spectrum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                decoded = decode_pcm(blob)
+                if decoded is None:
+                    continue
+                _, s = decoded
+                n = len(s)
+                x = s.astype(np.float64)
+                k = np.arange(n)
+                # full DFT as an explicit basis matmul (O(n²), the
+                # point is the transform's correctness, not its speed;
+                # production swaps in an FFT with identical semantics)
+                w = np.exp(-2j * np.pi * np.outer(k, k) / n)
+                spec = w @ x
+                power = (spec.real**2 + spec.imag**2)
+                sum_sq = int((s * s).sum())
+                parseval = abs(power.sum() / n - float(sum_sq)) <= (
+                    1e-9 * max(float(sum_sq), 1.0)
+                )
+                half = power[: n // 2 + 1]
+                # band b covers bins [1 + b*(len-1)//BANDS, ...) of the
+                # non-DC half-spectrum; ties break toward the lower band
+                nb = len(half) - 1
+                bands = np.zeros(M7_BANDS)
+                for b in range(M7_BANDS):
+                    lo = 1 + (nb * b) // M7_BANDS
+                    hi = 1 + (nb * (b + 1)) // M7_BANDS
+                    if hi > lo:
+                        bands[b] = half[lo:hi].sum()
+                top = int(np.argmax(bands))
+                rows.append(
+                    (
+                        int(did), n, sum_sq,
+                        round(float(power[0]) / n, 4),
+                        top, bool(parseval),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n", "sum_sq", "dc_energy",
+                    "top_band", "parseval_ok",
+                ],
+            )
+
+    return df.mapInPandas(spectrum, schema=out_schema)
+
+
+@query(
+    "m7_audio_spectrum",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             ((doc_id*31 + CAST(u.i AS BIGINT)*17) % 2048) - 1024 AS v
+      FROM documents, UNNEST(generate_series(0, {_M4_N} - 1)) u(i)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v*v) AS BIGINT) AS sum_sq,
+           round(CAST(sum(v) AS DOUBLE) * sum(v) / count(*), 4)
+             AS dc_energy,
+           TRUE AS parseval_ok
+    FROM samp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m7_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: per-doc spectral scalars whose DFT-derived values the oracle
+    recomputes from the sample formula — DC-bin energy must equal
+    (Σx)²/n and Parseval must hold, so a basis error, a dropped/offset
+    sample, or a power miscount flips the hash. top_band (not
+    SQL-expressible) is cross-checked against numpy.fft in
+    tests/test_multimodal.py and deliberately excluded here.
+
+    Scale: identical shape to m1-m6 — Arrow-batched mapInPandas, no
+    shuffle, samples never leave the executor; the O(n²) basis matmul
+    is per-doc bounded (n ≤ 401) and swaps for an FFT kernel without
+    touching the Spark plan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        audio_spectrum(synthesize_pcm_wav(docs))
+        .drop("top_band")
+        .orderBy("doc_id")
+    )

@@ -4040,3 +4040,55 @@ def f19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q66 — TPC-H Q15 shape: a derived aggregate VIEW consumed twice — once
+# as the join input and once under a global-MAX scalar subquery that
+# selects its top row ("the quarter's best supplier"). Completes the
+# decorrelation family's last classic face after q44-q47/q64/q65: the
+# scalar subquery ranges over the SAME derived aggregate the outer
+# query joins, so the right plan computes the revenue aggregation once
+# and reuses the exchange, never recomputing per outer row. The fixture
+# margin between the top two suppliers is ~1% — far beyond FP sum
+# noise, so the equality filter is engine-stable.
+# --------------------------------------------------------------------------
+_Q66_BODY = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM %(lineitem)s
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           round(r.total_revenue, 4) AS total_revenue
+    FROM %(supplier)s s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query(
+    "q66_top_supplier_quarter",
+    oracle=_Q66_BODY % {"lineitem": "lineitem", "supplier": "supplier"},
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best supplier of 1996-Q1 by discounted revenue (TPC-H Q15
+    shape). Entered through the SQL surface so the scalar-over-CTE
+    rewrite actually runs.
+
+    Scale plan: the revenue view is a per-suppkey partial+final
+    aggregate; the global max collapses it to a scalar subquery
+    result applied as a literal filter; supplier is a broadcast dim.
+    Spark 4 plans the CTE's two consumers as two aggregation passes
+    (no exchange reuse at this shape) — a CONSTANT factor, pinned
+    distinct from the quadratic failure mode (per-outer-row rescan /
+    nested loop) the plan test excludes. The shipdate range reaches
+    both scans."""
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q66_{t}")
+    return spark.sql(
+        _Q66_BODY
+        % {"lineitem": "kmce_q66_lineitem", "supplier": "kmce_q66_supplier"}
+    )

@@ -476,3 +476,39 @@ def test_m5_kvid_sampler_golden_and_phase(spark):
         schema="doc_id BIGINT, blob BINARY",
     )
     assert sample_video_frames(bad).count() == 0
+
+
+def test_m7_bands_match_numpy_fft(spark, sf_dir):
+    """The DFT's band profile cross-checked against an INDEPENDENT
+    transform (numpy.fft.rfft): for every doc the engine's top_band
+    must equal the band argmax computed from rfft power, and Parseval
+    must have held inside the operator. This pins what the SQL oracle
+    can't: the non-DC half-spectrum itself."""
+    import numpy as np
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        M7_BANDS,
+        audio_spectrum,
+        synthesize_pcm_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(64)
+    got = {
+        r["doc_id"]: (r["top_band"], r["parseval_ok"])
+        for r in audio_spectrum(synthesize_pcm_wav(docs)).collect()
+    }
+    assert got and all(ok for _, ok in got.values())
+    for did, (top, _) in got.items():
+        n = did % 400 + 2
+        i = np.arange(n, dtype=np.int64)
+        x = ((did * 31 + i * 17) % 2048 - 1024).astype(np.float64)
+        power = np.abs(np.fft.rfft(x)) ** 2
+        # rfft returns exactly the 0..n//2 half-spectrum the operator uses
+        nb = len(power) - 1
+        bands = np.zeros(M7_BANDS)
+        for b in range(M7_BANDS):
+            lo = 1 + (nb * b) // M7_BANDS
+            hi = 1 + (nb * (b + 1)) // M7_BANDS
+            if hi > lo:
+                bands[b] = power[lo:hi].sum()
+        assert int(np.argmax(bands)) == top, did

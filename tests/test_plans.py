@@ -581,3 +581,43 @@ def test_q65_correlated_min_over_join_decorrelates(spark, sf_dir):
     pushed = pushed_filters(df)
     assert any("p_size" in p for p in pushed), pushed
     assert any("r_name" in p for p in pushed), pushed
+
+
+def test_f19_partitioned_table_prunes_on_read(spark, sf_dir):
+    """The write-side layout f19 creates must pay off on read: a
+    source-filtered scan of the partitioned table prunes at PARTITION
+    level (the predicate appears under PartitionFilters, not as a data
+    filter over all files)."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    Q.QUERIES["f19_dynamic_partition_overwrite"](spark, sf_dir).collect()
+    df = spark.table("f19_docs_part").filter(F.col("source") == "src3")
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "src3" in pf, pf
+
+
+def test_q66_scalar_over_cte_never_per_row(spark, sf_dir):
+    """The Q15 shape's quadratic failure mode — recomputing the
+    quarter aggregation per outer row — must not appear: no nested
+    loop / cartesian, a bounded shuffle budget (two aggregation
+    passes + broadcast join + sort), and the shipdate range pushed to
+    the lineitem scans."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        count_shuffles,
+        physical_plan,
+    )
+
+    df = Q.QUERIES["q66_top_supplier_quarter"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert count_shuffles(df) <= 4
+    pushed = pushed_filters(df)
+    assert any(
+        "l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed
+    ), pushed
