@@ -4092,3 +4092,211 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q66_BODY
         % {"lineitem": "kmce_q66_lineitem", "supplier": "kmce_q66_supplier"}
     )
+
+
+# --------------------------------------------------------------------------
+# Q67 — TPC-H Q11 shape: a grouped aggregate filtered by a FRACTION of
+# its own global total (the "important stock" pattern). Distinct from
+# q66's Q15 face: the scalar subquery here is a fraction of sum, not
+# max, and the surviving set is a top slice (hundreds of rows), not a
+# single winner. The fixture has no partsupp table, so "value held per
+# part" is derived from shipped lineitems restricted to a supplier
+# nation group — same shape, available columns.
+# --------------------------------------------------------------------------
+_Q67_BODY = """
+    WITH part_value AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS part_value
+      FROM %(lineitem)s l
+      JOIN %(supplier)s s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey IN (1, 2, 3)
+      GROUP BY l.l_partkey)
+    SELECT l_partkey AS p_partkey, round(part_value, 4) AS part_value
+    FROM part_value
+    WHERE part_value > (
+      SELECT round(0.0007 * sum(part_value), 0) FROM part_value)
+    ORDER BY part_value DESC, p_partkey
+"""
+
+
+@query(
+    "q67_top_value_parts",
+    oracle=_Q67_BODY % {"lineitem": "lineitem", "supplier": "supplier"},
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose nation-group shipment value exceeds 0.07% of the
+    group total (TPC-H Q11 shape).
+
+    Scale plan: one per-partkey partial+final aggregate; the global
+    total collapses the same view to a scalar literal filter — never a
+    per-row rescan. The nationkey IN-list reaches the supplier scan and
+    prunes lineitem through a broadcast hash semi-ish join before the
+    aggregate shuffles. FP discipline: the threshold is rounded to
+    whole units before the compare (q47's round-before-compare rule);
+    measured fixture margin is >100 units at sf0.01 and >800 at
+    sf0.001, so double-summation order cannot flip a boundary row."""
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q67_{t}")
+    return spark.sql(
+        _Q67_BODY
+        % {"lineitem": "kmce_q67_lineitem", "supplier": "kmce_q67_supplier"}
+    )
+
+
+# --------------------------------------------------------------------------
+# Q68 — TPC-H Q13 shape: LEFT OUTER join with an ON-clause residual
+# predicate, then TWO stacked aggregations (per-customer order count →
+# distribution of counts). The classic skew probe: the second group-by
+# key is the FIRST aggregate's output, so its cardinality is tiny
+# (~max orders per customer) and its heaviest key is the modal count.
+# --------------------------------------------------------------------------
+_Q68_BODY = """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM %(customer)s c LEFT JOIN %(orders)s o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query(
+    "q68_order_count_distribution",
+    oracle=_Q68_BODY % {"customer": "customer", "orders": "orders"},
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of non-urgent order counts per customer, including
+    zero-order customers (TPC-H Q13 shape).
+
+    Scale plan: the priority filter is a join RESIDUAL, not a WHERE —
+    pushing it as a pre-join filter on orders is the correct rewrite
+    (and what both engines do) because it only affects which rows
+    MATCH, never which customers survive the outer join. First
+    aggregate shuffles on c_custkey (same key as the join, so AQE can
+    reuse the exchange); the second aggregate's input is one row per
+    customer and its key space is ~tens of values — partial aggregation
+    collapses it map-side, so the second shuffle carries only
+    (count, freq) pairs per task. count(o_orderkey) over the null-
+    extended rows yields 0 (COUNT ignores NULLs) — the LEFT JOIN's
+    zero-bucket is load-bearing and an inner-join regression drops it."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q68_{t}")
+    return spark.sql(
+        _Q68_BODY
+        % {"customer": "kmce_q68_customer", "orders": "kmce_q68_orders"}
+    )
+
+
+# --------------------------------------------------------------------------
+# Q69 — TPC-H Q19 shape: a disjunction of conjunctive branches, each
+# mixing build-side (part) and probe-side (lineitem) predicates. The
+# plan-quality question is whether the engine extracts the per-side
+# sub-disjunctions and pushes them below the join (Spark's CNF-based
+# extractPredicatesWithinOutputSet, SPARK-28220 lineage) instead of
+# evaluating the whole OR post-join over the full match set.
+# --------------------------------------------------------------------------
+_Q69_BODY = """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM %(lineitem)s l JOIN %(part)s p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 60)
+"""
+
+
+@query(
+    "q69_disjunctive_filter_join",
+    oracle=_Q69_BODY % {"lineitem": "lineitem", "part": "part"},
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over three brand/size/quantity disjunctive branches
+    (TPC-H Q19 shape). All three branches are non-vacuous on the
+    fixtures (205/832/980 matching lineitems at sf0.01).
+
+    Scale plan: Catalyst extracts the part-only disjunction
+    (brand1∧size OR brand2∧size OR brand3∧size) and the lineitem-only
+    quantity disjunction and pushes each below the join — the part
+    build side shrinks to the three brands BEFORE broadcast and the
+    lineitem scan skips row groups outside quantity [1,60] via parquet
+    min/max. The residual OR runs only over rows surviving both
+    pushed approximations. Single-row output: global partial+final
+    aggregate, no groupBy shuffle."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q69_{t}")
+    return spark.sql(
+        _Q69_BODY % {"lineitem": "kmce_q69_lineitem", "part": "kmce_q69_part"}
+    )
+
+
+# --------------------------------------------------------------------------
+# Q70 — TPC-H Q7 shape: the same dimension (nation) joined TWICE under
+# different roles (supplier's nation vs customer's nation) with a
+# symmetric pair predicate, grouped by the role pair and shipment year.
+# Exercises self-dim aliasing + join-order freedom across a 5-way star.
+# --------------------------------------------------------------------------
+_Q70_BODY = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM %(lineitem)s l
+      JOIN %(orders)s o ON o.o_orderkey = l.l_orderkey
+      JOIN %(customer)s c ON c.c_custkey = o.o_custkey
+      JOIN %(supplier)s s ON s.s_suppkey = l.l_suppkey
+      JOIN %(nation)s ns ON ns.n_nationkey = s.s_nationkey
+      JOIN %(nation)s nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "q70_nation_pair_volume",
+    oracle=_Q70_BODY
+    % {
+        "lineitem": "lineitem",
+        "orders": "orders",
+        "customer": "customer",
+        "supplier": "supplier",
+        "nation": "nation",
+    },
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral 1996-97 trade volume between NATION_1 and NATION_2 by
+    direction and year (TPC-H Q7 shape).
+
+    Scale plan: every dim (nation ×2 roles, supplier, customer) is
+    broadcast; lineitem⋈orders is the only shuffle candidate and at
+    dim scale orders broadcasts too, leaving the fact scan shuffle-free
+    until the 4-group final aggregate. The pair disjunction references
+    BOTH nation aliases so it stays a post-join residual, but each
+    alias's single-sided implication (n_name IN (N1, N2)) is pushed to
+    its own nation scan — the broadcast build is 2 rows per role. The
+    shipdate range prunes the fact scan at row-group level. year() is
+    evaluated pre-aggregate, JVM-side."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q70_{t}")
+    return spark.sql(
+        _Q70_BODY
+        % {
+            "lineitem": "kmce_q70_lineitem",
+            "orders": "kmce_q70_orders",
+            "customer": "kmce_q70_customer",
+            "supplier": "kmce_q70_supplier",
+            "nation": "kmce_q70_nation",
+        }
+    )

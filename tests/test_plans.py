@@ -621,3 +621,67 @@ def test_q66_scalar_over_cte_never_per_row(spark, sf_dir):
     assert any(
         "l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed
     ), pushed
+
+
+def test_q67_fraction_threshold_is_scalar_not_rescan(spark, sf_dir):
+    """The Q11 shape's global-total threshold must collapse to a
+    scalar subquery literal filter over ONE per-partkey aggregate —
+    never a per-row recomputation (nested loop / cartesian). The
+    nationkey IN-list reaches the supplier scan and the dim
+    broadcasts."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q67_top_value_parts"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Subquery" in plan, plan[:800]
+    assert broadcast_hash_join_count(df) >= 1
+    pushed = pushed_filters(df)
+    assert any("s_nationkey" in p and "In(" in p for p in pushed), pushed
+
+
+def test_q68_outer_join_pushes_residual_and_stacks_aggs(spark, sf_dir):
+    """Q13 shape: the ON-clause priority predicate must be pushed to
+    the orders SCAN (it only affects match-ness, never which customers
+    survive the outer join), the join must stay LeftOuter (the
+    zero-order bucket is load-bearing), and both aggregation levels
+    must run partial+final."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q68_order_count_distribution"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftOuter" in plan
+    pushed = pushed_filters(df)
+    assert any("o_orderpriority" in p and "Not(" in p for p in pushed), pushed
+    assert "partial_count" in plan
+
+
+def test_q69_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """Q19 shape: Catalyst must extract the single-sided disjunctions
+    and push them below the join — the part scan sees the brand/size
+    OR, the lineitem scan sees the quantity OR — leaving the full OR
+    as the join residual over the pre-filtered match set."""
+    df = Q.QUERIES["q69_disjunctive_filter_join"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert broadcast_hash_join_count(df) >= 1
+
+
+def test_q70_dual_role_dim_pushes_pair_to_both_scans(spark, sf_dir):
+    """Q7 shape: the nation dim appears under two roles; each role's
+    scan must receive the extracted n_name IN (N1, N2) disjunction,
+    every join must broadcast (5 BHJs: orders, customer, supplier,
+    nation x2), and the shipdate range must reach the fact scan."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q70_nation_pair_volume"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert broadcast_hash_join_count(df) == 5
+    pushed = pushed_filters(df)
+    nation_ors = [p for p in pushed if "n_name" in p and "Or(" in p]
+    assert len(nation_ors) >= 2, pushed
+    assert any(
+        "l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed
+    ), pushed
