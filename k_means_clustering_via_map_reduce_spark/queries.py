@@ -4043,6 +4043,80 @@ def f19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F20 — small-file compaction (OPTIMIZE): the standing repair job for
+# the lakehouse pathology streaming ingest creates — one file per
+# micro-batch until scan planning is O(millions of files). Four appends
+# of 6-way-split document slices build a 24-file versioned table; the
+# compacted version must carry BYTE-IDENTICAL rows in a handful of
+# files, with pre-compaction time travel untouched (pytest pins the
+# file counts, the old-version read, and reclamation via
+# expire+vacuum; mechanism in sources/versioned.py:compact).
+# --------------------------------------------------------------------------
+_F20_STAGED: dict[tuple, object] = {}
+
+
+def _f20_compacted_table(spark: SparkSession, sf_dir: str):
+    """Build (once per process/fixture) the 4-commit small-file table
+    and compact it; returns (root, compacted_version)."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        compact,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F20_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_compact_")
+        d = load_table(spark, sf_dir, "documents")
+        for i in range(4):
+            commit_append(
+                d.filter(F.col("doc_id") % 4 == i).repartition(6), tmp.name
+            )
+        v = compact(spark, tmp.name, target_files=2)
+        _F20_STAGED[key] = (tmp, v)
+    tmp, v = _F20_STAGED[key]
+    return tmp.name, v
+
+
+@query(
+    "f20_compacted_table_read",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def f20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the COMPACTED version of a 24-file versioned table;
+    must equal the original documents table exactly (per-lang counts +
+    content md5 extremes), proving compaction is a pure physical
+    rewrite — no row lost, duplicated, or mutated.
+
+    Scale: the rewrite is coalesce-based (narrow, shuffle-free
+    bin-packing — no row redistribution), the commit is one O(#files)
+    driver-side manifest, and the compacted read plans 2 files instead
+    of 24 with pushdown/pruning unchanged."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_version,
+    )
+
+    root, v = _f20_compacted_table(spark, sf_dir)
+    return (
+        read_version(spark, root, v)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min(F.md5(F.encode("text", "UTF-8"))).alias("min_md5"),
+            F.max(F.md5(F.encode("text", "UTF-8"))).alias("max_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q66 — TPC-H Q15 shape: a derived aggregate VIEW consumed twice — once
 # as the join input and once under a global-MAX scalar subquery that
 # selects its top row ("the quarter's best supplier"). Completes the

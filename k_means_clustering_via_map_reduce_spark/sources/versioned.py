@@ -102,6 +102,59 @@ def commit_append(df: DataFrame, root: str) -> int:
     return parent + 1
 
 
+def compact(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the latest version's file set into
+    ``target_files`` larger files, committed as a NEW version with
+    byte-identical row content. The new manifest names ONLY the
+    compacted files (a REPLACING snapshot, unlike ``commit_append``'s
+    cumulative one) — older manifests still pin the original small
+    files, so time travel to pre-compaction versions is untouched, and
+    ``expire_versions`` + ``vacuum`` is what finally reclaims them.
+
+    This closes the lakehouse lifecycle loop: streaming/incremental
+    ingest (k11/f17) produces one small file per micro-batch — the
+    small-file pathology that makes a 100 TB table's scan planning
+    O(millions of files) — and compaction is the standing repair job.
+
+    Scale: ``coalesce`` (not ``repartition``) — bin-packing needs no
+    row redistribution, so the rewrite is a narrow, shuffle-free
+    read-merge-write; commit cost stays one O(#files) driver-side
+    manifest. Uses the same link-don't-clobber commit as
+    ``commit_append``, so a compactor racing an appender loses loudly
+    and leaves only invisible orphans."""
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot compact an empty table")
+    txn = uuid.uuid4().hex[:12]
+    version = parent + 1
+    data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
+    read_version(spark, root, parent).coalesce(target_files).write.parquet(
+        data_dir
+    )
+    new_files = sorted(
+        os.path.join(os.path.relpath(data_dir, root), n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "files": new_files,
+        "added": new_files,
+        "compacted_from": parent,
+    }
+    tmp = _manifest_path(root, version) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    finally:
+        os.remove(tmp)
+    return version
+
+
 def expire_versions(root: str, keep_last: int) -> list[int]:
     """Retention: drop manifests older than the newest ``keep_last``
     versions (time travel to them stops working; later versions keep

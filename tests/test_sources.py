@@ -276,3 +276,65 @@ def test_f19_static_overwrite_wipes_dynamic_preserves(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         spark.sql("DROP TABLE IF EXISTS f19_mode_probe")
+
+
+def test_f20_compaction_physical_rewrite_only(spark, sf_dir, tmp_path):
+    """Compaction contract: the compacted version plans FEWER files
+    with identical row content; pre-compaction time travel is
+    untouched; and expire+vacuum after compaction reclaims the small
+    files while the compacted version still reads fully — the complete
+    small-file repair loop."""
+    import os
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        compact,
+        commit_append,
+        expire_versions,
+        read_manifest,
+        read_version,
+        vacuum,
+    )
+
+    root = str(tmp_path)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for i in range(3):
+        commit_append(d.filter(F.col("doc_id") % 3 == i).repartition(4), root)
+    assert len(read_manifest(root, 3)["files"]) == 12  # the pathology
+    v2_before = sorted(r.doc_id for r in read_version(spark, root, 2).collect())
+
+    v = compact(spark, root, target_files=2)
+    assert v == 4
+    man = read_manifest(root, v)
+    assert len(man["files"]) == 2 and man["compacted_from"] == 3
+    assert sorted(r.doc_id for r in read_version(spark, root, v).collect()) == \
+        sorted(r.doc_id for r in d.collect())
+    # pre-compaction time travel untouched
+    assert sorted(
+        r.doc_id for r in read_version(spark, root, 2).collect()
+    ) == v2_before
+
+    # reclamation: expire everything but the compacted version, vacuum
+    # must delete all 12 small files and keep the 2 compacted ones
+    expire_versions(root, keep_last=1)
+    removed = vacuum(root)
+    assert len(removed) == 12, removed
+    live = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(root, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(live) == 2
+    assert sorted(r.doc_id for r in read_version(spark, root, v).collect()) == \
+        sorted(r.doc_id for r in d.collect())
+
+
+def test_f20_compaction_on_empty_table_refuses(tmp_path):
+    import pytest
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        compact,
+    )
+
+    with pytest.raises(ValueError):
+        compact(None, str(tmp_path))
