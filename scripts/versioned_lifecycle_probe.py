@@ -1,0 +1,189 @@
+"""Versioned-table lifecycle cost-shape probe (BASELINE.md §round-6).
+
+f18/f20/k21 claim the manifest-per-version table's commit cost is
+"metadata-proportional": one distributed parquet write + one driver-side
+manifest that lists the parent's files plus the new ones. That claim has
+a real scale shape worth MEASURING, not asserting:
+
+- commit i's metadata term is O(files(i)) — cumulative manifests copy
+  the parent file list, so N one-file-per-commit appends cost O(N^2)
+  cumulative metadata bytes without compaction. This is the same
+  pathology Delta Lake checkpoints / Iceberg manifest-lists exist for,
+  and f20's OPTIMIZE (a REPLACING snapshot) is this table's repair.
+- read-at-version planning is O(files named by THAT manifest), never
+  O(table history) — old small files behind a compacted version cost
+  its readers nothing.
+
+The probe measures four things on a real table (constant-size batches,
+so any growth is history-driven, not data-driven) and one synthetic
+metadata-only sweep (the Spark write's fixed cost hides the O(files)
+term at probe scale; fabricated manifests of 10^3..10^6 entries isolate
+it):
+
+1. per-commit wall time at commit 1..N (expect ~flat: the distributed
+   write dominates at probe scale);
+2. manifest bytes + file count at version checkpoints (expect linear);
+3. read-at-version wall for early/mid/late versions (expect ~linear in
+   that version's file count);
+4. commit-after-compaction: OPTIMIZE at version N, then more appends —
+   their manifests shrink back to O(1 + k) entries;
+5. driver-side commit metadata cost vs fabricated parent-manifest size
+   (read parent manifest + extend + write new), no Spark involved.
+
+Run: python scripts/versioned_lifecycle_probe.py  (prints the markdown
+tables; paste/refresh the BASELINE.md section from them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from k_means_clustering_via_map_reduce_spark.session import configure
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    _manifest_path,
+    commit_append,
+    compact,
+    read_manifest,
+    read_version,
+)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+N_COMMITS = 96
+POST_COMPACT_COMMITS = 8
+CHECKPOINTS = (1, 8, 16, 32, 64, 96)
+
+
+def _spark() -> SparkSession:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("kmce-versioned-probe")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    configure(spark)
+    return spark
+
+
+def real_table_probe(spark: SparkSession) -> None:
+    events = (
+        spark.read.parquet(os.path.join(SRC, "events.parquet"))
+        .select("event_id", "event_type", "value")
+        .limit(2000)
+        .cache()
+    )
+    events.count()
+    with tempfile.TemporaryDirectory(prefix="kmce_vprobe_") as tmp:
+        root = os.path.join(tmp, "table")
+        walls: list[float] = []
+        for i in range(N_COMMITS):
+            batch = events.coalesce(1)  # constant size, one file/commit
+            t0 = time.time()
+            commit_append(batch, root)
+            walls.append(time.time() - t0)
+        print("\n### per-commit wall (constant 2000-row 1-file batches)\n")
+        print("| commits | wall s (mean of window) | manifest files | manifest bytes |")
+        print("|---|---|---|---|")
+        for cp in CHECKPOINTS:
+            lo = max(0, cp - 8)
+            window = walls[lo:cp]
+            man = read_manifest(root, cp)
+            print(
+                f"| {cp} | {sum(window)/len(window):.3f} | "
+                f"{len(man['files'])} | "
+                f"{os.path.getsize(_manifest_path(root, cp))} |"
+            )
+        print("\n### read-at-version wall (count(), planning + scan)\n")
+        print("| version | files | wall s |")
+        print("|---|---|---|")
+        for v in (8, 32, 96):
+            t0 = time.time()
+            n = read_version(spark, root, v).count()
+            man = read_manifest(root, v)
+            print(f"| {v} | {len(man['files'])} | {time.time() - t0:.3f} |")
+            assert n == 2000 * v, (v, n)
+        t0 = time.time()
+        cv = compact(spark, root, target_files=1)
+        t_compact = time.time() - t0
+        post = []
+        for i in range(POST_COMPACT_COMMITS):
+            t0 = time.time()
+            commit_append(events.coalesce(1), root)
+            post.append(time.time() - t0)
+        man_last = read_manifest(root, cv + POST_COMPACT_COMMITS)
+        t0 = time.time()
+        n = read_version(spark, root).count()
+        t_read = time.time() - t0
+        assert n == 2000 * (N_COMMITS + POST_COMPACT_COMMITS), n
+        print(f"\ncompact at v{N_COMMITS} -> v{cv}: {t_compact:.2f} s "
+              f"(96 files -> 1, narrow coalesce rewrite)")
+        print(f"post-compaction commits: mean {sum(post)/len(post):.3f} s, "
+              f"latest manifest files = {len(man_last['files'])} "
+              f"(1 compacted + {POST_COMPACT_COMMITS} appends)")
+        print(f"read latest (v{cv + POST_COMPACT_COMMITS}) after compaction: "
+              f"{t_read:.3f} s")
+
+
+def metadata_only_probe() -> None:
+    """Driver-side commit metadata term in isolation: parent manifest of
+    F fabricated entries -> read, extend by 1, json-dump the child. No
+    Spark, no data files."""
+    print("\n### metadata-only commit term vs parent manifest size\n")
+    print("| parent files | read+extend+write s | manifest MB |")
+    print("|---|---|---|")
+    with tempfile.TemporaryDirectory(prefix="kmce_vmeta_") as tmp:
+        for f_count in (1_000, 10_000, 100_000, 1_000_000):
+            root = os.path.join(tmp, f"t{f_count}")
+            os.makedirs(os.path.join(root, "_manifests"))
+            files = [
+                f"data/txn-00001-abcdef/part-{i:06d}-"
+                f"0123456789abcdef.snappy.parquet"
+                for i in range(f_count)
+            ]
+            with open(_manifest_path(root, 1), "w") as fh:
+                json.dump(
+                    {"version": 1, "parent": 0, "files": files,
+                     "added": files}, fh,
+                )
+            best = min(
+                _time_meta_commit(root) for _ in range(3)
+            )
+            mb = os.path.getsize(_manifest_path(root, 1)) / 1e6
+            print(f"| {f_count:,} | {best:.3f} | {mb:.1f} |")
+            shutil.rmtree(root)
+
+
+def _time_meta_commit(root: str) -> float:
+    t0 = time.time()
+    man = read_manifest(root, 1)
+    child = {
+        "version": 2,
+        "parent": 1,
+        "files": man["files"] + ["data/txn-00002-fedcba/part-000000.parquet"],
+        "added": ["data/txn-00002-fedcba/part-000000.parquet"],
+    }
+    tmp = _manifest_path(root, 2) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(child, fh)
+    os.remove(tmp)
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = _spark()
+    real_table_probe(spark)
+    metadata_only_probe()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
