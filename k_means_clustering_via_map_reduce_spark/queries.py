@@ -4123,9 +4123,15 @@ def f20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decorrelation family's last classic face after q44-q47/q64/q65: the
 # scalar subquery ranges over the SAME derived aggregate the outer
 # query joins, so the right plan computes the revenue aggregation once
-# and reuses the exchange, never recomputing per outer row. The fixture
-# margin between the top two suppliers is ~1% — far beyond FP sum
-# noise, so the equality filter is engine-stable.
+# and reuses the exchange, never recomputing per outer row. FP
+# discipline (q47's rule): the revenue CTE is evaluated TWICE (once as
+# the join input, once under the scalar max) and a final hash
+# aggregate's merge order is shuffle-fetch nondeterministic, so the
+# SAME supplier's double sum can differ in the last ulp between the
+# two passes — a raw equality would then return zero rows. Both sides
+# are therefore rounded to whole units before the compare; the fixture
+# margin between the top two suppliers is ~1% (far beyond the unit
+# grid), so the winner set is unchanged and engine-stable.
 # --------------------------------------------------------------------------
 _Q66_BODY = """
     WITH revenue AS (
@@ -4138,7 +4144,8 @@ _Q66_BODY = """
     SELECT s.s_suppkey, s.s_name,
            round(r.total_revenue, 4) AS total_revenue
     FROM %(supplier)s s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE round(r.total_revenue, 0) =
+          (SELECT max(round(total_revenue, 0)) FROM revenue)
     ORDER BY s.s_suppkey
 """
 
