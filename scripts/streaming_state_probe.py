@@ -1,0 +1,172 @@
+"""Streaming state-boundedness probe (BASELINE.md §round-6).
+
+The k-family's 100 TB claim is that watermarked event-time aggregation
+holds state proportional to OPEN windows × keys — independent of how
+much history flows through — while throughput stays linear in rows.
+The plan tests pin one stateful operator; this probe MEASURES the state
+curve, which no fixture-scale oracle run can show:
+
+1. synthesize a tick history of H hours × K event types at a constant
+   rate, staged as one parquet file per 3-hour span in event-time order
+   (so the watermark advances batch by batch exactly as a live queue
+   consumer would see it);
+2. scale HISTORY LENGTH ×1/×2/×4/×8 (same rate, same key cardinality —
+   only the amount of history grows);
+3. run the k10-shaped query per scale — 10-minute watermark, 1-hour
+   tumbling window per type, APPEND mode, maxFilesPerTrigger=1 — and
+   read `stateOperators.numRowsTotal` from every progress event: the
+   MAX over the run is the state high-water mark;
+4. contrast with the SAME aggregate in COMPLETE mode with no watermark
+   (the anti-pattern): its state must grow linearly with history.
+
+Expected shape: append-mode high-water state ~constant at every scale
+(windows spanning one 3-hour batch + the watermark slack, × K);
+complete-mode state = total windows = H × K, doubling per decade. Emitted
+rows grow linearly in BOTH modes — correctness is not the difference,
+state is.
+
+Run: python scripts/streaming_state_probe.py  (prints markdown tables;
+paste/refresh the BASELINE.md section from them).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.session import configure
+
+MULTS = (1, 2, 4, 8)
+BASE_HOURS = 48
+ROWS_PER_HOUR = 2_000
+N_TYPES = 20
+CHUNK_HOURS = 3
+T0 = "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+def _spark() -> SparkSession:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("kmce-stream-state-probe")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    configure(spark)
+    return spark
+
+
+def _stage_feed(spark: SparkSession, root: str, hours: int) -> str:
+    """One parquet file per CHUNK_HOURS span, named in event-time order."""
+    src = os.path.join(root, f"feed_{hours}h")
+    os.makedirs(src)
+    step_us = 3_600_000_000 // ROWS_PER_HOUR
+    for chunk_idx, h0 in enumerate(range(0, hours, CHUNK_HOURS)):
+        n = CHUNK_HOURS * ROWS_PER_HOUR
+        offset = h0 * ROWS_PER_HOUR
+        df = (
+            spark.range(offset, offset + n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.expr(
+                    f"{T0} + make_interval(0,0,0,0,0,0, id * {step_us} / 1e6)"
+                ).alias("ts"),
+                (F.col("id") % N_TYPES).cast("string").alias("event_type"),
+                (F.col("id") % 97).cast("double").alias("value"),
+            )
+            .coalesce(1)
+        )
+        stage = os.path.join(root, f"stage_{hours}_{chunk_idx}")
+        df.write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"{chunk_idx:04d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * chunk_idx,) * 2)
+        shutil.rmtree(stage)
+    return src
+
+
+def _run(spark: SparkSession, src: str, mode: str, name: str):
+    """Run the hourly-window aggregate over the staged feed; return
+    (wall_s, rows_emitted, max_state_rows, n_batches)."""
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream
+    if mode == "append":
+        agg = agg.withWatermark("ts", "10 minutes")
+    agg = (
+        agg.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    t0 = time.time()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    states = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    emitted = spark.table(name).count()
+    spark.catalog.dropTempView(name)
+    return wall, emitted, max(states) if states else 0, len(q.recentProgress)
+
+
+def main() -> None:
+    spark = _spark()
+    rows = []
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_state_probe_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    ) as tmp:
+        for mult in MULTS:
+            hours = BASE_HOURS * mult
+            src = _stage_feed(spark, tmp, hours)
+            w_app, emit_app, st_app, nb_app = _run(
+                spark, src, "append", f"probe_app_{mult}"
+            )
+            w_cmp, emit_cmp, st_cmp, nb_cmp = _run(
+                spark, src, "complete", f"probe_cmp_{mult}"
+            )
+            rows.append(
+                (mult, hours, hours * ROWS_PER_HOUR, w_app, emit_app,
+                 st_app, w_cmp, emit_cmp, st_cmp)
+            )
+            print(
+                f"x{mult}: append wall {w_app:.1f}s state_max {st_app} "
+                f"emitted {emit_app} ({nb_app} batches) | complete wall "
+                f"{w_cmp:.1f}s state_max {st_cmp}", flush=True,
+            )
+    print("\n| hist | hours | rows | append wall s | append emitted | "
+          "append state max | complete wall s | complete state max |")
+    print("|---|---|---|---|---|---|---|---|")
+    for m, h, n, wa, ea, sa, wc, ec, sc in rows:
+        print(f"| ×{m} | {h} | {n:,} | {wa:.1f} | {ea:,} | {sa:,} | "
+              f"{wc:.1f} | {sc:,} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
