@@ -1,0 +1,132 @@
+"""Model-based property test of the versioned-table lifecycle.
+
+`sources/versioned.py` is the storage layer under three query entries
+(f18 time travel, f20 compaction, k21 streaming ingest) — the one
+subsystem where a bug is data LOSS, not a wrong aggregate. The example
+tests (tests/test_sources.py, test_streaming_ingest.py) pin the known
+scenarios; this test drives RANDOM interleavings of the four lifecycle
+ops against a driver-side model and asserts the storage invariants no
+sequence may break:
+
+- every surviving manifest replays exactly the row multiset the model
+  says that version held when it was committed (append = parent +
+  batch; compact = parent content, rewritten);
+- `expire_versions` removes exactly the manifests older than the
+  retention window and never the latest;
+- `vacuum` deletes only files no surviving manifest references —
+  injected orphans (aborted commits) go, and every surviving version
+  still replays bit-for-bit afterwards;
+- version numbers are dense 1..N regardless of interleaving.
+
+Each example runs real Spark writes, so sequences and example counts
+stay small (the ×96 cost shape lives in
+scripts/versioned_lifecycle_probe.py, not here).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    commit_append,
+    compact,
+    expire_versions,
+    latest_version,
+    read_manifest,
+    read_version,
+    vacuum,
+)
+
+# Op alphabet: ("append", batch_idx) | "compact" | ("expire", keep) |
+# "vacuum" | "orphan" (simulated aborted commit: data files, no manifest).
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 4)),
+        st.just("compact"),
+        st.tuples(st.just("expire"), st.integers(1, 3)),
+        st.just("vacuum"),
+        st.just("orphan"),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+def _batch(spark, batch_idx: int, seq: int):
+    """3 deterministic rows; (seq) makes every append's content unique
+    so a duplicated or lost batch cannot cancel out in the multiset."""
+    rows = [
+        (seq * 10 + i, f"b{batch_idx}", float(batch_idx * 100 + i))
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, tag STRING, v DOUBLE")
+
+
+def _snapshot(spark, root: str, version: int):
+    return sorted(
+        (r.id, r.tag, r.v)
+        for r in read_version(spark, root, version).collect()
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_OPS)
+def test_lifecycle_invariants_hold_under_any_interleaving(spark_prop, ops):
+    spark = spark_prop
+    with tempfile.TemporaryDirectory(prefix="kmce_vprop_") as root:
+        # model[version] = expected sorted row list for that version
+        model: dict[int, list] = {}
+        seq = 0
+        for op in ops:
+            latest = latest_version(root)
+            if op == "compact":
+                if latest == 0:
+                    continue
+                v = compact(spark, root, target_files=1)
+                model[v] = model[latest]
+                assert read_manifest(root, v)["compacted_from"] == latest
+            elif op == "vacuum":
+                removed = vacuum(root)
+                # only unreferenced files may go
+                live = set()
+                for v in model:
+                    live.update(read_manifest(root, v)["files"])
+                assert not live.intersection(removed)
+            elif op == "orphan":
+                # aborted commit: data files land, manifest never does
+                odir = os.path.join(root, "data", f"txn-99999-dead{seq}")
+                os.makedirs(odir)
+                with open(os.path.join(odir, "orphan.parquet"), "wb") as fh:
+                    fh.write(b"not a real parquet; never read")
+                seq += 1
+            elif op[0] == "append":
+                seq += 1
+                v = commit_append(_batch(spark, op[1], seq), root)
+                model[v] = sorted(
+                    (model.get(latest) or [])
+                    + [
+                        (seq * 10 + i, f"b{op[1]}", float(op[1] * 100 + i))
+                        for i in range(3)
+                    ]
+                )
+                assert v == latest + 1
+            else:  # ("expire", keep)
+                if latest == 0:
+                    continue
+                expired = expire_versions(root, keep_last=op[1])
+                for v in expired:
+                    assert v <= latest - 1  # latest always survives
+                    model.pop(v, None)
+                assert latest_version(root) == latest
+
+        # Terminal: every surviving version replays its model content,
+        # even after a final vacuum has collected everything dead.
+        vacuum(root)
+        for v, expected in model.items():
+            assert _snapshot(spark, root, v) == expected, f"version {v}"
+        if model:
+            assert latest_version(root) == max(model)
