@@ -134,8 +134,128 @@ def _run(spark: SparkSession, src: str, mode: str, name: str):
     return wall, emitted, max(states) if states else 0, len(q.recentProgress)
 
 
+N_USERS = 500
+JOIN_HOURS_BASE = 24
+
+
+def _stage_join_feed(
+    spark: SparkSession, root: str, hours: int, side: str
+) -> str:
+    """Per-side tick feed for the join arm: same rate/keys, clicks
+    offset by half a step so every view has in-window candidates."""
+    src = os.path.join(root, f"{side}_{hours}h")
+    os.makedirs(src)
+    step_us = 3_600_000_000 // ROWS_PER_HOUR
+    half = step_us // 2 if side == "click" else 0
+    for chunk_idx, h0 in enumerate(range(0, hours, CHUNK_HOURS)):
+        n = CHUNK_HOURS * ROWS_PER_HOUR
+        offset = h0 * ROWS_PER_HOUR
+        df = (
+            spark.range(offset, offset + n)
+            .select(
+                F.col("id").alias(f"{side}_id"),
+                F.expr(
+                    f"{T0} + make_interval(0,0,0,0,0,0,"
+                    f" (id * {step_us} + {half}) / 1e6)"
+                ).alias(f"{side}_ts"),
+                (F.col("id") % N_USERS).alias("user_id"),
+            )
+            .coalesce(1)
+        )
+        stage = os.path.join(root, f"stage_{side}_{hours}_{chunk_idx}")
+        df.write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"{chunk_idx:04d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * chunk_idx,) * 2)
+        shutil.rmtree(stage)
+    return src
+
+
+def _run_join(spark: SparkSession, vsrc: str, csrc: str, bounded: bool,
+              name: str):
+    """Inner stream-stream join; bounded = watermarks + interval
+    condition (state evictable), unbounded = bare 1:1 equi-join on the
+    unique event id — the OUTPUT stays linear (one match per row, so
+    the two arms' result volumes are comparable) but with no watermark
+    Spark cannot prove a key won't match again and must buffer BOTH
+    sides forever."""
+    def _stream(src):
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    views, clicks = _stream(vsrc), _stream(csrc)
+    if bounded:
+        views = views.withWatermark("view_ts", "10 minutes")
+        clicks = clicks.withWatermark("click_ts", "10 minutes")
+        cond = (
+            (views.user_id == clicks.user_id)
+            & (clicks.click_ts >= views.view_ts)
+            & (clicks.click_ts < views.view_ts + F.expr("INTERVAL 5 MINUTES"))
+        )
+    else:
+        cond = views.view_id == clicks.click_id
+    joined = views.join(clicks, cond, "inner").select(
+        views.user_id, "view_id", "click_id"
+    )
+    t0 = time.time()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    states = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    emitted = spark.table(name).count()
+    spark.catalog.dropTempView(name)
+    return wall, emitted, max(states) if states else 0
+
+
+def join_probe(spark: SparkSession) -> None:
+    rows = []
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_join_probe_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    ) as tmp:
+        for mult in MULTS:
+            hours = JOIN_HOURS_BASE * mult
+            vsrc = _stage_join_feed(spark, tmp, hours, "view")
+            csrc = _stage_join_feed(spark, tmp, hours, "click")
+            w_b, e_b, s_b = _run_join(
+                spark, vsrc, csrc, True, f"jb_{mult}"
+            )
+            w_u, e_u, s_u = _run_join(
+                spark, vsrc, csrc, False, f"ju_{mult}"
+            )
+            rows.append((mult, hours, hours * ROWS_PER_HOUR, w_b, e_b,
+                         s_b, w_u, e_u, s_u))
+            print(f"x{mult}: bounded wall {w_b:.1f}s state_max {s_b} "
+                  f"emitted {e_b} | unbounded wall {w_u:.1f}s "
+                  f"state_max {s_u} emitted {e_u}", flush=True)
+    print("\n| hist | hours | rows/side | bounded wall s | bounded emitted"
+          " | bounded state max | unbounded wall s | unbounded state max |")
+    print("|---|---|---|---|---|---|---|---|")
+    for m, h, n, wb, eb, sb, wu, eu, su in rows:
+        print(f"| ×{m} | {h} | {n:,} | {wb:.1f} | {eb:,} | {sb:,} | "
+              f"{wu:.1f} | {su:,} |")
+
+
 def main() -> None:
     spark = _spark()
+    if "--join" in sys.argv:
+        join_probe(spark)
+        spark.stop()
+        return
     rows = []
     with tempfile.TemporaryDirectory(
         prefix="kmce_state_probe_",
