@@ -1205,3 +1205,102 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 full-text relevance scoring (round-7 surface, library-first).
+# Implemented and pytest-pinned this round; the @query registration is
+# DEFERRED to round 7 so the round-6 driver budget keeps landing on the
+# stale verification tail (VERDICT r05 "Next round" #1 pacing rule).
+# The reference has no text retrieval at all; this is the engine-side
+# search face of the t19 inverted-index shape.
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 against a bag of query terms.
+
+    score(q, d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                        (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl)),
+    idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (Lucene form,
+    always positive). Whitespace tokenization, exact-match terms —
+    the same token model as t19/t20, so the postings this builds are
+    the ones the corpus already shuffles for dedup.
+
+    Scale plan: the token explode is filtered to the QUERY TERMS
+    IMMEDIATELY — the (doc, term) shuffle carries only matching
+    postings (|q| terms × matching docs), never the corpus token
+    stream; df/N/avgdl are one vocabulary-free broadcast-sized
+    aggregate each (two scalar stats crossJoin-broadcast in, |q| df
+    rows broadcast-join in — the t6/t12 scalar-total idiom); the
+    final top-k is one global window over per-doc sums. No Python
+    anywhere; ties break by doc_id so the rank is total.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("w"),
+    ).withColumn("dl", F.size("w"))
+    corpus_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    post = (
+        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = post.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        post.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "t_score",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("t_score").alias("score"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "n_matched_terms",
+        )
+        .orderBy("rank")
+    )
