@@ -474,3 +474,113 @@ def decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# P9 — curriculum ordering (round-7 surface, library-first). Implemented
+# and pytest-pinned this round; @query registration deferred to round 7
+# per the driver-budget pacing rule (VERDICT r05 "Next round" #1).
+# --------------------------------------------------------------------------
+P9_PHASES = 4
+
+
+def curriculum_order(
+    docs: DataFrame, n_phases: int = P9_PHASES, seed: str = "epoch0"
+) -> DataFrame:
+    """Deterministic curriculum assignment: easy→hard phases by a
+    difficulty proxy (mean token length — longer words ≈ harder text),
+    with a value-pure shuffled order WITHIN each phase.
+
+    Returns (doc_id, difficulty, phase 1..n, draw) where the full
+    curriculum order is the sort key (phase ASC, draw ASC, doc_id ASC).
+    The in-phase order is md5(seed ‖ doc_id) — p6's epoch-shuffle
+    idiom — so re-running with a new seed reshuffles WITHIN phases
+    while the phase walls stay put.
+
+    Scale plan: phase walls are EXACT percentile boundaries computed by
+    ONE aggregate and broadcast back as a 1-row literal frame — never a
+    global ntile window (which would funnel the corpus through a single
+    window partition). Phase assignment is then a narrow per-row
+    comparison. No dense rank is materialized: the curriculum IS the
+    sort key triple, and a consumer lands it with
+    writer.partitionBy(phase) + sortWithinPartitions(draw) (the f12
+    bucket lever), so nothing ever globally sorts. Ties at a phase
+    wall go to the LOWER phase on both engines (boundary compare is
+    ``difficulty > wall``, and walls are rounded to the 1e-6 grid so
+    an FP ulp cannot move a document across a wall).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    scored = toks.select(
+        "doc_id",
+        F.round(F.col("n_chars") / F.col("n_tok"), 6).alias("difficulty"),
+    )
+    probs = [i / n_phases for i in range(1, n_phases)]
+    walls = scored.agg(
+        F.expr(
+            "transform(percentile(difficulty, array("
+            + ",".join(str(p) for p in probs)
+            + ")), w -> round(w, 6))"
+        ).alias("walls")
+    )
+    assigned = (
+        scored.crossJoin(F.broadcast(walls))
+        .withColumn(
+            "phase",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    F.col("walls"),
+                    F.lit(0),
+                    lambda acc, w: acc
+                    + F.when(F.col("difficulty") > w, 1).otherwise(0),
+                )
+            ).cast("int"),
+        )
+        .drop("walls")
+        .withColumn(
+            "draw",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit("|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+        )
+    )
+    return assigned
+
+
+def curriculum_summary(
+    docs: DataFrame, n_phases: int = P9_PHASES, seed: str = "epoch0"
+) -> DataFrame:
+    """Per-phase curriculum stats + the first document each phase
+    would feed (min draw, doc_id tiebreak) — the presentation-sized
+    face of ``curriculum_order`` for the round-7 query entry."""
+    order = curriculum_order(docs, n_phases, seed)
+    first = order.select(
+        "phase",
+        F.struct("draw", "doc_id").alias("key"),
+    ).groupBy("phase").agg(F.min("key").alias("k"))
+    stats = order.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("difficulty"), 6).alias("min_diff"),
+        F.round(F.max("difficulty"), 6).alias("max_diff"),
+    )
+    return (
+        stats.join(first, "phase")
+        .select(
+            "phase",
+            "n_docs",
+            "min_diff",
+            "max_diff",
+            F.col("k.doc_id").alias("first_doc"),
+        )
+        .orderBy("phase")
+    )
