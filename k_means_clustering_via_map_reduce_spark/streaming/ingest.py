@@ -161,3 +161,75 @@ def stream_versioned_ingest_query(
             .localCheckpoint(eager=True)
         )
     return result.orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# K22 — stream-stream JOIN chained into the versioned-table sink
+# (round-7 surface, library-first; pytest-pinned this round, @query
+# registration deferred per the driver-budget pacing rule). The full
+# production attribution pipeline: two live feeds → watermarked
+# interval join → idempotent versioned commits — k15's join semantics
+# composed with k21's storage lifecycle, so "attributed pairs @ version
+# N" is pinned the moment batch N lands while both feeds keep running.
+# --------------------------------------------------------------------------
+
+
+def run_joined_versioned_ingest(
+    spark: SparkSession,
+    view_src: str,
+    click_src: str,
+    root: str,
+    checkpoint: str,
+    window_sql: str = "INTERVAL 5 MINUTES",
+    delay: str = "10 minutes",
+) -> None:
+    """Drain two staged feeds through a watermarked inner interval join
+    (click strictly after its same-user view, within ``window_sql``)
+    into per-batch versioned commits. Rows are held in join state until
+    the two-sided watermark proves them complete, so a batch's commit
+    contains only FINALIZED pairs — a terminal far-future tick on both
+    feeds (the k10/k18 idiom) flushes everything; ticks themselves
+    never join (disjoint sentinel users).
+
+    Scale: join state is O(window × rate) per side (measured flat in
+    BASELINE.md's round-6 join-state arm); commit cost is k21's
+    metadata-proportional manifest link. State and storage concerns
+    stay decoupled — the sink never holds rows back and the join never
+    touches disk layout."""
+
+    def _stream(src: str) -> DataFrame:
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    v = _stream(view_src).withWatermark("ts", delay).alias("v")
+    c = _stream(click_src).withWatermark("ts", delay).alias("c")
+    joined = v.join(
+        c,
+        F.expr(
+            f"v.user_id = c.user_id AND c.ts > v.ts "
+            f"AND c.ts <= v.ts + {window_sql}"
+        ),
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("c.ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: commit_batch_versioned(df, bid, root)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -141,3 +141,114 @@ def test_applied_count_matches_event_total(spark, sf_dir, ingested):
         v3.select(F.countDistinct("event_id").alias("n")).collect()[0].n
         == src_total
     )
+
+
+# ---- K22: stream-stream join chained into the versioned sink ----------
+
+import datetime as _dt
+
+from pyspark.sql import functions as _F
+
+from k_means_clustering_via_map_reduce_spark.streaming.ingest import (
+    run_joined_versioned_ingest,
+)
+
+
+def _stage_pair_feed(spark, root, side: str) -> str:
+    """Three mtime-ordered slices per side + a terminal far-future tick
+    (sentinel user, never joins) that flushes the join watermark."""
+    t0 = _dt.datetime(2024, 1, 1, 0, 0)
+    rows_per_slice = 40
+    src = os.path.join(root, side)
+    os.makedirs(src)
+    tick_user = -1 if side == "views" else -2
+    for i in range(3):
+        rows = []
+        for j in range(rows_per_slice):
+            k = i * rows_per_slice + j
+            ts = t0 + _dt.timedelta(
+                seconds=60 * k + (30 if side == "clicks" else 0)
+            )
+            rows.append((1000 * (2 if side == "clicks" else 1) + k,
+                         ts, k % 10))
+        if i == 2:  # terminal tick, far future
+            rows.append((9999, t0 + _dt.timedelta(hours=12), tick_user))
+        df = spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT"
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id"
+        ).coalesce(1)
+        stage = os.path.join(root, f"stage_{side}_{i}")
+        df.write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"{i}-slice.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    return src
+
+
+def _batch_join(spark, vsrc, csrc):
+    v = spark.read.parquet(vsrc).alias("v")
+    c = spark.read.parquet(csrc).alias("c")
+    return (
+        v.join(
+            c,
+            _F.expr(
+                "v.user_id = c.user_id AND c.ts > v.ts "
+                "AND c.ts <= v.ts + INTERVAL 5 MINUTES"
+            ),
+        )
+        .select(
+            _F.col("v.event_id").alias("view_id"),
+            _F.col("c.event_id").alias("click_id"),
+        )
+        .collect()
+    )
+
+
+@pytest.mark.timeout(300)
+def test_k22_joined_ingest_lands_full_finalized_join(spark, tmp_path):
+    vsrc = _stage_pair_feed(spark, str(tmp_path), "views")
+    csrc = _stage_pair_feed(spark, str(tmp_path), "clicks")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    run_joined_versioned_ingest(spark, vsrc, csrc, root, ckpt)
+    got = sorted(
+        (r.view_id, r.click_id)
+        for r in read_version(spark, root).collect()
+    )
+    want = sorted((r.view_id, r.click_id) for r in _batch_join(
+        spark, vsrc, csrc))
+    assert want, "fixture must produce a non-empty join"
+    assert got == want  # ticks flushed everything; no pair lost or dup'd
+    assert latest_version(root) >= 1
+    # restart over the same checkpoint applies nothing
+    before = latest_version(root)
+    run_joined_versioned_ingest(spark, vsrc, csrc, root, ckpt)
+    assert latest_version(root) == before
+
+
+@pytest.mark.timeout(300)
+def test_k22_every_version_is_a_prefix_of_the_final_join(spark, tmp_path):
+    """Versions are append-only prefixes: each version's pair set is a
+    subset of the next and of the finalized batch join (no retraction,
+    no speculative emission of un-finalized pairs)."""
+    vsrc = _stage_pair_feed(spark, str(tmp_path), "views")
+    csrc = _stage_pair_feed(spark, str(tmp_path), "clicks")
+    root = str(tmp_path / "table")
+    run_joined_versioned_ingest(
+        spark, vsrc, csrc, root, str(tmp_path / "ckpt")
+    )
+    want = set(
+        (r.view_id, r.click_id) for r in _batch_join(spark, vsrc, csrc)
+    )
+    prev: set = set()
+    for ver in range(1, latest_version(root) + 1):
+        cur = set(
+            (r.view_id, r.click_id)
+            for r in read_version(spark, root, ver).collect()
+        )
+        assert prev.issubset(cur)
+        assert cur.issubset(want)
+        prev = cur
+    assert prev == want
