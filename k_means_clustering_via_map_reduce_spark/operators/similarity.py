@@ -449,12 +449,18 @@ def _pq_encode_udf(books):
     return encode
 
 
-def _pq_adc_scores(codes_df: DataFrame, queries, books) -> DataFrame:
+def _pq_adc_scores(
+    codes_df: DataFrame, queries, books, passthrough: tuple = ()
+) -> DataFrame:
     """(vec_id, query_id, adc): asymmetric distance of every corpus code
     row to every query, via per-query lookup tables — table[s, j] =
     ||q_sub_s - codeword_j||², so adc = Σ_s table[s, codes[s]]. One
     mapInPandas pass over the CODE table (the vectors are never read
-    here); per-batch cost is pure numpy fancy-indexing."""
+    here); per-batch cost is pure numpy fancy-indexing. ``passthrough``
+    names extra int columns of ``codes_df`` copied onto every output
+    row (s8 carries the IVF cell through so per-query cell restriction
+    needs no corpus-sized re-join); () leaves s5's plan byte-identical.
+    """
     import numpy as np
 
     b = np.asarray(books)  # (S, K, d)
@@ -468,7 +474,9 @@ def _pq_adc_scores(codes_df: DataFrame, queries, books) -> DataFrame:
         diff = qs[:, None, :] - b[s][None, :, :]  # (Q, K, d)
         tables[:, s, :] = (diff * diff).sum(axis=2)
 
-    out_schema = "vec_id bigint, query_id bigint, adc double"
+    out_schema = "vec_id bigint, query_id bigint, adc double" + "".join(
+        f", {c} int" for c in passthrough
+    )
 
     def score(batches):
         for pdf in batches:
@@ -479,15 +487,14 @@ def _pq_adc_scores(codes_df: DataFrame, queries, books) -> DataFrame:
             frames = []
             for qi, qid in enumerate(q_ids):
                 adc = tables[qi][sub_idx, codes].sum(axis=1)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": vec_ids,
-                            "query_id": np.full(n, qid),
-                            "adc": adc,
-                        }
-                    )
-                )
+                data = {
+                    "vec_id": vec_ids,
+                    "query_id": np.full(n, qid),
+                    "adc": adc,
+                }
+                for c in passthrough:
+                    data[c] = pdf[c].to_numpy()
+                frames.append(pd.DataFrame(data))
             yield pd.concat(frames, ignore_index=True)
 
     return codes_df.mapInPandas(score, out_schema)
@@ -780,3 +787,159 @@ def s7_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _S7_STAGED["key"] = key
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return ivf_search_persisted(spark, q).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# S8 — persisted IVF-PQ hybrid index (round-7 surface, library-first;
+# pytest-pinned this round, @query registration deferred per the
+# driver-budget pacing rule). s7's build-once/serve-many discipline
+# applied to the FULL production ANN stack: coarse IVF cells restrict
+# the scan, PQ codes make the scanned payload 4 bits/subspace, exact
+# rerank restores precision on the candidate set — and every artifact
+# (coarse codebook, PQ codebooks, cell-bucketed code table, postings)
+# is a catalog table written once at ingest.
+# --------------------------------------------------------------------------
+
+
+def build_ivf_pq_index(corpus: DataFrame, prefix: str = "s8") -> None:
+    """Extend ``build_ivf_index`` with the PQ artifacts: per-subspace
+    codebooks trained on the same deterministic head sample s5 uses
+    (persisted as ``{prefix}_pq_books`` rows), and the corpus encoded
+    to 4-bit code arrays stored cell-BUCKETED as ``{prefix}_codes`` —
+    the table the serve path scans (S ints/vector instead of the full
+    vector). The only fits anywhere are here."""
+    import numpy as np
+
+    from k_means_clustering_via_map_reduce_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    spark = corpus.sparkSession
+    build_ivf_index(corpus, prefix)
+
+    sample = (
+        corpus.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("v").toPandas()
+    )
+    books = _pq_codebooks(np.vstack(sample["v"].to_numpy()).astype(np.float64))
+    rows = [
+        (s, j, [float(x) for x in books[s][j]])
+        for s in range(len(books))
+        for j in range(len(books[s]))
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, center array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_pq_books")
+
+    codes = (
+        spark.table(f"{prefix}_postings")
+        .select(
+            "cell", "vec_id", _pq_encode_udf(books)(F.col("v")).alias("codes")
+        )
+    )
+    write_bucketed(
+        codes, f"{prefix}_codes", ("cell",), S7_BUCKETS, sort_cols=("cell",)
+    )
+
+
+def ivf_pq_search_persisted(
+    spark: SparkSession,
+    queries: DataFrame,
+    k: int = TOPK_K,
+    nprobe: int = IVF_NPROBE,
+    prefix: str = "s8",
+) -> DataFrame:
+    """Serve path: coarse-probe the saved centroids, ADC-score ONLY the
+    code rows in probed cells, exact-rerank the top candidates against
+    the saved postings. Loads three tables, fits nothing.
+
+    Scale plan: the scan side is the CODE table restricted to the
+    UNION of probed cells (bucket pruning on the saved layout); the
+    per-query cell restriction rides the scorer's passthrough cell
+    column into a broadcast semi-join on (query_id, cell) — the corpus
+    is never re-joined for metadata. Candidates (queries × C scalar
+    rows) broadcast into the postings rerank, so the full vectors are
+    read only for candidate ids. Ties break by vec_id at both ranking
+    levels — partitioning-independent end to end."""
+    import numpy as np
+
+    n_cand = k * PQ_CAND_FACTOR
+    centers = np.asarray(
+        [
+            r.center
+            for r in spark.table(f"{prefix}_centroids")
+            .orderBy("cell")
+            .collect()
+        ]
+    )
+    brows = spark.table(f"{prefix}_pq_books").orderBy(
+        "subspace", "code"
+    ).collect()
+    s_n = 1 + max(r.subspace for r in brows)
+    k_n = 1 + max(r.code for r in brows)
+    books = [
+        [None] * k_n for _ in range(s_n)
+    ]
+    for r in brows:
+        books[r.subspace][r.code] = list(r.center)
+
+    q_rows = [
+        (r["vec_id"], r["v"])
+        for r in queries.select("vec_id", "v").orderBy("vec_id").collect()
+    ]
+    q_mat = np.vstack([v for _, v in q_rows]).astype(np.float64)
+    c_sq = (centers * centers).sum(axis=1)
+    d = c_sq[None, :] - 2.0 * (q_mat @ centers.T)
+    probed = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    pairs = [
+        (int(q_rows[i][0]), int(c))
+        for i in range(len(q_rows))
+        for c in probed[i]
+    ]
+    pairs_df = spark.createDataFrame(pairs, "query_id bigint, cell int")
+    cells_df = pairs_df.select("cell").distinct()
+
+    codes = spark.table(f"{prefix}_codes").join(
+        F.broadcast(cells_df), "cell", "left_semi"
+    )
+    scored = (
+        _pq_adc_scores(codes, q_rows, books, passthrough=("cell",))
+        .join(F.broadcast(pairs_df), ["query_id", "cell"], "left_semi")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= n_cand)
+        .select("query_id", "vec_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in q_rows],
+        "query_id bigint, qv array<double>",
+    ).withColumn("qnrm", vector_norm(F.col("qv")))
+    rerank = (
+        spark.table(f"{prefix}_postings")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("cos_sim")).alias("cos_sim"),
+        )
+    )
