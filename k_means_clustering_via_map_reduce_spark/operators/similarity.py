@@ -814,8 +814,22 @@ def build_ivf_pq_index(corpus: DataFrame, prefix: str = "s8") -> None:
         write_bucketed,
     )
 
+    import os as _os
+    import shutil as _sh
+    from urllib.parse import urlparse as _urlparse
+
     spark = corpus.sparkSession
     build_ivf_index(corpus, prefix)
+
+    # stale-location guard (f12's lesson) for the two PQ tables — a
+    # PREVIOUS process may have left the managed location while this
+    # catalog has no entry
+    warehouse = _urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    for tbl in (f"{prefix}_pq_books", f"{prefix}_codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _sh.rmtree(_os.path.join(warehouse, tbl), ignore_errors=True)
 
     sample = (
         corpus.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("v").toPandas()
