@@ -159,12 +159,19 @@ def expire_versions(root: str, keep_last: int) -> list[int]:
     """Retention: drop manifests older than the newest ``keep_last``
     versions (time travel to them stops working; later versions keep
     every file they reference, since manifests are cumulative file
-    lists). Returns the expired version numbers. The latest version is
+    lists). Returns the versions expired by THIS call — versions a
+    previous retention run already dropped are skipped, so the job is
+    idempotent (the round-6 property test falsified the unconditional
+    remove with append→compact→expire→expire). The latest version is
     always kept; ``keep_last`` < 1 is rejected."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     latest = latest_version(root)
-    expired = [v for v in range(1, latest - keep_last + 1)]
+    expired = [
+        v
+        for v in range(1, latest - keep_last + 1)
+        if os.path.exists(_manifest_path(root, v))
+    ]
     for v in expired:
         os.remove(_manifest_path(root, v))
     return expired
