@@ -252,3 +252,86 @@ def test_k22_every_version_is_a_prefix_of_the_final_join(spark, tmp_path):
         assert cur.issubset(want)
         prev = cur
     assert prev == want
+
+
+K22_ORACLE = """
+    WITH j AS (
+      SELECT v.event_id AS view_id, c.event_id AS click_id,
+             v.user_id AS user_id
+      FROM events v JOIN events c ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           min(view_id) AS first_view, max(click_id) AS last_click
+    FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _stage_events_side_timesliced(spark, sf_dir, root, etype, n_slices=3):
+    """TIME-ORDERED slices (the real queue order): slicing by id would
+    make every batch-2 row late against batch-1's watermark and the
+    stream-stream join would drop it — with time-ordered slices a
+    batch-1 view evicts only once no future click can match it, so the
+    landed join is exactly the batch join, no terminal tick needed."""
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == etype)
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+        )
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).collect()[0]
+    span = max(1, (hi - lo + 1) // n_slices)
+    src = os.path.join(root, etype)
+    os.makedirs(src)
+    for i in range(n_slices):
+        s_lo = lo + i * span
+        s_hi = hi + 1 if i == n_slices - 1 else lo + (i + 1) * span
+        df = ev.filter(
+            (F.col("ts").cast("long") >= s_lo)
+            & (F.col("ts").cast("long") < s_hi)
+        ).coalesce(1)
+        stage = os.path.join(root, f"stage_{etype}_{i}")
+        df.write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"{i}-slice.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    return src
+
+
+@pytest.mark.timeout(600)
+def test_k22_registered_form_matches_duckdb_oracle(spark, sf_dir, tmp_path):
+    """The exact shape the round-7 k22 @query entry will register:
+    events views/clicks as time-ordered feeds → watermarked 24h interval
+    join → versioned commits → per-user aggregate of the landed table,
+    compared to the DuckDB batch-join oracle through the driver-style
+    canonical compare."""
+    from tests.oracle_utils import compare_to_oracle
+
+    vsrc = _stage_events_side_timesliced(spark, sf_dir, str(tmp_path), "view")
+    csrc = _stage_events_side_timesliced(
+        spark, sf_dir, str(tmp_path), "click"
+    )
+    root = str(tmp_path / "table")
+    run_joined_versioned_ingest(
+        spark, vsrc, csrc, root, str(tmp_path / "ckpt"),
+        window_sql="INTERVAL 24 HOUR",
+    )
+    agg = (
+        read_version(spark, root)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("view_id").alias("first_view"),
+            F.max("click_id").alias("last_click"),
+        )
+        .orderBy("user_id")
+    )
+    compare_to_oracle(agg, K22_ORACLE, sf_dir)
