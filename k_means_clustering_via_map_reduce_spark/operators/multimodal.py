@@ -23,7 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from k_means_clustering_via_map_reduce_spark.queries import query
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
 from k_means_clustering_via_map_reduce_spark.sources import load_table, spread
 
 MEDIA_SCHEMA = (
@@ -1082,7 +1082,8 @@ def m6b_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# M7 — audio SPECTRAL analysis: a real DFT (orthonormal matmul, no FFT
+# M7 — audio SPECTRAL analysis: a real DFT (np.fft engine path; an
+# independent explicit-basis matmul is the pytest oracle — no audio
 # library) over the decoded PCM stream — the feature-extraction stage an
 # audio training pipeline runs after m4's sample-domain work (band
 # energies / spectral fingerprints for dedup and quality gates). Two
@@ -1120,12 +1121,10 @@ def audio_spectrum(df: DataFrame) -> DataFrame:
                 _, s = decoded
                 n = len(s)
                 x = s.astype(np.float64)
-                k = np.arange(n)
-                # full DFT as an explicit basis matmul (O(n²), the
-                # point is the transform's correctness, not its speed;
-                # production swaps in an FFT with identical semantics)
-                w = np.exp(-2j * np.pi * np.outer(k, k) / n)
-                spec = w @ x
+                # O(n log n) FFT; the O(n²) explicit basis matmul is
+                # the independent pytest oracle (test_multimodal.py),
+                # which pins that this IS the DFT of exactly x
+                spec = np.fft.fft(x)
                 power = (spec.real**2 + spec.imag**2)
                 sum_sq = int((s * s).sum())
                 parseval = abs(power.sum() / n - float(sum_sq)) <= (
@@ -1142,10 +1141,13 @@ def audio_spectrum(df: DataFrame) -> DataFrame:
                     if hi > lo:
                         bands[b] = half[lo:hi].sum()
                 top = int(np.argmax(bands))
+                # dc_energy emitted UNROUNDED: Python round() is
+                # half-even (banker's) while DuckDB/F.round are
+                # half-away-from-zero — callers apply r4 engine-side
                 rows.append(
                     (
                         int(did), n, sum_sq,
-                        round(float(power[0]) / n, 4),
+                        float(power[0]) / n,
                         top, bool(parseval),
                     )
                 )
@@ -1185,12 +1187,16 @@ def m7_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py and deliberately excluded here.
 
     Scale: identical shape to m1-m6 — Arrow-batched mapInPandas, no
-    shuffle, samples never leave the executor; the O(n²) basis matmul
-    is per-doc bounded (n ≤ 401) and swaps for an FFT kernel without
-    touching the Spark plan."""
+    shuffle, samples never leave the executor; the transform is an
+    O(n log n) FFT per doc (the O(n²) basis matmul lives only in the
+    pytest oracle), so per-doc cost stays tractable at real clip
+    lengths. dc_energy is rounded HERE with F.round (half-away-from-
+    zero, matching DuckDB) — the operator emits it unrounded."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         audio_spectrum(synthesize_pcm_wav(docs))
         .drop("top_band")
+        .withColumn("dc_energy", r4(F.col("dc_energy")))
+        .select("doc_id", "n", "sum_sq", "dc_energy", "parseval_ok")
         .orderBy("doc_id")
     )

@@ -51,7 +51,10 @@ def latest_version(root: str) -> int:
     if not os.path.isdir(mdir):
         return 0
     versions = [
-        int(n[1:6])
+        # parse the FULL stem: f"{v:05d}" widens past 5 digits at
+        # v=100000, so a fixed [1:6] slice would silently truncate and
+        # point the next commit at a stale parent
+        int(n[1 : n.index(".")])
         for n in os.listdir(mdir)
         if n.startswith("v") and n.endswith(".json")
     ]
@@ -63,12 +66,29 @@ def read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit_append(df: DataFrame, root: str) -> int:
+def applied_batches(root: str) -> set[int]:
+    """Ingest-ledger read: the batch ids already committed into the
+    table, carried CUMULATIVELY in every manifest (the Delta txn-action
+    idiom) — one latest-manifest read, O(#batches) driver-side, no
+    directory scan. Empty for an empty table."""
+    latest = latest_version(root)
+    if latest == 0:
+        return set()
+    return set(read_manifest(root, latest).get("batches", []))
+
+
+def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
     """Append ``df`` as a new immutable snapshot; returns the new
     version. Optimistic concurrency: two racing committers both write
     their (uniquely-named) data files, but only one wins the manifest
     slot — ``os.link`` fails with EEXIST for the loser, whose data
     files stay orphaned/invisible (retry = recompute parent + relink).
+
+    ``batch_id`` (streaming ingest) rides INSIDE the manifest, so the
+    ledger record and the commit are one atomic link — there is no
+    crash window in which the version exists but its batch id is
+    unrecorded (the round-6 marker-file design had exactly that
+    window, bounding replays to one duplicate instead of zero).
     """
     txn = uuid.uuid4().hex[:12]
     parent = latest_version(root)
@@ -79,14 +99,17 @@ def commit_append(df: DataFrame, root: str) -> int:
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
-    prev_files = (
-        read_manifest(root, parent)["files"] if parent else []
-    )
+    prev = read_manifest(root, parent) if parent else {}
+    prev_files = prev.get("files", [])
+    batches = prev.get("batches", [])
+    if batch_id is not None:
+        batches = batches + [batch_id]
     manifest = {
         "version": parent + 1,
         "parent": parent,
         "files": prev_files + new_files,
         "added": new_files,
+        "batches": batches,
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
@@ -144,6 +167,10 @@ def compact(
         "files": new_files,
         "added": new_files,
         "compacted_from": parent,
+        # the ingest ledger is snapshot state: compaction rewrites the
+        # FILE list but must carry the applied-batch record forward, or
+        # a post-compaction checkpoint replay would double-commit
+        "batches": read_manifest(root, parent).get("batches", []),
     }
     tmp = _manifest_path(root, version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -177,14 +204,23 @@ def expire_versions(root: str, keep_last: int) -> list[int]:
     return expired
 
 
-def vacuum(root: str) -> list[str]:
+def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
     """Garbage-collect data files no surviving manifest references:
     losers of racing commits, aborted-commit orphans, and files whose
-    only referencing manifests were expired. Safe by construction —
-    the reachable set is computed from the manifests that EXIST, and
-    readers only ever open manifest-listed files, so deleting the
-    complement can never break a readable version. Returns the deleted
-    relative paths. O(#files) driver-side metadata work."""
+    only referencing manifests were expired. Returns the deleted
+    relative paths. O(#files) driver-side metadata work.
+
+    ``retention_seconds`` is the Delta-VACUUM-style grace window: a
+    file younger than it is kept even when unreferenced, because it
+    may belong to an IN-FLIGHT commit — ``commit_append`` writes data
+    files before the manifest link, so an unreferenced-now file
+    becomes referenced the moment that committer links. Deleting
+    inside the window would let the racing ``os.link`` still succeed
+    and produce a committed version whose parquet files are gone.
+    Pass 0 only when no commit can be running concurrently (tests,
+    single-writer maintenance windows)."""
+    import time
+
     mdir = os.path.join(root, _MANIFEST_DIR)
     live: set[str] = set()
     if os.path.isdir(mdir):
@@ -192,6 +228,7 @@ def vacuum(root: str) -> list[str]:
             if n.startswith("v") and n.endswith(".json"):
                 with open(os.path.join(mdir, n)) as f:
                     live.update(json.load(f)["files"])
+    cutoff = time.time() - retention_seconds
     removed = []
     ddir = os.path.join(root, _DATA_DIR)
     if os.path.isdir(ddir):
@@ -199,11 +236,21 @@ def vacuum(root: str) -> list[str]:
             tdir = os.path.join(ddir, txn)
             for n in sorted(os.listdir(tdir)):
                 rel = os.path.join(_DATA_DIR, txn, n)
-                if n.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(tdir, n))
+                path = os.path.join(tdir, n)
+                if (
+                    n.endswith(".parquet")
+                    and rel not in live
+                    and os.path.getmtime(path) <= cutoff
+                ):
+                    os.remove(path)
                     removed.append(rel)
-            if not any(n.endswith(".parquet") for n in os.listdir(tdir)):
-                # only bookkeeping files (_SUCCESS etc.) remain
+            if (
+                not any(n.endswith(".parquet") for n in os.listdir(tdir))
+                and os.path.getmtime(tdir) <= cutoff
+            ):
+                # only bookkeeping files (_SUCCESS etc.) remain, and the
+                # dir is outside the grace window (an in-flight write's
+                # dir holds no *.parquet yet — the mtime guard keeps it)
                 import shutil
 
                 shutil.rmtree(tdir)

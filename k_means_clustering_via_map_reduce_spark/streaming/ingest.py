@@ -68,26 +68,25 @@ def commit_batch_versioned(
     batch_df: DataFrame, batch_id: int, root: str
 ) -> bool:
     """foreachBatch body: commit one micro-batch as a new table version,
-    idempotently. The ``applied/<batch_id>`` marker is written AFTER the
-    manifest link, so the crash matrix resolves safely in every order:
-    replay-after-marker → skip; crash after data write but before the
-    manifest link → orphan files no reader sees (vacuum reclaims);
-    crash after the link but before the marker → the replay's fresh
-    commit adds a duplicate VERSION, but the marker-then-skip on the
-    next replay bounds it, and the ledger check below makes the window
-    single-replay. Returns whether the batch was applied."""
+    EXACTLY once. The batch id rides inside the manifest itself (the
+    Delta txn-action idiom, ``commit_append(batch_id=...)``), so the
+    ledger record and the version commit are one atomic ``os.link`` —
+    there is no crash order that applies a batch twice: replay of a
+    committed batch → its id is in the latest manifest's cumulative
+    ``batches`` list → skip; crash after the data write but before the
+    manifest link → orphan files no reader sees (vacuum reclaims), and
+    the replay commits cleanly. The round-6 design wrote a separate
+    ``applied/<batch_id>`` marker after the link, leaving a window
+    where a replay added a duplicate version; that window no longer
+    exists. Returns whether the batch was applied."""
     from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        applied_batches,
         commit_append,
     )
 
-    applied = os.path.join(root, "applied")
-    os.makedirs(applied, exist_ok=True)
-    marker = os.path.join(applied, str(batch_id))
-    if os.path.exists(marker):
+    if batch_id in applied_batches(root):
         return False
-    commit_append(batch_df, root)
-    with open(marker, "w") as fh:
-        fh.write("applied")
+    commit_append(batch_df, root, batch_id=batch_id)
     return True
 
 

@@ -478,12 +478,14 @@ def test_m5_kvid_sampler_golden_and_phase(spark):
     assert sample_video_frames(bad).count() == 0
 
 
-def test_m7_bands_match_numpy_fft(spark, sf_dir):
-    """The DFT's band profile cross-checked against an INDEPENDENT
-    transform (numpy.fft.rfft): for every doc the engine's top_band
-    must equal the band argmax computed from rfft power, and Parseval
+def test_m7_bands_match_basis_dft(spark, sf_dir):
+    """The engine's FFT band profile cross-checked against an
+    INDEPENDENT transform — an explicit O(n²) DFT basis matmul built
+    here from the definition: for every doc the engine's top_band must
+    equal the band argmax computed from matmul power, and Parseval
     must have held inside the operator. This pins what the SQL oracle
-    can't: the non-DC half-spectrum itself."""
+    can't: the non-DC half-spectrum itself (and that np.fft.fft in the
+    engine path computes exactly the DFT of exactly these samples)."""
     import numpy as np
 
     from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
@@ -502,8 +504,10 @@ def test_m7_bands_match_numpy_fft(spark, sf_dir):
         n = did % 400 + 2
         i = np.arange(n, dtype=np.int64)
         x = ((did * 31 + i * 17) % 2048 - 1024).astype(np.float64)
-        power = np.abs(np.fft.rfft(x)) ** 2
-        # rfft returns exactly the 0..n//2 half-spectrum the operator uses
+        k = np.arange(n)
+        basis = np.exp(-2j * np.pi * np.outer(k[: n // 2 + 1], k) / n)
+        power = np.abs(basis @ x) ** 2
+        # the matmul spans exactly the 0..n//2 half-spectrum the operator uses
         nb = len(power) - 1
         bands = np.zeros(M7_BANDS)
         for b in range(M7_BANDS):

@@ -210,7 +210,7 @@ def test_f18_vacuum_and_retention(spark, sf_dir, tmp_path):
     before_v3 = sorted(r.doc_id for r in read_version(spark, root, 3).collect())
 
     assert expire_versions(root, keep_last=2) == [1]
-    removed = vacuum(root)
+    removed = vacuum(root, retention_seconds=0.0)
     # v1's files are all referenced by v2/v3 (cumulative manifests), so
     # only the orphan txn dir may be collected
     assert removed and all("txn-00004-dead" in p for p in removed)
@@ -316,7 +316,7 @@ def test_f20_compaction_physical_rewrite_only(spark, sf_dir, tmp_path):
     # reclamation: expire everything but the compacted version, vacuum
     # must delete all 12 small files and keep the 2 compacted ones
     expire_versions(root, keep_last=1)
-    removed = vacuum(root)
+    removed = vacuum(root, retention_seconds=0.0)
     assert len(removed) == 12, removed
     live = [
         os.path.join(dp, f)

@@ -8,11 +8,15 @@ docstring makes:
 - restart idempotency: a second run over the same checkpoint applies
   nothing (the availableNow trigger + ledger absorb the replay);
 - crash-window idempotency: a manual foreachBatch replay of an
-  already-applied batch id is a no-op (the ``applied/`` ledger check);
-- a crash AFTER the manifest link but BEFORE the marker (the one
-  dangerous order) is healed by the replay: the duplicate version is
-  created but the ledger bounds it to one, and the terminal read is
-  correct because each version is a full snapshot manifest.
+  already-applied batch id is a no-op — the batch id rides INSIDE the
+  manifest (cumulative ``batches`` list, the Delta txn-action idiom),
+  so the ledger record and the commit are one atomic link and no crash
+  order can double-apply a batch (the round-6 separate-marker design
+  had a link-before-marker window that let a replay add one duplicate
+  version; the round-7 advisor flagged it and this suite now pins the
+  duplicate as PREVENTED, not healed);
+- a crash after the data write but before the manifest link leaves only
+  orphan files no reader sees, and the replay commits cleanly.
 
 The reference has no streaming or storage lifecycle (one static CSV,
 master.py:12-266); this is engine-only surface.
@@ -27,6 +31,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    applied_batches,
     latest_version,
     read_manifest,
     read_version,
@@ -75,55 +80,81 @@ def test_one_version_per_microbatch(spark, sf_dir, ingested):
 @pytest.mark.timeout(300)
 def test_restart_applies_nothing(spark, ingested):
     """Re-running the drained stream over the same checkpoint must not
-    add versions or ledger markers (offsets recovered, no batch rerun)."""
+    add versions or ledger entries (offsets recovered, no batch rerun)."""
     root, ckpt = ingested["root"], ingested["ckpt"]
     before_v = latest_version(root)
-    before_markers = sorted(os.listdir(os.path.join(root, "applied")))
+    before_ledger = applied_batches(root)
     run_versioned_ingest(spark, ingested["src"], root, ckpt)
     assert latest_version(root) == before_v
-    assert sorted(os.listdir(os.path.join(root, "applied"))) == before_markers
+    assert applied_batches(root) == before_ledger
 
 
 @pytest.mark.timeout(300)
 def test_replayed_batch_is_noop(spark, ingested):
-    """foreachBatch redelivery of an applied batch id (crash after the
-    marker) must skip: no new version, ledger unchanged."""
+    """foreachBatch redelivery of an applied batch id must skip: no new
+    version, ledger unchanged. With the in-manifest ledger this holds
+    for EVERY crash order — the only states a crash can leave are
+    (committed, ledgered) atomically together, or neither."""
     root = ingested["root"]
     before_v = latest_version(root)
+    assert applied_batches(root) == {0, 1, 2}
     df = read_version(spark, root, 1)
     assert commit_batch_versioned(df, 0, root) is False
     assert latest_version(root) == before_v
 
 
 @pytest.mark.timeout(300)
-def test_crash_between_link_and_marker_heals(spark, ingested):
-    """The dangerous crash order: manifest linked, marker never written.
-    Simulate by removing a marker and replaying that batch id — the
-    replay re-commits (one duplicate version, bounded by the ledger),
-    the marker returns, and the latest read still has correct totals
-    because every version is a full-snapshot manifest."""
+def test_replay_after_commit_is_prevented_not_healed(spark, ingested):
+    """The round-6 dangerous order (manifest linked, separate marker
+    never written) cannot exist anymore: the manifest IS the marker.
+    Redelivering a committed batch's data is a pure no-op — zero
+    duplicate versions, zero duplicate rows (the old design admitted
+    one bounded duplicate version here)."""
     root = ingested["root"]
-    marker = os.path.join(root, "applied", "2")
-    os.remove(marker)
-    # Redeliver batch 2's data (slice index 2 = third mtime-ordered file).
     slices = sorted(
         os.path.join(ingested["src"], f) for f in os.listdir(ingested["src"])
     )
     batch2 = spark.read.parquet(slices[2])
     before_v = latest_version(root)
-    assert commit_batch_versioned(batch2, 2, root) is True
-    assert os.path.exists(marker)
-    assert latest_version(root) == before_v + 1
-    # Full-snapshot manifests make the duplicate version self-healing:
-    # latest = all three batches exactly once... IF commit_append appends
-    # to the parent snapshot. Verify the terminal row multiset equals the
-    # source, PLUS one extra copy of batch 2 (the bounded duplicate).
-    n_src = spark.read.parquet(*slices).count()
-    n_b2 = batch2.count()
-    assert read_version(spark, root).count() == n_src + n_b2
-    # And a second redelivery is now absorbed (window is single-replay).
+    n_before = read_version(spark, root).count()
     assert commit_batch_versioned(batch2, 2, root) is False
-    assert latest_version(root) == before_v + 1
+    assert latest_version(root) == before_v
+    assert read_version(spark, root).count() == n_before
+    # the ledger lives in the manifest: latest manifest names all three
+    assert set(read_manifest(root, before_v)["batches"]) == {0, 1, 2}
+
+
+@pytest.mark.timeout(300)
+def test_crash_before_link_replay_commits_cleanly(spark, ingested, tmp_path):
+    """The other crash order: data files written, manifest link never
+    happened. The orphans are invisible to readers; the replay's fresh
+    commit applies the batch exactly once."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        vacuum,
+    )
+
+    root = str(tmp_path / "crash_table")
+    src = ingested["src"]
+    slices = sorted(os.path.join(src, f) for f in os.listdir(src))
+    commit_batch_versioned(spark.read.parquet(slices[0]), 0, root)
+    # simulate: batch 1's data landed but the process died pre-link —
+    # write the data dir by hand, exactly like commit_append's first half
+    orphan_dir = os.path.join(root, "data", "txn-00002-deadbeef0000")
+    spark.read.parquet(slices[1]).write.parquet(orphan_dir)
+    assert latest_version(root) == 1  # reader sees only version 1
+    # replay of batch 1 commits cleanly (ledger has no record of it)
+    assert commit_batch_versioned(spark.read.parquet(slices[1]), 1, root)
+    assert latest_version(root) == 2
+    want = spark.read.parquet(*slices[:2]).count()
+    assert read_version(spark, root).count() == want
+    # vacuum (grace window elapsed) reclaims exactly the orphan files
+    old = 10_000
+    for n in os.listdir(orphan_dir):
+        os.utime(os.path.join(orphan_dir, n), (old, old))
+    os.utime(orphan_dir, (old, old))
+    removed = vacuum(root)
+    assert removed and all("deadbeef0000" in r for r in removed)
+    assert read_version(spark, root).count() == want
 
 
 @pytest.mark.timeout(300)

@@ -90,7 +90,7 @@ def test_lifecycle_invariants_hold_under_any_interleaving(spark_prop, ops):
                 model[v] = model[latest]
                 assert read_manifest(root, v)["compacted_from"] == latest
             elif op == "vacuum":
-                removed = vacuum(root)
+                removed = vacuum(root, retention_seconds=0.0)
                 # only unreferenced files may go
                 live = set()
                 for v in model:
@@ -125,7 +125,7 @@ def test_lifecycle_invariants_hold_under_any_interleaving(spark_prop, ops):
 
         # Terminal: every surviving version replays its model content,
         # even after a final vacuum has collected everything dead.
-        vacuum(root)
+        vacuum(root, retention_seconds=0.0)
         for v, expected in model.items():
             assert _snapshot(spark, root, v) == expected, f"version {v}"
         if model:
