@@ -584,3 +584,57 @@ def curriculum_summary(
         )
         .orderBy("phase")
     )
+
+
+@query(
+    "p9_curriculum_summary",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             round(n_chars * 1.0 / len(string_split(trim(text), ' ')), 6)
+               AS difficulty
+      FROM documents),
+    w AS (SELECT list_transform(
+                   quantile_cont(difficulty, [0.25, 0.5, 0.75]),
+                   x -> round(x, 6)) AS walls
+          FROM s),
+    a AS (
+      SELECT doc_id, difficulty,
+             CAST(1 + len(list_filter(w.walls, x -> difficulty > x))
+                  AS INT) AS phase,
+             substr(md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)), 1, 12)
+               AS draw
+      FROM s CROSS JOIN w),
+    ranked AS (
+      SELECT phase, doc_id,
+             row_number() OVER (PARTITION BY phase
+                                ORDER BY draw, doc_id) AS rn
+      FROM a),
+    stats AS (
+      SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+             round(min(difficulty), 6) AS min_diff,
+             round(max(difficulty), 6) AS max_diff
+      FROM a GROUP BY phase)
+    SELECT s.phase, s.n_docs, s.min_diff, s.max_diff,
+           r.doc_id AS first_doc
+    FROM stats s JOIN ranked r ON r.phase = s.phase AND r.rn = 1
+    ORDER BY s.phase
+    """,
+)
+def p9_curriculum_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: per-phase curriculum stats + each phase's first-served doc —
+    the presentation face of ``curriculum_order`` (easy→hard phases by
+    mean token length, md5 epoch shuffle within phases). The oracle
+    recomputes the walls with DuckDB quantile_cont (== Spark percentile,
+    the q29 pairing, both rounded to the 1e-6 grid so an ulp cannot move
+    a doc across a wall), the phase assignment, and the min-draw first
+    document; a wall slip, a boundary-tie flip, or a draw-formula drift
+    flips the hash. Monotone/balanced phases, seed-reshuffle-within-
+    fixed-walls, and partitioning invariance are pinned in
+    tests/test_curriculum.py.
+
+    Scale: the walls are ONE broadcast aggregate (never a global ntile
+    window); assignment is a narrow per-row compare; the summary is one
+    groupBy over n_phases keys. The full curriculum order needs no
+    materialized rank — (phase, draw, doc_id) IS the sort key."""
+    return curriculum_summary(load_table(spark, sf_dir, "documents"))

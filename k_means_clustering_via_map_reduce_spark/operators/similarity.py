@@ -790,10 +790,8 @@ def s7_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# S8 — persisted IVF-PQ hybrid index (round-7 surface, library-first;
-# pytest-pinned this round, @query registration deferred per the
-# driver-budget pacing rule). s7's build-once/serve-many discipline
-# applied to the FULL production ANN stack: coarse IVF cells restrict
+# S8 — persisted IVF-PQ hybrid index: s7's build-once/serve-many
+# discipline applied to the FULL production ANN stack: coarse IVF cells restrict
 # the scan, PQ codes make the scanned payload 4 bits/subspace, exact
 # rerank restores precision on the candidate set — and every artifact
 # (coarse codebook, PQ codebooks, cell-bucketed code table, postings)
@@ -957,3 +955,38 @@ def ivf_pq_search_persisted(
             r4(F.col("cos_sim")).alias("cos_sim"),
         )
     )
+
+
+_S8_STAGED: dict = {}
+
+
+@query("s8_ivfpq_persisted_topk")
+def s8_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: top-k through the PERSISTED IVF-PQ hybrid — the full
+    production ANN serving stack from saved artifacts: coarse cells
+    restrict the scan, 4-bit PQ codes make the scanned payload tiny,
+    exact rerank restores precision on the candidate set. Build runs
+    once per corpus (staged); every call after that loads the three
+    catalog tables and fits NOTHING (both fit entrypoints exploded
+    under monkeypatch in tests/test_ivfpq_persisted.py, which also
+    pins recall vs brute force, probed-cell containment, and
+    determinism). Rows-only for the driver (seeded k-means + PQ
+    codebooks are not SQL-expressible); the full canonical output is
+    golden-hash pinned at sf0.001 in tests/test_golden_hashes.py.
+
+    Scale: the serve scan is the cell-bucketed code table pruned to
+    the union of probed cells; per-query cell restriction and the
+    candidate set ride broadcast semi-joins; full vectors are read
+    only for candidate ids in the rerank. The corpus never re-shuffles
+    after the one-time build."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    key = staging_key(sf_dir, "embeddings")
+    if _S8_STAGED.get("key") != key:
+        build_ivf_pq_index(e)
+        _S8_STAGED["key"] = key
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return ivf_pq_search_persisted(spark, q).orderBy("query_id", "rank")

@@ -1304,3 +1304,57 @@ def bm25_topk(
         )
         .orderBy("rank")
     )
+
+
+BM25_QUERY_TERMS = ["window", "merge", "join"]
+BM25_TOPK = 25
+
+
+@query(
+    "t22_bm25_topk",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+               FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    post AS (SELECT doc_id, dl, unnest(w) AS term FROM dl),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
+           WHERE term IN ('window', 'merge', 'join')
+           GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+            GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                 * t.tf * (1.2 + 1)
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
+               AS score,
+             CAST(count(*) AS BIGINT) AS n_matched_terms
+      FROM tf t JOIN dft f USING (term) CROSS JOIN stats s
+      GROUP BY t.doc_id),
+    ranked AS (
+      SELECT doc_id, score, n_matched_terms,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+    SELECT CAST(rank AS INT) AS rank, doc_id,
+           round(score, 4) AS score, n_matched_terms
+    FROM ranked WHERE rank <= 25 ORDER BY rank
+    """,
+)
+def t22_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22: Okapi BM25 top-25 for a fixed 3-term query over the corpus
+    — the retrieval face of the t19 inverted-index shape (the reference
+    has no text search at all). The oracle recomputes the full scoring
+    chain (Lucene idf, dl/avgdl normalization, per-doc sum, total-order
+    rank) in ANSI SQL; a tokenization slip, an idf-form difference, or
+    an unstable tie-break flips the hash. An independent pure-Python
+    BM25 model, partitioning invariance, and the Python-free plan are
+    pinned in tests/test_bm25.py; the flat-cost x16 disjoint-vocab
+    scale curve is a BASELINE.md round-6 section.
+
+    Scale: the token explode is filtered to the query terms before any
+    shuffle, so the (doc, term) exchange carries |q|-term postings
+    only; corpus stats and df ride in as broadcasts; top-k is one
+    global window over per-doc sums (k rows, never the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=BM25_TOPK)

@@ -20,9 +20,11 @@ running.
 
 Scale: per batch, one distributed parquet write + one O(#files)
 driver-side manifest link — commit cost is metadata-proportional, and
-the ledger check is a single ``os.path.exists``. State is zero (the
-ingest is stateless row passthrough); exactly-once comes from the
-ledger + atomic link, not from holding data in the state store.
+the ledger check is one latest-manifest read (the batch-id list rides
+INSIDE the manifest, so ledger record and commit are one atomic link).
+State is zero (the ingest is stateless row passthrough); exactly-once
+comes from the in-manifest ledger, not from holding data in the state
+store.
 """
 
 from __future__ import annotations
@@ -163,9 +165,7 @@ def stream_versioned_ingest_query(
 
 
 # --------------------------------------------------------------------------
-# K22 — stream-stream JOIN chained into the versioned-table sink
-# (round-7 surface, library-first; pytest-pinned this round, @query
-# registration deferred per the driver-budget pacing rule). The full
+# K22 — stream-stream JOIN chained into the versioned-table sink. The full
 # production attribution pipeline: two live feeds → watermarked
 # interval join → idempotent versioned commits — k15's join semantics
 # composed with k21's storage lifecycle, so "attributed pairs @ version
@@ -232,3 +232,114 @@ def run_joined_versioned_ingest(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_K22_STAGED: dict[tuple, tempfile.TemporaryDirectory] = {}
+
+
+def stage_events_side_timesliced(
+    spark: SparkSession, sf_dir: str, root: str, etype: str, n_slices: int = 3
+) -> str:
+    """Stage one event_type's rows as ``n_slices`` mtime-ordered,
+    TIME-ORDERED parquet slices (the real queue order). The slicing
+    axis is load-bearing: an id-split would make every later batch late
+    against the first batch's watermark and the stream-stream join
+    would silently DROP its rows — with time-ordered slices a view
+    evicts only once no future click can match it, so the landed join
+    equals the batch join with no eviction bound."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == etype)
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+        )
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).collect()[0]
+    span = max(1, (hi - lo + 1) // n_slices)
+    src = os.path.join(root, etype)
+    os.makedirs(src)
+    for i in range(n_slices):
+        s_lo = lo + i * span
+        s_hi = hi + 1 if i == n_slices - 1 else lo + (i + 1) * span
+        df = ev.filter(
+            (F.col("ts").cast("long") >= s_lo)
+            & (F.col("ts").cast("long") < s_hi)
+        ).coalesce(1)
+        stage = os.path.join(root, f"stage_{etype}_{i}")
+        df.write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"{i}-slice.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    return src
+
+
+def _stage_k22_feeds(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    key = staging_key(sf_dir, "events")
+    if key not in _K22_STAGED:
+        tmp = tempfile.TemporaryDirectory(prefix="kmce_k22_feed_")
+        stage_events_side_timesliced(spark, sf_dir, tmp.name, "view")
+        stage_events_side_timesliced(spark, sf_dir, tmp.name, "click")
+        _K22_STAGED[key] = tmp
+    base = _K22_STAGED[key].name
+    return os.path.join(base, "view"), os.path.join(base, "click")
+
+
+@query(
+    "k22_joined_versioned_ingest",
+    oracle="""
+    WITH j AS (
+      SELECT v.event_id AS view_id, c.event_id AS click_id,
+             v.user_id AS user_id
+      FROM events v JOIN events c ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           min(view_id) AS first_view, max(click_id) AS last_click
+    FROM j GROUP BY user_id ORDER BY user_id
+    """,
+)
+def k22_joined_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K22: the full production attribution pipeline — two live feeds
+    (views, clicks, staged in time-ordered slices) → watermarked 24h
+    interval join → exactly-once versioned commits → per-user aggregate
+    of the LANDED table. The oracle is the plain DuckDB batch join: it
+    matches only if the streaming join finalized every pair (no
+    watermark drop, no speculative emission) AND the sink committed
+    each batch exactly once. Version-prefix monotonicity, restart
+    no-ops, and the id-split staging trap are pinned in
+    tests/test_streaming_ingest.py.
+
+    Scale: join state is O(window x rate) per side (the round-6
+    BASELINE.md join-state arm measured it exactly flat); commit cost
+    is k21's metadata-proportional manifest link; the batch-id ledger
+    rides inside the manifest, so replay protection adds zero I/O."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_version,
+    )
+
+    vsrc, csrc = _stage_k22_feeds(spark, sf_dir)
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_k22_", dir=ckpt_base
+    ) as tmp:
+        root = os.path.join(tmp, "table")
+        run_joined_versioned_ingest(
+            spark, vsrc, csrc, root, os.path.join(tmp, "ckpt"),
+            window_sql="INTERVAL 24 HOUR",
+        )
+        result = (
+            read_version(spark, root)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.min("view_id").alias("first_view"),
+                F.max("click_id").alias("last_click"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return result.orderBy("user_id")

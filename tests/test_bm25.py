@@ -1,7 +1,7 @@
-"""BM25 full-text scoring (operators/text.py:bm25_topk) — round-7
-surface implemented and pinned this round, registration deferred per the
-driver-budget pacing rule. Oracle: an independent pure-Python BM25 over
-the collected fixture corpus (Lucene idf form), exact to rounding."""
+"""BM25 full-text scoring (operators/text.py:bm25_topk, registered as
+t22_bm25_topk). Oracle: an independent pure-Python BM25 over the
+collected fixture corpus (Lucene idf form), exact to rounding, plus the
+registered entry's own DuckDB oracle through the driver-style compare."""
 
 from __future__ import annotations
 
@@ -90,42 +90,16 @@ def test_bm25_stays_jvm_side(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
-BM25_ORACLE = """
-    WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w
-               FROM documents),
-    dl AS (SELECT doc_id, len(w) AS dl, w FROM d),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    post AS (SELECT doc_id, dl, unnest(w) AS term FROM dl),
-    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
-           WHERE term IN ('window', 'merge', 'join')
-           GROUP BY doc_id, dl, term),
-    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
-            GROUP BY term),
-    scored AS (
-      SELECT t.doc_id,
-             sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
-                 * t.tf * (1.2 + 1)
-                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)))
-               AS score,
-             CAST(count(*) AS BIGINT) AS n_matched_terms
-      FROM tf t JOIN dft f USING (term) CROSS JOIN stats s
-      GROUP BY t.doc_id),
-    ranked AS (
-      SELECT doc_id, score, n_matched_terms,
-             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-      FROM scored)
-    SELECT CAST(rank AS INT) AS rank, doc_id,
-           round(score, 4) AS score, n_matched_terms
-    FROM ranked WHERE rank <= 25 ORDER BY rank
-"""
-
-
 @pytest.mark.timeout(300)
 def test_bm25_matches_duckdb_oracle(spark, sf_dir):
-    """The exact ANSI-SQL oracle the round-7 @query registration will
-    declare, pre-validated against the Spark implementation through
-    the same canonical compare the verify driver uses."""
+    """The registered t22 entry against its own declared DuckDB oracle
+    (read from the registry, so test and registration cannot drift),
+    through the same canonical compare the verify driver uses."""
+    import k_means_clustering_via_map_reduce_spark.queries as Q
     from tests.oracle_utils import compare_to_oracle
 
+    Q.load_all()
     docs = load_table(spark, sf_dir, "documents")
-    compare_to_oracle(bm25_topk(docs, QUERY, k=25), BM25_ORACLE, sf_dir)
+    compare_to_oracle(
+        bm25_topk(docs, QUERY, k=25), Q.ORACLE_SQL["t22_bm25_topk"], sf_dir
+    )

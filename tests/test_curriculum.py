@@ -1,7 +1,7 @@
-"""P9 curriculum ordering (operators/sampling.py:curriculum_order) —
-round-7 surface implemented and pinned this round, registration
-deferred per the driver-budget pacing rule. Oracle: a pure-Python model
-over the collected fixture corpus."""
+"""P9 curriculum ordering (operators/sampling.py:curriculum_order,
+registered as p9_curriculum_summary). Oracle: a pure-Python model over
+the collected fixture corpus, plus the registered entry's own DuckDB
+oracle through the driver-style compare."""
 
 from __future__ import annotations
 
@@ -98,47 +98,17 @@ def test_summary_is_partitioning_invariant(spark, sf_dir):
     assert a == b and len(a) == N_PHASES
 
 
-P9_ORACLE = """
-    WITH s AS (
-      SELECT doc_id,
-             round(n_chars * 1.0 / len(string_split(trim(text), ' ')), 6)
-               AS difficulty
-      FROM documents),
-    w AS (SELECT list_transform(
-                   quantile_cont(difficulty, [0.25, 0.5, 0.75]),
-                   x -> round(x, 6)) AS walls
-          FROM s),
-    a AS (
-      SELECT doc_id, difficulty,
-             CAST(1 + len(list_filter(w.walls, x -> difficulty > x))
-                  AS INT) AS phase,
-             substr(md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)), 1, 12)
-               AS draw
-      FROM s CROSS JOIN w),
-    ranked AS (
-      SELECT phase, doc_id,
-             row_number() OVER (PARTITION BY phase
-                                ORDER BY draw, doc_id) AS rn
-      FROM a),
-    stats AS (
-      SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
-             round(min(difficulty), 6) AS min_diff,
-             round(max(difficulty), 6) AS max_diff
-      FROM a GROUP BY phase)
-    SELECT s.phase, s.n_docs, s.min_diff, s.max_diff,
-           r.doc_id AS first_doc
-    FROM stats s JOIN ranked r ON r.phase = s.phase AND r.rn = 1
-    ORDER BY s.phase
-"""
-
-
 @pytest.mark.timeout(300)
 def test_curriculum_summary_matches_duckdb_oracle(spark, sf_dir):
-    """The exact ANSI-SQL oracle the round-7 @query registration will
-    declare (Spark percentile ≡ DuckDB quantile_cont, the q29 pairing),
-    pre-validated through the driver-style canonical compare."""
+    """The registered p9 entry against its own declared DuckDB oracle
+    (Spark percentile ≡ DuckDB quantile_cont, the q29 pairing), read
+    from the registry so test and registration cannot drift."""
+    import k_means_clustering_via_map_reduce_spark.queries as Q
     from k_means_clustering_via_map_reduce_spark.sources import load_table
     from tests.oracle_utils import compare_to_oracle
 
+    Q.load_all()
     docs = load_table(spark, sf_dir, "documents")
-    compare_to_oracle(curriculum_summary(docs), P9_ORACLE, sf_dir)
+    compare_to_oracle(
+        curriculum_summary(docs), Q.ORACLE_SQL["p9_curriculum_summary"], sf_dir
+    )

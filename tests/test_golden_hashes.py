@@ -1,9 +1,9 @@
 """Drift guards for the rows-only queries (SURVEY.md §5.2-7).
 
-Eleven registered queries are deliberately not SQL-oracled (seeded LSH /
+Twelve registered queries are deliberately not SQL-oracled (seeded LSH /
 SimHash / SRP / IVF sketches, the hash-split sample, the seeded MLlib
 KMeans fit, HLL/GK sketch aggregates, the seeded-codebook PQ-ADC
-top-k; k1b is pinned by
+top-k and its IVF-PQ hybrid; k1b is pinned by
 exact parity with lloyd_fit instead) — the driver
 records only their row counts, so a semantic regression that preserves
 cardinality would pass CORRECTNESS silently. Each is deterministic for a
@@ -41,6 +41,13 @@ GOLDEN = {
     # parameters as s3, so the digest must EQUAL s3's — the persistence
     # round-trip (bucketed postings + saved codebook) changes nothing.
     "s7_persisted_ivf_topk": ("86a9659a8f3ec1e0", 100),
+    # Persisted IVF-PQ hybrid top-k (s8): seeded coarse quantizer +
+    # deterministic head-sample PQ codebooks + tie-broken ADC candidate
+    # cut + exact rerank — digest re-derived in two fresh sessions
+    # under different core-count/shuffle-partition configs before
+    # pinning. Differs from s3/s7 by design (the PQ candidate
+    # restriction changes the neighbor set where recall < 1).
+    "s8_ivfpq_persisted_topk": ("fc67e3d12a3376f5", 100),
     "p1_stratified_sample": ("3279dd785278f7bf", 5),
     # Seeded KMeans|| fit (k2): deterministic for a fixed input +
     # partitioning; digest re-derived in two independent fresh sessions

@@ -1,6 +1,6 @@
-"""S8 persisted IVF-PQ hybrid (operators/similarity.py) — round-7
-surface implemented and pinned this round, registration deferred per
-the driver-budget pacing rule.
+"""S8 persisted IVF-PQ hybrid (operators/similarity.py, registered as
+s8_ivfpq_persisted_topk; rows-only for the driver, golden-hash pinned
+in test_golden_hashes.py).
 
 Pins: recall vs the s1 brute-force truth; the serve path loads saved
 artifacts and never fits (both fit entrypoints exploded under

@@ -285,61 +285,16 @@ def test_k22_every_version_is_a_prefix_of_the_final_join(spark, tmp_path):
     assert prev == want
 
 
-K22_ORACLE = """
-    WITH j AS (
-      SELECT v.event_id AS view_id, c.event_id AS click_id,
-             v.user_id AS user_id
-      FROM events v JOIN events c ON v.user_id = c.user_id
-       AND v.event_type = 'view' AND c.event_type = 'click'
-       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR)
-    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
-           min(view_id) AS first_view, max(click_id) AS last_click
-    FROM j GROUP BY user_id ORDER BY user_id
-"""
-
-
-def _stage_events_side_timesliced(spark, sf_dir, root, etype, n_slices=3):
-    """TIME-ORDERED slices (the real queue order): slicing by id would
-    make every batch-2 row late against batch-1's watermark and the
-    stream-stream join would drop it — with time-ordered slices a
-    batch-1 view evicts only once no future click can match it, so the
-    landed join is exactly the batch join, no terminal tick needed."""
-    from k_means_clustering_via_map_reduce_spark.sources import load_table
-
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == etype)
-        .select(
-            "event_id",
-            F.col("ts").cast("timestamp").alias("ts"),
-            "user_id",
-        )
-    )
-    lo, hi = ev.agg(
-        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
-    ).collect()[0]
-    span = max(1, (hi - lo + 1) // n_slices)
-    src = os.path.join(root, etype)
-    os.makedirs(src)
-    for i in range(n_slices):
-        s_lo = lo + i * span
-        s_hi = hi + 1 if i == n_slices - 1 else lo + (i + 1) * span
-        df = ev.filter(
-            (F.col("ts").cast("long") >= s_lo)
-            & (F.col("ts").cast("long") < s_hi)
-        ).coalesce(1)
-        stage = os.path.join(root, f"stage_{etype}_{i}")
-        df.write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-        dst = os.path.join(src, f"{i}-slice.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
-    return src
+# TIME-ORDERED staging (stage_events_side_timesliced) now lives in
+# streaming/ingest.py — the registered k22 entry and this test share it.
+from k_means_clustering_via_map_reduce_spark.streaming.ingest import (  # noqa: E402
+    stage_events_side_timesliced as _stage_events_side_timesliced,
+)
 
 
 @pytest.mark.timeout(600)
 def test_k22_registered_form_matches_duckdb_oracle(spark, sf_dir, tmp_path):
-    """The exact shape the round-7 k22 @query entry will register:
+    """The exact shape the registered k22 entry runs:
     events views/clicks as time-ordered feeds → watermarked 24h interval
     join → versioned commits → per-user aggregate of the landed table,
     compared to the DuckDB batch-join oracle through the driver-style
@@ -365,4 +320,9 @@ def test_k22_registered_form_matches_duckdb_oracle(spark, sf_dir, tmp_path):
         )
         .orderBy("user_id")
     )
-    compare_to_oracle(agg, K22_ORACLE, sf_dir)
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    Q.load_all()
+    compare_to_oracle(
+        agg, Q.ORACLE_SQL["k22_joined_versioned_ingest"], sf_dir
+    )
