@@ -4381,3 +4381,218 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation": "kmce_q70_nation",
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Q71–Q75 — the remaining TPC-H faces (Q8, Q9, Q12, Q14, Q16 shapes),
+# adapted to the fixture schema: this corpus has no partsupp table, no
+# l_shipmode, and no commit/receipt dates, so — as q65 (Q2) already
+# established — lineitem's (l_partkey, l_suppkey) pairing plays
+# partsupp's role, l_extendedprice/l_quantity is the unit-cost proxy,
+# and Q12's cross-column date arithmetic becomes a cross-TABLE
+# (lineitem vs orders) date residual. Every shape element the TPC-H
+# query exercises survives: Q8's CASE-sum-over-sum market share, Q9's
+# derived profit measure over the widest join graph, Q12's two-level
+# CASE counts, Q14's promo ratio, Q16's distinct agg + NOT IN
+# subquery. The reference's only aggregate is the fixed per-cluster
+# mean (master.py:215-258); this whole family is engine surface.
+# --------------------------------------------------------------------------
+_Q71_BODY = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS nation
+      FROM %(part)s p
+      JOIN %(lineitem)s l ON p.p_partkey = l.l_partkey
+      JOIN %(orders)s o ON o.o_orderkey = l.l_orderkey
+      JOIN %(customer)s c ON c.c_custkey = o.o_custkey
+      JOIN %(nation)s nc ON nc.n_nationkey = c.c_nationkey
+      JOIN %(region)s r ON r.r_regionkey = nc.n_regionkey
+      JOIN %(supplier)s s ON s.s_suppkey = l.l_suppkey
+      JOIN %(nation)s ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+_Q71_TABLES = (
+    "part", "lineitem", "orders", "customer", "nation", "region", "supplier"
+)
+
+
+@query("q71_market_share", oracle=_Q71_BODY % {t: t for t in _Q71_TABLES})
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of ASIA-market STANDARD-part revenue by order
+    year (TPC-H Q8 shape): the CASE-sum-over-sum ratio aggregate over
+    the widest dim graph in the suite — nation joined twice in
+    different roles (market region via customer, share dimension via
+    supplier), 8 relations total.
+
+    Scale plan: the only fact-sized flow is lineitem⋈orders; every
+    dim (part filtered to one type, customer, both nation roles,
+    region, supplier) broadcasts. The region and type filters reach
+    their scans, and the orderdate range prunes orders row groups
+    BEFORE the fact join. The ratio is one pass — numerator rides as
+    a CASE inside the same aggregate, never a second scan or a
+    self-join. A division of two same-group double sums is ulp-stable
+    at round-6 (ratio ~1e-1, error ~1e-15 relative)."""
+    for t in _Q71_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q71_{t}")
+    return spark.sql(_Q71_BODY % {t: f"kmce_q71_{t}" for t in _Q71_TABLES})
+
+
+_Q72_BODY = """
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT ns.n_name AS nation, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity * 0.05 AS amount
+      FROM %(part)s p
+      JOIN %(lineitem)s l ON p.p_partkey = l.l_partkey
+      JOIN %(supplier)s s ON s.s_suppkey = l.l_suppkey
+      JOIN %(orders)s o ON o.o_orderkey = l.l_orderkey
+      JOIN %(nation)s ns ON ns.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%%red%%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+_Q72_TABLES = ("part", "lineitem", "supplier", "orders", "nation")
+
+
+@query("q72_nation_profit", oracle=_Q72_BODY % {t: t for t in _Q72_TABLES})
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on red parts by supplier nation and order year (TPC-H Q9
+    shape): a DERIVED measure — revenue minus a per-unit cost proxy
+    (p_retailprice × quantity × carry rate; this corpus has no
+    partsupp/ps_supplycost) — aggregated over nation × year.
+
+    Scale plan: part (substring-filtered before broadcast), supplier,
+    and nation broadcast; lineitem⋈orders is the one real shuffle.
+    The LIKE filter can't prune row groups (no dictionary pushdown on
+    substring match) but DOES shrink the broadcast build to ~1/4 of
+    part before the fact join touches it, so the fact rows surviving
+    the part join carry the filter's full selectivity. The profit
+    expression folds into one projected column pre-aggregate —
+    revenue and cost are never separately aggregated and differenced
+    (which would double the agg state and the FP cancellation)."""
+    for t in _Q72_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q72_{t}")
+    return spark.sql(_Q72_BODY % {t: f"kmce_q72_{t}" for t in _Q72_TABLES})
+
+
+_Q73_BODY = """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM %(orders)s o
+    JOIN %(lineitem)s l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+"""
+_Q73_TABLES = ("orders", "lineitem")
+
+
+@query("q73_priority_counts", oracle=_Q73_BODY % {t: t for t in _Q73_TABLES})
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-shipped 1997 lineitems split into high/low order-priority
+    counts per return flag (TPC-H Q12 shape): complementary two-level
+    CASE counts inside one aggregate, plus a cross-TABLE date residual
+    (shipped >30 days after ordering — this corpus has no
+    commit/receipt dates, so Q12's cross-column date algebra becomes
+    a join residual, which is the harder case: it cannot be pushed to
+    either scan and must run post-join).
+
+    Scale plan: the single-sided shipdate range DOES push to the
+    lineitem scan (row-group pruning to one year) while the
+    cross-table comparison correctly stays a join filter; both CASE
+    branches ride one shuffle-free partial aggregate into a 3-group
+    final. One fact⋈fact equi-join on the natural key — nothing else
+    moves."""
+    for t in _Q73_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q73_{t}")
+    return spark.sql(_Q73_BODY % {t: f"kmce_q73_{t}" for t in _Q73_TABLES})
+
+
+_Q74_BODY = """
+    SELECT round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS promo_revenue
+    FROM %(lineitem)s l
+    JOIN %(part)s p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+"""
+_Q74_TABLES = ("lineitem", "part")
+
+
+@query("q74_promo_revenue", oracle=_Q74_BODY % {t: t for t in _Q74_TABLES})
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of September-1997 revenue from PROMO parts (TPC-H Q14):
+    the canonical conditional-ratio aggregate — numerator is a CASE
+    over the join's dimension attribute, denominator the unconditional
+    sum, one row out.
+
+    Scale plan: the one-month shipdate range prunes the lineitem scan
+    to ~1/60 of row groups before anything joins; part broadcasts
+    (p_type must survive INTO the join for the CASE, so there is no
+    dimension filter — the build is whole-part, still dim-sized);
+    the ratio is computed from two accumulators of a single partial
+    aggregate, never two passes. Round-6 on a ~O(10) ratio is 8
+    orders of magnitude above double noise."""
+    for t in _Q74_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q74_{t}")
+    return spark.sql(_Q74_BODY % {t: f"kmce_q74_{t}" for t in _Q74_TABLES})
+
+
+_Q75_BODY = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM %(part)s p
+    JOIN %(lineitem)s l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s.s_suppkey FROM %(supplier)s s WHERE s.s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+_Q75_TABLES = ("part", "lineitem", "supplier")
+
+
+@query("q75_supplier_variety", oracle=_Q75_BODY % {t: t for t in _Q75_TABLES})
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers have shipped each surviving
+    (brand, type, size) part class, excluding suppliers in arrears
+    (TPC-H Q16 shape): a DISTINCT aggregate stacked on negated
+    dimension filters and a NOT IN over a subquery — lineitem's
+    (l_partkey, l_suppkey) pairing plays partsupp's role, and the
+    negative-balance exclusion plays the complaints NOT IN (6
+    excluded suppliers at sf0.01, non-vacuous).
+
+    Scale plan: the NOT IN must plan as a single null-aware
+    broadcast anti join (pinned in tests/test_plans.py beside q42's
+    3VL pin — a NOT IN that degraded to a per-row subquery re-scan
+    would be quadratic); the three part filters push to the part scan
+    and shrink the broadcast build before the fact join; the distinct
+    agg is the only shuffle (partial distinct on (class, suppkey),
+    then final count). ORDER BY covers the full group key, so the
+    sort is total."""
+    for t in _Q75_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q75_{t}")
+    return spark.sql(_Q75_BODY % {t: f"kmce_q75_{t}" for t in _Q75_TABLES})

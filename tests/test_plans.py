@@ -685,3 +685,47 @@ def test_q70_dual_role_dim_pushes_pair_to_both_scans(spark, sf_dir):
     assert any(
         "l_shipdate" in p and "GreaterThanOrEqual" in p for p in pushed
     ), pushed
+
+
+def test_q75_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """Q16's NOT IN over the negative-balance subquery must plan as a
+    single null-aware BROADCAST ANTI hash join (SPARK-32290) — never a
+    nested-loop / per-row subquery rescan, which is the O(n·m) plan
+    that dies at 100 TB. All three negated/set part filters must reach
+    the part scan so the broadcast build shrinks pre-join."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q75_supplier_variety"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan[:800]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    pushed = pushed_filters(df)
+    assert any("p_size" in p and "In(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "Not(" in p for p in pushed), pushed
+    # distinct agg = partial-distinct then final count (two agg levels
+    # beyond the grouping pair), all hash-based
+    assert plan.count("HashAggregate") >= 4, plan[:800]
+
+
+def test_q71_market_share_is_one_pass_all_dims_broadcast(spark, sf_dir):
+    """Q8's ratio must be ONE aggregation pass (numerator as a CASE
+    accumulator — no second scan or self-join), over a join graph
+    where every dimension broadcasts (7 BHJs: part, orders, customer,
+    nation x2, region, supplier at fixture scale) and the region /
+    type / orderdate filters reach their scans."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q71_market_share"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert broadcast_hash_join_count(df) == 7
+    # one partial+final aggregate pair, not a revenue/share join
+    # (formatted explain lists each node twice: tree + detail section)
+    assert plan.count("HashAggregate") == 4, plan[:800]
+    assert plan.count("partial_sum") >= 1, plan[:800]
+    pushed = pushed_filters(df)
+    assert any("r_name" in p for p in pushed), pushed
+    assert any("p_type" in p for p in pushed), pushed
+    assert any(
+        "o_orderdate" in p and "GreaterThanOrEqual" in p for p in pushed
+    ), pushed
