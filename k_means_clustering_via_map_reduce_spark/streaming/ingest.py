@@ -181,7 +181,7 @@ def run_joined_versioned_ingest(
     checkpoint: str,
     window_sql: str = "INTERVAL 5 MINUTES",
     delay: str = "10 minutes",
-) -> None:
+) -> list[dict]:
     """Drain two staged feeds through a watermarked inner interval join
     (click strictly after its same-user view, within ``window_sql``)
     into per-batch versioned commits. Rows are held in join state until
@@ -191,10 +191,14 @@ def run_joined_versioned_ingest(
     never join (disjoint sentinel users).
 
     Scale: join state is O(window × rate) per side (measured flat in
-    BASELINE.md's round-6 join-state arm); commit cost is k21's
-    metadata-proportional manifest link. State and storage concerns
-    stay decoupled — the sink never holds rows back and the join never
-    touches disk layout."""
+    BASELINE.md's round-6 join-state arm AND the round-7 versioned-sink
+    arm, scripts/streaming_state_probe.py --ingest-join); commit cost
+    is k21's metadata-proportional manifest link. State and storage
+    concerns stay decoupled — the sink never holds rows back and the
+    join never touches disk layout.
+
+    Returns the run's streaming progress events (state-probe input;
+    query callers ignore them)."""
 
     def _stream(src: str) -> DataFrame:
         return (
@@ -230,6 +234,7 @@ def run_joined_versioned_ingest(
             .start()
         )
         q.awaitTermination()
+        return list(q.recentProgress or [])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

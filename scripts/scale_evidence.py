@@ -485,6 +485,91 @@ def ann_probe(spark: SparkSession) -> None:
         assert same, f"{qname} not deterministic across reruns"
 
 
+def ann_persisted_probe(spark: SparkSession) -> None:
+    """VERDICT r06 #5: the PERSISTED index family's build/serve split
+    measured across corpus growth. For each scale: the first s7/s8 call
+    pays the one-time index build (seeded coarse fit, PQ codebooks,
+    bucketed table writes); the second call serves purely from the
+    saved catalog tables. Records build-call wall, serve-call wall,
+    serve shuffle, recall vs that scale's own s1 brute-force truth,
+    and a serve-twice bit-identity check. The scale contract under
+    test: serve cost tracks the PROBED slice (cells × queries), not
+    the corpus — so serve wall must grow far slower than corpus size
+    while recall holds; and the build/serve ratio should WIDEN with
+    scale (the whole point of persisting the index)."""
+    import hashlib
+
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    Q.load_all()
+    sc = spark.sparkContext
+    app_id = _app_id()
+    under_test = ["s7_persisted_ivf_topk", "s8_ivfpq_persisted_topk"]
+    rows = []
+    for m in MULTS:
+        sf = os.path.join(WORK, f"x{m}")
+        truth: dict[int, set] = {}
+        for r in Q.QUERIES["s1_cosine_topk"](spark, sf).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for qname in under_test:
+            # call 1: build + serve (staging key is per-corpus)
+            group = f"{qname}:build@x{m}"
+            sc.setJobGroup(group, group)
+            t0 = time.perf_counter()
+            Q.QUERIES[qname](spark, sf).collect()
+            build_dt = time.perf_counter() - t0
+            # call 2: serve-only from the persisted tables
+            group = f"{qname}:serve@x{m}"
+            sc.setJobGroup(group, group)
+            t0 = time.perf_counter()
+            got = Q.QUERIES[qname](spark, sf).collect()
+            serve_dt = time.perf_counter() - t0
+            sc.setJobGroup("", "")
+            wb, wr = shuffle_metrics(app_id, group)
+            by_q: dict[int, set] = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(
+                len(v & by_q.get(k, set())) for k, v in truth.items()
+            )
+            recall = hits / sum(len(v) for v in truth.values())
+            rows.append((qname, m, build_dt, serve_dt, wr, wb, recall))
+            print(
+                f"# {qname}@x{m}: build+serve {build_dt:.1f}s, serve "
+                f"{serve_dt:.1f}s, shuffleW={wb/1e6:.1f}MB ({wr} rows), "
+                f"recall={recall:.3f}",
+                file=sys.stderr,
+                flush=True,
+            )
+    print("\n| query | scale | build+serve s | serve s | serve shuffle "
+          "rows | serve MB | recall vs s1 |")
+    print("|---|---|---|---|---|---|---|")
+    for qname, m, bdt, sdt, wr, wb, recall in rows:
+        print(
+            f"| {qname} | x{m} | {bdt:.1f} | {sdt:.1f} | {wr:,} "
+            f"| {wb/1e6:.1f} | {recall:.3f} |"
+        )
+    # serve-twice bit-identity at the largest scale
+    big = os.path.join(WORK, f"x{MULTS[-1]}")
+    print("\nserve-twice bit-identity (x%d):" % MULTS[-1])
+    for qname in under_test:
+        digests = []
+        for _ in range(2):
+            pdf = Q.QUERIES[qname](spark, big).toPandas()
+            canon = sorted(
+                tuple(map(str, r))
+                for r in pdf[sorted(pdf.columns)].itertuples(
+                    index=False, name=None
+                )
+            )
+            digests.append(
+                hashlib.sha256(repr(canon).encode()).hexdigest()[:16]
+            )
+        same = digests[0] == digests[1]
+        print(f"  {qname}: {digests[0]} == {digests[1]} -> {same}")
+        assert same, f"{qname} serve not deterministic"
+
+
 def main() -> None:
     import argparse
 
@@ -519,12 +604,24 @@ def main() -> None:
         help="run ONLY the similarity-family probe (s2/s3/s5/s6 across "
         "grown corpora: wall, shuffle, recall-vs-s1, repeat-run check)",
     )
+    ap.add_argument(
+        "--ann-persisted",
+        action="store_true",
+        help="run ONLY the persisted-index probe (s7/s8 build vs serve "
+        "walls, serve shuffle, recall-vs-s1, serve-twice bit-identity)",
+    )
     args = ap.parse_args()
     if args.skew:
         skew_probe(_spark())
         return
     if args.mults:
         MULTS = [int(x) for x in args.mults.split(",")]
+    if args.ann_persisted:
+        spark = _spark()
+        print("building corpora...", file=sys.stderr, flush=True)
+        build_corpora(spark)
+        ann_persisted_probe(spark)
+        return
     if args.ann:
         spark = _spark()
         print("building corpora...", file=sys.stderr, flush=True)

@@ -250,8 +250,110 @@ def join_probe(spark: SparkSession) -> None:
               f"{wu:.1f} | {su:,} |")
 
 
+def _stage_k22_feed(
+    spark: SparkSession, root: str, hours: int, side: str
+) -> str:
+    """k22-schema feed (event_id, ts, user_id) — same constant rate and
+    half-step click offset as the join arm, staged in time order."""
+    src = os.path.join(root, f"k22_{side}_{hours}h")
+    os.makedirs(src)
+    step_us = 3_600_000_000 // ROWS_PER_HOUR
+    half = step_us // 2 if side == "click" else 0
+    base = 1_000_000_000 if side == "click" else 0
+    for chunk_idx, h0 in enumerate(range(0, hours, CHUNK_HOURS)):
+        n = CHUNK_HOURS * ROWS_PER_HOUR
+        offset = h0 * ROWS_PER_HOUR
+        df = (
+            spark.range(offset, offset + n)
+            .select(
+                (F.col("id") + base).alias("event_id"),
+                F.expr(
+                    f"{T0} + make_interval(0,0,0,0,0,0,"
+                    f" (id * {step_us} + {half}) / 1e6)"
+                ).alias("ts"),
+                (F.col("id") % N_USERS).alias("user_id"),
+            )
+            .coalesce(1)
+        )
+        stage = os.path.join(root, f"k22stage_{side}_{hours}_{chunk_idx}")
+        df.write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"{chunk_idx:04d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * chunk_idx,) * 2)
+        shutil.rmtree(stage)
+    return src
+
+
+def ingest_join_probe(spark: SparkSession) -> None:
+    """k22 = the watermarked interval join chained into the VERSIONED
+    SINK. The round-6 join arm proved join state flat under history
+    growth with a memory sink; this arm proves the claim SURVIVES the
+    storage chaining — same state curve, plus the sink-side costs the
+    memory arm can't show: versions = micro-batches (not history),
+    per-commit ledger work = one latest-manifest read (ledger length =
+    versions), landed rows exactly linear. A sink that held rows back,
+    or a ledger that rescanned per batch, would bend these curves."""
+    import json as _json
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        applied_batches,
+        latest_version,
+        read_version,
+    )
+    from k_means_clustering_via_map_reduce_spark.streaming.ingest import (
+        run_joined_versioned_ingest,
+    )
+
+    rows = []
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_k22_probe_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    ) as tmp:
+        for mult in MULTS:
+            hours = JOIN_HOURS_BASE * mult
+            vsrc = _stage_k22_feed(spark, tmp, hours, "view")
+            csrc = _stage_k22_feed(spark, tmp, hours, "click")
+            root = os.path.join(tmp, f"table_{mult}")
+            t0 = time.time()
+            progress = run_joined_versioned_ingest(
+                spark, vsrc, csrc, root, os.path.join(tmp, f"ckpt_{mult}")
+            )
+            wall = time.time() - t0
+            states = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in progress
+                if p.get("stateOperators")
+            ]
+            versions = latest_version(root)
+            landed = read_version(spark, root).count()
+            ledger = len(applied_batches(root))
+            manifest = os.path.join(
+                root, "_manifests", f"v{versions:05d}.json"
+            )
+            with open(manifest) as fh:
+                n_files = len(_json.load(fh)["files"])
+            rows.append((mult, hours, hours * ROWS_PER_HOUR, wall,
+                         max(states) if states else 0, versions, ledger,
+                         landed, n_files))
+            print(f"x{mult}: wall {wall:.1f}s state_max "
+                  f"{max(states) if states else 0} versions {versions} "
+                  f"ledger {ledger} landed {landed} files {n_files}",
+                  flush=True)
+    print("\n| hist | hours | rows/side | wall s | join state max | "
+          "versions | ledger len | landed pairs | files @ latest |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for m, h, n, w, s, v, led, landed, nf in rows:
+        print(f"| ×{m} | {h} | {n:,} | {w:.1f} | {s:,} | {v} | {led} | "
+              f"{landed:,} | {nf} |")
+
+
 def main() -> None:
     spark = _spark()
+    if "--ingest-join" in sys.argv:
+        ingest_join_probe(spark)
+        spark.stop()
+        return
     if "--join" in sys.argv:
         join_probe(spark)
         spark.stop()

@@ -130,3 +130,100 @@ def test_lifecycle_invariants_hold_under_any_interleaving(spark_prop, ops):
             assert _snapshot(spark, root, v) == expected, f"version {v}"
         if model:
             assert latest_version(root) == max(model)
+
+
+# ---- Ingest-ledger exactly-once under random replay interleavings -------
+#
+# The round-7 advisor target: commit_batch_versioned's exactly-once
+# claim. The batch id now rides INSIDE the manifest (one atomic link),
+# so NO interleaving of deliveries, replays, crash-orphans, compactions,
+# retention runs, or vacuums may ever double-apply or drop a batch.
+# Replays carry IDENTICAL content per batch id (Spark replays a batch
+# from checkpointed offsets deterministically) — the model asserts the
+# landed table is exactly one copy of each distinct delivered batch.
+
+_INGEST_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("deliver"), st.integers(0, 3)),
+        st.tuples(st.just("crash_before_link"), st.integers(0, 3)),
+        st.just("compact"),
+        st.tuples(st.just("expire"), st.integers(1, 3)),
+        st.just("vacuum"),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+def _ingest_batch(spark, batch_id: int):
+    """Canonical content for a batch id — identical on every replay."""
+    rows = [
+        (batch_id * 10 + i, f"batch{batch_id}", float(batch_id + i))
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, tag STRING, v DOUBLE")
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_INGEST_OPS)
+def test_ingest_ledger_is_exactly_once_under_any_interleaving(
+    spark_prop, ops
+):
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        applied_batches,
+    )
+    from k_means_clustering_via_map_reduce_spark.streaming.ingest import (
+        commit_batch_versioned,
+    )
+
+    spark = spark_prop
+    with tempfile.TemporaryDirectory(prefix="kmce_iprop_") as root:
+        delivered: set[int] = set()
+        orphan_n = 0
+        for op in ops:
+            if op == "compact":
+                if latest_version(root) == 0:
+                    continue
+                compact(spark, root, target_files=1)
+                # the ledger must survive the file-list rewrite
+                assert applied_batches(root) == delivered
+            elif op == "vacuum":
+                vacuum(root, retention_seconds=0.0)
+            elif op[0] == "expire":
+                if latest_version(root) == 0:
+                    continue
+                expire_versions(root, keep_last=op[1])
+                # cumulative batches lists survive manifest expiry
+                assert applied_batches(root) == delivered
+            elif op[0] == "crash_before_link":
+                # data dir lands, manifest never links; ledger unchanged
+                bid = op[1]
+                odir = os.path.join(
+                    root, "data", f"txn-88888-crash{orphan_n}"
+                )
+                orphan_n += 1
+                _ingest_batch(spark, bid).write.parquet(odir)
+                assert applied_batches(root) == delivered
+            else:  # ("deliver", bid) — original delivery or replay
+                bid = op[1]
+                applied = commit_batch_versioned(
+                    _ingest_batch(spark, bid), bid, root
+                )
+                assert applied == (bid not in delivered), (
+                    f"batch {bid}: applied={applied}, "
+                    f"delivered={sorted(delivered)}"
+                )
+                delivered.add(bid)
+                assert applied_batches(root) == delivered
+
+        if delivered:
+            got = sorted(
+                (r.id, r.tag, r.v)
+                for r in read_version(spark, root).collect()
+            )
+            want = sorted(
+                (bid * 10 + i, f"batch{bid}", float(bid + i))
+                for bid in delivered
+                for i in range(3)
+            )
+            assert got == want, "landed table is not exactly-once"
