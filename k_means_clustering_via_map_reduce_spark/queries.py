@@ -4596,3 +4596,277 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _Q75_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"kmce_q75_{t}")
     return spark.sql(_Q75_BODY % {t: f"kmce_q75_{t}" for t in _Q75_TABLES})
+
+
+# ---------------------------------------------------------------------------
+# Q76 — TPC-H Q3 shape: the SHIPPING-PRIORITY top-k — a revenue
+# aggregate over a 3-way fact join, filtered by a segment dim and an
+# order-date/ship-date straddle, then ORDER BY revenue LIMIT 10. The
+# canonical "top-k over a join" face: the interesting scale property is
+# that the LIMIT must ride the sort (TakeOrderedAndProject), never a
+# full materialized sort of the aggregate. Built in the DataFrame API
+# (not shared SQL) so the oracle parity is non-trivial.
+# ---------------------------------------------------------------------------
+
+_Q76_ORACLE = """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("q76_shipping_priority", oracle=_Q76_ORACLE)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped BUILDING-segment orders by open revenue (TPC-H
+    Q3 shape): orders placed before the cutoff whose lineitems ship
+    after it, ranked by discounted revenue. (This corpus has no
+    o_shippriority; o_orderpriority rides in its projection slot.)
+
+    Scale plan: customer (segment-filtered, ~1/5) broadcasts; the
+    only real shuffle is lineitem⋈orders on orderkey, and both date
+    filters push to their own scans (each side of the straddle is
+    single-table, so row-group pruning applies to BOTH fact scans).
+    The LIMIT composes with the sort into TakeOrderedAndProject —
+    each partition keeps only its local top-10, the driver merges
+    k·P rows, and the full aggregate is never globally sorted or
+    materialized. Ties broken by (o_orderdate, l_orderkey) so the
+    top-10 is total and the hash deterministic."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            r4(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q77 — TPC-H Q4 shape: EXISTS with a CROSS-TABLE correlated residual.
+# The EXISTS predicate compares a subquery column against an OUTER
+# column (l_shipdate > o_orderdate + 30 days), so the semi join carries
+# a non-equi residual on top of its equi key — the case where a naive
+# engine degrades to a per-row subquery re-scan.
+# ---------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query("q77_order_priority_check", oracle=_Q77_ORACLE)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority for 1997-Q1 orders with at least one
+    slow lineitem (TPC-H Q4 shape; shipped >30 days after ordering
+    stands in for commitdate<receiptdate, which this corpus lacks).
+
+    Scale plan: expressed as a LEFT SEMI join whose condition is the
+    equi key PLUS the cross-table date residual — Catalyst keeps the
+    hash join on l_orderkey and evaluates the residual on matches, so
+    existence short-circuits (no distinct-aggregate of lineitem, no
+    per-row re-scan, lineitem never duplicated into the count). The
+    quarter filter prunes orders row groups before the join; the
+    post-semi aggregate is 5 groups. At 100 TB the semi join is the
+    single shuffle and its build side is quarter-pruned orders, not
+    the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    slow_exists = quarter.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ),
+        "left_semi",
+    )
+    return (
+        slow_exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q78 — TPC-H Q6 shape: the pure SCAN-HEAVY single-table aggregate —
+# three pushable range predicates, no join, one output row. The face
+# that measures raw scan + pushdown quality: at 100 TB this query IS
+# the parquet reader, and everything else must vanish.
+# ---------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("q78_forecast_revenue", oracle=_Q78_ORACLE)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase if 1996 discounts of 5-7% on small lots had
+    been waived (TPC-H Q6 shape): a single-table filter-aggregate
+    whose entire cost is the scan.
+
+    Scale plan: all three predicates (shipdate range, discount band,
+    quantity cap) are simple column comparisons, so every one reaches
+    PushedFilters and min/max row-group pruning; the scan reads only
+    the 4 referenced columns (ReadSchema projection). The aggregate
+    is a zero-group partial→final pair — one shuffle of one row per
+    partition. There is nothing else: at 100 TB this plan is
+    scan-bound by construction, which is the point of the face.
+    l_discount is float-valued, so the band uses >=/<= (not
+    BETWEEN-with-epsilon): the corpus quantizes discounts to exact
+    0.01 steps and both engines compare the same stored doubles."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q79 — TPC-H Q10 shape: the RETURNED-ITEM report — top-20 customers by
+# lost revenue in a quarter, carrying wide customer attributes through
+# the aggregate. The face where group-key width matters: the aggregate
+# key is the whole projected customer row, and the top-k must again be
+# TakeOrderedAndProject, not a global sort.
+# ---------------------------------------------------------------------------
+
+_Q79_ORACLE = """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(c.c_acctbal, 4) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query("q79_returned_item_report", oracle=_Q79_ORACLE)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in 1997-Q4 (TPC-H
+    Q10 shape): returned lineitems joined up through orders to the
+    customer and nation dims, aggregated on the full customer
+    projection.
+
+    Scale plan: the quarter filter prunes orders and the returnflag
+    filter prunes lineitem (both reach their scans — returnflag is
+    dictionary-encoded, so 2/3 of row groups drop); lineitem⋈orders
+    is the one fact shuffle, then customer and nation broadcast onto
+    the pre-aggregated per-custkey partial (aggregate BEFORE the wide
+    dim attributes attach, so the shuffle carries (custkey, revenue)
+    pairs, never c_name/n_name strings). The top-20 rides
+    TakeOrderedAndProject with the c_custkey tiebreak making it
+    total."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (
+                    F.col("o_orderdate")
+                    >= F.lit("1997-10-01").cast("timestamp")
+                )
+                & (
+                    F.col("o_orderdate")
+                    < F.lit("1998-01-01").cast("timestamp")
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("raw_revenue")
+        )
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            r4(F.col("raw_revenue")).alias("revenue"),
+            r4(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

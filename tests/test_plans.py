@@ -729,3 +729,76 @@ def test_q71_market_share_is_one_pass_all_dims_broadcast(spark, sf_dir):
     assert any(
         "o_orderdate" in p and "GreaterThanOrEqual" in p for p in pushed
     ), pushed
+
+
+def test_q76_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Q3's LIMIT 10 must compose with the ORDER BY into
+    TakeOrderedAndProject (per-partition local top-k, driver merge of
+    k·P rows) — a global Sort of the whole aggregate before the limit
+    is the plan that materializes the full group space at 100 TB. The
+    segment dim must broadcast and both straddle dates must push."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q76_shipping_priority"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert broadcast_hash_join_count(df) >= 1
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p and "GreaterThan" in p for p in pushed), pushed
+    assert any("o_orderdate" in p and "LessThan" in p for p in pushed), pushed
+    assert any("c_mktsegment" in p for p in pushed), pushed
+
+
+def test_q77_exists_is_semi_join_with_residual(spark, sf_dir):
+    """Q4's EXISTS must plan as ONE left-semi hash join on l_orderkey
+    carrying the cross-table date comparison as a join residual —
+    never a nested-loop or a distinct-aggregate of lineitem. The
+    quarter range must prune the orders scan."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q77_order_priority_check"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan[:800]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    pushed = pushed_filters(df)
+    assert any(
+        "o_orderdate" in p and "GreaterThanOrEqual" in p for p in pushed
+    ), pushed
+
+
+def test_q78_scan_bound_all_filters_pushed_four_columns(spark, sf_dir):
+    """Q6 is the scan face: all three predicates must reach
+    PushedFilters (shipdate range, discount band, quantity cap) and
+    the ReadSchema must carry exactly the 4 referenced columns — a
+    scan that reads more IS the regression at 100 TB."""
+    df = Q.QUERIES["q78_forecast_revenue"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in p for p in pushed), (col, pushed)
+    schemas = scan_read_schemas(df)
+    assert schemas
+    for s in schemas:
+        for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+            assert col in s, (col, s)
+        assert "l_partkey" not in s and "l_returnflag" not in s, s
+    assert count_shuffles(df) <= 1
+
+
+def test_q79_aggregates_before_wide_dims_attach(spark, sf_dir):
+    """Q10's shuffle must carry (custkey, revenue) partials only — the
+    aggregate runs BEFORE customer/nation attach, so c_name/n_name
+    strings never ride the exchange; the dims broadcast onto the
+    20-row-bound result and the top-k is TakeOrderedAndProject."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q79_returned_item_report"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    # customer + nation always broadcast; at fixture scale the
+    # quarter-pruned orders side broadcasts too (3rd BHJ) — at 100 TB
+    # it would shuffle, but the dims stay broadcast either way
+    assert broadcast_hash_join_count(df) >= 2
+    # one partial+final pair for the per-custkey sum; the joins add none
+    assert count_shuffles(df) <= 1, plan[:800]
+    pushed = pushed_filters(df)
+    assert any("l_returnflag" in p for p in pushed), pushed
