@@ -9,6 +9,9 @@ sort, which a pipeline deployment would drop.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint inference
+# cannot resolve function-local aliases under `from __future__ import
+# annotations` (stringified hints)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1358,3 +1361,191 @@ def t22_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window over per-doc sums (k rows, never the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, BM25_QUERY_TERMS, k=BM25_TOPK)
+
+
+# --------------------------------------------------------------------------
+# T23 — LEARNED-merge BPE tokenizer (closes the "BPE-ish only" gap the
+# round-6 review named: t7 counts subword-proxy regex tokens; this
+# trains REAL byte-pair-encoding merges from corpus statistics and
+# encodes with them).
+#
+# Architecture (the scalable split every production tokenizer trainer
+# uses — HF tokenizers, subword-nmt, SentencePiece all train on a word
+# HISTOGRAM, never on the raw corpus):
+#   1. corpus → (word, freq) histogram: the ONLY corpus-sized shuffle,
+#      a plain groupBy-count whose key space is the vocabulary;
+#   2. merge training runs on the DRIVER over the histogram — BPE
+#      training is inherently sequential (merge k+1 depends on the
+#      state after merge k), and the histogram is vocab-sized (a KB-MB
+#      artifact even for a 100 TB corpus, capped at BPE_VOCAB_CAP
+#      heaviest words for a hard bound — the same K-row-collect
+#      pattern as the K-Means centroid gather, kmeans.py O15);
+#   3. encoding broadcasts the merge list (KBs) and runs as an
+#      Arrow-batched pandas UDF — embarrassingly parallel, narrow,
+#      with a per-batch word→len memo so each distinct word in a batch
+#      is encoded once regardless of its frequency.
+#
+# Deterministic semantics (pinned so the independent reference
+# implementation in tests/test_bpe.py can reproduce them exactly):
+# words are [a-z0-9]+ runs of lower(text); a word's initial symbols
+# are its characters plus a terminal '</w>'; pair counts sum word
+# frequencies over ALL adjacent symbol pairs (overlaps counted); the
+# winning pair maximizes (count, then lexicographically SMALLEST
+# (left, right)); merges apply left-to-right non-overlapping. Applying
+# the merge list once each, in rank order, is equivalent to
+# lowest-rank-first encoding: a merge's pair is made of symbols that
+# existed before its rank, and merging elsewhere only ever creates
+# adjacencies involving the NEW symbol, so no earlier pair can
+# reappear after its pass.
+# --------------------------------------------------------------------------
+BPE_WORD_RE = r"[a-z0-9]+"
+BPE_N_MERGES = 24
+BPE_VOCAB_CAP = 65536
+BPE_END = "</w>"
+
+
+def _bpe_merge_word(
+    syms: list[str], left: str, right: str, merged: str
+) -> list[str]:
+    """One left-to-right non-overlapping merge pass over a symbol list."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe_merges(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the word histogram of
+    ``docs.text``. Returns the rules in rank order.
+
+    The histogram collect is bounded by ``vocab_cap`` heaviest words
+    (ties broken by word, so the cap is deterministic); the coverage
+    loss is the frequency mass of the dropped tail, which for Zipfian
+    corpora (t21 measures this one's slope) is a vanishing fraction of
+    tokens. Training cost is O(vocab × avg_word_len × n_merges) driver
+    work — independent of corpus size."""
+    hist_rows = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), R'{BPE_WORD_RE}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [BPE_END], int(r["freq"])) for r in hist_rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        # max count; tie -> lexicographically smallest pair (total order)
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        vocab = [
+            (_bpe_merge_word(syms, best[0], best[1], merged), freq)
+            for syms, freq in vocab
+        ]
+    return merges
+
+
+def bpe_encode_len(word: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of one word under the learned merges (rank order,
+    one non-overlapping pass each — see the equivalence note above)."""
+    syms = list(word) + [BPE_END]
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = _bpe_merge_word(syms, left, right, left + right)
+    return len(syms)
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Per-document BPE token and word counts via an Arrow-batched
+    pandas UDF. The merge list rides the closure (broadcast once per
+    executor); a per-batch word→len memo collapses repeated words."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    word_re = _re.compile(BPE_WORD_RE)
+    rules = list(merges)
+
+    @pandas_udf("bigint")
+    def n_bpe(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def doc_tokens(t) -> int:
+            total = 0
+            for w in word_re.findall((t or "").lower()):
+                if w not in memo:
+                    memo[w] = bpe_encode_len(w, rules)
+                total += memo[w]
+            return total
+
+        return texts.map(doc_tokens)
+
+    @pandas_udf("bigint")
+    def n_words(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(word_re.findall((t or "").lower())))
+
+    return docs.withColumn("n_bpe_tokens", n_bpe(F.col("text"))).withColumn(
+        "n_words", n_words(F.col("text"))
+    )
+
+
+@query("t23_bpe_learned")
+def t23_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23: train a real BPE tokenizer on the corpus (24 merges from
+    the distributed word histogram), encode every document with it,
+    and report per-language token economics: documents, words, BPE
+    tokens, and the tokens-per-word fertility the merges bought.
+
+    Rows-only by contract: merge training is an inherently iterative
+    argmax loop no single SQL statement expresses. The full semantics
+    are pinned instead by tests/test_bpe.py — an INDEPENDENT pure-
+    Python reference (string-table implementation, separate code path)
+    must reproduce both the merge list and every per-document token
+    count — plus the sf0.001 golden digest in test_golden_hashes.py.
+
+    Scale plan: one corpus→histogram shuffle (key space = vocabulary,
+    partial-agg combines upstream), driver training on the vocab-sized
+    histogram (the K-row-collect pattern), then a narrow Arrow-batched
+    encode with a KB merge list in the closure and a 5-group final
+    aggregate. Nothing pair-wise, nothing corpus-sized on the driver."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges = train_bpe_merges(spark, docs)
+    enc = bpe_token_counts(docs.select("lang", "text"), merges)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            r4(F.sum("n_bpe_tokens") / F.sum("n_words")).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,172 @@
+"""T23 learned-merge BPE: the engine's trainer/encoder vs an INDEPENDENT
+pure-Python reference implementation.
+
+The reference here is deliberately a different code path from
+operators/text.py: it builds its histogram with DuckDB (not Spark),
+represents words as space-joined SYMBOL STRINGS (not lists), and merges
+with tokenized string replacement — so a bug in the engine's list-based
+merge walk cannot be mirrored by construction. Both must produce the
+identical merge list AND identical per-document token counts.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from k_means_clustering_via_map_reduce_spark.operators.text import (
+    BPE_END,
+    BPE_N_MERGES,
+    BPE_WORD_RE,
+    bpe_encode_len,
+    bpe_token_counts,
+    train_bpe_merges,
+)
+from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+# ------------------------------------------------------------------
+# Reference implementation (string-table BPE, subword-nmt style)
+# ------------------------------------------------------------------
+
+
+def _ref_histogram(sf_dir: str) -> Counter:
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT w, count(*) FROM (
+              SELECT unnest(regexp_extract_all(lower(text),
+                            '{BPE_WORD_RE}')) AS w
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ) GROUP BY w
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    return Counter(dict(rows))
+
+
+def _ref_train(hist: Counter, n_merges: int) -> list[tuple[str, str]]:
+    # word -> space-joined symbol string
+    vocab = {
+        " ".join(list(w) + [BPE_END]): f for w, f in sorted(hist.items())
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for symstr, freq in vocab.items():
+            syms = symstr.split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        vocab = {
+            _ref_apply(symstr, best): f for symstr, f in vocab.items()
+        }
+    return merges
+
+
+def _ref_apply(symstr: str, pair: tuple[str, str]) -> str:
+    """Left-to-right non-overlapping merge on a space-joined string."""
+    syms = symstr.split(" ")
+    out = []
+    i = 0
+    while i < len(syms):
+        if (
+            i + 1 < len(syms)
+            and syms[i] == pair[0]
+            and syms[i + 1] == pair[1]
+        ):
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return " ".join(out)
+
+
+def _ref_encode_len(word: str, merges: list[tuple[str, str]]) -> int:
+    symstr = " ".join(list(word) + [BPE_END])
+    for pair in merges:
+        symstr = _ref_apply(symstr, pair)
+    return len(symstr.split(" "))
+
+
+# ------------------------------------------------------------------
+# Parity tests
+# ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def merges(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(spark, docs)
+
+
+def test_trained_merges_match_reference(spark, sf_dir, merges):
+    ref = _ref_train(_ref_histogram(sf_dir), BPE_N_MERGES)
+    assert merges == ref
+
+
+def test_encode_lengths_match_reference_per_document(spark, sf_dir, merges):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    word_re = re.compile(BPE_WORD_RE)
+    memo: dict[str, int] = {}
+    for row in docs.collect():
+        words = word_re.findall((row["text"] or "").lower())
+        want = 0
+        for w in words:
+            if w not in memo:
+                memo[w] = _ref_encode_len(w, merges)
+            want += memo[w]
+        assert got[row["doc_id"]] == (want, len(words)), row["doc_id"]
+
+
+def test_training_is_partitioning_independent(spark, sf_dir, merges):
+    """The histogram shuffle must make training independent of input
+    partitioning — the property that lets the same merges come off a
+    1000-executor histogram."""
+    docs = load_table(spark, sf_dir, "documents").repartition(7, "lang")
+    assert train_bpe_merges(spark, docs) == merges
+
+
+def test_merges_compress_the_corpus(merges):
+    """Learned merges must actually help: frequent words encode to
+    fewer tokens than their character length."""
+    assert 1 <= bpe_encode_len("scan", merges) < len("scan") + 1
+    assert 1 <= bpe_encode_len("row", merges) < len("row") + 1
+
+
+def test_encode_overlap_is_left_to_right():
+    """'aaa' under a single (a,a) merge: left-to-right non-overlap
+    gives (aa)(a)(</w>) = 3 symbols, never 2."""
+    assert bpe_encode_len("aaa", [("a", "a")]) == 3
+    assert _ref_encode_len("aaa", [("a", "a")]) == 3
+
+
+def test_encode_empty_and_oov():
+    assert bpe_encode_len("", []) == 1  # bare end marker
+    # word with no applicable merge: chars + end marker
+    assert bpe_encode_len("xyz", [("a", "b")]) == 4
+
+
+def test_vocab_cap_is_deterministic(spark, sf_dir):
+    """Capping the histogram keeps (count desc, word) order: with a cap
+    of 5 the trainer sees exactly the 5 heaviest words and still
+    produces a deterministic merge list."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = train_bpe_merges(spark, docs, n_merges=6, vocab_cap=5)
+    b = train_bpe_merges(spark, docs, n_merges=6, vocab_cap=5)
+    assert a == b and len(a) == 6

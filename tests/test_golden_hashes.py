@@ -1,9 +1,9 @@
 """Drift guards for the rows-only queries (SURVEY.md §5.2-7).
 
-Twelve registered queries are deliberately not SQL-oracled (seeded LSH /
+Thirteen registered queries are deliberately not SQL-oracled (seeded LSH /
 SimHash / SRP / IVF sketches, the hash-split sample, the seeded MLlib
 KMeans fit, HLL/GK sketch aggregates, the seeded-codebook PQ-ADC
-top-k and its IVF-PQ hybrid; k1b is pinned by
+top-k and its IVF-PQ hybrid, the learned-BPE trainer; k1b is pinned by
 exact parity with lloyd_fit instead) — the driver
 records only their row counts, so a semantic regression that preserves
 cardinality would pass CORRECTNESS silently. Each is deterministic for a
@@ -61,6 +61,13 @@ GOLDEN = {
     # the output makes the hash pin fit QUALITY, not just cluster
     # shapes.
     "k14_production_fit": ("dd683f85d46b9930", 8),
+    # Learned-BPE token economics (t23): merges and encode are fully
+    # deterministic (argmax with lexicographic tiebreak over an exact
+    # histogram); digest re-derived under local[8]/8-shuffle and
+    # local[32]/32-shuffle fresh sessions before pinning. Semantics are
+    # additionally pinned by the independent reference implementation
+    # in tests/test_bpe.py.
+    "t23_bpe_learned": ("fed91cb4ec7d3477", 5),
     # Sketch aggregates (t5): HLL register merges are order-insensitive
     # by construction; the GK percentile summary is stable for a fixed
     # session conf + fixture (digest re-derived in two fresh sessions).
