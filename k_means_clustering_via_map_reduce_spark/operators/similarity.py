@@ -859,6 +859,7 @@ def ivf_pq_search_persisted(
     k: int = TOPK_K,
     nprobe: int = IVF_NPROBE,
     prefix: str = "s8",
+    cand_factor: int = PQ_CAND_FACTOR,
 ) -> DataFrame:
     """Serve path: coarse-probe the saved centroids, ADC-score ONLY the
     code rows in probed cells, exact-rerank the top candidates against
@@ -874,7 +875,11 @@ def ivf_pq_search_persisted(
     levels — partitioning-independent end to end."""
     import numpy as np
 
-    n_cand = k * PQ_CAND_FACTOR
+    # cand_factor is the serve-time recall knob: the ADC candidate pool
+    # is k*cand_factor per query, and a FIXED pool decays in recall as
+    # the corpus grows (the s5 lesson) — scale it with corpus growth.
+    # Measured in BASELINE.md's round-7 serve-knob sweep.
+    n_cand = k * cand_factor
     centers = np.asarray(
         [
             r.center

@@ -4870,3 +4870,80 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# F21 — SCHEMA EVOLUTION on the versioned table (round-8 surface,
+# library-first per the new-entry budget pacing; the @query registration
+# is one decorator away). A later commit ADDS a column; the manifest
+# records the evolved union schema at the commit point (the Delta
+# metaData-action idiom, sources/versioned.py:_evolve_schema), readers
+# read with that EXPLICIT schema so pre-evolution files null-fill the
+# added column deterministically (never footer-sampling roulette), and
+# time travel to a pre-evolution version still returns the ORIGINAL
+# narrow schema. A type change for an existing column fails loudly at
+# commit time. All pinned in tests/test_schema_evolution.py.
+# --------------------------------------------------------------------------
+_F21_STAGED: dict[tuple, object] = {}
+
+F21_ORACLE = """
+    WITH v AS (
+      SELECT doc_id, lang, n_chars, NULL AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars,
+             round(n_chars / 100.0, 4) AS quality
+      FROM documents WHERE doc_id % 2 = 1)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_scored,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM v GROUP BY lang ORDER BY lang
+"""
+
+
+def f21_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the LATEST read of a table whose second commit added a
+    ``quality`` column: v1 rows (even doc_ids, committed pre-evolution)
+    must surface quality as NULL, v2 rows (odd doc_ids) carry their
+    computed score, and count(quality)/avg(quality) prove the null-fill
+    is exact — a reader that sampled a v1 footer would drop the column
+    (hash-flips on n_scored), one that sampled v2's would work only by
+    luck.
+
+    Scale: evolution is O(1) metadata at the commit point (one schema
+    union on the driver, no data rewrite — history is never touched);
+    reads stay plain pinned-file parquet scans with pushdown/pruning
+    unchanged, the added column read as null vectors for old files."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F21_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_evolved_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        commit_append(d.filter(F.col("doc_id") % 2 == 0), tmp.name)
+        commit_append(
+            d.filter(F.col("doc_id") % 2 == 1).withColumn(
+                "quality", F.round(F.col("n_chars") / 100.0, 4)
+            ),
+            tmp.name,
+        )
+        _F21_STAGED[key] = tmp
+    latest = read_version(spark, _F21_STAGED[key].name)
+    return (
+        latest.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality").alias("n_scored"),
+            r4(F.avg("quality")).alias("avg_quality"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -77,6 +77,54 @@ def applied_batches(root: str) -> set[int]:
     return set(read_manifest(root, latest).get("batches", []))
 
 
+def table_schema(root: str, version: int | None = None):
+    """The evolved table schema at ``version`` (latest when None), or
+    None for pre-evolution manifests that recorded no schema."""
+    from pyspark.sql.types import StructType
+
+    if version is None:
+        version = latest_version(root)
+    if version == 0:
+        return None
+    sj = read_manifest(root, version).get("schema")
+    return StructType.fromJson(sj) if sj else None
+
+
+def _evolve_schema(parent, incoming):
+    """Union the parent table schema with an incoming commit's schema:
+    existing columns keep their position and must keep their TYPE
+    (a silent type change corrupts every time-travel read, so it fails
+    loudly here at the commit point); new columns append in the
+    incoming order and read as NULL in pre-evolution files. All fields
+    come back nullable — an added column is necessarily absent from
+    history."""
+    from pyspark.sql.types import StructField, StructType
+
+    if parent is None:
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in incoming.fields]
+        )
+    by_name = {f.name: f for f in incoming.fields}
+    out = []
+    for f in parent.fields:
+        inc = by_name.get(f.name)
+        if inc is not None and inc.dataType != f.dataType:
+            raise ValueError(
+                f"incompatible schema evolution for column {f.name!r}: "
+                f"table has {f.dataType.simpleString()}, commit has "
+                f"{inc.dataType.simpleString()} — rewrite history "
+                f"explicitly instead of committing a type change"
+            )
+        out.append(StructField(f.name, f.dataType, True))
+    known = {f.name for f in parent.fields}
+    out.extend(
+        StructField(f.name, f.dataType, True)
+        for f in incoming.fields
+        if f.name not in known
+    )
+    return StructType(out)
+
+
 def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
     """Append ``df`` as a new immutable snapshot; returns the new
     version. Optimistic concurrency: two racing committers both write
@@ -92,6 +140,10 @@ def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
     """
     txn = uuid.uuid4().hex[:12]
     parent = latest_version(root)
+    # Schema evolution happens AT the commit point (Delta metaData-action
+    # idiom): the manifest records the evolved union schema, and a type
+    # conflict with history fails loudly BEFORE any data is written.
+    evolved = _evolve_schema(table_schema(root, parent), df.schema)
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn}")
     df.write.parquet(data_dir)
     new_files = sorted(
@@ -110,6 +162,7 @@ def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
         "files": prev_files + new_files,
         "added": new_files,
         "batches": batches,
+        "schema": evolved.jsonValue(),
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
@@ -172,6 +225,12 @@ def compact(
         # a post-compaction checkpoint replay would double-commit
         "batches": read_manifest(root, parent).get("batches", []),
     }
+    # the table schema is likewise snapshot state — the compacted files
+    # are homogeneous, but dropping the record would reopen the
+    # footer-sampling nondeterminism for any LATER evolved commit
+    parent_schema = read_manifest(root, parent).get("schema")
+    if parent_schema is not None:
+        manifest["schema"] = parent_schema
     tmp = _manifest_path(root, version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -265,4 +324,14 @@ def read_version(
     if version is None:
         version = latest_version(root)
     files = read_manifest(root, version)["files"]
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    reader = spark.read
+    schema = table_schema(root, version)
+    if schema is not None:
+        # Read with the manifest's EVOLVED schema, not a sampled parquet
+        # footer: under schema evolution the files are heterogeneous,
+        # and a footer-sampled read would return whichever commit's
+        # schema Spark happened to pick (dropping added columns
+        # nondeterministically). The explicit schema makes every read
+        # deterministic and null-fills columns a file predates.
+        reader = reader.schema(schema)
+    return reader.parquet(*[os.path.join(root, f) for f in files])

@@ -569,6 +569,54 @@ def ann_persisted_probe(spark: SparkSession) -> None:
         print(f"  {qname}: {digests[0]} == {digests[1]} -> {same}")
         assert same, f"{qname} serve not deterministic"
 
+    # Serve-knob recovery sweep at the largest scale: the fixed-parameter
+    # decay above is a KNOB choice, not an index limitation — recall is
+    # recovered at serve time (no rebuild) by probing more cells (s7)
+    # and widening the ADC candidate pool with the corpus (s8, the s5
+    # C∝N lesson). Records the recall/serve-cost trade each knob buys.
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        TOPK_N_QUERIES,
+        ivf_pq_search_persisted,
+        ivf_search_persisted,
+    )
+
+    big_q = (
+        spark.read.parquet(os.path.join(big, "embeddings.parquet"))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .filter(F.col("vec_id") < TOPK_N_QUERIES)
+    )
+    truth = {}
+    for r in Q.QUERIES["s1_cosine_topk"](spark, big).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+
+    def _recall(rows) -> float:
+        by_q: dict[int, set] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(v & by_q.get(k, set())) for k, v in truth.items()) / n_truth
+
+    print("\nserve-knob recovery sweep (x%d, no rebuild):" % MULTS[-1])
+    print("| query | knob | serve s | recall vs s1 |")
+    print("|---|---|---|---|")
+    for nprobe in (8, 12, 16):
+        t0 = time.perf_counter()
+        got = ivf_search_persisted(spark, big_q, nprobe=nprobe).collect()
+        dt = time.perf_counter() - t0
+        print(f"| s7 | nprobe={nprobe} | {dt:.1f} | {_recall(got):.3f} |")
+    for nprobe, cf in ((8, 12), (12, 48), (16, 96)):
+        t0 = time.perf_counter()
+        got = ivf_pq_search_persisted(
+            spark, big_q, nprobe=nprobe, cand_factor=cf
+        ).collect()
+        dt = time.perf_counter() - t0
+        print(
+            f"| s8 | nprobe={nprobe},cand_factor={cf} | {dt:.1f} "
+            f"| {_recall(got):.3f} |"
+        )
+
 
 def main() -> None:
     import argparse
