@@ -1200,3 +1200,128 @@ def m7_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n", "sum_sq", "dc_energy", "parseval_ok")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M8 — 2D CONVOLUTION stencil over decoded image pixels (round-8
+# surface, library-first per the new-entry budget pacing; the @query
+# registration is one decorator away). The one compute shape the
+# m-family lacked: m2/m3 prove decode and resampling, m7 proves 1-D
+# transform DSP — this proves a NEIGHBORHOOD operator (3×3 Laplacian),
+# the building block of edge detection / blur / sharpening feature
+# extraction. The synthetic luma plane is linear in (y, x) except at
+# the %256 byte wraps, so the Laplacian response isolates exactly the
+# wrap discontinuities — a nontrivial, fully formula-replayable signal.
+# --------------------------------------------------------------------------
+
+
+def image_laplacian_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, w, h, n_interior, lap_abs_sum, lap_max): 3×3 Laplacian
+    (4·c − N − S − E − W) of the luma plane (r+g+b per pixel) of every
+    decodable 8-bit PNG blob, aggregated over INTERIOR pixels only
+    (borders have no full neighborhood; a padded variant is a policy
+    choice, not a different dataflow). Non-PNG rows are dropped.
+
+    Scale: the m-family shape — Arrow-batched mapInPandas, no shuffle,
+    pixels never leave the executor; the stencil is four vectorized
+    numpy shifts per image (no Python per-pixel loop), O(w·h) per doc,
+    and only 6 scalars per image survive."""
+    import numpy as np
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        png_pixel_array,
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                px = png_pixel_array(bytes(blob))
+                if px is None:
+                    continue
+                h, stride = px.shape
+                w = stride // 3
+                if w < 3 or h < 3:
+                    continue
+                luma = (
+                    px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+                )  # (h, w)
+                c = luma[1:-1, 1:-1]
+                lap = (
+                    4 * c
+                    - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1]
+                    - luma[1:-1, :-2]
+                    - luma[1:-1, 2:]
+                )
+                out.append(
+                    (
+                        int(did),
+                        w,
+                        h,
+                        int(c.size),
+                        int(np.abs(lap).sum()),
+                        int(np.abs(lap).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "w", "h", "n_interior",
+                    "lap_abs_sum", "lap_max",
+                ],
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(
+        stats,
+        schema="doc_id bigint, w int, h int, n_interior bigint, "
+        "lap_abs_sum bigint, lap_max bigint",
+    )
+
+
+# Oracle: replay the pixel formula (synthesize_media's PNG scanlines:
+# byte j of row y is (doc_id + y + j) % 256, so luma(y, x) =
+# Σ_{c<3} (doc_id + y + 3x + c) % 256) over every interior cell and
+# apply the same 5-point stencil relationally. generate_series blows
+# the plane up to w·h rows per image — fine at oracle scale, and the
+# POINT: the engine path never materializes cells off the executor.
+M8_ORACLE = """
+    WITH png AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents WHERE doc_id % 4 = 0 AND doc_id % 64 + 1 >= 3
+        AND doc_id % 48 + 1 >= 3
+    ), cells AS (
+      SELECT doc_id, w, h, gy.y AS y, gx.x AS x,
+             (doc_id + gy.y + 3 * gx.x) % 256
+           + (doc_id + gy.y + 3 * gx.x + 1) % 256
+           + (doc_id + gy.y + 3 * gx.x + 2) % 256 AS luma
+      FROM png, generate_series(0, 47) gy(y), generate_series(0, 63) gx(x)
+      WHERE gy.y < h AND gx.x < w
+    ), lap AS (
+      SELECT c.doc_id, c.w, c.h,
+             4 * c.luma - n.luma - s.luma - e.luma - wst.luma AS v
+      FROM cells c
+      JOIN cells n  ON n.doc_id = c.doc_id AND n.y = c.y - 1 AND n.x = c.x
+      JOIN cells s  ON s.doc_id = c.doc_id AND s.y = c.y + 1 AND s.x = c.x
+      JOIN cells e  ON e.doc_id = c.doc_id AND e.y = c.y AND e.x = c.x + 1
+      JOIN cells wst ON wst.doc_id = c.doc_id AND wst.y = c.y
+                    AND wst.x = c.x - 1
+      WHERE c.y BETWEEN 1 AND c.h - 2 AND c.x BETWEEN 1 AND c.w - 2
+    )
+    SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(count(*) AS BIGINT) AS n_interior,
+           CAST(sum(abs(v)) AS BIGINT) AS lap_abs_sum,
+           CAST(max(abs(v)) AS BIGINT) AS lap_max
+    FROM lap GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+def m8_image_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: 3×3 Laplacian energy of every synthesized PNG, driver-checked
+    against a full relational replay of the pixel formula and the
+    stencil (self-joined generate_series plane). Any error in decode,
+    row geometry, the neighborhood offsets, or the border exclusion
+    shifts at least one doc's sums and flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return image_laplacian_stats(synthesize_media(docs)).orderBy("doc_id")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from k_means_clustering_via_map_reduce_spark.queries import query
+from k_means_clustering_via_map_reduce_spark.queries import query, r4
 from k_means_clustering_via_map_reduce_spark.sources import load_table, spread
 
 SAMPLE_SEED = 42
@@ -638,3 +638,108 @@ def p9_curriculum_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over n_phases keys. The full curriculum order needs no
     materialized rank — (phase, draw, doc_id) IS the sort key."""
     return curriculum_summary(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# P10 — LENGTH-BUCKETED packing (round-8 surface, library-first per the
+# new-entry budget pacing; the @query registration is one decorator
+# away). The padding-economics counterpart of p3's concat-and-chunk:
+# documents are NOT split across sequences — each doc lands whole in a
+# sequence of same-bucket docs (the fairseq/HF "bucketed batching"
+# idiom), and the cost is PADDING, which this operator measures.
+#
+# Buckets are powers of two over token length (width = 2^ceil(log2 n));
+# a sequence in bucket W holds floor(PACK_BUDGET / W) docs; docs fill
+# sequences in doc_id order, so the assignment is a total order and the
+# whole plan is two exchanges: one shuffle on the bucket key for the
+# in-bucket row_number, one presentation aggregate. At 100 TB the
+# per-bucket partition is the skew risk (same as p3's per-lang cumsum);
+# the production variant shards the row_number as (bucket,
+# pmod(hash(doc_id), N)) at the cost of ≤N partial tail sequences per
+# bucket.
+# --------------------------------------------------------------------------
+P10_BUDGET = 2048
+
+P10_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(power(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT)
+               AS bucket_w
+      FROM d),
+    s AS (
+      SELECT doc_id, n_tok, bucket_w,
+             CAST(floor((row_number() OVER (PARTITION BY bucket_w
+                                            ORDER BY doc_id) - 1)
+                  / floor({P10_BUDGET} / bucket_w)) AS BIGINT) AS seq_id
+      FROM b)
+    SELECT bucket_w,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           round(1.0 - sum(n_tok)
+                 / (count(DISTINCT seq_id) * {P10_BUDGET}.0), 4)
+             AS padding_frac
+    FROM s GROUP BY bucket_w ORDER BY bucket_w
+"""
+
+
+def bucketed_packing(docs: DataFrame, budget: int = P10_BUDGET) -> DataFrame:
+    """Per-doc (bucket_w, seq_id) assignment under whole-doc bucketed
+    packing. Deterministic: doc_id totally orders every bucket."""
+    from pyspark.sql.window import Window
+
+    from k_means_clustering_via_map_reduce_spark.functions.text import tokens
+
+    d = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    b = d.withColumn(
+        "bucket_w",
+        F.pow(
+            F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tok"), F.lit(1))))
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("bucket_w").orderBy("doc_id")
+    return b.withColumn(
+        "seq_id",
+        F.floor(
+            (F.row_number().over(w) - 1)
+            / F.floor(F.lit(budget) / F.col("bucket_w"))
+        ).cast("bigint"),
+    )
+
+
+def p10_bucketed_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: padding economics of whole-doc bucketed packing — per
+    bucket: sequences built, docs and tokens packed, and the padding
+    fraction the budget pays for keeping documents unsplit (p3's
+    chunker wastes zero padding but splits documents; this is the
+    other end of the trade every LM data pipeline picks a point on).
+
+    Scale: bucket count is log2(max doc length) ≈ a dozen keys; the
+    in-bucket row_number is the one data shuffle (sharded variant
+    documented above for hot buckets); the summary is a dozen-row
+    aggregate. Oracle-exact: token counts are integers, the bucket
+    edges are exact powers of two, and padding_frac rounds at 4
+    decimals from integer ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = bucketed_packing(docs)
+    return (
+        s.groupBy("bucket_w")
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            r4(
+                F.lit(1.0)
+                - F.sum("n_tok")
+                / (F.countDistinct("seq_id") * F.lit(float(P10_BUDGET)))
+            ).alias("padding_frac"),
+        )
+        .orderBy("bucket_w")
+    )
