@@ -1448,8 +1448,19 @@ def train_bpe_merges(
         .limit(vocab_cap)
         .collect()
     )
+    return train_merges_from_histogram(
+        [(r["word"], int(r["freq"])) for r in hist_rows], n_merges
+    )
+
+
+def train_merges_from_histogram(
+    hist: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The pure sequential training core over a (word, freq) histogram
+    — factored Spark-free so the hypothesis property test can drive it
+    against the independent reference on arbitrary corpora."""
     vocab: list[tuple[list[str], int]] = [
-        (list(r["word"]) + [BPE_END], int(r["freq"])) for r in hist_rows
+        (list(w) + [BPE_END], f) for w, f in hist
     ]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -170,3 +170,49 @@ def test_vocab_cap_is_deterministic(spark, sf_dir):
     a = train_bpe_merges(spark, docs, n_merges=6, vocab_cap=5)
     b = train_bpe_merges(spark, docs, n_merges=6, vocab_cap=5)
     assert a == b and len(a) == 6
+
+
+# ------------------------------------------------------------------
+# Property tests (Spark-free: the pure training/encode cores vs the
+# string-table reference over arbitrary corpora — fixture parity above
+# can only exercise the 31-word synthetic vocabulary)
+# ------------------------------------------------------------------
+
+from collections import Counter as _Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from k_means_clustering_via_map_reduce_spark.operators.text import (
+    train_merges_from_histogram,
+)
+
+_words = st.text(alphabet="ab0", min_size=1, max_size=6)
+_hist = st.dictionaries(_words, st.integers(1, 50), min_size=1, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(hist=_hist, n_merges=st.integers(0, 12))
+def test_training_matches_reference_on_arbitrary_histograms(hist, n_merges):
+    """Tiny 3-char alphabet + small words maximize pair-count TIES and
+    repeated-symbol overlaps ('aaa') — exactly the cases where a
+    tie-break or merge-walk divergence between implementations hides."""
+    got = train_merges_from_histogram(sorted(hist.items()), n_merges)
+    want = _ref_train(_Counter(hist), n_merges)
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    word=st.text(alphabet="ab0", min_size=0, max_size=8),
+    hist=_hist,
+    n_merges=st.integers(1, 10),
+)
+def test_encode_matches_reference_under_trained_merges(word, hist, n_merges):
+    """Encode ANY word (trained-on or OOV) under merges trained on an
+    unrelated histogram: both walks must agree, and the count must be
+    bounded by the unmerged symbol count."""
+    merges = train_merges_from_histogram(sorted(hist.items()), n_merges)
+    got = bpe_encode_len(word, merges)
+    assert got == _ref_encode_len(word, merges)
+    assert 1 <= got <= len(word) + 1
