@@ -4875,7 +4875,11 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # F21 — SCHEMA EVOLUTION on the versioned table (round-8 surface,
 # library-first per the new-entry budget pacing; the @query registration
-# is one decorator away). A later commit ADDS a column; the manifest
+# is one decorator away). This is the CATALOG form whose absence f11's
+# docstring flags: f11 evolves loose parquet files via mergeSchema,
+# paying a per-file footer reconcile at every planning and having no
+# answer for time travel or type conflicts; here the schema is table
+# METADATA. A later commit ADDS a column; the manifest
 # records the evolved union schema at the commit point (the Delta
 # metaData-action idiom, sources/versioned.py:_evolve_schema), readers
 # read with that EXPLICIT schema so pre-evolution files null-fill the
