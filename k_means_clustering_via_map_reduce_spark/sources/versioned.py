@@ -90,6 +90,34 @@ def table_schema(root: str, version: int | None = None):
     return StructType.fromJson(sj) if sj else None
 
 
+def _relax_nullability(dt):
+    """Recursively mark every nested position nullable. Nullability is
+    PART of Spark's nested dataTypes (array containsNull, map
+    valueContainsNull, struct field nullable), and it reflects how a
+    frame was BUILT (F.array of literals is containsNull=false; the
+    same column read back from parquet is true) — not a real type
+    difference. The evolution guard must compare types modulo
+    nullability or a byte-identical recommit would be rejected."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _relax_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_relax_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _relax_nullability(dt.keyType),
+            _relax_nullability(dt.valueType),
+            True,
+        )
+    return dt
+
+
 def _evolve_schema(parent, incoming):
     """Union the parent table schema with an incoming commit's schema:
     existing columns keep their position and must keep their TYPE
@@ -102,23 +130,28 @@ def _evolve_schema(parent, incoming):
 
     if parent is None:
         return StructType(
-            [StructField(f.name, f.dataType, True) for f in incoming.fields]
+            [
+                StructField(f.name, _relax_nullability(f.dataType), True)
+                for f in incoming.fields
+            ]
         )
     by_name = {f.name: f for f in incoming.fields}
     out = []
     for f in parent.fields:
         inc = by_name.get(f.name)
-        if inc is not None and inc.dataType != f.dataType:
+        if inc is not None and _relax_nullability(
+            inc.dataType
+        ) != _relax_nullability(f.dataType):
             raise ValueError(
                 f"incompatible schema evolution for column {f.name!r}: "
                 f"table has {f.dataType.simpleString()}, commit has "
                 f"{inc.dataType.simpleString()} — rewrite history "
                 f"explicitly instead of committing a type change"
             )
-        out.append(StructField(f.name, f.dataType, True))
+        out.append(StructField(f.name, _relax_nullability(f.dataType), True))
     known = {f.name for f in parent.fields}
     out.extend(
-        StructField(f.name, f.dataType, True)
+        StructField(f.name, _relax_nullability(f.dataType), True)
         for f in incoming.fields
         if f.name not in known
     )

@@ -125,3 +125,20 @@ def test_f21_query_matches_oracle_driver_style(spark, sf_dir):
     query against its DuckDB oracle through the driver's canonical
     compare, at the suite fixture scale."""
     compare_to_oracle(f21_schema_evolution_read(spark, sf_dir), F21_ORACLE, sf_dir)
+
+
+def test_nullability_variants_are_not_type_conflicts(spark, tmp_path):
+    """Nested nullability reflects how a frame was BUILT (F.array of
+    literals is containsNull=false; a parquet round-trip reads back
+    true) — committing the same logical type with different nullability
+    must evolve cleanly, not trip the type guard."""
+    root = str(tmp_path / "t")
+    built = spark.createDataFrame([(1,)], "id bigint").withColumn(
+        "v", F.array(F.lit(1.0), F.lit(2.0))  # containsNull=false
+    )
+    commit_append(built, root)
+    roundtripped = read_version(spark, root).filter("id = 1")
+    assert commit_append(roundtripped, root) == 2
+    latest = read_version(spark, root)
+    assert latest.count() == 2
+    assert {tuple(r["v"]) for r in latest.collect()} == {(1.0, 2.0)}
