@@ -136,3 +136,44 @@ def test_s5_default_passthrough_unchanged(spark, corpus):
     out = S._pq_adc_scores(codes, q_rows, books)
     assert out.columns == ["vec_id", "query_id", "adc"]
     assert out.count() == 50 * 3
+
+
+@pytest.mark.timeout(600)
+def test_cand_factor_knob_monotone_and_converges_to_probed_exact(
+    spark, corpus
+):
+    """The round-7 serve-time recall knob: widening the ADC candidate
+    pool can only ADD candidates to the exact rerank, so the top-k
+    recall vs brute force is non-decreasing in cand_factor — and at a
+    pool spanning every probed-cell row the PQ approximation cancels
+    entirely (the result equals exact scoring of the probed cells,
+    i.e. the s7 path's answer at equal nprobe)."""
+    truth = {}
+    for r in S.brute_force_topk(
+        corpus, corpus.filter(F.col("vec_id") < S.TOPK_N_QUERIES)
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        g = {}
+        for r in rows:
+            g.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(g.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    n_corpus = corpus.count()
+    rs = [
+        recall(_serve(spark, corpus, cand_factor=cf).collect())
+        for cf in (3, 12, (n_corpus // S.TOPK_K) + 1)
+    ]
+    assert rs[0] <= rs[1] <= rs[2], rs
+    s7_answer = S.ivf_search_persisted(
+        spark,
+        corpus.filter(F.col("vec_id") < S.TOPK_N_QUERIES),
+        prefix="s8t",
+    ).orderBy("query_id", "rank").collect()
+    exhaustive = _serve(
+        spark, corpus, cand_factor=(n_corpus // S.TOPK_K) + 1
+    ).collect()
+    assert [tuple(r) for r in exhaustive] == [tuple(r) for r in s7_answer]
