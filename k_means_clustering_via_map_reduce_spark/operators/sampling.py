@@ -687,9 +687,21 @@ P10_ORACLE = f"""
 """
 
 
-def bucketed_packing(docs: DataFrame, budget: int = P10_BUDGET) -> DataFrame:
+def bucketed_packing(
+    docs: DataFrame, budget: int = P10_BUDGET, n_shards: int = 1
+) -> DataFrame:
     """Per-doc (bucket_w, seq_id) assignment under whole-doc bucketed
-    packing. Deterministic: doc_id totally orders every bucket."""
+    packing. Deterministic: doc_id totally orders every bucket.
+
+    ``n_shards`` is the 100 TB lever: a Zipfian corpus concentrates in
+    a few buckets, and a per-bucket row_number funnels each hot bucket
+    through ONE sort partition. Sharding the window key as (bucket,
+    pmod(hash(doc_id), N)) bounds any single sort partition to ~1/N of
+    its bucket; the cost is bounded and measurable — sequences never
+    span shards, so at most N-1 EXTRA partial tail sequences per
+    bucket (one per non-final shard), pinned in
+    tests/test_bucketed_packing.py. Shard ids offset the seq space by
+    shard so assignments stay globally unique and deterministic."""
     from pyspark.sql.window import Window
 
     from k_means_clustering_via_map_reduce_spark.functions.text import tokens
@@ -704,13 +716,29 @@ def bucketed_packing(docs: DataFrame, budget: int = P10_BUDGET) -> DataFrame:
             F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tok"), F.lit(1))))
         ).cast("bigint"),
     )
-    w = Window.partitionBy("bucket_w").orderBy("doc_id")
-    return b.withColumn(
-        "seq_id",
-        F.floor(
-            (F.row_number().over(w) - 1)
-            / F.floor(F.lit(budget) / F.col("bucket_w"))
-        ).cast("bigint"),
+    cap = F.floor(F.lit(budget) / F.col("bucket_w"))
+    if n_shards <= 1:
+        w = Window.partitionBy("bucket_w").orderBy("doc_id")
+        return b.withColumn(
+            "seq_id",
+            F.floor((F.row_number().over(w) - 1) / cap).cast("bigint"),
+        )
+    b = b.withColumn(
+        "shard", F.pmod(F.hash("doc_id"), F.lit(n_shards))
+    )
+    w = Window.partitionBy("bucket_w", "shard").orderBy("doc_id")
+    # per-shard seq spaces interleave via seq*N + shard: globally
+    # unique without any cross-shard coordination (no second shuffle)
+    return (
+        b.withColumn(
+            "seq_id",
+            (
+                F.floor((F.row_number().over(w) - 1) / cap)
+                * F.lit(n_shards)
+                + F.col("shard")
+            ).cast("bigint"),
+        )
+        .drop("shard")
     )
 
 

@@ -75,3 +75,48 @@ def test_partitioning_independence(spark, sf_dir):
 
 def test_p10_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(p10_bucketed_packing(spark, sf_dir), P10_ORACLE, sf_dir)
+
+
+def test_sharded_variant_bounds_tail_waste(spark, sf_dir):
+    """The hot-bucket shard lever: per (bucket, shard) the fill stays
+    capacity-dense (only the shard's LAST sequence may be partial), so
+    the global overhead vs unsharded packing is at most N-1 extra
+    partial sequences per bucket — and assignments stay deterministic
+    and globally unique."""
+    N = 4
+    docs = load_table(spark, sf_dir, "documents")
+    rows = bucketed_packing(docs, n_shards=N).collect()
+    assert len({(r["bucket_w"], r["seq_id"], r["doc_id"]) for r in rows}) == len(rows)
+    by_seq: dict[tuple, int] = {}
+    for r in rows:
+        by_seq[(r["bucket_w"], r["seq_id"])] = (
+            by_seq.get((r["bucket_w"], r["seq_id"]), 0) + 1
+        )
+    # capacity respected everywhere
+    for (bw, _), n in by_seq.items():
+        assert n <= P10_BUDGET // bw
+    # ≤ N partial sequences per bucket (one tail per shard)
+    from collections import defaultdict
+
+    partial = defaultdict(int)
+    for (bw, _), n in by_seq.items():
+        if n < P10_BUDGET // bw:
+            partial[bw] += 1
+    assert all(v <= N for v in partial.values()), dict(partial)
+    # vs unsharded: same docs, same buckets, bounded extra sequences
+    base = bucketed_packing(docs).collect()
+    base_seqs = defaultdict(set)
+    shard_seqs = defaultdict(set)
+    for r in base:
+        base_seqs[r["bucket_w"]].add(r["seq_id"])
+    for r in rows:
+        shard_seqs[r["bucket_w"]].add(r["seq_id"])
+    for bw in base_seqs:
+        assert len(shard_seqs[bw]) - len(base_seqs[bw]) <= N - 1, bw
+
+
+def test_single_shard_equals_default(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, bucketed_packing(docs).collect()))
+    b = sorted(map(tuple, bucketed_packing(docs, n_shards=1).collect()))
+    assert a == b
