@@ -227,3 +227,99 @@ def test_ingest_ledger_is_exactly_once_under_any_interleaving(
                 for i in range(3)
             )
             assert got == want, "landed table is not exactly-once"
+
+
+# ---- Schema evolution under random commit interleavings -----------------
+#
+# The round-7 evolution layer (manifest-recorded union schema): NO
+# sequence of widening commits, narrower commits, type-conflict
+# attempts, and compactions may break (a) per-version schema isolation
+# — every surviving version reads back exactly the union schema the
+# model says existed when it was committed, (b) cell-level content —
+# columns a file predates (or a narrow commit omitted) read NULL,
+# everything else reads its written value, (c) the guard — a type
+# change never commits and never mutates table state.
+
+_COLS = ["c0", "c1", "c2"]
+
+_EVO_OPS = st.lists(
+    st.one_of(
+        # commit carrying a chosen subset of the optional columns
+        st.tuples(st.just("commit"), st.sets(st.sampled_from(_COLS))),
+        # attempt to commit c0 with a conflicting type (must raise)
+        st.just("conflict"),
+        st.just("compact"),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_EVO_OPS)
+def test_schema_evolution_invariants_hold_under_any_interleaving(
+    spark_prop, ops
+):
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        table_schema,
+    )
+
+    spark = spark_prop
+    with tempfile.TemporaryDirectory(prefix="kmce_evoprop_") as root:
+        # model: schema = ordered column list; rows[id] = {col: value}
+        schema_model: dict[int, list[str]] = {}
+        rows_model: dict[int, dict] = {}
+        seq = 0
+        for op in ops:
+            latest = latest_version(root)
+            if op == "conflict":
+                if latest == 0 or "c0" not in schema_model[latest]:
+                    continue
+                bad = spark.createDataFrame(
+                    [(999, "boom")], "id bigint, c0 string"
+                )
+                try:
+                    commit_append(bad, root)
+                    raise AssertionError("type conflict committed")
+                except ValueError:
+                    pass
+                assert latest_version(root) == latest  # state untouched
+            elif op == "compact":
+                if latest == 0:
+                    continue
+                v = compact(spark, root, target_files=1)
+                schema_model[v] = schema_model[latest]
+            else:  # ("commit", cols)
+                seq += 1
+                cols = sorted(op[1])
+                df = spark.createDataFrame(
+                    [(seq,)], "id bigint"
+                )
+                for c in cols:
+                    df = df.withColumn(c, F.lit(float(seq)))
+                v = commit_append(df, root)
+                base = list(schema_model.get(latest, ["id"]))
+                for c in cols:
+                    if c not in base:
+                        base.append(c)
+                schema_model[v] = base
+                rows_model[seq] = {c: float(seq) for c in cols}
+
+        # every surviving version: exact schema + exact cells
+        for v, want_cols in schema_model.items():
+            snap = read_version(spark, root, v)
+            assert [f.name for f in snap.schema.fields] == want_cols, v
+            for r in snap.collect():
+                written = rows_model[r["id"]]
+                for c in want_cols:
+                    if c == "id":
+                        continue
+                    want = written.get(c)  # None if this commit lacked c
+                    assert r[c] == want, (v, r["id"], c)
+        # the recorded latest schema is queryable without reading data
+        if schema_model:
+            latest = latest_version(root)
+            ts = table_schema(root)
+            assert [f.name for f in ts.fields] == schema_model[latest]
