@@ -1251,3 +1251,203 @@ def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D11 — NEAR-dup segment boilerplate removal (round-8 surface,
+# library-first per the new-entry budget pacing; the @query registration
+# is one decorator away). d7 removes segments that repeat EXACTLY; web
+# boilerplate mostly repeats with light variation ("© 2024 …" vs
+# "© 2025 …", injected dates/ids), which exact df-counting undercounts.
+# Here the removal statistic is the FAMILY document frequency: a
+# segment's own df plus the df of every near-duplicate segment (word
+# 2-gram jaccard ≥ D11_JACCARD over DISTINCT (lang, segment) texts) —
+# a pure join-aggregate, deliberately ONE HOP so the whole pipeline
+# stays a single SQL statement (transitive families are d5's
+# connected-components job; boilerplate detection doesn't need it: any
+# member of a big family already exceeds the cutoff through its direct
+# neighbors).
+#
+# Scale shape: exact segment-dedup FIRST (the d7 shuffle, corpus →
+# distinct segments) collapses the hot case — a million identical
+# footers become ONE node with df=1e6, never a million-way join; the
+# near-dup join then runs on the distinct-segment table (vocabulary-
+# sized, like the BPE histogram) via d1's inverted-index formulation
+# with the size-ratio prune; at 100 TB it takes d1b's posting cap.
+# --------------------------------------------------------------------------
+D11_SHINGLE_W = 2
+D11_JACCARD = 0.6
+D11_FAMILY_CUTOFF = 3
+
+D11_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents
+    ),
+    segs AS (
+      -- generate_series cannot lateral-join a column in this DuckDB;
+      -- build the segment list as a SCALAR list_transform and unnest
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(0,
+                 CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+               i -> array_to_string(
+                 w[i * {SEGMENT_WORDS} + 1 :
+                   i * {SEGMENT_WORDS} + {SEGMENT_WORDS}], ' ')))
+               AS seg
+      FROM d
+    ),
+    dist AS (
+      SELECT lang, seg, count(DISTINCT doc_id) AS df,
+             string_split(seg, ' ') AS sw
+      FROM segs GROUP BY lang, seg
+    ),
+    sh AS (
+      SELECT lang, seg, df,
+             CASE WHEN len(sw) >= {D11_SHINGLE_W} THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(sw) - {D11_SHINGLE_W - 1}),
+                 i -> array_to_string(sw[i:i + {D11_SHINGLE_W - 1}], ' ')))
+             ELSE [array_to_string(sw, ' ')] END AS sh
+      FROM dist
+    ),
+    pairs AS (
+      SELECT a.lang, a.seg AS a_seg, b.seg AS b_seg, b.df AS b_df
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.seg <> b.seg
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= {D11_JACCARD}
+    ),
+    fam AS (
+      SELECT s.lang, s.seg,
+             s.df + coalesce(sum(p.b_df), 0) AS family_df
+      FROM sh s LEFT JOIN pairs p ON p.lang = s.lang AND p.a_seg = s.seg
+      GROUP BY s.lang, s.seg, s.df
+    ),
+    marked AS (
+      SELECT g.doc_id, g.lang, g.seg,
+             f.family_df >= {D11_FAMILY_CUTOFF} AS drop
+      FROM segs g JOIN fam f ON f.lang = g.lang AND f.seg = g.seg
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(sum(CASE WHEN drop THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS drop_frac
+    FROM marked GROUP BY lang ORDER BY lang
+"""
+
+
+def segment_family_df(docs: DataFrame) -> DataFrame:
+    """(lang, seg, df, family_df): document frequency of every distinct
+    segment plus its one-hop near-dup family mass."""
+    w = F.split(F.trim(F.col("text")), " ")
+    seg_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(w, i * {SEGMENT_WORDS} + 1,"
+        f" {SEGMENT_WORDS}), ' '))"
+    )
+    segs = docs.select(
+        "doc_id", "lang", w.alias("w")
+    ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
+    dist = segs.groupBy("lang", "seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    sw = F.split(F.col("seg"), " ")
+    shingle_expr = F.when(
+        F.size(sw) >= D11_SHINGLE_W,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split(seg, ' ')) -"
+                f" {D11_SHINGLE_W - 1}), i -> array_join(slice("
+                f"split(seg, ' '), i, {D11_SHINGLE_W}), ' '))"
+            )
+        ),
+    ).otherwise(F.array(F.col("seg")))
+    sh = dist.withColumn("sh", shingle_expr).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = sh.select("lang", "seg", "df", "n_sh", F.explode("sh").alias("sg"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            [
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.seg") != F.col("b.seg"),
+                # lossless size-ratio prune (J <= min/max shingle counts)
+                F.col("a.n_sh") >= D11_JACCARD * F.col("b.n_sh"),
+                F.col("b.n_sh") >= D11_JACCARD * F.col("a.n_sh"),
+            ],
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.seg").alias("seg"),
+            F.col("b.seg").alias("b_seg"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+            F.col("b.df").alias("b_df"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    )
+    partner_mass = (
+        inter.filter(jac >= D11_JACCARD)
+        .groupBy("lang", "seg")
+        .agg(F.sum("b_df").alias("partner_df"))
+    )
+    return (
+        sh.join(partner_mass, ["lang", "seg"], "left")
+        .select(
+            "lang",
+            "seg",
+            "df",
+            (F.col("df") + F.coalesce(F.col("partner_df"), F.lit(0))).alias(
+                "family_df"
+            ),
+        )
+    )
+
+
+def d11_segment_near_dup_boilerplate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D11: per-language boilerplate accounting under FAMILY-df removal
+    — segments whose near-dup family collectively appears in >=
+    D11_FAMILY_CUTOFF documents are dropped; the oracle recomputes
+    segmentation, distinct-segment dfs, the jaccard pairs, the family
+    mass, and the per-doc marking relationally, so a segmentation
+    off-by-one, a shingle slip, a jaccard boundary flip, or a family
+    double-count flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), " ")
+    seg_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(w, i * {SEGMENT_WORDS} + 1,"
+        f" {SEGMENT_WORDS}), ' '))"
+    )
+    segs = docs.select(
+        "doc_id", "lang", w.alias("w")
+    ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
+    fam = segment_family_df(docs)
+    marked = segs.join(fam, ["lang", "seg"]).withColumn(
+        "drop", F.col("family_df") >= D11_FAMILY_CUTOFF
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("drop").cast("bigint")).alias("n_dropped"),
+            r4(
+                F.sum(F.col("drop").cast("double")) / F.count(F.lit(1))
+            ).alias("drop_frac"),
+        )
+        .orderBy("lang")
+    )
