@@ -1339,9 +1339,20 @@ D11_ORACLE = f"""
 """
 
 
-def segment_family_df(docs: DataFrame) -> DataFrame:
+def segment_family_df(
+    docs: DataFrame, posting_cap: int = 10_000
+) -> DataFrame:
     """(lang, seg, df, family_df): document frequency of every distinct
-    segment plus its one-hop near-dup family mass."""
+    segment plus its one-hop near-dup family mass.
+
+    ``posting_cap`` is d1b's 100 TB guard at segment granularity: a
+    shingle occurring in c distinct segments contributes c² join rows,
+    so shingles above the cap are dropped from the pair join (never
+    from the df counts). Capping can only REMOVE pairs, so family_df
+    is an underestimate and removal errs toward KEEPING data — and a
+    shingle shared by that many distinct segment texts carries no
+    near-dup signal anyway (the exact-duplicate mass was already
+    collapsed into df before the join)."""
     w = F.split(F.trim(F.col("text")), " ")
     seg_expr = F.expr(
         f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
@@ -1370,6 +1381,13 @@ def segment_family_df(docs: DataFrame) -> DataFrame:
         "n_sh", F.size("sh")
     )
     ex = sh.select("lang", "seg", "df", "n_sh", F.explode("sh").alias("sg"))
+    keep = (
+        ex.groupBy("lang", "sg")
+        .agg(F.count(F.lit(1)).alias("seg_df"))
+        .filter(F.col("seg_df") <= posting_cap)
+        .select("lang", "sg")
+    )
+    ex = ex.join(keep, ["lang", "sg"])
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(

@@ -88,3 +88,24 @@ def test_d11_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         d11_segment_near_dup_boilerplate(spark, sf_dir), D11_ORACLE, sf_dir
     )
+
+
+def test_posting_cap_is_a_subset_guard(spark, sf_dir):
+    """Capping drops shingles from the pair join only: a huge cap
+    equals the exact form, cap=0 degrades family_df to exact df (no
+    pairs at all), and any cap can only LOWER family_df — removal errs
+    toward keeping data."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["lang"], r["seg"]): r["family_df"]
+        for r in segment_family_df(docs, posting_cap=10**9).collect()
+    }
+    default = {
+        (r["lang"], r["seg"]): r["family_df"]
+        for r in segment_family_df(docs).collect()
+    }
+    assert exact == default
+    floor = segment_family_df(docs, posting_cap=0).collect()
+    assert {(r["lang"], r["seg"]) for r in floor} == set(exact)
+    for r in floor:
+        assert r["family_df"] == r["df"] <= exact[(r["lang"], r["seg"])]
