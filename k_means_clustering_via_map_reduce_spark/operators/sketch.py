@@ -119,3 +119,112 @@ def grouped_agg_udf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T24 — EXACT distributed heavy hitters via per-partition Misra-Gries +
+# candidate verification (round-8 surface, library-first per the
+# new-entry budget pacing; the @query registration is one decorator
+# away). The frequent-items face t5's HLL/GK sketches don't cover —
+# and unlike them it produces an EXACT, SQL-oracle-able answer from a
+# bounded-memory sketch:
+#
+#   1. Each partition runs Misra-Gries with K counters over its token
+#      stream (O(K) memory regardless of partition size) and emits its
+#      surviving candidates — mapInPandas, one pass, no shuffle.
+#   2. Soundness of the union: if freq(x) > n/K globally, then
+#      Σ_p (freq_p(x) − n_p/K) > 0, so freq_p(x) > n_p/K in at least
+#      one partition p — and per-partition MG provably keeps every
+#      such item. The union of partition candidates is therefore a
+#      SUPERSET of the true heavy hitters, no matter how rows are
+#      distributed.
+#   3. Exact verify: re-count ONLY the candidate tokens (broadcast
+#      semi-join into one aggregation) and keep freq > n/K.
+#
+# The candidate SET depends on partitioning; the verified OUTPUT never
+# does (pinned in tests/test_heavy_hitters.py). This is the LSH/d11
+# candidate-then-verify pattern applied to frequency: sketch for
+# recall, exact pass for precision — the shape that scales a top-k
+# over 100 TB of tokens without ever shuffling the full vocabulary.
+# --------------------------------------------------------------------------
+MG_COUNTERS = 64
+
+
+def _misra_gries(tokens, k: int) -> dict:
+    """Classic Misra-Gries: K-1 counters; decrement-all on overflow.
+    Returns the surviving counter map (values are LOWER bounds on the
+    partition-local frequency, freq_p(x) ≥ count ≥ freq_p(x) − n_p/K)."""
+    counters: dict = {}
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k - 1:
+            counters[t] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def heavy_hitters(
+    docs: DataFrame, k: int = MG_COUNTERS
+) -> DataFrame:
+    """(token, freq) of every token with freq > total_tokens / k,
+    EXACT, via per-partition MG candidates + one verified re-count."""
+    from collections.abc import Iterator
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import itertools
+
+        # one MG state across ALL batches of this partition: Arrow
+        # batch boundaries are an implementation detail, the sketch
+        # bound is per PARTITION
+        counters = _misra_gries(
+            itertools.chain.from_iterable(pdf["token"] for pdf in batches),
+            k,
+        )
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg, schema="token string").distinct()
+    total = toks.count()
+    verified = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > total / k)
+    )
+    return verified
+
+
+def t24_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24: exact corpus heavy hitters (freq > n/64) from a
+    bounded-memory one-pass sketch — the oracle is the plain exact
+    GROUP BY + HAVING, which the candidate-verify construction must
+    reproduce EXACTLY (a dropped candidate, a decrement bug, or a
+    threshold boundary slip loses or invents a token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        heavy_hitters(docs)
+        .select("token", F.col("freq").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+    )
+
+
+T24_ORACLE = f"""
+    WITH t AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ), n AS (SELECT count(*) AS total FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM t CROSS JOIN n
+    GROUP BY token, n.total
+    HAVING count(*) > n.total / {MG_COUNTERS}.0
+    ORDER BY freq DESC, token
+"""
