@@ -4951,3 +4951,65 @@ def f21_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F22 — copy-on-write DELETE read (round-8 surface, library-first; the
+# @query registration is one decorator away). The right-to-be-forgotten
+# operation of a training-corpus store: delete one language from the
+# versioned table and aggregate the survivors; the PRE-delete snapshot
+# must still show the deleted rows (history is immutable — physical
+# reclaim is retention + vacuum, the Delta GDPR contract). Staged with
+# lang-partitioned files so the file-granular COW is real: clean
+# languages' files carry into the new manifest BY NAME, unrewritten
+# (pinned in tests/test_delete_where.py).
+# --------------------------------------------------------------------------
+_F22_STAGED: dict[tuple, object] = {}
+
+F22_ORACLE = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents WHERE lang <> 'de'
+    GROUP BY source ORDER BY source
+"""
+
+
+def f22_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the table AFTER `DELETE WHERE lang = 'de'`: the oracle
+    replays the delete relationally, so a row the COW rewrite lost, a
+    survivor it dropped from an affected file, or a deleted row leaking
+    through an untouched file flips the hash. n_langs pins that exactly
+    one language vanished.
+
+    Scale: the delete costs O(affected files) data work — the staged
+    layout isolates the target language to its own files, so the clean
+    files are carried by name and never reread or rewritten; the read
+    stays a pinned-file parquet scan."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F22_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_cow_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        commit_append(d.repartition(5, "lang"), tmp.name)
+        delete_where(spark, tmp.name, "lang = 'de'")
+        _F22_STAGED[key] = tmp
+    latest = read_version(spark, _F22_STAGED[key].name)
+    return (
+        latest.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

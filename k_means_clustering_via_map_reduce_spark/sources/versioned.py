@@ -368,3 +368,87 @@ def read_version(
         # deterministic and null-fills columns a file predates.
         reader = reader.schema(schema)
     return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
+def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
+    """COPY-ON-WRITE DELETE (Delta/Iceberg's DELETE FROM, minimally):
+    commit a new version in which no row satisfies ``predicate`` — the
+    right-to-be-forgotten operation a training-corpus store must have.
+    Returns the new version.
+
+    File-granular COW: only files that actually CONTAIN matching rows
+    are rewritten (their survivors re-written into new files); every
+    untouched file is carried into the new manifest BY NAME, unread and
+    unmoved. History is immutable — earlier versions still name the
+    original files and still show the deleted rows (physical reclaim is
+    expire_versions + vacuum, exactly as for compaction) — so "forget"
+    at the TABLE level is this delete plus retention of the history
+    window, the same contract Delta documents for GDPR.
+
+    Scale: one scan with input_file_name() finds the affected-file set
+    (predicate pushdown prunes row groups, so unaffected files cost
+    footer-reads); the rewrite reads ONLY affected files. A delete
+    touching f of N files costs O(f) data work + O(N) manifest
+    metadata, never a full-table rewrite. Deleting nothing commits
+    nothing (returns the current version) — a no-op must not burn a
+    version or rewrite a byte."""
+    from pyspark.sql import functions as F
+
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot delete from an empty table")
+    manifest = read_manifest(root, parent)
+    rel_files = manifest["files"]
+    schema = table_schema(root, parent)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    abs_of = {os.path.realpath(os.path.join(root, f)): f for f in rel_files}
+    df = reader.parquet(*abs_of).withColumn(
+        "_kmce_file", F.input_file_name()
+    )
+    affected_abs = {
+        os.path.realpath(r["_kmce_file"].replace("file://", "", 1))
+        for r in df.filter(predicate).select("_kmce_file").distinct().collect()
+    }
+    affected_rel = sorted(abs_of[a] for a in affected_abs)
+    if not affected_rel:
+        return parent
+    txn = uuid.uuid4().hex[:12]
+    version = parent + 1
+    data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
+    survivors = (
+        df.filter(
+            F.col("_kmce_file").isin(
+                [f"file://{a}" for a in affected_abs] + list(affected_abs)
+            )
+        )
+        .filter(f"NOT ({predicate})")
+        .drop("_kmce_file")
+    )
+    survivors.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(os.path.relpath(data_dir, root), n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    kept = [f for f in rel_files if f not in set(affected_rel)]
+    new_manifest = {
+        "version": version,
+        "parent": parent,
+        "files": kept + new_files,
+        "added": new_files,
+        "deleted_from": affected_rel,
+        "batches": manifest.get("batches", []),
+    }
+    if manifest.get("schema") is not None:
+        new_manifest["schema"] = manifest["schema"]
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, version) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    finally:
+        os.remove(tmp)
+    return version

@@ -1,0 +1,114 @@
+"""F22 copy-on-write DELETE on the versioned table (round-8 pre-build):
+file-granular rewrites, snapshot isolation of deleted history, no-op
+discipline, and the driver-style oracle pre-validation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    commit_append,
+    delete_where,
+    read_manifest,
+    read_version,
+)
+
+
+def _commit_batches(spark, root):
+    """Two commits, four files total, with 'del' rows isolated to
+    known files so COW granularity is observable."""
+    a = spark.createDataFrame(
+        [(1, "keep"), (2, "del")], "id bigint, tag string"
+    ).repartition(2, "tag")
+    b = spark.createDataFrame(
+        [(3, "keep"), (4, "keep")], "id bigint, tag string"
+    ).coalesce(1)
+    commit_append(a, root)
+    commit_append(b, root)
+
+
+def test_delete_removes_rows_and_only_rewrites_affected_files(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    _commit_batches(spark, root)
+    before = read_manifest(root, 2)["files"]
+    v = delete_where(spark, root, "tag = 'del'")
+    assert v == 3
+    after = read_manifest(root, 3)
+    # every kept file is carried BY NAME (no rewrite of clean files)
+    untouched = [f for f in before if f in after["files"]]
+    assert untouched, "COW must carry clean files forward unrewritten"
+    assert after["deleted_from"], "affected files recorded"
+    # affected files are gone from the live set
+    assert not set(after["deleted_from"]) & set(after["files"])
+    rows = {
+        (r["id"], r["tag"]) for r in read_version(spark, root).collect()
+    }
+    assert rows == {(1, "keep"), (3, "keep"), (4, "keep")}
+
+
+def test_history_still_shows_deleted_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _commit_batches(spark, root)
+    delete_where(spark, root, "tag = 'del'")
+    v2 = {(r["id"], r["tag"]) for r in read_version(spark, root, 2).collect()}
+    assert (2, "del") in v2 and len(v2) == 4
+
+
+def test_noop_delete_burns_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _commit_batches(spark, root)
+    files_before = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(root) for f in fs
+    )
+    assert delete_where(spark, root, "tag = 'absent'") == 2
+    files_after = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(root) for f in fs
+    )
+    assert files_after == files_before
+
+
+def test_delete_preserves_schema_and_ledger(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "x")], "id bigint, tag string")
+    commit_append(base, root, batch_id=7)
+    commit_append(
+        base.withColumn("q", F.lit(1.0)).withColumn(
+            "id", F.lit(2).cast("bigint")
+        ),
+        root,
+        batch_id=8,
+    )
+    delete_where(spark, root, "id = 1")
+    m = read_manifest(root, 3)
+    assert m["batches"] == [7, 8]  # replay protection survives deletes
+    latest = read_version(spark, root)
+    assert [f.name for f in latest.schema.fields] == ["id", "tag", "q"]
+    assert {r["id"] for r in latest.collect()} == {2}
+
+
+def test_delete_composes_with_evolution_null_semantics(spark, tmp_path):
+    """Deleting on an EVOLVED column: pre-evolution rows read it as
+    NULL, and 'q IS NULL' must target exactly them."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, tag string")
+    commit_append(base, root)
+    commit_append(
+        spark.createDataFrame([(3, "z", 0.5)], "id bigint, tag string, q double"),
+        root,
+    )
+    delete_where(spark, root, "q IS NULL")
+    assert {r["id"] for r in read_version(spark, root).collect()} == {3}
+
+
+def test_f22_query_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F22_ORACLE,
+        f22_delete_where_read,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(f22_delete_where_read(spark, sf_dir), F22_ORACLE, sf_dir)
