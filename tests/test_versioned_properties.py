@@ -34,6 +34,7 @@ from hypothesis import strategies as st
 from k_means_clustering_via_map_reduce_spark.sources.versioned import (
     commit_append,
     compact,
+    delete_where,
     expire_versions,
     latest_version,
     read_manifest,
@@ -50,6 +51,8 @@ _OPS = st.lists(
         st.tuples(st.just("expire"), st.integers(1, 3)),
         st.just("vacuum"),
         st.just("orphan"),
+        # round-7 COW delete: drop every row of one batch tag
+        st.tuples(st.just("delete"), st.integers(0, 4)),
     ),
     min_size=3,
     max_size=8,
@@ -103,6 +106,20 @@ def test_lifecycle_invariants_hold_under_any_interleaving(spark_prop, ops):
                 with open(os.path.join(odir, "orphan.parquet"), "wb") as fh:
                     fh.write(b"not a real parquet; never read")
                 seq += 1
+            elif op[0] == "delete":
+                if latest == 0:
+                    continue
+                tag = f"b{op[1]}"
+                v = delete_where(spark, root, f"tag = '{tag}'")
+                survivors = [
+                    row for row in model[latest] if row[1] != tag
+                ]
+                if survivors == model[latest]:
+                    # no-op contract: no new version, nothing rewritten
+                    assert v == latest
+                else:
+                    assert v == latest + 1
+                    model[v] = survivors
             elif op[0] == "append":
                 seq += 1
                 v = commit_append(_batch(spark, op[1], seq), root)
