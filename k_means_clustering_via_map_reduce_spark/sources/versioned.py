@@ -370,33 +370,25 @@ def read_version(
     return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
-def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
-    """COPY-ON-WRITE DELETE (Delta/Iceberg's DELETE FROM, minimally):
-    commit a new version in which no row satisfies ``predicate`` — the
-    right-to-be-forgotten operation a training-corpus store must have.
-    Returns the new version.
-
-    File-granular COW: only files that actually CONTAIN matching rows
-    are rewritten (their survivors re-written into new files); every
-    untouched file is carried into the new manifest BY NAME, unread and
-    unmoved. History is immutable — earlier versions still name the
-    original files and still show the deleted rows (physical reclaim is
-    expire_versions + vacuum, exactly as for compaction) — so "forget"
-    at the TABLE level is this delete plus retention of the history
-    window, the same contract Delta documents for GDPR.
-
-    Scale: one scan with input_file_name() finds the affected-file set
-    (predicate pushdown prunes row groups, so unaffected files cost
-    footer-reads); the rewrite reads ONLY affected files. A delete
-    touching f of N files costs O(f) data work + O(N) manifest
-    metadata, never a full-table rewrite. Deleting nothing commits
-    nothing (returns the current version) — a no-op must not burn a
-    version or rewrite a byte."""
+def _cow_rewrite(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    transform,
+    manifest_key: str,
+) -> int:
+    """Shared copy-on-write engine for DELETE/UPDATE: find the files
+    that CONTAIN matching rows (one input_file_name() scan, predicate
+    pushdown pruning the rest), rewrite only those files through
+    ``transform`` (given the affected-file frame, returns the rows the
+    new files must hold), carry every clean file into the new manifest
+    BY NAME, and commit with the same link-don't-clobber discipline as
+    commit_append. A predicate matching nothing commits nothing."""
     from pyspark.sql import functions as F
 
     parent = latest_version(root)
     if parent == 0:
-        raise ValueError("cannot delete from an empty table")
+        raise ValueError("cannot rewrite an empty table")
     manifest = read_manifest(root, parent)
     rel_files = manifest["files"]
     schema = table_schema(root, parent)
@@ -417,16 +409,12 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     txn = uuid.uuid4().hex[:12]
     version = parent + 1
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
-    survivors = (
-        df.filter(
-            F.col("_kmce_file").isin(
-                [f"file://{a}" for a in affected_abs] + list(affected_abs)
-            )
+    affected_rows = df.filter(
+        F.col("_kmce_file").isin(
+            [f"file://{a}" for a in affected_abs] + list(affected_abs)
         )
-        .filter(f"NOT ({predicate})")
-        .drop("_kmce_file")
-    )
-    survivors.write.parquet(data_dir)
+    ).drop("_kmce_file")
+    transform(affected_rows).write.parquet(data_dir)
     new_files = sorted(
         os.path.join(os.path.relpath(data_dir, root), n)
         for n in os.listdir(data_dir)
@@ -438,7 +426,7 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         "parent": parent,
         "files": kept + new_files,
         "added": new_files,
-        "deleted_from": affected_rel,
+        manifest_key: affected_rel,
         "batches": manifest.get("batches", []),
     }
     if manifest.get("schema") is not None:
@@ -452,3 +440,74 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     finally:
         os.remove(tmp)
     return version
+
+
+def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
+    """COPY-ON-WRITE DELETE (Delta/Iceberg's DELETE FROM, minimally):
+    commit a new version in which no row satisfies ``predicate`` — the
+    right-to-be-forgotten operation a training-corpus store must have.
+    Returns the new version (the CURRENT version for a no-op delete:
+    no version burned, no byte rewritten).
+
+    File-granular COW: only files that actually CONTAIN matching rows
+    are rewritten (their survivors re-written into new files); every
+    untouched file is carried into the new manifest BY NAME, unread and
+    unmoved. History is immutable — earlier versions still name the
+    original files and still show the deleted rows (physical reclaim is
+    expire_versions + vacuum, exactly as for compaction) — so "forget"
+    at the TABLE level is this delete plus retention of the history
+    window, the same contract Delta documents for GDPR.
+
+    Scale: a delete touching f of N files costs O(f) data work +
+    O(N) manifest metadata, never a full-table rewrite."""
+
+    def drop_matches(affected):
+        return affected.filter(f"NOT ({predicate})")
+
+    return _cow_rewrite(spark, root, predicate, drop_matches, "deleted_from")
+
+
+def update_where(
+    spark: SparkSession, root: str, predicate: str, assignments: dict
+) -> int:
+    """COPY-ON-WRITE UPDATE (Delta's UPDATE ... SET): rows matching
+    ``predicate`` get each ``assignments`` column replaced by its SQL
+    expression (evaluated per row, old values visible on the right-hand
+    side); every other row — in affected files AND in untouched files —
+    survives byte-identical. Same file-granular COW, no-op, history,
+    ledger, and schema-carry contracts as ``delete_where``; assignments
+    may only SET existing columns (new columns are schema evolution,
+    i.e. commit_append's job, not a side effect of an update)."""
+    from pyspark.sql import functions as F
+
+    schema = table_schema(root)
+    if schema is not None:
+        known = {f.name for f in schema.fields}
+        unknown = sorted(set(assignments) - known)
+        if unknown:
+            raise ValueError(
+                f"update_where may only SET existing columns; unknown: "
+                f"{unknown} (add columns via commit_append schema "
+                f"evolution instead)"
+            )
+
+    def apply_set(affected):
+        # ONE select, every right-hand side bound to the ORIGINAL row —
+        # SQL UPDATE semantics. A withColumn chain would instead let a
+        # later assignment read an earlier assignment's NEW value,
+        # silently breaking e.g. the swap UPDATE ... SET a = b, b = a.
+        cols = []
+        for name in affected.columns:
+            if name in assignments:
+                cols.append(
+                    F.when(
+                        F.expr(predicate), F.expr(assignments[name])
+                    )
+                    .otherwise(F.col(name))
+                    .alias(name)
+                )
+            else:
+                cols.append(F.col(name))
+        return affected.select(*cols)
+
+    return _cow_rewrite(spark, root, predicate, apply_set, "updated_from")

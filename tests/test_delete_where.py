@@ -112,3 +112,61 @@ def test_f22_query_matches_oracle_driver_style(spark, sf_dir):
     from tests.oracle_utils import compare_to_oracle
 
     compare_to_oracle(f22_delete_where_read(spark, sf_dir), F22_ORACLE, sf_dir)
+
+
+# ------------------------------------------------------------------
+# update_where (the COW UPDATE companion)
+# ------------------------------------------------------------------
+
+
+def test_update_rewrites_matching_rows_only(spark, tmp_path):
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        update_where,
+    )
+
+    root = str(tmp_path / "t")
+    _commit_batches(spark, root)
+    before = read_manifest(root, 2)["files"]
+    v = update_where(spark, root, "tag = 'del'", {"tag": "'redacted'"})
+    assert v == 3
+    after = read_manifest(root, 3)
+    assert [f for f in before if f in after["files"]], "clean files carried"
+    assert after["updated_from"]
+    rows = {(r["id"], r["tag"]) for r in read_version(spark, root).collect()}
+    assert rows == {(1, "keep"), (2, "redacted"), (3, "keep"), (4, "keep")}
+    # history unchanged
+    v2 = {(r["id"], r["tag"]) for r in read_version(spark, root, 2).collect()}
+    assert (2, "del") in v2
+
+
+def test_update_rhs_reads_the_old_row(spark, tmp_path):
+    """SQL UPDATE semantics: SET a = b, b = a must SWAP — every
+    right-hand side binds to the pre-update row, never to an earlier
+    assignment's new value."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        update_where,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, 10, 20)], "id bigint, a bigint, b bigint"),
+        root,
+    )
+    update_where(spark, root, "id = 1", {"a": "b", "b": "a"})
+    r = read_version(spark, root).collect()[0]
+    assert (r["a"], r["b"]) == (20, 10)
+
+
+def test_update_noop_and_unknown_column_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        update_where,
+    )
+
+    root = str(tmp_path / "t")
+    _commit_batches(spark, root)
+    assert update_where(spark, root, "tag = 'absent'", {"tag": "'x'"}) == 2
+    with _pytest.raises(ValueError, match="only SET existing columns"):
+        update_where(spark, root, "tag = 'del'", {"brand_new": "1"})
