@@ -36,6 +36,7 @@ from k_means_clustering_via_map_reduce_spark.sources.versioned import (
     compact,
     delete_where,
     expire_versions,
+    update_where,
     latest_version,
     read_manifest,
     read_version,
@@ -53,6 +54,8 @@ _OPS = st.lists(
         st.just("orphan"),
         # round-7 COW delete: drop every row of one batch tag
         st.tuples(st.just("delete"), st.integers(0, 4)),
+        # round-7 COW update: shift every value of one batch tag
+        st.tuples(st.just("update"), st.integers(0, 4)),
     ),
     min_size=3,
     max_size=8,
@@ -120,6 +123,22 @@ def test_lifecycle_invariants_hold_under_any_interleaving(spark_prop, ops):
                 else:
                     assert v == latest + 1
                     model[v] = survivors
+            elif op[0] == "update":
+                if latest == 0:
+                    continue
+                tag = f"b{op[1]}"
+                v = update_where(
+                    spark, root, f"tag = '{tag}'", {"v": "v + 1000"}
+                )
+                touched = any(row[1] == tag for row in model[latest])
+                if not touched:
+                    assert v == latest
+                else:
+                    assert v == latest + 1
+                    model[v] = sorted(
+                        (i, t, val + 1000 if t == tag else val)
+                        for i, t, val in model[latest]
+                    )
             elif op[0] == "append":
                 seq += 1
                 v = commit_append(_batch(spark, op[1], seq), root)
