@@ -158,6 +158,77 @@ def _evolve_schema(parent, incoming):
     return StructType(out)
 
 
+def _collect_file_stats(root: str, rel_files: list) -> dict:
+    """Per-file column min/max from the parquet FOOTERS of newly
+    written files (Delta's add-action stats, minimally): an O(#files)
+    driver-side metadata read — the data is not re-scanned. Only
+    int/float/bool/str leaf columns are recorded (they JSON-round-trip
+    exactly); a column with no usable stats in a file is simply absent
+    — readers must treat absence as "cannot prune", never "empty"."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_files:
+        stats: dict = {}
+        try:
+            meta = pq.ParquetFile(os.path.join(root, rel)).metadata
+        except Exception:
+            out[rel] = {}
+            continue
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    # mark unprunable: a single statless row group
+                    # poisons the whole file's bound for that column
+                    stats[name] = None
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        stats[name] = None
+                        continue
+                if not isinstance(lo, (int, float, bool, str)):
+                    stats[name] = None
+                    continue
+                cur = stats.get(name)
+                if cur is None and name in stats:
+                    continue  # already poisoned
+                if cur is None:
+                    stats[name] = [lo, hi]
+                else:
+                    stats[name] = [min(cur[0], lo), max(cur[1], hi)]
+        out[rel] = {k: v for k, v in stats.items() if v is not None}
+    return out
+
+
+def prune_files(
+    root: str, version: int, column: str, lo, hi
+) -> list:
+    """Manifest-side data skipping: the subset of version N's files
+    whose recorded [min, max] for ``column`` intersects [lo, hi].
+    Files with no stats for the column are KEPT (conservative — a
+    reader must never lose rows to missing metadata). This is the
+    file-level pruning a plain parquet scan cannot do (Spark prunes
+    row groups inside the files it is GIVEN; the manifest decides
+    which files it is given)."""
+    m = read_manifest(root, version)
+    stats = m.get("stats", {})
+    kept = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(column)
+        if s is None:
+            kept.append(f)
+        elif not (hi < s[0] or lo > s[1]):
+            kept.append(f)
+    return kept
+
+
+
 def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
     """Append ``df`` as a new immutable snapshot; returns the new
     version. Optimistic concurrency: two racing committers both write
@@ -196,6 +267,12 @@ def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
         "added": new_files,
         "batches": batches,
         "schema": evolved.jsonValue(),
+        # per-file min/max (Delta add-action stats): parents' stats
+        # carry forward, new files' come off their fresh footers
+        "stats": {
+            **prev.get("stats", {}),
+            **_collect_file_stats(root, new_files),
+        },
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
@@ -264,6 +341,7 @@ def compact(
     parent_schema = read_manifest(root, parent).get("schema")
     if parent_schema is not None:
         manifest["schema"] = parent_schema
+    manifest["stats"] = _collect_file_stats(root, new_files)
     tmp = _manifest_path(root, version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -421,6 +499,7 @@ def _cow_rewrite(
         if n.endswith(".parquet")
     )
     kept = [f for f in rel_files if f not in set(affected_rel)]
+    prev_stats = manifest.get("stats", {})
     new_manifest = {
         "version": version,
         "parent": parent,
@@ -428,6 +507,10 @@ def _cow_rewrite(
         "added": new_files,
         manifest_key: affected_rel,
         "batches": manifest.get("batches", []),
+        "stats": {
+            **{f: prev_stats[f] for f in kept if f in prev_stats},
+            **_collect_file_stats(root, new_files),
+        },
     }
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]

@@ -170,3 +170,102 @@ def test_update_noop_and_unknown_column_guard(spark, tmp_path):
     assert update_where(spark, root, "tag = 'absent'", {"tag": "'x'"}) == 2
     with _pytest.raises(ValueError, match="only SET existing columns"):
         update_where(spark, root, "tag = 'del'", {"brand_new": "1"})
+
+
+# ------------------------------------------------------------------
+# Manifest-stats data skipping (Delta add-action stats, minimally)
+# ------------------------------------------------------------------
+
+
+def test_manifest_stats_enable_file_pruning(spark, tmp_path):
+    """Files whose recorded [min,max] cannot intersect the probe range
+    must be skipped at the MANIFEST level — the pruning a plain parquet
+    scan cannot do (Spark prunes row groups inside the files it is
+    given; the manifest decides which files it is given)."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        prune_files,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        commit_append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(10)],
+                "id bigint, tag string",
+            ).coalesce(1),
+            root,
+        )
+    m = read_manifest(root, 3)
+    assert len(m["files"]) == 3 and m["stats"]
+    hit = prune_files(root, 3, "id", 100, 105)
+    assert len(hit) == 1
+    # probe range covering two files keeps exactly those two
+    assert len(prune_files(root, 3, "id", 95, 205)) == 2
+    # string column stats prune too
+    assert len(prune_files(root, 3, "tag", "r100", "r105")) < 3
+    # unknown column: conservative — every file kept
+    assert len(prune_files(root, 3, "absent", 0, 1)) == 3
+
+
+def test_pruned_read_equals_full_read_filtered(spark, tmp_path):
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        prune_files,
+        read_version,
+    )
+    import os as _os
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        commit_append(
+            spark.createDataFrame(
+                [(lo + i,) for i in range(10)], "id bigint"
+            ).coalesce(1),
+            root,
+        )
+    files = prune_files(root, 3, "id", 100, 109)
+    got = sorted(
+        r["id"]
+        for r in spark.read.parquet(
+            *[_os.path.join(root, f) for f in files]
+        )
+        .filter("id BETWEEN 100 AND 109")
+        .collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in read_version(spark, root)
+        .filter("id BETWEEN 100 AND 109")
+        .collect()
+    )
+    assert got == want == list(range(100, 110))
+
+
+def test_stats_survive_cow_and_compaction(spark, tmp_path):
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        compact,
+        delete_where,
+        prune_files,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100):
+        commit_append(
+            spark.createDataFrame(
+                [(lo + i,) for i in range(10)], "id bigint"
+            ).coalesce(1),
+            root,
+        )
+    v = delete_where(spark, root, "id = 105")
+    m = read_manifest(root, v)
+    # every live file carries stats (kept ones forwarded, rewritten
+    # ones re-collected from their fresh footers)
+    assert set(m["stats"]) == set(m["files"])
+    assert len(prune_files(root, v, "id", 0, 9)) == 1
+    v2 = compact(spark, root)
+    m2 = read_manifest(root, v2)
+    assert set(m2["stats"]) == set(m2["files"])
