@@ -5013,3 +5013,86 @@ def f22_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# F23 — manifest-stats DATA SKIPPING read (round-8 surface,
+# library-first; the @query registration is one decorator away). The
+# versioned table records per-file column min/max at every commit
+# (Delta add-action stats); a range probe prunes the FILE LIST before
+# Spark ever sees it. Staged as one file per doc_id range so the
+# skipping is real and measurable: the probe range below touches 2 of
+# 10 files (asserted at staging time — a silent stats regression would
+# surface as a staging failure, not a quiet full scan).
+# --------------------------------------------------------------------------
+_F23_STAGED: dict[tuple, object] = {}
+
+F23_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents WHERE doc_id >= 120 AND doc_id < 220
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def f23_data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate a doc_id range read through manifest-stats file
+    pruning: the manifest names 10 range-clustered files, the probe
+    keeps 2, and the result must equal the oracle's plain relational
+    filter — pruning must be invisible to semantics (a file wrongly
+    skipped loses rows and flips the hash; min_doc/max_doc pin the
+    boundary rows of both kept files).
+
+    Scale: the prune is O(#files) DRIVER-side metadata — at 100 TB it
+    is the difference between planning over every file's footer and
+    handing Spark exactly the files that can match; the scan itself
+    then still row-group-prunes inside the survivors."""
+    import os as _os
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        prune_files,
+        read_manifest,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F23_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_skip_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        hi = d.agg(F.max("doc_id")).collect()[0][0]
+        step = (hi + 10) // 10
+        for b in range(10):
+            commit_append(
+                d.filter(
+                    (F.col("doc_id") >= b * step)
+                    & (F.col("doc_id") < (b + 1) * step)
+                ).coalesce(1),
+                tmp.name,
+            )
+        v = 10
+        assert len(read_manifest(tmp.name, v)["files"]) == 10
+        kept = prune_files(tmp.name, v, "doc_id", 120, 219)
+        # the staging contract: skipping must keep EXACTLY the files
+        # whose bucket range intersects the probe — and actually skip
+        want = len(range(120 // step, 219 // step + 1))
+        assert len(kept) == want < 10, (kept, step)
+        _F23_STAGED[key] = (tmp, kept)
+    tmp, kept = _F23_STAGED[key]
+    pruned = spark.read.parquet(
+        *[_os.path.join(tmp.name, f) for f in kept]
+    )
+    return (
+        pruned.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 220))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -269,3 +269,13 @@ def test_stats_survive_cow_and_compaction(spark, tmp_path):
     v2 = compact(spark, root)
     m2 = read_manifest(root, v2)
     assert set(m2["stats"]) == set(m2["files"])
+
+
+def test_f23_query_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F23_ORACLE,
+        f23_data_skipping_read,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(f23_data_skipping_read(spark, sf_dir), F23_ORACLE, sf_dir)
