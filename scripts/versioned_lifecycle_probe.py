@@ -178,10 +178,61 @@ def _time_meta_commit(root: str) -> float:
     return time.time() - t0
 
 
+def cow_probe(spark) -> None:
+    """Round-7 delete/update cost shape: a COW rewrite touching f of N
+    files must cost O(f) data work — wall and files-rewritten should
+    track the AFFECTED count, never the table size, and every clean
+    file must carry into the new manifest by name."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        delete_where,
+    )
+
+    print("\n## COW delete cost shape (20-file table, O(affected) claim)")
+    print("| files touched | wall s | files rewritten | files carried |")
+    print("|---|---|---|---|")
+    for touch in (1, 5, 10, 20):
+        root = tempfile.mkdtemp(prefix="kmce_cow_probe_")
+        try:
+            for b in range(20):
+                commit_append(
+                    spark.range(b * 1000, (b + 1) * 1000)
+                    .select(
+                        F.col("id"),
+                        (F.col("id") % 97).alias("v"),
+                    )
+                    .coalesce(1),
+                    root,
+                )
+            before = read_manifest(root, 20)["files"]
+            # delete one row from each of the first `touch` buckets
+            ids = ", ".join(str(b * 1000 + 7) for b in range(touch))
+            t0 = time.time()
+            v = delete_where(spark, root, f"id IN ({ids})")
+            dt = time.time() - t0
+            m = read_manifest(root, v)
+            carried = len([f for f in before if f in m["files"]])
+            print(
+                f"| {touch} | {dt:.2f} | {len(m['deleted_from'])} "
+                f"| {carried} |"
+            )
+            assert len(m["deleted_from"]) == touch
+            assert carried == 20 - touch
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
+    if "--cow" in sys.argv:
+        spark = _spark()
+        cow_probe(spark)
+        spark.stop()
+        return
     spark = _spark()
     real_table_probe(spark)
     metadata_only_probe()
+    cow_probe(spark)
     spark.stop()
 
 
