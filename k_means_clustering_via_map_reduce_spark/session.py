@@ -34,6 +34,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / mapInPandas / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Catalyst filter pushdown INTO Python DataSources (4.1 API) — the
+    # kmce_versioned connector turns pushed predicates into manifest
+    # file skipping (sources/python_source.py:register_versioned_source).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

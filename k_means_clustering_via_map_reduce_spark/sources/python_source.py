@@ -696,3 +696,247 @@ if _HAVE_DATASOURCE:
             "n_events",
             "sum_v",
         ).orderBy("hour_ts", "chan")
+
+
+# --------------------------------------------------------------------------
+# F24 — the versioned table as a FIRST-CLASS Spark connector with
+# pushdown-driven data skipping (round-8 surface, library-first; the
+# @query registration is one decorator away).
+#
+# spark.read.format("kmce_versioned").option("root", ...) composes the
+# whole lakehouse layer with Catalyst: `schema()` serves the manifest's
+# recorded (evolved) schema, `pushFilters` (Spark 4.1 Python DataSource
+# API) receives Catalyst's conjunctive predicates and prunes the FILE
+# LIST against the manifest's per-file min/max stats, `partitions()`
+# hands back one InputPartition per surviving file, and `read()`
+# pyarrow-scans only that file — null-filling columns the file predates
+# (the schema-evolution read contract, now inside a connector).
+#
+# Pruning is conservative and NON-EXACT by design: every pushed filter
+# is returned to Spark for post-scan row evaluation (`yield` all),
+# so a pruning bug can only cost performance if it keeps too much — a
+# file wrongly DROPPED is caught by the parity test pinning connector
+# output == read_version() on every probe.
+# --------------------------------------------------------------------------
+
+
+def register_versioned_source(spark: SparkSession) -> str:
+    """Register the ``kmce_versioned`` DataSource; returns the name."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+    from pyspark.sql.types import StructType
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+    )
+
+    class FilePartition(InputPartition):
+        def __init__(self, path: str, schema_json: dict):
+            self.path = path
+            self.schema_json = schema_json
+
+    class VersionedReader(DataSourceReader):
+        def __init__(self, options, schema_json):
+            self.root = options["root"]
+            self.version = int(
+                options.get("version") or latest_version(self.root)
+            )
+            self.schema_json = schema_json
+            manifest = read_manifest(self.root, self.version)
+            self.files = list(manifest["files"])
+            self.stats = manifest.get("stats", {})
+            # column -> [lo, hi] probe bounds accumulated by pushFilters
+            self.bounds: dict = {}
+
+        def pushFilters(self, filters):
+            for f in filters:
+                # single-column comparisons tighten the probe window;
+                # everything is ALSO handed back to Spark (yield), so
+                # pruning stays a pure file-count optimization
+                col = (
+                    f.attribute[0]
+                    if isinstance(
+                        f,
+                        (
+                            EqualTo,
+                            GreaterThan,
+                            GreaterThanOrEqual,
+                            LessThan,
+                            LessThanOrEqual,
+                        ),
+                    )
+                    and len(f.attribute) == 1
+                    else None
+                )
+                if col is not None and isinstance(
+                    f.value, (int, float, str, bool)
+                ):
+                    lo, hi = self.bounds.get(col, (None, None))
+                    if isinstance(f, EqualTo):
+                        lo, hi = f.value, f.value
+                    elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        lo = f.value if lo is None else max(lo, f.value)
+                    else:
+                        hi = f.value if hi is None else min(hi, f.value)
+                    self.bounds[col] = (lo, hi)
+                yield f
+
+        def _kept_files(self):
+            kept = []
+            for f in self.files:
+                s = self.stats.get(f, {})
+                ok = True
+                for col, (lo, hi) in self.bounds.items():
+                    b = s.get(col)
+                    if b is None:
+                        continue  # no stats: cannot prune, keep
+                    try:
+                        if hi is not None and b[0] > hi:
+                            ok = False
+                        if lo is not None and b[1] < lo:
+                            ok = False
+                    except TypeError:
+                        continue  # cross-type compare: keep
+                if ok:
+                    kept.append(f)
+            return kept
+
+        def partitions(self):
+            import os as _os
+
+            return [
+                FilePartition(
+                    _os.path.join(self.root, f), self.schema_json
+                )
+                for f in self._kept_files()
+            ]
+
+        def read(self, part):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            want = to_arrow_schema(StructType.fromJson(part.schema_json))
+            table = pq.read_table(part.path)
+            cols = []
+            for field in want:
+                if field.name in table.column_names:
+                    cols.append(
+                        table.column(field.name).cast(field.type)
+                    )
+                else:
+                    # schema evolution: the file predates this column
+                    cols.append(pa.nulls(len(table), type=field.type))
+            for batch in pa.Table.from_arrays(
+                cols, schema=want
+            ).to_batches():
+                yield batch
+
+    class VersionedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "kmce_versioned"
+
+        def schema(self):
+            from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+                table_schema,
+            )
+
+            root = self.options["root"]
+            version = int(
+                self.options.get("version") or latest_version(root)
+            )
+            ts = table_schema(root, version)
+            if ts is None:
+                raise ValueError(
+                    "kmce_versioned requires a manifest-recorded schema "
+                    "(pre-evolution tables: read via read_version)"
+                )
+            self._schema_json = ts.jsonValue()
+            return ts
+
+        def reader(self, schema):
+            return VersionedReader(self.options, schema.jsonValue())
+
+    spark.dataSource.register(VersionedSource)
+    return "kmce_versioned"
+
+
+F24_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents WHERE doc_id >= 150 AND doc_id < 260
+    GROUP BY lang ORDER BY lang
+"""
+
+_F24_STAGED: dict = {}
+
+
+def f24_versioned_connector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F24: a doc_id range aggregated through
+    ``spark.read.format("kmce_versioned")`` — Catalyst pushes the range
+    into the connector, pushFilters prunes the manifest's file list
+    against per-file stats, and the result must equal the oracle's
+    plain relational filter (pruning that drops a needed file loses
+    rows and flips the hash; Spark re-evaluates every filter post-scan,
+    so keeping too much can only cost time).
+
+    Scale: the skipping decision is O(#files) driver-side metadata; the
+    executors receive one InputPartition per SURVIVING file only."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+    from k_means_clustering_via_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    register_versioned_source(spark)
+    key = staging_key(sf_dir, "documents")
+    if key not in _F24_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_vds_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        hi = d.agg(F.max("doc_id")).collect()[0][0]
+        step = (hi + 10) // 10
+        for b in range(10):
+            commit_append(
+                d.filter(
+                    (F.col("doc_id") >= b * step)
+                    & (F.col("doc_id") < (b + 1) * step)
+                ).coalesce(1),
+                tmp.name,
+            )
+        _F24_STAGED[key] = tmp
+    df = (
+        spark.read.format("kmce_versioned")
+        .option("root", _F24_STAGED[key].name)
+        .load()
+    )
+    return (
+        df.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 260))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
