@@ -940,3 +940,181 @@ def f24_versioned_connector_read(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# K23 — the versioned table as a STREAMING SOURCE (change feed; round-8
+# surface, library-first). Offsets ARE versions: a micro-batch is the
+# rows of the manifests' `added` files between two versions, so the
+# feed is deterministic, replayable from any committed offset (the
+# manifests and data files are immutable — readBetweenOffsets is a pure
+# manifest lookup), and INCREMENTAL ACROSS RESTARTS: a scheduled job
+# with a checkpoint consumes exactly the versions committed since its
+# last run (pinned in tests). This closes the lakehouse loop begun by
+# k21: streams ingest INTO the table, and the table is itself a stream.
+#
+# APPEND-ONLY semantics, stated honestly: a COW delete/update version's
+# `added` files contain rewritten SURVIVORS, which an append-feed would
+# re-emit without retractions — same restriction Delta's change feed
+# places on append-only streaming reads. Use on ingest-style tables
+# (k21/k22's); CDC with remove-records is a different operator.
+#
+# Scale: the simple-reader contract materializes each chunk driver-side
+# (right for metadata-paced feeds: a version is typically one
+# micro-batch of files); the partition-parallel DataSourceStreamReader
+# with one InputPartition per added FILE is the documented scale form,
+# same split as f24's batch reader.
+# --------------------------------------------------------------------------
+
+
+def register_version_feed_source(spark: SparkSession) -> str:
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+    from pyspark.sql.types import StructType
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+        table_schema,
+    )
+
+    def _added_rows(root: str, schema_json: dict, v0: int, v1: int) -> list:
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        want = StructType.fromJson(schema_json)
+        names = [f.name for f in want.fields]
+        out = []
+        for v in range(v0 + 1, v1 + 1):
+            for rel in read_manifest(root, v).get("added", []):
+                table = pq.read_table(_os.path.join(root, rel))
+                cols = {}
+                for n in names:
+                    if n in table.column_names:
+                        cols[n] = table.column(n).to_pylist()
+                    else:
+                        cols[n] = [None] * len(table)
+                out.extend(zip(*[cols[n] for n in names]))
+        # a LIST, not a generator: the simple-reader wrapper pickles
+        # the prefetched chunk for recovery replay
+        return out
+
+    class VersionFeedReader(SimpleDataSourceStreamReader):
+        def __init__(self, options, schema_json):
+            self.root = options["root"]
+            self.schema_json = schema_json
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def read(self, start):
+            latest = latest_version(self.root)
+            v0 = start["version"]
+            if latest <= v0:
+                # no progress: an empty ITERATOR, not a list — the
+                # wrapper probes it with next() at latestOffset
+                return iter([]), start
+            return (
+                _added_rows(self.root, self.schema_json, v0, latest),
+                {"version": latest},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            return _added_rows(
+                self.root, self.schema_json, start["version"], end["version"]
+            )
+
+    class VersionFeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "kmce_version_feed"
+
+        def schema(self):
+            root = self.options["root"]
+            ts = table_schema(root, latest_version(root))
+            if ts is None:
+                raise ValueError(
+                    "kmce_version_feed requires a manifest-recorded schema"
+                )
+            self._sj = ts.jsonValue()
+            return ts
+
+        def simpleStreamReader(self, schema):
+            return VersionFeedReader(self.options, schema.jsonValue())
+
+    spark.dataSource.register(VersionFeedSource)
+    return "kmce_version_feed"
+
+
+K23_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+_K23_STAGED: dict = {}
+
+
+def k23_version_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K23: stream the versioned table's change feed (4 staged commits)
+    through a complete-mode aggregate; the terminal table must equal
+    the oracle's batch aggregate over the WHOLE corpus — a skipped
+    version, a double-read manifest, or a null-fill slip changes a
+    count. The restart-incremental contract (a second run's checkpoint
+    consumes only versions committed since the first) is pinned in
+    tests/test_version_feed.py."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+    from k_means_clustering_via_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    register_version_feed_source(spark)
+    key = staging_key(sf_dir, "documents")
+    if key not in _K23_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_feed_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        for b in range(4):
+            commit_append(
+                d.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                _os.path.join(tmp.name, "t"),
+            )
+        _K23_STAGED[key] = tmp
+    root = _os.path.join(_K23_STAGED[key].name, "t")
+    name = f"feed_{_uuid.uuid4().hex[:12]}"
+    with _tf.TemporaryDirectory(prefix="kmce_feed_ckpt_") as ck:
+        q = (
+            spark.readStream.format("kmce_version_feed")
+            .option("root", root)
+            .load()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", _os.path.join(ck, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(name)
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(name)
+        return result
