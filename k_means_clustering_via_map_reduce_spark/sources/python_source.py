@@ -717,6 +717,15 @@ if _HAVE_DATASOURCE:
 # so a pruning bug can only cost performance if it keeps too much — a
 # file wrongly DROPPED is caught by the parity test pinning connector
 # output == read_version() on every probe.
+#
+# USAGE NOTE (upstream behavior, pinned in tests): Spark 4.1 attaches a
+# Python source's pushdown planning to the loaded relation node, so a
+# FILTERLESS re-read of the SAME loaded DataFrame after a filtered
+# query reuses the filtered planning (minimal repro with a toy
+# pushFilters source in tests/test_versioned_connector.py — every
+# pushFilters source is affected, not this one specifically; a fresh
+# reader is created per planning, so no connector state is involved).
+# Call .load() per query, as f24 does.
 # --------------------------------------------------------------------------
 
 
@@ -758,6 +767,12 @@ def register_versioned_source(spark: SparkSession) -> str:
             self.bounds: dict = {}
 
         def pushFilters(self, filters):
+            # PER-PLAN state: Spark reuses this reader object across
+            # actions on the same DataFrame, so bounds accumulated for
+            # one query must never prune a later one (found by the
+            # random-evolution parity property test — an unfiltered
+            # collect() after a range probe silently lost files).
+            self.bounds = {}
             for f in filters:
                 # single-column comparisons tighten the probe window;
                 # everything is ALSO handed back to Spark (yield), so
@@ -813,11 +828,19 @@ def register_versioned_source(spark: SparkSession) -> str:
         def partitions(self):
             import os as _os
 
+            kept = self._kept_files()
+            # consume the plan's bounds: a later plan that never calls
+            # pushFilters (no filters to push) must read EVERY file
+            self.bounds = {}
+            if not kept:
+                # an empty partition list makes Spark invoke read(None);
+                # hand back one explicit empty-file sentinel instead
+                return [FilePartition("", self.schema_json)]
             return [
                 FilePartition(
                     _os.path.join(self.root, f), self.schema_json
                 )
-                for f in self._kept_files()
+                for f in kept
             ]
 
         def read(self, part):
@@ -826,6 +849,8 @@ def register_versioned_source(spark: SparkSession) -> str:
 
             from pyspark.sql.pandas.types import to_arrow_schema
 
+            if not part.path:  # the pruned-everything sentinel
+                return
             want = to_arrow_schema(StructType.fromJson(part.schema_json))
             table = pq.read_table(part.path)
             cols = []
