@@ -1255,8 +1255,7 @@ def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # D11 — NEAR-dup segment boilerplate removal (round-8 surface,
-# library-first per the new-entry budget pacing; the @query registration
-# is one decorator away). d7 removes segments that repeat EXACTLY; web
+# registered round 8). d7 removes segments that repeat EXACTLY; web
 # boilerplate mostly repeats with light variation ("© 2024 …" vs
 # "© 2025 …", injected dates/ids), which exact df-counting undercounts.
 # Here the removal statistic is the FAMILY document frequency: a
@@ -1340,7 +1339,7 @@ D11_ORACLE = f"""
 
 
 def segment_family_df(
-    docs: DataFrame, posting_cap: int = 10_000
+    docs: DataFrame, posting_cap: int | None = 10_000
 ) -> DataFrame:
     """(lang, seg, df, family_df): document frequency of every distinct
     segment plus its one-hop near-dup family mass.
@@ -1352,7 +1351,12 @@ def segment_family_df(
     is an underestimate and removal errs toward KEEPING data — and a
     shingle shared by that many distinct segment texts carries no
     near-dup signal anyway (the exact-duplicate mass was already
-    collapsed into df before the join)."""
+    collapsed into df before the join). ``None`` disables the cap —
+    the ORACLE-CHECKED d11 path runs uncapped so the query computes
+    exactly what its relational oracle computes at every scale, not
+    just at fixture scale where a 10k cap happens never to bind
+    (round-7 ADVICE); the capped form is the documented opt-in for
+    production corpora."""
     w = F.split(F.trim(F.col("text")), " ")
     seg_expr = F.expr(
         f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
@@ -1381,13 +1385,14 @@ def segment_family_df(
         "n_sh", F.size("sh")
     )
     ex = sh.select("lang", "seg", "df", "n_sh", F.explode("sh").alias("sg"))
-    keep = (
-        ex.groupBy("lang", "sg")
-        .agg(F.count(F.lit(1)).alias("seg_df"))
-        .filter(F.col("seg_df") <= posting_cap)
-        .select("lang", "sg")
-    )
-    ex = ex.join(keep, ["lang", "sg"])
+    if posting_cap is not None:
+        keep = (
+            ex.groupBy("lang", "sg")
+            .agg(F.count(F.lit(1)).alias("seg_df"))
+            .filter(F.col("seg_df") <= posting_cap)
+            .select("lang", "sg")
+        )
+        ex = ex.join(keep, ["lang", "sg"])
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -1432,6 +1437,7 @@ def segment_family_df(
     )
 
 
+@query("d11_segment_neardup_boilerplate", oracle=D11_ORACLE)
 def d11_segment_near_dup_boilerplate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1441,7 +1447,10 @@ def d11_segment_near_dup_boilerplate(
     segmentation, distinct-segment dfs, the jaccard pairs, the family
     mass, and the per-doc marking relationally, so a segmentation
     off-by-one, a shingle slip, a jaccard boundary flip, or a family
-    double-count flips the hash."""
+    double-count flips the hash. The oracle applies NO posting cap, so
+    this path runs ``segment_family_df`` uncapped — the query and its
+    oracle agree by construction at any scale; production corpora opt
+    into the capped form explicitly."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.split(F.trim(F.col("text")), " ")
     seg_expr = F.expr(
@@ -1453,7 +1462,7 @@ def d11_segment_near_dup_boilerplate(
     segs = docs.select(
         "doc_id", "lang", w.alias("w")
     ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
-    fam = segment_family_df(docs)
+    fam = segment_family_df(docs, posting_cap=None)
     marked = segs.join(fam, ["lang", "seg"]).withColumn(
         "drop", F.col("family_df") >= D11_FAMILY_CUTOFF
     )

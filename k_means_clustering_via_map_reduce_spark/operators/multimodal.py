@@ -1204,8 +1204,7 @@ def m7_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # M8 — 2D CONVOLUTION stencil over decoded image pixels (round-8
-# surface, library-first per the new-entry budget pacing; the @query
-# registration is one decorator away). The one compute shape the
+# surface, registered round 8). The one compute shape the
 # m-family lacked: m2/m3 prove decode and resampling, m7 proves 1-D
 # transform DSP — this proves a NEIGHBORHOOD operator (3×3 Laplacian),
 # the building block of edge detection / blur / sharpening feature
@@ -1317,6 +1316,7 @@ M8_ORACLE = """
 """
 
 
+@query("m8_image_convolution", oracle=M8_ORACLE)
 def m8_image_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: 3×3 Laplacian energy of every synthesized PNG, driver-checked
     against a full relational replay of the pixel formula and the

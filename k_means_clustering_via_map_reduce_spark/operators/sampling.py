@@ -641,9 +641,8 @@ def p9_curriculum_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# P10 — LENGTH-BUCKETED packing (round-8 surface, library-first per the
-# new-entry budget pacing; the @query registration is one decorator
-# away). The padding-economics counterpart of p3's concat-and-chunk:
+# P10 — LENGTH-BUCKETED packing (round-8 surface, registered round 8).
+# The padding-economics counterpart of p3's concat-and-chunk:
 # documents are NOT split across sequences — each doc lands whole in a
 # sequence of same-bucket docs (the fairseq/HF "bucketed batching"
 # idiom), and the cost is PADDING, which this operator measures.
@@ -674,7 +673,8 @@ P10_ORACLE = f"""
       SELECT doc_id, n_tok, bucket_w,
              CAST(floor((row_number() OVER (PARTITION BY bucket_w
                                             ORDER BY doc_id) - 1)
-                  / floor({P10_BUDGET} / bucket_w)) AS BIGINT) AS seq_id
+                  / greatest(floor({P10_BUDGET} / bucket_w), 1))
+                  AS BIGINT) AS seq_id
       FROM b)
     SELECT bucket_w,
            CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
@@ -692,6 +692,13 @@ def bucketed_packing(
 ) -> DataFrame:
     """Per-doc (bucket_w, seq_id) assignment under whole-doc bucketed
     packing. Deterministic: doc_id totally orders every bucket.
+
+    Docs LONGER than the budget land in a bucket wider than the budget
+    itself; the per-sequence capacity is clamped to one, so each such
+    doc gets its own overflow sequence (the downstream trainer's
+    truncate-or-reject decision point) instead of a NULL seq_id — and
+    its bucket's padding_frac goes honestly NEGATIVE, surfacing the
+    overflow debt rather than hiding those docs from the counts.
 
     ``n_shards`` is the 100 TB lever: a Zipfian corpus concentrates in
     a few buckets, and a per-bucket row_number funnels each hot bucket
@@ -716,7 +723,7 @@ def bucketed_packing(
             F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tok"), F.lit(1))))
         ).cast("bigint"),
     )
-    cap = F.floor(F.lit(budget) / F.col("bucket_w"))
+    cap = F.greatest(F.floor(F.lit(budget) / F.col("bucket_w")), F.lit(1))
     if n_shards <= 1:
         w = Window.partitionBy("bucket_w").orderBy("doc_id")
         return b.withColumn(
@@ -742,6 +749,7 @@ def bucketed_packing(
     )
 
 
+@query("p10_bucketed_packing", oracle=P10_ORACLE)
 def p10_bucketed_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: padding economics of whole-doc bucketed packing — per
     bucket: sequences built, docs and tokens packed, and the padding

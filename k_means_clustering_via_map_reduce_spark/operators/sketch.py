@@ -123,9 +123,8 @@ def grouped_agg_udf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # T24 — EXACT distributed heavy hitters via per-partition Misra-Gries +
-# candidate verification (round-8 surface, library-first per the
-# new-entry budget pacing; the @query registration is one decorator
-# away). The frequent-items face t5's HLL/GK sketches don't cover —
+# candidate verification (round-8 surface, registered round 8). The
+# frequent-items face t5's HLL/GK sketches don't cover —
 # and unlike them it produces an EXACT, SQL-oracle-able answer from a
 # bounded-memory sketch:
 #
@@ -203,6 +202,20 @@ def heavy_hitters(
     return verified
 
 
+T24_ORACLE = f"""
+    WITH t AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ), n AS (SELECT count(*) AS total FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM t CROSS JOIN n
+    GROUP BY token, n.total
+    HAVING count(*) > n.total / {MG_COUNTERS}.0
+    ORDER BY freq DESC, token
+"""
+
+
+@query("t24_heavy_hitters", oracle=T24_ORACLE)
 def t24_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T24: exact corpus heavy hitters (freq > n/64) from a
     bounded-memory one-pass sketch — the oracle is the plain exact
@@ -215,16 +228,3 @@ def t24_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", F.col("freq").cast("bigint").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("token"))
     )
-
-
-T24_ORACLE = f"""
-    WITH t AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS token
-      FROM documents
-    ), n AS (SELECT count(*) AS total FROM t)
-    SELECT token, CAST(count(*) AS BIGINT) AS freq
-    FROM t CROSS JOIN n
-    GROUP BY token, n.total
-    HAVING count(*) > n.total / {MG_COUNTERS}.0
-    ORDER BY freq DESC, token
-"""

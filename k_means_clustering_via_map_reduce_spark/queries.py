@@ -4874,8 +4874,7 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # F21 — SCHEMA EVOLUTION on the versioned table (round-8 surface,
-# library-first per the new-entry budget pacing; the @query registration
-# is one decorator away). This is the CATALOG form whose absence f11's
+# registered round 8). This is the CATALOG form whose absence f11's
 # docstring flags: f11 evolves loose parquet files via mergeSchema,
 # paying a per-file footer reconcile at every planning and having no
 # answer for time travel or type conflicts; here the schema is table
@@ -4906,6 +4905,7 @@ F21_ORACLE = """
 """
 
 
+@query("f21_schema_evolution_read", oracle=F21_ORACLE)
 def f21_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the LATEST read of a table whose second commit added a
     ``quality`` column: v1 rows (even doc_ids, committed pre-evolution)
@@ -4954,8 +4954,8 @@ def f21_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# F22 — copy-on-write DELETE read (round-8 surface, library-first; the
-# @query registration is one decorator away). The right-to-be-forgotten
+# F22 — copy-on-write DELETE read (round-8 surface, registered round
+# 8). The right-to-be-forgotten
 # operation of a training-corpus store: delete one language from the
 # versioned table and aggregate the survivors; the PRE-delete snapshot
 # must still show the deleted rows (history is immutable — physical
@@ -4975,6 +4975,7 @@ F22_ORACLE = """
 """
 
 
+@query("f22_delete_where_read", oracle=F22_ORACLE)
 def f22_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the table AFTER `DELETE WHERE lang = 'de'`: the oracle
     replays the delete relationally, so a row the COW rewrite lost, a
@@ -5017,7 +5018,7 @@ def f22_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # F23 — manifest-stats DATA SKIPPING read (round-8 surface,
-# library-first; the @query registration is one decorator away). The
+# registered round 8). The
 # versioned table records per-file column min/max at every commit
 # (Delta add-action stats); a range probe prunes the FILE LIST before
 # Spark ever sees it. Staged as one file per doc_id range so the
@@ -5036,6 +5037,7 @@ F23_ORACLE = """
 """
 
 
+@query("f23_data_skipping_read", oracle=F23_ORACLE)
 def f23_data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate a doc_id range read through manifest-stats file
     pruning: the manifest names 10 range-clustered files, the probe

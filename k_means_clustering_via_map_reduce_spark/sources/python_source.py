@@ -700,8 +700,7 @@ if _HAVE_DATASOURCE:
 
 # --------------------------------------------------------------------------
 # F24 — the versioned table as a FIRST-CLASS Spark connector with
-# pushdown-driven data skipping (round-8 surface, library-first; the
-# @query registration is one decorator away).
+# pushdown-driven data skipping (round-8 surface, registered round 8).
 #
 # spark.read.format("kmce_versioned").option("root", ...) composes the
 # whole lakehouse layer with Catalyst: `schema()` serves the manifest's
@@ -753,12 +752,33 @@ def register_versioned_source(spark: SparkSession) -> str:
             self.path = path
             self.schema_json = schema_json
 
+    def resolve_version(options, root: str) -> int:
+        # Explicit option parse (round-7 ADVICE): a truthy-based
+        # `int(opt or latest)` sent version="0" hunting for manifest
+        # v0 (which never exists) and silently treated "" as latest.
+        # Absent option => latest; present => must parse to an int
+        # >= 1, anything else fails loudly.
+        raw = options.get("version")
+        if raw is None:
+            return latest_version(root)
+        try:
+            v = int(raw)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"kmce_versioned: option version={raw!r} is not an "
+                "integer; omit the option to read the latest version"
+            ) from None
+        if v < 1:
+            raise ValueError(
+                f"kmce_versioned: option version={v} is out of range "
+                "(versions start at 1); omit the option for latest"
+            )
+        return v
+
     class VersionedReader(DataSourceReader):
         def __init__(self, options, schema_json):
             self.root = options["root"]
-            self.version = int(
-                options.get("version") or latest_version(self.root)
-            )
+            self.version = resolve_version(options, self.root)
             self.schema_json = schema_json
             manifest = read_manifest(self.root, self.version)
             self.files = list(manifest["files"])
@@ -878,9 +898,7 @@ def register_versioned_source(spark: SparkSession) -> str:
             )
 
             root = self.options["root"]
-            version = int(
-                self.options.get("version") or latest_version(root)
-            )
+            version = resolve_version(self.options, root)
             ts = table_schema(root, version)
             if ts is None:
                 raise ValueError(
@@ -908,6 +926,7 @@ F24_ORACLE = """
 _F24_STAGED: dict = {}
 
 
+@query("f24_versioned_connector_read", oracle=F24_ORACLE)
 def f24_versioned_connector_read(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1083,6 +1102,7 @@ K23_ORACLE = """
 _K23_STAGED: dict = {}
 
 
+@query("k23_version_feed_read", oracle=K23_ORACLE)
 def k23_version_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K23: stream the versioned table's change feed (4 staged commits)
     through a complete-mode aggregate; the terminal table must equal

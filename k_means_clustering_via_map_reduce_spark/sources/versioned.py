@@ -448,6 +448,20 @@ def read_version(
     return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
+def _uri_to_local(uri: str) -> str:
+    """Normalize an ``input_file_name()`` value to a real local path.
+
+    Spark builds and filesystems disagree on the URI form ('file:///p',
+    'file:/p' single-slash, percent-encoded characters in the path) —
+    parse as a URI rather than string-stripping a literal 'file://'
+    prefix (round-7 ADVICE). A bare path (no scheme) passes through."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    path = unquote(parsed.path) if parsed.scheme else uri
+    return os.path.realpath(path)
+
+
 def _cow_rewrite(
     spark: SparkSession,
     root: str,
@@ -477,20 +491,27 @@ def _cow_rewrite(
     df = reader.parquet(*abs_of).withColumn(
         "_kmce_file", F.input_file_name()
     )
-    affected_abs = {
-        os.path.realpath(r["_kmce_file"].replace("file://", "", 1))
+    raw_affected = [
+        r["_kmce_file"]
         for r in df.filter(predicate).select("_kmce_file").distinct().collect()
-    }
+    ]
+    affected_abs = {_uri_to_local(u) for u in raw_affected}
+    unknown = affected_abs - set(abs_of)
+    if unknown:
+        raise ValueError(
+            f"input_file_name() returned paths outside the manifest "
+            f"file set: {sorted(unknown)[:3]}"
+        )
     affected_rel = sorted(abs_of[a] for a in affected_abs)
     if not affected_rel:
         return parent
     txn = uuid.uuid4().hex[:12]
     version = parent + 1
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
+    # filter on the RAW strings this very scan produced — immune to any
+    # further normalization quirk, since re-scan reproduces them exactly
     affected_rows = df.filter(
-        F.col("_kmce_file").isin(
-            [f"file://{a}" for a in affected_abs] + list(affected_abs)
-        )
+        F.col("_kmce_file").isin(raw_affected)
     ).drop("_kmce_file")
     transform(affected_rows).write.parquet(data_dir)
     new_files = sorted(

@@ -120,3 +120,56 @@ def test_single_shard_equals_default(spark, sf_dir):
     a = sorted(map(tuple, bucketed_packing(docs).collect()))
     b = sorted(map(tuple, bucketed_packing(docs, n_shards=1).collect()))
     assert a == b
+
+
+def test_long_doc_gets_own_overflow_sequence(spark):
+    """Round-7 ADVICE: a doc LONGER than the budget lands in a bucket
+    wider than the budget; the per-sequence capacity clamps to 1, so
+    each such doc gets its OWN non-null overflow sequence — and the
+    bucket's padding_frac goes honestly negative."""
+    long_text = " ".join(["tok"] * (P10_BUDGET + 952))  # 3000 > 2048
+    short_text = " ".join(["tok"] * 10)
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, long_text), (3, short_text)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in bucketed_packing(docs).collect()}
+    assert rows[1]["bucket_w"] == 4096 > P10_BUDGET
+    assert rows[1]["seq_id"] is not None and rows[2]["seq_id"] is not None
+    # cap clamps to one: the two overlong docs occupy DISTINCT seqs
+    assert rows[1]["seq_id"] != rows[2]["seq_id"]
+    assert {rows[1]["seq_id"], rows[2]["seq_id"]} == {0, 1}
+    # padding accounting stays sum-consistent and goes negative
+    ov = rows[1]["n_tok"] + rows[2]["n_tok"]
+    assert 1.0 - ov / (2 * float(P10_BUDGET)) < 0
+
+
+def test_long_doc_oracle_parity(spark):
+    """The ORACLE must clamp identically (greatest(..., 1) mirrored in
+    P10_ORACLE) so the driver's hash compare survives overlong docs —
+    the exact latent divergence round-7 ADVICE flagged."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    long_text = " ".join(["tok"] * (P10_BUDGET + 952))
+    short_text = " ".join(["tok"] * 37)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [long_text, long_text, short_text]}
+    )
+    got = {
+        r["bucket_w"]: r["n_seqs"]
+        for r in bucketed_packing(spark.createDataFrame(pdf))
+        .groupBy("bucket_w")
+        .agg(F.countDistinct("seq_id").alias("n_seqs"))
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        want = {r[0]: r[1] for r in con.execute(P10_ORACLE).fetchall()}
+    finally:
+        con.close()
+    assert got == want
+    # explicit: overlong bucket 4096 shows n_seqs == 2 on BOTH engines
+    assert got[4096] == 2

@@ -279,3 +279,17 @@ def test_f23_query_matches_oracle_driver_style(spark, sf_dir):
     from tests.oracle_utils import compare_to_oracle
 
     compare_to_oracle(f23_data_skipping_read(spark, sf_dir), F23_ORACLE, sf_dir)
+
+
+def test_uri_to_local_normalizes_every_spark_form():
+    """Round-7 ADVICE: input_file_name() URI forms vary by build and
+    filesystem — triple-slash, single-slash, percent-encoded, and bare
+    paths must all resolve to the same local path."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        _uri_to_local,
+    )
+
+    want = os.path.realpath("/tmp/kmce t/part-0.parquet")
+    assert _uri_to_local("file:///tmp/kmce%20t/part-0.parquet") == want
+    assert _uri_to_local("file:/tmp/kmce%20t/part-0.parquet") == want
+    assert _uri_to_local("/tmp/kmce t/part-0.parquet") == want

@@ -225,3 +225,19 @@ def test_spark_attaches_pushdown_to_loaded_relation(spark):
     assert df.filter("id < 100").count() == 10  # pruned planning
     assert df.count() == 10  # the quirk: stale pruned planning reused
     assert spark.read.format("kmce_toy_pushdown").load().count() == 20
+
+
+def test_version_option_parse_is_explicit(spark, table):
+    """Round-7 ADVICE: version="0" must fail loudly (versions start at
+    1), not hunt for a manifest v0; "" and non-integers are rejected
+    rather than silently meaning latest; omitting the option IS latest."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    for bad in ("0", "-3", "", "latest", "1.5"):
+        with pytest.raises((PySparkException, ValueError)):
+            _load(spark, table, version=bad).collect()
+    # omitted option == explicit latest version
+    got = sorted(map(tuple, _load(spark, table).collect()))
+    want = sorted(map(tuple, _load(spark, table, version="3").collect()))
+    assert got == want
