@@ -216,3 +216,106 @@ def test_encode_matches_reference_under_trained_merges(word, hist, n_merges):
     got = bpe_encode_len(word, merges)
     assert got == _ref_encode_len(word, merges)
     assert 1 <= got <= len(word) + 1
+
+
+# ------------------------------------------------------------------
+# T25: encode under the externally-supplied artifact
+# ------------------------------------------------------------------
+
+
+def test_t25_artifact_provenance():
+    """T25_MERGES is the t23 trainer's output on the sf0.001 fixture,
+    frozen as a shipped artifact — re-derive it from the fixture with
+    the INDEPENDENT reference trainer to pin the provenance."""
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T25_MERGES,
+    )
+
+    ref = _ref_train(_ref_histogram("/root/testdata/sf0.001"), BPE_N_MERGES)
+    assert T25_MERGES == ref
+
+
+def test_t25_encode_matches_reference_per_document(spark, sf_dir):
+    """Per-doc token counts under the SUPPLIED merges must match the
+    independent string-table reference — the artifact-serving half of
+    the round trip (t23 pins the training half)."""
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T25_MERGES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, T25_MERGES).collect()
+    }
+    word_re = re.compile(BPE_WORD_RE)
+    memo: dict[str, int] = {}
+    for row in docs.collect():
+        want = 0
+        for w in word_re.findall((row["text"] or "").lower()):
+            if w not in memo:
+                memo[w] = _ref_encode_len(w, T25_MERGES)
+            want += memo[w]
+        assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_t25_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T25_ORACLE,
+        t25_bpe_encode_supplied,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        t25_bpe_encode_supplied(spark, sf_dir), T25_ORACLE, sf_dir
+    )
+
+
+def test_t25_oracle_recursive_cte_encodes_like_the_engine(spark, sf_dir):
+    """The oracle's wrapped-string rewrite must equal _bpe_merge_word's
+    pass semantics WORD BY WORD, not just in aggregate — drive the
+    recursive CTE alone against bpe_encode_len over the corpus vocab."""
+    import duckdb
+
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        BPE_END as END,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T25_MERGES,
+        bpe_encode_len,
+    )
+
+    rows = ", ".join(
+        f"({i + 1}, '{left}', '{right}')"
+        for i, (left, right) in enumerate(T25_MERGES)
+    )
+    con = duckdb.connect()
+    try:
+        got = dict(
+            con.execute(f"""
+            WITH RECURSIVE merges(mrank, ml, mr) AS
+              (SELECT * FROM (VALUES {rows})),
+            dw AS (
+              SELECT DISTINCT
+                unnest(regexp_extract_all(lower(text), '{BPE_WORD_RE}'))
+                  AS word
+              FROM read_parquet('{sf_dir}/documents.parquet')),
+            enc AS (
+              SELECT word, 0 AS r,
+                     regexp_replace(word, '(.)', '|\\1|', 'g')
+                       || '|{END}|' AS s
+              FROM dw
+              UNION ALL
+              SELECT e.word, e.r + 1,
+                     replace(e.s, '|' || m.ml || '||' || m.mr || '|',
+                             '|' || m.ml || m.mr || '|')
+              FROM enc e JOIN merges m ON m.mrank = e.r + 1)
+            SELECT word, (len(s) - len(replace(s, '|', ''))) // 2
+            FROM enc WHERE r = {len(T25_MERGES)}
+            """).fetchall()
+        )
+    finally:
+        con.close()
+    assert got, "vocab empty"
+    for w, n in got.items():
+        assert n == bpe_encode_len(w, T25_MERGES), w
