@@ -1033,7 +1033,26 @@ def register_version_feed_source(spark: SparkSession) -> str:
         names = [f.name for f in want.fields]
         out = []
         for v in range(v0 + 1, v1 + 1):
-            for rel in read_manifest(root, v).get("added", []):
+            manifest = read_manifest(root, v)
+            if "compacted_from" in manifest:
+                # OPTIMIZE rewrites the SAME rows into fewer files — a
+                # no-data-change version (Delta's dataChange=false); an
+                # append feed that emitted its `added` files would
+                # re-emit the whole table (caught by the round-8
+                # interleaving harness). Skip it.
+                continue
+            if "deleted_from" in manifest or "updated_from" in manifest:
+                # a COW rewrite's `added` files are rewritten SURVIVORS
+                # — emitting them duplicates rows the feed already
+                # delivered, and an append-only feed has no retraction
+                # to carry the change. Fail loudly (Delta's append-only
+                # streaming-read contract); CDC is a different operator.
+                raise ValueError(
+                    f"kmce_version_feed: version {v} is a copy-on-write "
+                    "rewrite; the append-only change feed cannot "
+                    "represent deletes/updates"
+                )
+            for rel in manifest.get("added", []):
                 table = pq.read_table(_os.path.join(root, rel))
                 cols = {}
                 for n in names:

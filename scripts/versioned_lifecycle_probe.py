@@ -223,16 +223,152 @@ def cow_probe(spark) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def skipping_probe(spark) -> None:
+    """Round-8 f23 arm: manifest-stats file skipping vs predicate
+    selectivity on a 64-file range-clustered table. The claim: the
+    prune is O(#files) DRIVER metadata, and the SCAN cost then tracks
+    the KEPT file count, not the table size — the difference between
+    'hand Spark 64 files and let row-group stats save you' and 'hand
+    Spark exactly the files that can match'."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        prune_files,
+    )
+
+    n_files = 64
+    rows_per = 10_000
+    print("\n## f23 data skipping vs selectivity (64-file table, "
+          f"{rows_per} rows/file)")
+    print("| files kept | prune ms (driver) | pruned scan s | full scan s |")
+    print("|---|---|---|---|")
+    root = tempfile.mkdtemp(prefix="kmce_skip_probe_")
+    try:
+        for b in range(n_files):
+            commit_append(
+                spark.range(b * rows_per, (b + 1) * rows_per)
+                .select(F.col("id"), (F.col("id") % 97).alias("v"))
+                .coalesce(1),
+                root,
+            )
+        for keep in (1, 4, 16, 64):
+            lo = 0
+            hi = keep * rows_per - 1
+            t0 = time.time()
+            kept = prune_files(root, n_files, "id", lo, hi)
+            prune_ms = (time.time() - t0) * 1e3
+            assert len(kept) == keep, (keep, len(kept))
+            pred = (F.col("id") >= lo) & (F.col("id") <= hi)
+            t0 = time.time()
+            n_pruned = (
+                spark.read.parquet(*[os.path.join(root, f) for f in kept])
+                .filter(pred)
+                .count()
+            )
+            t_pruned = time.time() - t0
+            man = read_manifest(root, n_files)
+            t0 = time.time()
+            n_full = (
+                spark.read.parquet(
+                    *[os.path.join(root, f) for f in man["files"]]
+                )
+                .filter(pred)
+                .count()
+            )
+            t_full = time.time() - t0
+            assert n_pruned == n_full == keep * rows_per
+            print(f"| {keep} | {prune_ms:.1f} | {t_pruned:.3f} "
+                  f"| {t_full:.3f} |")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def feed_probe(spark) -> None:
+    """Round-8 k23 arm: change-feed restart incrementality under
+    history growth. A cold checkpoint drains all H versions; a RESTART
+    after 2 more commits must consume exactly those 2 — wall ~flat in
+    H (offset resume is a manifest lookup, never a re-read), the
+    property that makes the feed a scheduled-job primitive."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        register_version_feed_source,
+    )
+
+    register_version_feed_source(spark)
+    rows_per = 2_000
+    print("\n## k23 change-feed restart incrementality (x1->x8 history)")
+    print("| history H | cold drain s | cold rows | restart s "
+          "| restart rows |")
+    print("|---|---|---|---|---|")
+    for h in (8, 16, 32, 64):
+        tmp = tempfile.mkdtemp(prefix="kmce_feed_probe_")
+        try:
+            root = os.path.join(tmp, "t")
+            sink, ckpt = os.path.join(tmp, "s"), os.path.join(tmp, "c")
+            for b in range(h):
+                commit_append(
+                    spark.range(b * rows_per, (b + 1) * rows_per)
+                    .select(F.col("id"), (F.col("id") % 97).alias("v"))
+                    .coalesce(1),
+                    root,
+                )
+
+            def run() -> None:
+                q = (
+                    spark.readStream.format("kmce_version_feed")
+                    .option("root", root)
+                    .load()
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            t0 = time.time()
+            run()
+            t_cold = time.time() - t0
+            n_cold = spark.read.parquet(sink).count()
+            for b in (h, h + 1):
+                commit_append(
+                    spark.range(b * rows_per, (b + 1) * rows_per)
+                    .select(F.col("id"), (F.col("id") % 97).alias("v"))
+                    .coalesce(1),
+                    root,
+                )
+            t0 = time.time()
+            run()
+            t_restart = time.time() - t0
+            n_total = spark.read.parquet(sink).count()
+            assert n_cold == h * rows_per, (h, n_cold)
+            assert n_total == (h + 2) * rows_per, (h, n_total)
+            print(f"| {h} | {t_cold:.2f} | {n_cold} | {t_restart:.2f} "
+                  f"| {n_total - n_cold} |")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     if "--cow" in sys.argv:
         spark = _spark()
         cow_probe(spark)
         spark.stop()
         return
+    if "--round8" in sys.argv:
+        spark = _spark()
+        skipping_probe(spark)
+        feed_probe(spark)
+        spark.stop()
+        return
     spark = _spark()
     real_table_probe(spark)
     metadata_only_probe()
     cow_probe(spark)
+    skipping_probe(spark)
+    feed_probe(spark)
     spark.stop()
 
 
