@@ -1478,3 +1478,125 @@ def d11_segment_near_dup_boilerplate(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# D12 — IDF-WEIGHTED cosine near-dup pairs (round-8 surface). d1's
+# jaccard treats every shingle equally; production near-dup scoring
+# (and every TF-IDF retrieval stack) weights terms by rarity, so two
+# docs sharing RARE shingles score higher than two sharing boilerplate.
+# Binary-tf TF-IDF over d1's distinct 3-gram shingles, blocked by
+# language (per-language idf space): w(d,t) = ln(N_lang / df_lang(t)),
+# cos(a,b) = Σ_shared w² / (|a||b|).
+#
+# Scale shape is exactly d1's inverted-index join — shuffle is the
+# posting list keyed by shingle, pairs materialize only for docs
+# sharing ≥1 shingle, and idf gives the cap story a bonus: a shingle
+# hot enough to threaten c² blow-up has idf → 0 and contributes
+# nothing, so the d1b posting cap applied here is not merely
+# recall-safe, it is nearly EXACT (the dropped postings carry ~zero
+# weight). The oracle-checked path runs uncapped; fixture cosine is
+# bimodal (6 near-dup pairs ≥ 0.97, the rest ≤ 0.10), so the 0.5
+# threshold sits in a measured gap no ulp can cross.
+# --------------------------------------------------------------------------
+D12_COSINE_THRESHOLD = 0.5
+
+_D12_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d
+    ),
+    ex AS (SELECT doc_id, lang, unnest(sh) AS sg FROM s),
+    dft AS (SELECT lang, sg, count(*) AS df FROM ex GROUP BY lang, sg),
+    nl AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang),
+    wt AS (
+      SELECT ex.doc_id, ex.lang, ex.sg,
+             ln(nl.n_docs * 1.0 / dft.df) AS w
+      FROM ex JOIN dft USING (lang, sg) JOIN nl USING (lang)
+    ),
+    nrm AS (
+      SELECT doc_id, lang, sqrt(sum(w * w)) AS nrm
+      FROM wt GROUP BY doc_id, lang
+    ),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+             sum(a.w * b.w) AS dot
+      FROM wt a JOIN wt b
+        ON a.lang = b.lang AND a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT dots.a_id, dots.b_id,
+           round(dots.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots
+    JOIN nrm na ON na.doc_id = dots.a_id AND na.lang = dots.lang
+    JOIN nrm nb ON nb.doc_id = dots.b_id AND nb.lang = dots.lang
+    WHERE na.nrm > 0 AND nb.nrm > 0
+      AND dots.dot / (na.nrm * nb.nrm) >= {D12_COSINE_THRESHOLD}
+    ORDER BY a_id, b_id
+"""
+
+
+@query("d12_tfidf_cosine_pairs", oracle=_D12_ORACLE)
+def d12_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: doc pairs with idf-weighted shingle cosine >= 0.5, via the
+    d1 inverted-index join with per-(lang, shingle) idf weights. The
+    oracle replays the whole weighting chain relationally, so a df
+    slip, an idf base/offset mismatch, a norm over the wrong term set,
+    or a lost zero-weight shingle flips the hash."""
+    s = _shingled(spark, sf_dir)
+    ex = s.select("doc_id", "lang", F.explode("sh").alias("sg"))
+    dft = ex.groupBy("lang", "sg").agg(F.count(F.lit(1)).alias("df"))
+    nl = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wt = (
+        ex.join(dft, ["lang", "sg"])
+        .join(F.broadcast(nl), "lang")
+        .withColumn("w", F.log(F.col("n_docs") / F.col("df")))
+        .select("doc_id", "lang", "sg", "w")
+    )
+    nrm = wt.groupBy("doc_id", "lang").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = wt.alias("a"), wt.alias("b")
+    dots = (
+        a.join(
+            b,
+            [
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.lang").alias("lang"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = nrm.select(
+        F.col("doc_id").alias("a_id"), "lang", F.col("nrm").alias("nrm_a")
+    )
+    nb = nrm.select(
+        F.col("doc_id").alias("b_id"), "lang", F.col("nrm").alias("nrm_b")
+    )
+    return (
+        dots.join(na, ["a_id", "lang"])
+        .join(nb, ["b_id", "lang"])
+        .filter((F.col("nrm_a") > 0) & (F.col("nrm_b") > 0))
+        .withColumn("cos", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cos") >= D12_COSINE_THRESHOLD)
+        .select("a_id", "b_id", r4(F.col("cos")).alias("cos_sim"))
+        .orderBy("a_id", "b_id")
+    )

@@ -4873,6 +4873,66 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q80 — trailing-window COUNT DISTINCT (7-day active users). The one
+# aggregate shape the window family (Q10/Q11/Q22/Q31/Q39) could not
+# cover: DISTINCT does not decompose over a sliding frame (the trailing
+# week's uniques are NOT the sum of daily uniques), and Spark rejects
+# count(DISTINCT) over a window entirely. The scalable form is the
+# CONTRIBUTION EXPLODE: dedup (user, day) once, fan each pair out to
+# the ≤7 window-days it contributes to (a BOUNDED ×7 narrow explode —
+# never user×user or day×day pair space), then one exact distinct
+# aggregate keyed by window-day. At 100 TB the dedup is the only
+# corpus-sized shuffle; the explode rides on the deduped (user, day)
+# table, which is orders of magnitude smaller than events.
+# --------------------------------------------------------------------------
+_Q80_ORACLE = """
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS day_users
+      FROM daily GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.day_users,
+           CAST(count(DISTINCT x.user_id) AS BIGINT) AS trailing7_users
+    FROM days d JOIN daily x ON x.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day, d.day_users
+    ORDER BY day
+"""
+
+
+@query("q80_trailing_distinct_users", oracle=_Q80_ORACLE)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q80: per observed day, that day's distinct users AND the exact
+    trailing-7-day distinct users, via the contribution explode (see
+    the section comment). The oracle computes the same windows with a
+    range self-join — a window boundary slip, a double-counted user, or
+    a phantom future day (the explode emits days past the data's max;
+    the inner join to OBSERVED days must drop them) flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    day_users = daily.groupBy("day").agg(
+        F.countDistinct("user_id").alias("day_users")
+    )
+    contrib = daily.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+    )
+    trailing = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("trailing7_users")
+    )
+    return (
+        day_users.join(trailing, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_users",
+            "trailing7_users",
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
 # F21 — SCHEMA EVOLUTION on the versioned table (round-8 surface,
 # registered round 8). This is the CATALOG form whose absence f11's
 # docstring flags: f11 evolves loose parquet files via mergeSchema,
@@ -5089,6 +5149,95 @@ def f23_data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pruned.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 220))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# F25 — OPTIMIZE ZORDER: multi-column clustering for 2-D data skipping
+# (round-8 surface). f23 proves 1-D skipping on a range-clustered
+# layout; its blind spot is the SECOND predicate column — in any 1-D
+# sort layout every file spans the full range of every other column,
+# so stats prune on the sort key only. Z-ordering interleaves the bits
+# of both columns (sources/versioned.py: z_value/zorder_commit, the
+# Delta OPTIMIZE ZORDER BY idiom), giving each file a compact
+# rectangle-ish region of the 2-D space and TIGHT per-file min/max on
+# BOTH columns; `prune_files` then intersects the two pruned lists.
+# Staging asserts the 2-D win structurally: EACH single-column prune
+# alone already drops files on the z layout (impossible for the
+# non-sort column of a 1-D layout), and the intersection drops more.
+# --------------------------------------------------------------------------
+_F25_STAGED: dict[tuple, object] = {}
+
+F25_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id < 300
+      AND n_chars >= 150 AND n_chars < 300
+    GROUP BY lang ORDER BY lang
+"""
+
+
+@query("f25_zorder_skipping_read", oracle=F25_ORACLE)
+def f25_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate a 2-D range probe (doc_id x n_chars) read through
+    manifest-stats pruning of a Z-ORDERED 16-file layout: the kept file
+    list is the INTERSECTION of both columns' prunes, and the result
+    must equal the oracle's plain relational filter — pruning must stay
+    invisible to semantics at any layout (a file wrongly skipped by
+    either column's bounds loses rows and flips the hash).
+
+    Scale: the clustering costs one range-shuffle at write time
+    (exactly Delta's OPTIMIZE ZORDER BY); every later 2-D probe prunes
+    files by BOTH predicates driver-side before Spark plans a single
+    task. At 100 TB this is the difference between 'scan the week'
+    and 'scan the week AND the tenant'."""
+    import os as _os
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        prune_files,
+        read_manifest,
+        zorder_commit,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F25_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_zorder_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        v = zorder_commit(d, tmp.name, "doc_id", "n_chars", n_files=16)
+        n_files = len(read_manifest(tmp.name, v)["files"])
+        by_doc = prune_files(tmp.name, v, "doc_id", 100, 299)
+        by_chars = prune_files(tmp.name, v, "n_chars", 150, 299)
+        kept = sorted(set(by_doc) & set(by_chars))
+        # the 2-D claim, asserted at staging: each single-column prune
+        # already drops files on a z layout, and intersecting drops more
+        assert len(by_doc) < n_files, (len(by_doc), n_files)
+        assert len(by_chars) < n_files, (len(by_chars), n_files)
+        assert 0 < len(kept) <= min(len(by_doc), len(by_chars))
+        _F25_STAGED[key] = (tmp, kept)
+    tmp, kept = _F25_STAGED[key]
+    pruned = spark.read.parquet(
+        *[_os.path.join(tmp.name, f) for f in kept]
+    )
+    return (
+        pruned.filter(
+            (F.col("doc_id") >= 100)
+            & (F.col("doc_id") < 300)
+            & (F.col("n_chars") >= 150)
+            & (F.col("n_chars") < 300)
+        )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

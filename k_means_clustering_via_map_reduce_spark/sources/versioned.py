@@ -615,3 +615,61 @@ def update_where(
         return affected.select(*cols)
 
     return _cow_rewrite(spark, root, predicate, apply_set, "updated_from")
+
+
+def z_value(x, y, bits: int = 10):
+    """Morton/Z-order interleave of two normalized non-negative ints
+    (x in even bit positions, y in odd): the multi-dimensional
+    clustering key behind `zorder_commit`. Pure JVM column arithmetic
+    (shifts + masks unrolled per bit), no UDF."""
+    from pyspark.sql import functions as F
+
+    xb = x.cast("bigint")
+    yb = y.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftright(xb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(yb, i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def zorder_commit(
+    df: DataFrame,
+    root: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 16,
+    bits: int = 10,
+) -> int:
+    """Commit ``df`` as ONE version laid out in ``n_files`` files
+    range-clustered by the Z-value of (col_x, col_y) — the OPTIMIZE
+    ZORDER BY layout: each file covers a compact rectangle-ish region
+    of the 2-D space, so the per-file min/max stats recorded at commit
+    are TIGHT on BOTH columns simultaneously and `prune_files` can skip
+    on either predicate (a 1-D sort layout gives tight stats on the
+    sort column only — every file spans the full range of the other).
+
+    Columns are min-max normalized to ``bits`` bits from one driver-side
+    agg (rank normalization is the skew-robust production variant; the
+    interleave itself is identical). The Z column is dropped before the
+    write — it is layout, not data."""
+    from pyspark.sql import functions as F
+
+    mx = df.agg(
+        F.max(col_x).alias("mx"), F.max(col_y).alias("my")
+    ).collect()[0]
+    scale = 1 << bits
+    nx = F.floor(F.col(col_x) * scale / (mx["mx"] + 1))
+    ny = F.floor(F.col(col_y) * scale / (mx["my"] + 1))
+    z = z_value(nx, ny, bits)
+    clustered = (
+        df.withColumn("_kmce_z", z)
+        .repartitionByRange(n_files, "_kmce_z")
+        .sortWithinPartitions("_kmce_z")
+        .drop("_kmce_z")
+    )
+    return commit_append(clustered, root)

@@ -543,3 +543,34 @@ def test_d10_short_doc_guard(spark, tmp_path):
     got = {r.doc_id: r.dup_fraction for r in out.collect()}
     assert got == {2: 1.0, 3: 1.0}  # short doc absent, dups fully spanned
     compare_to_oracle(out, Q.ORACLE_SQL["d10_dup_span_profile"], sf)
+
+
+def test_d12_pairs_superset_confirms_d1_families(spark, sf_dir):
+    """The idf-weighted cosine must surface the same near-dup families
+    d1's jaccard finds — the two detectors share the shingle space, so
+    every jaccard>=0.5 pair should score cosine>=0.5 (idf weighting
+    only CONCENTRATES the shared mass for genuinely similar docs)."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        d12_tfidf_cosine_pairs,
+        jaccard_pairs,
+    )
+
+    jac = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(spark, sf_dir).collect()
+    }
+    cos = {
+        (r["a_id"], r["b_id"])
+        for r in d12_tfidf_cosine_pairs(spark, sf_dir).collect()
+    }
+    assert jac <= cos, jac - cos
+
+
+def test_d12_partitioning_independent(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        d12_tfidf_cosine_pairs,
+    )
+
+    a = sorted(map(tuple, d12_tfidf_cosine_pairs(spark, sf_dir).collect()))
+    b = sorted(map(tuple, d12_tfidf_cosine_pairs(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0

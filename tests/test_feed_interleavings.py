@@ -236,3 +236,25 @@ def test_feed_refuses_cow_versions(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         _drain(spark, root, sink, ckpt)
     assert "copy-on-write" in str(exc.value)
+
+
+def test_compaction_only_drain_is_clean_empty_progress(spark, tmp_path):
+    """A drain whose un-consumed range holds ONLY an OPTIMIZE must emit
+    an empty batch while still advancing the offset — the next drain
+    resumes past the compaction, never re-planning it."""
+    register_version_feed_source(spark)
+    root = str(tmp_path / "t")
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    commit_append(
+        spark.createDataFrame([(1, "a", 1.0)], "id BIGINT, tag STRING, v DOUBLE"),
+        root,
+    )
+    _drain(spark, root, sink, ckpt)
+    compact(spark, root, target_files=1)
+    _drain(spark, root, sink, ckpt)  # compaction-only range
+    commit_append(
+        spark.createDataFrame([(2, "b", 2.0)], "id BIGINT, tag STRING, v DOUBLE"),
+        root,
+    )
+    _drain(spark, root, sink, ckpt)
+    assert _sink_rows(spark, sink) == [(1, "a", 1.0), (2, "b", 2.0)]

@@ -67,3 +67,15 @@ def test_f7_parse_rejects_malformed_lines(spark):
     assert (got[0].doc_id, got[0].text) == (7, "hello world")
     assert got[1].doc_id is None and got[1].text == ""
     assert got[2].doc_id is None
+
+
+def test_q80_trailing_window_edges(spark, sf_dir):
+    """Structural pins the hash can't localize: day 1's trailing count
+    equals its daily count (no history), and trailing >= daily on
+    every day (a window can only add users)."""
+    rows = Q.QUERIES["q80_trailing_distinct_users"](spark, sf_dir).collect()
+    assert rows, "no days"
+    first = min(rows, key=lambda r: r["day"])
+    assert first["trailing7_users"] == first["day_users"]
+    for r in rows:
+        assert r["trailing7_users"] >= r["day_users"], r["day"]
