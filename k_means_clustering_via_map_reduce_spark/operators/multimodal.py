@@ -1325,3 +1325,104 @@ def m8_image_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts at least one doc's sums and flips the hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return image_laplacian_stats(synthesize_media(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M9 — PERCEPTUAL HASH (dHash) of every decoded PNG (round-8 surface).
+# The image-side counterpart of the text fingerprints (t4/d3): a
+# 64-bit gradient hash — nearest-neighbor 9×8 luma thumbnail, one bit
+# per horizontal neighbor comparison — that is invariant to scale and
+# near-invariant to brightness/compression noise, the standard blocking
+# key for image near-dup dedup (two images are candidates iff their
+# dHashes are hamming-close; d3's banded hamming join applies verbatim
+# with dhash in place of simhash).
+#
+# The hash is emitted as 16 hex chars (8 MSB-first row bytes), not a
+# BIGINT: bit 63 of a 64-bit hash overflows a signed bigint in BOTH
+# engines, and the hex-string form round-trips exactly. The oracle
+# replays the whole construction relationally from the synthetic pixel
+# formula — sampling grid, luma, neighbor comparisons, bit packing,
+# hex rendering — so an index-map slip, a comparison direction flip,
+# or an endianness mistake flips the hash.
+#
+# Scale: identical shape to m3 — Arrow-batched mapInPandas, no
+# shuffle, blobs never leave the executor, 16 bytes out per image.
+# --------------------------------------------------------------------------
+M9_ORACLE = """
+    WITH png AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents WHERE doc_id % 4 = 0
+    ), cells AS (
+      SELECT doc_id, w, h, gy.y AS y, gx.x AS x,
+             (doc_id + (gy.y * h) // 8 + 3 * ((gx.x * w) // 9)) % 256
+           + (doc_id + (gy.y * h) // 8 + 3 * ((gx.x * w) // 9) + 1) % 256
+           + (doc_id + (gy.y * h) // 8 + 3 * ((gx.x * w) // 9) + 2) % 256
+             AS luma
+      FROM png, generate_series(0, 7) gy(y), generate_series(0, 8) gx(x)
+    ), bits AS (
+      SELECT a.doc_id, a.w, a.h, a.y, a.x,
+             CASE WHEN a.luma < b.luma THEN 1 ELSE 0 END AS bit
+      FROM cells a
+      JOIN cells b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ), rowbytes AS (
+      SELECT doc_id, w, h, y,
+             CAST(sum(bit * power(2, 7 - x)) AS BIGINT) AS rowbyte
+      FROM bits GROUP BY doc_id, w, h, y
+    )
+    SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           string_agg(printf('%02x', rowbyte), '' ORDER BY y) AS dhash
+    FROM rowbytes GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """(doc_id, w, h, dhash): 64-bit gradient perceptual hash of every
+    decodable PNG blob as 16 hex chars — luma thumbnail cell (Y, X)
+    samples source pixel ((Y*h)//8, (X*w)//9); bit (Y, X) is set iff
+    cell (Y, X) is darker than its right neighbor; rows pack MSB-first
+    (numpy packbits semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                px = png_pixel_array(bytes(blob))
+                if px is None:
+                    continue
+                h, stride = px.shape
+                w = stride // 3
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                rgb = px.reshape(h, w, 3).astype(np.int64)
+                thumb = rgb[np.ix_(ys, xs)].sum(axis=2)  # (8, 9) luma
+                bits = (thumb[:, :8] < thumb[:, 1:]).astype(np.uint8)
+                rows.append(
+                    (
+                        int(did),
+                        int(w),
+                        int(h),
+                        np.packbits(bits, axis=1).tobytes().hex(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "dhash"]
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(
+        extract, schema="doc_id BIGINT, w INT, h INT, dhash STRING"
+    )
+
+
+@query("m9_perceptual_hash", oracle=M9_ORACLE)
+def m9_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: dHash fingerprint of every synthesized PNG, driver-checked
+    against a full relational replay of sampling, luma, comparison,
+    and MSB-first packing (see the section comment). The hamming
+    near-dup JOIN over these hashes is d3's banded machinery verbatim;
+    this entry pins the fingerprint itself through the REAL decode
+    path (inflate + defilter + resample)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return image_dhash(synthesize_media(docs)).orderBy("doc_id")

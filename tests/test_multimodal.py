@@ -516,3 +516,37 @@ def test_m7_bands_match_basis_dft(spark, sf_dir):
             if hi > lo:
                 bands[b] = power[lo:hi].sum()
         assert int(np.argmax(bands)) == top, did
+
+
+def test_m9_dhash_matches_formula_reference(spark, sf_dir):
+    """Engine dHash (real PNG decode path) vs a pure-Python recompute
+    straight from the synthesis formula — and the hashes must be
+    non-trivially populated (only degenerate w=1 images, where every
+    thumbnail column samples the same pixel, may be all-zero)."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        m9_perceptual_hash,
+    )
+
+    rows = m9_perceptual_hash(spark, sf_dir).collect()
+    assert rows
+    nonzero = 0
+    for r in rows:
+        did, w, h = r["doc_id"], r["w"], r["h"]
+        assert w == did % 64 + 1 and h == did % 48 + 1
+
+        def luma(y: int, x: int) -> int:
+            sy, sx = (y * h) // 8, (x * w) // 9
+            return sum((did + sy + 3 * sx + c) % 256 for c in range(3))
+
+        want = bytearray()
+        for y in range(8):
+            b = 0
+            for x in range(8):
+                b = (b << 1) | (1 if luma(y, x) < luma(y, x + 1) else 0)
+            want.append(b)
+        assert r["dhash"] == want.hex(), did
+        if r["dhash"] != "0" * 16:
+            nonzero += 1
+        else:
+            assert w == 1, (did, w)  # all-zero only when degenerate
+    assert nonzero > len(rows) * 0.8
