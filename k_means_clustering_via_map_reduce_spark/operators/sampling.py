@@ -779,3 +779,95 @@ def p10_bucketed_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_w")
     )
+
+
+# --------------------------------------------------------------------------
+# P11 — WEIGHTED sample-without-replacement (round-9 surface,
+# library-first per the new-entry budget pacing; the @query
+# registration is one decorator away). The "pick K docs
+# length-weighted" curation primitive, as SEQUENTIAL POISSON SAMPLING
+# (Ohlsson): rank key = u / w with u a value-pure md5 draw and w the
+# doc weight; the K smallest keys are the sample — inclusion
+# probability ~ proportional to w (the πps estimator survey statistics
+# ships on).
+#
+# Key design point: u/w is ONE IEEE division of two exactly-
+# representable integers (52-bit md5 draw, integer weight), and IEEE
+# division is correctly rounded in every engine — so the ranking is
+# BIT-IDENTICAL across Spark and DuckDB, unlike the classic
+# Efraimidis-Spirakis u^(1/w) (pow/ln differ by ulps across libm
+# implementations, and an ulp at the rank-K cut flips the sample).
+# Tie-break doc_id for a total order.
+#
+# Scale: orderBy(key).limit(K) plans as TakeOrderedAndProject —
+# per-partition top-K then a K-row merge; the corpus never shuffles,
+# the reducer sees executors×K rows. The draw is value-pure (md5 of
+# the row key), so the sample is partition- and history-independent:
+# the same corpus always yields the same sample on any cluster.
+# --------------------------------------------------------------------------
+P11_SALT = "psamp"
+P11_K = 200
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = P11_K, weight_col: str = "n_chars"
+) -> DataFrame:
+    """The k docs with smallest md5-uniform / weight — heavier docs
+    draw smaller keys more often, hence inclusion ~ proportional to
+    weight. Deterministic: (key, doc_id) totally orders the corpus."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(P11_SALT), F.col("doc_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    )
+    key = u / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    return docs.withColumn("_kmce_key", key).orderBy(
+        "_kmce_key", "doc_id"
+    ).limit(k)
+
+
+P11_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(('0x' || substr(md5('{P11_SALT}' ||
+                     CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+              * 1.0 + 1.0)
+             / greatest(CAST(n_chars AS DOUBLE), 1.0) AS k
+      FROM documents),
+    sample AS (
+      SELECT * FROM keyed ORDER BY k, doc_id LIMIT {P11_K})
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM sample GROUP BY source ORDER BY source
+"""
+
+
+def p11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: per-source composition of the length-weighted K-doc sample
+    — the oracle replays draw, division, total order, cut, and
+    aggregate, so a draw-width slip, a weight clamp difference, an
+    unstable tie-break, or an off-by-one at the cut flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    s = weighted_sample(docs)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

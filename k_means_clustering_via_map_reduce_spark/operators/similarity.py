@@ -995,3 +995,71 @@ def s8_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _S8_STAGED["key"] = key
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return ivf_pq_search_persisted(spark, q).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# S9 — RADIUS (threshold) similarity search (round-9 surface,
+# library-first per the new-entry budget pacing; the @query
+# registration is one decorator away). The query face the top-k family
+# (s1/s2/s3/s5/s7/s8) cannot express: "everything within cosine >= R
+# of each query" has an UNBOUNDED per-query result set — the
+# dedup-candidate / retrieval-recall primitive where the caller needs
+# ALL matches, not the best k. Exact truth arm (the s1 discipline):
+# broadcast the query set, one dot + divide per pair, filter — no
+# window, no rank, so the plan is a pure narrow map over the corpus.
+#
+# Scale: the broadcast-probe scan is embarrassingly parallel and the
+# output is result-sized; the IVF-pruned serving variant (probe only
+# cells whose centroid can still beat R — s3's machinery with a radius
+# bound instead of a candidate count) is the registered round-9 work,
+# to be measured against this arm for recall exactly as s3 vs s1.
+# --------------------------------------------------------------------------
+S9_RADIUS = 0.3
+S9_N_QUERIES = 10
+
+S9_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {S9_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q JOIN e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
+    FROM scored WHERE cos >= {S9_RADIUS}
+    ORDER BY query_id, neighbor_id
+"""
+
+
+def s9_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: every (query, neighbor) pair within cosine >= 0.3 of the
+    first-{n} query set, exact. Same FP operation order as the oracle
+    (per-side norms precomputed, one dot + one divide per pair), so the
+    unrounded threshold compare agrees bit-for-bit; the output rounds
+    to 4 decimals only for display."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < S9_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        vector_norm(F.col("v")).alias("qnrm"),
+    )
+    c = spread(e).withColumn("nrm", vector_norm(F.col("v")))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+        )
+        .filter(F.col("cos") >= S9_RADIUS)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r4(F.col("cos")).alias("cos_sim"),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )

@@ -5247,3 +5247,86 @@ def f25_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F26 — MERGE INTO the versioned table (round-9 surface, library-first
+# per the new-entry budget pacing; the @query registration is one
+# decorator away). The last missing lakehouse verb: Delta's upsert —
+# WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *, one commit,
+# file-granular COW on the matched side (sources/versioned.py:
+# merge_into). The staged table holds the documents metadata in 5
+# lang-clustered files; the merge source UPDATES every even-doc_id
+# en row's n_chars (+1000) and INSERTS 20 brand-new doc_ids — so the
+# oracle can replay the whole upsert relationally, and the clean
+# languages' files must carry by name (pinned in tests/test_merge.py).
+# --------------------------------------------------------------------------
+_F26_STAGED: dict[tuple, object] = {}
+
+F26_ORACLE = """
+    WITH merged AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' AND doc_id % 2 = 0
+                  THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT 1000000 + gs.i AS doc_id, 'xx' AS lang,
+             10 * gs.i AS n_chars
+      FROM generate_series(0, 19) gs(i))
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           max(doc_id) AS max_doc
+    FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
+def f26_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the table AFTER one MERGE commit that both updates
+    (en rows with even doc_id gain 1000 chars) and inserts (20 new
+    'xx'-lang rows): the oracle replays the upsert relationally, so a
+    lost update, a dropped survivor, a duplicated insert, or an update
+    leaking into a clean file flips the hash; max_doc pins the inserts.
+
+    Scale: one semi-join probe finds the affected files, the rewrite
+    joins only their rows against the (broadcastable) source, clean
+    files carry by name — O(affected + source), never a table rewrite."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F26_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_merge_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        commit_append(d.repartition(5, "lang"), tmp.name)
+        updates = (
+            d.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+        )
+        inserts = spark.range(20).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.lit("xx").alias("lang"),
+            (F.col("id") * 10).cast(d.schema["n_chars"].dataType).alias(
+                "n_chars"
+            ),
+        )
+        merge_into(
+            spark, tmp.name, updates.unionByName(inserts), "doc_id"
+        )
+        _F26_STAGED[key] = tmp
+    latest = read_version(spark, _F26_STAGED[key].name)
+    return (
+        latest.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

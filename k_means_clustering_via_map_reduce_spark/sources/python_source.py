@@ -1041,7 +1041,11 @@ def register_version_feed_source(spark: SparkSession) -> str:
                 # re-emit the whole table (caught by the round-8
                 # interleaving harness). Skip it.
                 continue
-            if "deleted_from" in manifest or "updated_from" in manifest:
+            if (
+                "deleted_from" in manifest
+                or "updated_from" in manifest
+                or "merged_from" in manifest
+            ):
                 # a COW rewrite's `added` files are rewritten SURVIVORS
                 # — emitting them duplicates rows the feed already
                 # delivered, and an append-only feed has no retraction

@@ -617,6 +617,141 @@ def update_where(
     return _cow_rewrite(spark, root, predicate, apply_set, "updated_from")
 
 
+def merge_into(
+    spark: SparkSession, root: str, source: DataFrame, key: str
+) -> int:
+    """MERGE INTO (Delta's upsert verb, WHEN MATCHED UPDATE SET * /
+    WHEN NOT MATCHED INSERT *): every stored row whose ``key`` appears
+    in ``source`` is replaced by that source row's values (one update
+    per matched TARGET row — stored duplicates each update, preserving
+    multiplicity, Delta's semantics); source rows with unmatched keys
+    insert. Duplicate keys in ``source`` are rejected loudly (two
+    source rows matching one target row is nondeterministic — the same
+    error Delta raises). Both halves land in ONE commit.
+
+    File-granular COW like delete/update: affected files are exactly
+    those containing a matched key (one semi-join probe); clean files
+    carry into the new manifest BY NAME; a merge whose source is empty
+    commits nothing. History stays immutable — the pre-merge snapshot
+    still shows the old rows.
+
+    Scale: the probe and the rewrite join key on ``key`` — broadcast
+    when the source is dim-sized (the common upsert shape), plain
+    shuffle otherwise; data work is O(affected files + source), never
+    a table rewrite."""
+    from pyspark.sql import functions as F
+
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot merge into an empty table")
+    manifest = read_manifest(root, parent)
+    rel_files = manifest["files"]
+    schema = table_schema(root, parent)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    abs_of = {os.path.realpath(os.path.join(root, f)): f for f in rel_files}
+    df = reader.parquet(*abs_of).withColumn(
+        "_kmce_file", F.input_file_name()
+    )
+    cols = [c for c in df.columns if c != "_kmce_file"]
+    if set(source.columns) != set(cols):
+        raise ValueError(
+            f"merge_into source columns {sorted(source.columns)} must "
+            f"equal table columns {sorted(cols)} (schema evolution is "
+            "commit_append's job)"
+        )
+    src = source.select(*cols)
+    n_src, n_keys = src.agg(
+        F.count(F.lit(1)), F.count_distinct(F.col(key))
+    ).collect()[0]
+    if n_src != n_keys:
+        raise ValueError(
+            f"merge_into source has duplicate keys ({n_src} rows, "
+            f"{n_keys} distinct {key!r}) — a target row would match "
+            "more than one source row"
+        )
+    keys = src.select(key).distinct()
+    raw_affected = [
+        r["_kmce_file"]
+        for r in df.join(keys, key, "left_semi")
+        .select("_kmce_file")
+        .distinct()
+        .collect()
+    ]
+    affected_abs = {_uri_to_local(u) for u in raw_affected}
+    unknown = affected_abs - set(abs_of)
+    if unknown:
+        raise ValueError(
+            f"input_file_name() returned paths outside the manifest "
+            f"file set: {sorted(unknown)[:3]}"
+        )
+    affected_rel = sorted(abs_of[a] for a in affected_abs)
+    if n_src == 0:
+        return parent
+    affected_rows = df.filter(
+        F.col("_kmce_file").isin(raw_affected)
+    ).drop("_kmce_file")
+    # matched target rows take the source row's values (multiplicity
+    # preserved: LEFT join keyed on key, coalesce per column); clean
+    # rows of affected files pass through byte-identical
+    src_m = src.select(
+        F.col(key),
+        *[F.col(c).alias(f"_kmce_src_{c}") for c in cols if c != key],
+    ).withColumn("_kmce_matched", F.lit(True))
+    updated = (
+        affected_rows.join(src_m, key, "left")
+        .select(
+            *[
+                F.col(key)
+                if c == key
+                else F.when(
+                    F.col("_kmce_matched"), F.col(f"_kmce_src_{c}")
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in cols
+            ]
+        )
+    )
+    inserts = src.join(affected_rows.select(key), key, "left_anti")
+    new_content = updated.unionByName(inserts.select(*cols))
+    txn = uuid.uuid4().hex[:12]
+    version = parent + 1
+    data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
+    new_content.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(os.path.relpath(data_dir, root), n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    kept = [f for f in rel_files if f not in set(affected_rel)]
+    prev_stats = manifest.get("stats", {})
+    new_manifest = {
+        "version": version,
+        "parent": parent,
+        "files": kept + new_files,
+        "added": new_files,
+        "merged_from": affected_rel,
+        "batches": manifest.get("batches", []),
+        "stats": {
+            **{f: prev_stats[f] for f in kept if f in prev_stats},
+            **_collect_file_stats(root, new_files),
+        },
+    }
+    if manifest.get("schema") is not None:
+        new_manifest["schema"] = manifest["schema"]
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, version) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    finally:
+        os.remove(tmp)
+    return version
+
+
 def z_value(x, y, bits: int = 10):
     """Morton/Z-order interleave of two normalized non-negative ints
     (x in even bit positions, y in odd): the multi-dimensional

@@ -218,3 +218,45 @@ def test_s7_bucketed_postings_join_shape(spark, sf_dir):
     plan = physical_plan(big)
     assert "SortMergeJoin" in plan and "Bucketed: true" in plan
     assert count_shuffles(big) <= 2  # probe alignment + window
+
+
+def test_s9_radius_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        S9_ORACLE,
+        s9_radius_search,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(s9_radius_search(spark, sf_dir), S9_ORACLE, sf_dir)
+
+
+def test_s9_radius_agrees_with_topk_prefix(spark, sf_dir):
+    """Cross-operator pin: for every query, the radius matches above R
+    must be exactly s1's scored pairs above R — the two truth arms see
+    one geometry."""
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        S9_N_QUERIES,
+        S9_RADIUS,
+        brute_force_topk,
+        s9_radius_search,
+    )
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < S9_N_QUERIES)
+    big_k = e.count()
+    topk = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=big_k).collect()
+        if r["cos_sim"] >= S9_RADIUS
+    }
+    radius = {
+        (r["query_id"], r["neighbor_id"])
+        for r in s9_radius_search(spark, sf_dir).collect()
+    }
+    assert radius == topk
+    assert len(radius) > 0
