@@ -662,9 +662,17 @@ def merge_into(
             "commit_append's job)"
         )
     src = source.select(*cols)
-    n_src, n_keys = src.agg(
-        F.count(F.lit(1)), F.count_distinct(F.col(key))
+    n_src, n_keys, n_null = src.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(F.col(key)),
+        F.count(F.when(F.col(key).isNull(), 1)),
     ).collect()[0]
+    if n_null:
+        raise ValueError(
+            f"merge_into source has {n_null} NULL {key!r} rows — a NULL "
+            "key matches nothing and would silently insert; filter or "
+            "key them explicitly"
+        )
     if n_src != n_keys:
         raise ValueError(
             f"merge_into source has duplicate keys ({n_src} rows, "

@@ -152,3 +152,12 @@ def test_f26_matches_oracle_driver_style(spark, sf_dir):
     from tests.oracle_utils import compare_to_oracle
 
     compare_to_oracle(f26_merge_into_read(spark, sf_dir), F26_ORACLE, sf_dir)
+
+
+def test_merge_rejects_null_source_keys(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(None, "a", 1.0)], "id BIGINT, tag STRING, v DOUBLE"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into(spark, root, src, "id")

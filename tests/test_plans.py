@@ -802,3 +802,41 @@ def test_q79_aggregates_before_wide_dims_attach(spark, sf_dir):
     assert count_shuffles(df) <= 1, plan[:800]
     pushed = pushed_filters(df)
     assert any("l_returnflag" in p for p in pushed), pushed
+
+
+def test_q80_is_explode_shaped_not_windowed(spark, sf_dir):
+    """The trailing-distinct plan must be the bounded contribution
+    explode: no Window node anywhere (Spark cannot window a DISTINCT,
+    and a rank-based workaround would be a global sort), and a Generate
+    (explode) node present; the final join of two day-keyed aggregates
+    is broadcast (day cardinality is tiny)."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q80_trailing_distinct_users"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Generate" in plan, plan
+    assert broadcast_hash_join_count(df) >= 1
+
+
+def test_d12_has_no_cartesian_and_broadcasts_lang_counts(spark, sf_dir):
+    """The weighted pair join must stay an equi-join on (lang, shingle)
+    — never a nested-loop — and the 5-row per-lang doc counts attach
+    by broadcast."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["d12_tfidf_cosine_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert broadcast_hash_join_count(df) >= 1
+
+
+def test_f25_scan_reads_only_kept_files(spark, sf_dir):
+    """The z-order read must plan over the pruned file list only: both
+    probe predicates still push to the scan (defense in depth below the
+    manifest prune)."""
+    df = Q.QUERIES["f25_zorder_skipping_read"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("doc_id" in p for p in pushed), pushed
+    assert any("n_chars" in p for p in pushed), pushed
