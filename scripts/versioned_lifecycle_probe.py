@@ -351,7 +351,58 @@ def feed_probe(spark) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def zorder_probe(spark) -> None:
+    """Round-8 f25 arm: files kept under a 2-D range probe, Z-ordered
+    layout vs 1-D sort layout, at 64 files. Columns are independent
+    (y is a multiplicative-hash scramble of x), so the 1-D layout's
+    per-file y-bounds span the whole domain — the quantified version
+    of the claim tests/test_zorder.py pins structurally."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        prune_files,
+        read_manifest,
+        zorder_commit,
+    )
+
+    n, files = 262_144, 64
+    d = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),
+    )
+    print("\n## f25 Z-order vs 1-D layout: files kept under 2-D probes "
+          f"({files}-file table, {n} rows)")
+    print("| probe (frac of each dim) | kept (z) | kept (1-D x-sort) |")
+    print("|---|---|---|")
+    zroot = tempfile.mkdtemp(prefix="kmce_zp_")
+    lroot = tempfile.mkdtemp(prefix="kmce_lp_")
+    try:
+        vz = zorder_commit(d, zroot, "x", "y", n_files=files, bits=12)
+        vl = commit_append(
+            d.repartitionByRange(files, "x").sortWithinPartitions("x"),
+            lroot,
+        )
+        assert len(read_manifest(zroot, vz)["files"]) == files
+        for frac in (8, 4, 2):
+            w = n // frac
+            kz = set(prune_files(zroot, vz, "x", 0, w - 1)) & set(
+                prune_files(zroot, vz, "y", 0, w - 1)
+            )
+            kl = set(prune_files(lroot, vl, "x", 0, w - 1)) & set(
+                prune_files(lroot, vl, "y", 0, w - 1)
+            )
+            print(f"| 1/{frac} x 1/{frac} | {len(kz)} | {len(kl)} |")
+    finally:
+        shutil.rmtree(zroot, ignore_errors=True)
+        shutil.rmtree(lroot, ignore_errors=True)
+
+
 def main() -> None:
+    if "--zorder" in sys.argv:
+        spark = _spark()
+        zorder_probe(spark)
+        spark.stop()
+        return
     if "--cow" in sys.argv:
         spark = _spark()
         cow_probe(spark)
@@ -369,6 +420,7 @@ def main() -> None:
     cow_probe(spark)
     skipping_probe(spark)
     feed_probe(spark)
+    zorder_probe(spark)
     spark.stop()
 
 

@@ -44,13 +44,16 @@ from k_means_clustering_via_map_reduce_spark.sources.versioned import (
     delete_where,
     expire_versions,
     latest_version,
+    merge_into,
     read_manifest,
     vacuum,
 )
 
 # Op alphabet: ("append", batch_idx) | "compact" | ("expire", keep) |
 # "vacuum" | "drain" (availableNow feed run against the shared
-# checkpoint) | "delete" (COW rewrite — poisons the feed range).
+# checkpoint) | "delete" | "merge" (COW rewrites — poison the feed
+# range; merge is the round-9 upsert verb, already lifecycle-composed
+# here).
 _FEED_OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 4)),
@@ -59,6 +62,7 @@ _FEED_OPS = st.lists(
         st.just("vacuum"),
         st.just("drain"),
         st.just("delete"),
+        st.just("merge"),
     ),
     min_size=3,
     max_size=9,
@@ -134,6 +138,23 @@ def test_feed_exactly_once_under_lifecycle_interleavings(spark_prop, ops):
                 # drain whose range includes this version
                 victim = appended[0]
                 delete_where(spark, root, f"id = {victim[0]}")
+                if poisoned_at is None:
+                    poisoned_at = latest_version(root)
+            elif op == "merge":
+                if not appended:
+                    continue
+                # upsert one known row; a COW rewrite exactly like
+                # delete from the feed's point of view
+                vid, _, _ = appended[0]
+                merge_into(
+                    spark,
+                    root,
+                    spark.createDataFrame(
+                        [(vid, "MRG", -1.0)],
+                        "id BIGINT, tag STRING, v DOUBLE",
+                    ),
+                    "id",
+                )
                 if poisoned_at is None:
                     poisoned_at = latest_version(root)
             elif op == "drain":
