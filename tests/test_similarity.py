@@ -260,3 +260,76 @@ def test_s9_radius_agrees_with_topk_prefix(spark, sf_dir):
     }
     assert radius == topk
     assert len(radius) > 0
+
+
+def test_s9b_ivf_radius_is_exact_on_the_fixture(spark, sf_dir):
+    """The cell-pruned radius search must return EXACTLY the brute
+    arm's rows — the triangle-inequality prune is lossless, unlike
+    top-k nprobe. On THIS fixture the bound is honest but vacuous:
+    the embeddings are near-isotropic (pairwise cosine mean ~0, max
+    ~0.5 in 64-d), so cell radii approach 90 degrees and every cell
+    stays admissible at R=0.3 — the real high-dimensional-geometry
+    lesson that IVF pruning needs clusterable data, which the
+    clustered-data test below demonstrates biting."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        S9_N_QUERIES,
+        radius_search_ivf,
+        s9_radius_search,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < S9_N_QUERIES)
+    pruned = radius_search_ivf(e, q)
+    got = sorted(map(tuple, pruned.collect()))
+    want = sorted(map(tuple, s9_radius_search(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+    # never probes MORE than the cross product; on isotropic data it
+    # legitimately cannot probe fewer
+    assert pruned._kmce_probes <= pruned._kmce_total
+
+
+def test_s9b_prune_bites_on_clustered_data(spark):
+    """On clusterable data (8 tight clusters, 64-d), the exact bound
+    must prune MOST (query, cell) pairs while still returning every
+    true match — compared against a from-scratch brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        radius_search_ivf,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = c + 0.05 * rng.standard_normal(64)  # tight cluster
+        vecs.append((i, (v / np.linalg.norm(v)).tolist()))
+    e = spark.createDataFrame(vecs, "vec_id BIGINT, v ARRAY<DOUBLE>")
+    q = e.filter(F.col("vec_id") < 8)
+    radius = 0.9
+    pruned = radius_search_ivf(e, q, radius=radius, nlist=8)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"]) for r in pruned.collect()
+    )
+    # brute truth
+    m = {i: np.array(v) for i, v in vecs}
+    want = sorted(
+        (qi, ni)
+        for qi in range(8)
+        for ni in m
+        if ni != qi and float(m[qi] @ m[ni]) >= radius
+    )
+    assert got == want and len(got) > 0
+    # the point: most of the 8x8 (query, cell) grid is pruned
+    assert pruned._kmce_probes <= pruned._kmce_total // 2, (
+        pruned._kmce_probes,
+        pruned._kmce_total,
+    )
