@@ -816,3 +816,58 @@ def zorder_commit(
         .drop("_kmce_z")
     )
     return commit_append(clustered, root)
+
+
+def read_changes(
+    spark: SparkSession, root: str, v0: int, v1: int | None = None
+) -> DataFrame:
+    """Batch change feed (Delta's table_changes for append-only
+    tables): the rows ADDED between version ``v0`` (exclusive) and
+    ``v1`` (inclusive; latest when None), as one batch DataFrame — the
+    incremental-ETL primitive for jobs that checkpoint a version number
+    themselves instead of running a streaming query.
+
+    Exactly the k23 feed's semantics, batch-shaped: compaction versions
+    contribute NOTHING (no data change), copy-on-write delete/update/
+    merge versions RAISE (an append-only diff cannot represent them),
+    and rows read with v1's evolved schema (older files null-fill).
+
+    Scale: resolving the range is O(versions in range) driver-side
+    manifest reads; the scan reads only the added files — O(changes),
+    never O(table)."""
+    latest = latest_version(root)
+    if v1 is None:
+        v1 = latest
+    if not 0 <= v0 <= v1 <= latest:
+        raise ValueError(
+            f"read_changes: need 0 <= v0 <= v1 <= latest, got "
+            f"v0={v0} v1={v1} latest={latest}"
+        )
+    files: list[str] = []
+    for v in range(v0 + 1, v1 + 1):
+        m = read_manifest(root, v)
+        if "compacted_from" in m:
+            continue
+        if (
+            "deleted_from" in m
+            or "updated_from" in m
+            or "merged_from" in m
+        ):
+            raise ValueError(
+                f"read_changes: version {v} is a copy-on-write rewrite; "
+                "the append-only change diff cannot represent "
+                "deletes/updates"
+            )
+        files.extend(m.get("added", []))
+    schema = table_schema(root, v1) if v1 >= 1 else None
+    if not files:
+        if schema is None:
+            raise ValueError(
+                "read_changes: empty range on a table with no recorded "
+                "schema — nothing to shape an empty frame with"
+            )
+        return spark.createDataFrame([], schema)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*[os.path.join(root, f) for f in files])

@@ -112,3 +112,51 @@ def test_feed_null_fills_evolved_columns(spark, tmp_path):
 
 def test_k23_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(k23_version_feed_read(spark, sf_dir), K23_ORACLE, sf_dir)
+
+
+def test_read_changes_batch_diff(spark, tmp_path):
+    """Batch table_changes: the diff between any two versions equals
+    the rows appended between them; diffs COMPOSE (v0->v1 + v1->v2 ==
+    v0->v2); compaction contributes nothing; COW raises."""
+    import pytest
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        compact,
+        delete_where,
+        read_changes,
+    )
+
+    root = str(tmp_path / "t")
+    batches = []
+    for b in range(3):
+        rows = [(b * 10 + i, f"b{b}") for i in range(4)]
+        commit_append(
+            spark.createDataFrame(rows, "id BIGINT, tag STRING"), root
+        )
+        batches.append(rows)
+
+    def got(v0, v1=None):
+        return sorted(map(tuple, read_changes(spark, root, v0, v1).collect()))
+
+    assert got(0) == sorted(r for b in batches for r in b)
+    assert got(1, 2) == sorted(batches[1])
+    # composition
+    assert sorted(got(0, 1) + got(1, 3)) == got(0, 3)
+    # empty range on a schema-recorded table
+    assert got(2, 2) == []
+    # compaction inside the range contributes nothing
+    compact(spark, root, target_files=1)  # v4
+    commit_append(
+        spark.createDataFrame([(99, "z")], "id BIGINT, tag STRING"), root
+    )  # v5
+    assert got(3) == [(99, "z")]
+    # COW poisons the diff
+    delete_where(spark, root, "id = 0")  # v6
+    with pytest.raises(ValueError, match="copy-on-write"):
+        read_changes(spark, root, 5)
+    # but a range BEFORE the COW still reads fine
+    assert got(3, 5) == [(99, "z")]
+    # bounds are validated
+    with pytest.raises(ValueError, match="need 0 <= v0"):
+        read_changes(spark, root, 7, 99)
