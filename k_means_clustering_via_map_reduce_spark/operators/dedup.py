@@ -1600,3 +1600,131 @@ def d12_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", r4(F.col("cos")).alias("cos_sim"))
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D11b — the CAPPED d11 production arm (round-9 surface, library-first;
+# the @query registration is one decorator away). d11's oracle-exact
+# path runs uncapped because its oracle applies no cap; at 100 TB the
+# posting cap is not optional — so this arm ENCODES THE CAP IN THE
+# ORACLE (the round-7 ADVICE's other branch): shingles whose segment-df
+# exceeds the cap leave the inverted index on BOTH engines, the
+# intersection counts only surviving shingles while sizes stay
+# original (an UNDERESTIMATE of jaccard — removal errs toward keeping
+# data), and the query equals its oracle at EVERY scale, cap binding
+# or not. The engine's size-ratio prune stays lossless for the capped
+# score too (capped <= true jaccard <= the size bound).
+# --------------------------------------------------------------------------
+D11B_POSTING_CAP = 10_000
+
+
+def _d11b_oracle(cap: int) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(0,
+                 CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+               i -> array_to_string(
+                 w[i * {SEGMENT_WORDS} + 1 :
+                   i * {SEGMENT_WORDS} + {SEGMENT_WORDS}], ' ')))
+               AS seg
+      FROM d
+    ),
+    dist AS (
+      SELECT lang, seg, count(DISTINCT doc_id) AS df,
+             string_split(seg, ' ') AS sw
+      FROM segs GROUP BY lang, seg
+    ),
+    sh AS (
+      SELECT lang, seg, df,
+             CASE WHEN len(sw) >= {D11_SHINGLE_W} THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(sw) - {D11_SHINGLE_W - 1}),
+                 i -> array_to_string(sw[i:i + {D11_SHINGLE_W - 1}], ' ')))
+             ELSE [array_to_string(sw, ' ')] END AS sh
+      FROM dist
+    ),
+    ex AS (
+      SELECT lang, seg, df, len(sh) AS n_sh, unnest(sh) AS sg FROM sh
+    ),
+    keep AS (
+      SELECT lang, sg FROM ex GROUP BY lang, sg
+      HAVING count(*) <= {cap}
+    ),
+    exk AS (SELECT ex.* FROM ex JOIN keep USING (lang, sg)),
+    inter AS (
+      SELECT a.lang, a.seg, b.seg AS b_seg, a.n_sh AS a_n,
+             b.n_sh AS b_n, b.df AS b_df, count(*) AS n_common
+      FROM exk a JOIN exk b
+        ON a.lang = b.lang AND a.sg = b.sg AND a.seg <> b.seg
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    pairs AS (
+      SELECT lang, seg, b_df FROM inter
+      WHERE n_common * 1.0 / (a_n + b_n - n_common) >= {D11_JACCARD}
+    ),
+    fam AS (
+      SELECT s.lang, s.seg, s.df,
+             s.df + coalesce(sum(p.b_df), 0) AS family_df
+      FROM sh s LEFT JOIN pairs p
+        ON p.lang = s.lang AND p.seg = s.seg
+      GROUP BY s.lang, s.seg, s.df
+    ),
+    marked AS (
+      SELECT g.doc_id, g.lang,
+             f.family_df >= {D11_FAMILY_CUTOFF} AS drop
+      FROM segs g JOIN fam f ON f.lang = g.lang AND f.seg = g.seg
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(sum(CASE WHEN drop THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS drop_frac
+    FROM marked GROUP BY lang ORDER BY lang
+"""
+
+
+D11B_ORACLE = _d11b_oracle(D11B_POSTING_CAP)
+
+
+def d11b_segment_neardup_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D11b: d11's boilerplate accounting through the CAPPED family-df
+    (posting_cap={cap}) with the cap replayed in the oracle — the form
+    a 100 TB corpus actually runs, exact against its own contract at
+    any scale (tests/test_segment_neardup.py drives a cap that BINDS
+    on a synthetic hot-shingle corpus to prove the mirror)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), " ")
+    seg_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
+        f" as int) - 1), i -> array_join(slice(w, i * {SEGMENT_WORDS}"
+        f" + 1, {SEGMENT_WORDS}), ' '))"
+    )
+    segs = docs.select(
+        "doc_id", "lang", w.alias("w")
+    ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
+    fam = segment_family_df(docs, posting_cap=D11B_POSTING_CAP)
+    marked = segs.join(fam, ["lang", "seg"]).withColumn(
+        "drop", F.col("family_df") >= D11_FAMILY_CUTOFF
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("drop").cast("bigint")).alias("n_dropped"),
+            r4(
+                F.sum(F.col("drop").cast("double")) / F.count(F.lit(1))
+            ).alias("drop_frac"),
+        )
+        .orderBy("lang")
+    )

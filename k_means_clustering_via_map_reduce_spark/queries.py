@@ -5330,3 +5330,62 @@ def f26_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F27 — batch CHANGE DIFF read (round-9 surface, library-first; the
+# @query registration is one decorator away). The incremental-ETL verb
+# k23 serves as a stream, batch-shaped: read_changes(root, v0, v1)
+# returns exactly the rows appended between two versions
+# (sources/versioned.py — compaction contributes nothing, COW raises,
+# diffs compose; pinned in tests/test_version_feed.py). Staged as four
+# doc_id-quarter commits; the diff past version 2 must equal the plain
+# relational filter for quarters 3 and 4.
+# --------------------------------------------------------------------------
+_F27_STAGED: dict[tuple, object] = {}
+
+F27_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents WHERE doc_id % 4 IN (2, 3)
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def f27_change_diff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the batch diff of versions (2, 4]: the table was built
+    as four doc_id-quarter commits, so the diff must hold exactly the
+    last two quarters' rows — a version boundary slip, a re-emitted
+    early commit, or a dropped added-file flips the hash.
+
+    Scale: the diff reads ONLY the added files of the requested range —
+    O(changes), never O(table); range resolution is driver-side
+    manifest metadata."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        read_changes,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F27_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_diff_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        for q in range(4):
+            commit_append(d.filter(F.col("doc_id") % 4 == q), tmp.name)
+        _F27_STAGED[key] = tmp
+    diff = read_changes(spark, _F27_STAGED[key].name, 2, 4)
+    return (
+        diff.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

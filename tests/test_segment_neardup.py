@@ -109,3 +109,99 @@ def test_posting_cap_is_a_subset_guard(spark, sf_dir):
     assert {(r["lang"], r["seg"]) for r in floor} == set(exact)
     for r in floor:
         assert r["family_df"] == r["df"] <= exact[(r["lang"], r["seg"])]
+
+
+def test_d11b_matches_capped_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        D11B_ORACLE,
+        d11b_segment_neardup_capped,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        d11b_segment_neardup_capped(spark, sf_dir), D11B_ORACLE, sf_dir
+    )
+
+
+def test_d11b_cap_mirror_binds_on_hot_shingles(spark):
+    """Drive a cap that BINDS: a synthetic corpus where one shingle
+    occurs in many distinct segments. The capped engine family-df must
+    equal the cap-encoded oracle's EXACTLY even while the cap changes
+    the answer (proved by also checking the uncapped answer differs)."""
+    import duckdb
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _d11b_oracle,
+        segment_family_df,
+    )
+
+    # 12 docs; each doc = one 8-word segment identical except the last
+    # word — every SHARED shingle has segment-df 12 (> cap), so the
+    # uncapped jaccard is 6/8 = 0.75 (a family) while the capped index
+    # drops all shared shingles and the family dissolves; plus 2
+    # exact-dup segments untouched by the cap
+    rows = []
+    for i in range(12):
+        words = ["a", "b", "c", "d", "e", "f", "g", f"x{i}"]
+        rows.append((i, "en", " ".join(words)))
+    rows.append((100, "en", "same same same same same same same same"))
+    rows.append((101, "en", "same same same same same same same same"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    docs = spark.createDataFrame(pdf)
+
+    cap = 3  # the hot "hot hot" shingle has segment-df 12 > 3
+    got = {
+        (r["lang"], r["seg"]): (r["df"], r["family_df"])
+        for r in segment_family_df(docs, posting_cap=cap).collect()
+    }
+    uncapped = {
+        (r["lang"], r["seg"]): (r["df"], r["family_df"])
+        for r in segment_family_df(docs, posting_cap=None).collect()
+    }
+    assert got != uncapped  # the cap genuinely binds here
+    # replay the capped FAMILY marking through the cap-encoded oracle's
+    # fam CTE (reuse the full oracle, compare the per-lang tail)
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        want_rows = con.execute(_d11b_oracle(cap)).fetchall()
+    finally:
+        con.close()
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        D11_FAMILY_CUTOFF,
+        SEGMENT_WORDS,
+    )
+    from pyspark.sql import functions as F
+
+    w = F.split(F.trim(F.col("text")), " ")
+    seg_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
+        f" as int) - 1), i -> array_join(slice(w, i * {SEGMENT_WORDS}"
+        f" + 1, {SEGMENT_WORDS}), ' '))"
+    )
+    segs = docs.select("doc_id", "lang", w.alias("w")).select(
+        "doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg")
+    )
+    fam = segment_family_df(docs, posting_cap=cap)
+    marked = segs.join(fam, ["lang", "seg"]).withColumn(
+        "drop", F.col("family_df") >= D11_FAMILY_CUTOFF
+    )
+    got_rows = sorted(
+        map(
+            tuple,
+            marked.groupBy("lang")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_segments"),
+                F.sum(F.col("drop").cast("bigint")).alias("n_dropped"),
+                F.round(
+                    F.sum(F.col("drop").cast("double")) / F.count(F.lit(1)),
+                    4,
+                ).alias("drop_frac"),
+            )
+            .orderBy("lang")
+            .collect(),
+        )
+    )
+    assert got_rows == sorted(map(tuple, want_rows))

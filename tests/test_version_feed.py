@@ -160,3 +160,13 @@ def test_read_changes_batch_diff(spark, tmp_path):
     # bounds are validated
     with pytest.raises(ValueError, match="need 0 <= v0"):
         read_changes(spark, root, 7, 99)
+
+
+def test_f27_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F27_ORACLE,
+        f27_change_diff_read,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(f27_change_diff_read(spark, sf_dir), F27_ORACLE, sf_dir)

@@ -36,6 +36,7 @@ from k_means_clustering_via_map_reduce_spark.sources.versioned import (
     compact,
     delete_where,
     expire_versions,
+    merge_into,
     update_where,
     latest_version,
     read_manifest,
@@ -56,6 +57,8 @@ _OPS = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 4)),
         # round-7 COW update: shift every value of one batch tag
         st.tuples(st.just("update"), st.integers(0, 4)),
+        # round-8 MERGE upsert: update one tag's rows + insert one new
+        st.tuples(st.just("merge"), st.integers(0, 4)),
     ),
     min_size=3,
     max_size=8,
@@ -139,6 +142,30 @@ def test_lifecycle_invariants_hold_under_any_interleaving(spark_prop, ops):
                         (i, t, val + 1000 if t == tag else val)
                         for i, t, val in model[latest]
                     )
+            elif op[0] == "merge":
+                if latest == 0:
+                    continue
+                tag = f"b{op[1]}"
+                seq += 1
+                new_id = 100_000 + seq
+                src_rows = [
+                    (i, "MRG", -1.0)
+                    for i, t, _ in model[latest]
+                    if t == tag
+                ] + [(new_id, "NEW", float(seq))]
+                src = spark.createDataFrame(
+                    src_rows, "id BIGINT, tag STRING, v DOUBLE"
+                )
+                v = merge_into(spark, root, src, "id")
+                matched = {i for i, t, _ in model[latest] if t == tag}
+                assert v == latest + 1  # insert guarantees a commit
+                model[v] = sorted(
+                    [
+                        (i, "MRG", -1.0) if i in matched else (i, t, val)
+                        for i, t, val in model[latest]
+                    ]
+                    + [(new_id, "NEW", float(seq))]
+                )
             elif op[0] == "append":
                 seq += 1
                 v = commit_append(_batch(spark, op[1], seq), root)
