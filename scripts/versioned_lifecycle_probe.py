@@ -223,6 +223,53 @@ def cow_probe(spark) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def merge_probe(spark) -> None:
+    """Round-8 merge cost shape: a MERGE whose source keys land in f of
+    N files must rewrite exactly those f files (plus one insert file)
+    and carry the rest by name — O(affected + source), like delete."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        merge_into,
+    )
+
+    print("\n## COW merge cost shape (20-file table, O(affected) claim)")
+    print("| files touched | wall s | files rewritten | files carried |")
+    print("|---|---|---|---|")
+    for touch in (1, 5, 10, 20):
+        root = tempfile.mkdtemp(prefix="kmce_merge_probe_")
+        try:
+            for b in range(20):
+                commit_append(
+                    spark.range(b * 1000, (b + 1) * 1000)
+                    .select(
+                        F.col("id"),
+                        (F.col("id") % 97).alias("v"),
+                    )
+                    .coalesce(1),
+                    root,
+                )
+            before = read_manifest(root, 20)["files"]
+            # update one row in each of the first `touch` buckets,
+            # plus one brand-new insert
+            src_rows = [(b * 1000 + 7, -1) for b in range(touch)]
+            src_rows.append((10_000_000, -2))
+            src = spark.createDataFrame(src_rows, "id BIGINT, v BIGINT")
+            t0 = time.time()
+            v = merge_into(spark, root, src, "id")
+            dt = time.time() - t0
+            m = read_manifest(root, v)
+            carried = len([f for f in before if f in m["files"]])
+            print(
+                f"| {touch} | {dt:.2f} | {len(m['merged_from'])} "
+                f"| {carried} |"
+            )
+            assert len(m["merged_from"]) == touch
+            assert carried == 20 - touch
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def skipping_probe(spark) -> None:
     """Round-8 f23 arm: manifest-stats file skipping vs predicate
     selectivity on a 64-file range-clustered table. The claim: the
@@ -414,6 +461,11 @@ def main() -> None:
         feed_probe(spark)
         spark.stop()
         return
+    if "--merge" in sys.argv:
+        spark = _spark()
+        merge_probe(spark)
+        spark.stop()
+        return
     spark = _spark()
     real_table_probe(spark)
     metadata_only_probe()
@@ -421,6 +473,7 @@ def main() -> None:
     skipping_probe(spark)
     feed_probe(spark)
     zorder_probe(spark)
+    merge_probe(spark)
     spark.stop()
 
 
