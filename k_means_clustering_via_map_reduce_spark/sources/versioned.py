@@ -618,7 +618,11 @@ def update_where(
 
 
 def merge_into(
-    spark: SparkSession, root: str, source: DataFrame, key: str
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+    batch_id: int | None = None,
 ) -> int:
     """MERGE INTO (Delta's upsert verb, WHEN MATCHED UPDATE SET * /
     WHEN NOT MATCHED INSERT *): every stored row whose ``key`` appears
@@ -634,6 +638,12 @@ def merge_into(
     carry into the new manifest BY NAME; a merge whose source is empty
     commits nothing. History stays immutable — the pre-merge snapshot
     still shows the old rows.
+
+    ``batch_id`` rides inside the manifest exactly as in
+    ``commit_append`` (one atomic link — no crash window between the
+    merge and its ledger record), so incremental-maintenance jobs can
+    checkpoint "processed through source version V" on the STATE
+    table itself.
 
     Scale: the probe and the rewrite join key on ``key`` — broadcast
     when the source is dim-sized (the common upsert shape), plain
@@ -741,7 +751,10 @@ def merge_into(
         "files": kept + new_files,
         "added": new_files,
         "merged_from": affected_rel,
-        "batches": manifest.get("batches", []),
+        "batches": (
+            manifest.get("batches", [])
+            + ([batch_id] if batch_id is not None else [])
+        ),
         "stats": {
             **{f: prev_stats[f] for f in kept if f in prev_stats},
             **_collect_file_stats(root, new_files),

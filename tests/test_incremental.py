@@ -1,0 +1,133 @@
+"""Incremental aggregate maintenance (round-9 pre-build): exactness
+against the batch recount under any append/refresh interleaving, no-op
+discipline, ledger checkpointing, and O(diff) refresh cost."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+    _token_counts,
+    refresh_token_counts,
+    token_counts_state,
+)
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    applied_batches,
+    commit_append,
+    latest_version,
+    read_changes,
+)
+
+
+def _corpus_batch(spark, b: int):
+    texts = [
+        (b * 10 + i, " ".join(f"w{(b + i + j) % 7}" for j in range(5)))
+        for i in range(4)
+    ]
+    return spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+
+
+def _state_rows(spark, state_root):
+    return sorted(
+        (r["token"], r["freq"])
+        for r in token_counts_state(spark, state_root).collect()
+    )
+
+
+def _batch_recount(spark, corpus_root):
+    full = read_changes(spark, corpus_root, 0)
+    return sorted(
+        (r["token"], r["freq"]) for r in _token_counts(full).collect()
+    )
+
+
+def test_refresh_matches_batch_recount_and_checkpoints(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(_corpus_batch(spark, 0), corpus)
+    commit_append(_corpus_batch(spark, 1), corpus)
+    v = refresh_token_counts(spark, corpus, state)
+    assert v == 2 and applied_batches(state) == {2}
+    assert _state_rows(spark, state) == _batch_recount(spark, corpus)
+    # more corpus, second refresh folds ONLY the new versions
+    commit_append(_corpus_batch(spark, 2), corpus)
+    v = refresh_token_counts(spark, corpus, state)
+    assert v == 3 and applied_batches(state) == {2, 3}
+    assert _state_rows(spark, state) == _batch_recount(spark, corpus)
+
+
+def test_refresh_with_nothing_new_is_noop(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(_corpus_batch(spark, 0), corpus)
+    refresh_token_counts(spark, corpus, state)
+    sv = latest_version(state)
+    assert refresh_token_counts(spark, corpus, state) == 1
+    assert latest_version(state) == sv  # no version burned
+
+
+def test_refresh_reads_only_the_diff(spark, tmp_path):
+    """The O(diff) claim, asserted: the refresh's change read holds
+    exactly the new batches' rows, never the whole corpus."""
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    for b in range(4):
+        commit_append(_corpus_batch(spark, b), corpus)
+    refresh_token_counts(spark, corpus, state)
+    commit_append(_corpus_batch(spark, 9), corpus)
+    done = max(applied_batches(state))
+    diff = read_changes(spark, corpus, done)
+    assert diff.count() == 4  # one new batch, 4 docs — not 20
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 5)),
+            st.just("refresh"),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_state_exact_under_any_interleaving(spark_prop, ops, tmp_path_factory):
+    spark = spark_prop
+    base = tmp_path_factory.mktemp("inc")
+    corpus, state = str(base / "corpus"), str(base / "state")
+    commit_append(_corpus_batch(spark, 99), corpus)
+    for op in ops:
+        if op == "refresh":
+            refresh_token_counts(spark, corpus, state)
+        else:
+            commit_append(_corpus_batch(spark, op[1]), corpus)
+    refresh_token_counts(spark, corpus, state)  # terminal catch-up
+    assert _state_rows(spark, state) == _batch_recount(spark, corpus)
+
+
+def test_state_counts_are_plain_spark_aggregable(spark, tmp_path):
+    """The state is a first-class versioned table: time travel shows
+    the aggregate as of each refresh."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_version,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(_corpus_batch(spark, 0), corpus)
+    refresh_token_counts(spark, corpus, state)
+    first = sorted(
+        map(tuple, read_version(spark, state, 1).collect())
+    )
+    commit_append(_corpus_batch(spark, 1), corpus)
+    refresh_token_counts(spark, corpus, state)
+    # the v1 snapshot still shows the first refresh's counts
+    assert sorted(map(tuple, read_version(spark, state, 1).collect())) == first
+    total = (
+        token_counts_state(spark, state)
+        .agg(F.sum("freq").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == 8 * 5  # 8 docs x 5 tokens
