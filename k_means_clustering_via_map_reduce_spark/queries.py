@@ -5389,3 +5389,65 @@ def f27_change_diff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# K24 — incremental aggregate maintenance, end to end (round-9 surface,
+# library-first; the @query registration is one decorator away). The
+# corpus lands in three versioned commits with a REFRESH interleaved
+# after each (operators/incremental.py: read_changes diff -> one MERGE
+# -> atomic ledger checkpoint); the terminal state must equal the
+# plain batch token count of the whole corpus — a dropped diff, a
+# double-applied refresh, a merge that lost an existing token, or a
+# checkpoint slip all flip the hash.
+# --------------------------------------------------------------------------
+_K24_STAGED: dict[tuple, object] = {}
+
+K24_ORACLE = """
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY token
+"""
+
+
+def k24_incremental_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained token-count state after three interleaved
+    commit+refresh rounds — exact incremental maintenance, never a
+    corpus re-scan (each refresh reads only its diff; pinned with
+    asserted row counts in tests/test_incremental.py).
+
+    Scale: the corpus is append-only and huge, the state is
+    vocabulary-sized; each refresh shuffles O(diff) plus the touched
+    slice of the state — the standing-statistics job shape (vocab,
+    dedup signatures, quality histograms) at 100 TB."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts,
+        token_counts_state,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    import os as _os
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _K24_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_inc_")
+        corpus = _os.path.join(tmp.name, "corpus")
+        state = _os.path.join(tmp.name, "state")
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for third in range(3):
+            commit_append(d.filter(F.col("doc_id") % 3 == third), corpus)
+            refresh_token_counts(spark, corpus, state)
+        _K24_STAGED[key] = (tmp, state)
+    _, state = _K24_STAGED[key]
+    return (
+        token_counts_state(spark, state)
+        .select("token", F.col("freq").cast("bigint").alias("freq"))
+        .orderBy("token")
+    )

@@ -131,3 +131,15 @@ def test_state_counts_are_plain_spark_aggregable(spark, tmp_path):
         .collect()[0]["s"]
     )
     assert total == 8 * 5  # 8 docs x 5 tokens
+
+
+def test_k24_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        K24_ORACLE,
+        k24_incremental_token_counts,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        k24_incremental_token_counts(spark, sf_dir), K24_ORACLE, sf_dir
+    )
