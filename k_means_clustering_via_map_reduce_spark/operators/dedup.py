@@ -1728,3 +1728,146 @@ def d11b_segment_neardup_capped(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# D2b — MinHash-LSH with a FULLY REPLAYABLE banding (round-9 surface,
+# library-first; the @query registration is one decorator away). d2's
+# banding hashes with xxhash64 — engine-internal, so d2 is rows-only by
+# contract. This arm swaps the permutation hash to md5 (identical in
+# every engine), which makes the ENTIRE pipeline — signatures, band
+# keys, candidate generation, exact-jaccard verification — one
+# relational oracle: the first hash-verified LSH entry, closing the
+# oldest rows-only gap in the dedup family. 12 permutations in 3
+# bands of 4 (vs d2's 32/8): at the jaccard>=0.5 threshold a band
+# collides with probability J^4, so a true pair at J=0.95 is missed
+# with probability (1-0.81)^3 ~ 0.7% — and the md5 cost per shingle
+# is 12 hashes, not 32.
+#
+# Scale: identical shape to d2 — banded equi-join, never all-pairs;
+# the md5 permutation costs ~2-3x xxhash64 per hash, the price of
+# cross-engine replayability (d2 stays the production-throughput arm).
+# --------------------------------------------------------------------------
+D2B_PERMS = 12
+D2B_BANDS = 3
+D2B_ROWS = D2B_PERMS // D2B_BANDS
+
+_D2B_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d),
+    sig AS (
+      SELECT doc_id, lang, sh,
+             list_transform(generate_series(0, {D2B_PERMS - 1}),
+               i -> list_min(list_transform(sh,
+                 sg -> CAST(('0x' || substr(md5(i || '|' || sg), 1, 13))
+                       AS BIGINT)))) AS sig
+      FROM s),
+    bands AS (
+      SELECT doc_id, lang, sh, b.band,
+             sig[b.band * {D2B_ROWS} + 1] || '-'
+               || sig[b.band * {D2B_ROWS} + 2] || '-'
+               || sig[b.band * {D2B_ROWS} + 3] || '-'
+               || sig[b.band * {D2B_ROWS} + 4] AS key
+      FROM sig,
+           (SELECT unnest(generate_series(0, {D2B_BANDS - 1})) AS band) b),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.sh AS a_sh, b.sh AS b_sh
+      FROM bands a JOIN bands b
+        ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+           round(len(list_intersect(a_sh, b_sh)) * 1.0
+                 / len(list_distinct(a_sh || b_sh)), 4) AS jaccard
+    FROM cands
+    WHERE len(list_intersect(a_sh, b_sh)) * 1.0
+          / len(list_distinct(a_sh || b_sh)) >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+"""
+
+
+def d2b_minhash_banding_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D2b: MinHash-LSH pairs whose whole pipeline replays in SQL —
+    md5 permutations, min-over-shingles signatures, 4-row band keys,
+    band-equality candidates, exact-jaccard verification. A permutation
+    index slip, a band boundary error, a min over the wrong set, or a
+    candidate leak flips the hash."""
+    s = _shingled(spark, sf_dir)
+    perm_mins = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda sg, i=i: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), sg)), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias(f"m{i}")
+        for i in range(D2B_PERMS)
+    ]
+    sig = s.select("doc_id", "lang", "sh", F.array(*perm_mins).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "lang",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at(
+                                    "sig", b * D2B_ROWS + r + 1
+                                ).cast("string")
+                                for r in range(D2B_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(D2B_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "lang", "sh", F.col("bk.band"), F.col("bk.key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            [
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sh").alias("a_sh"),
+            F.col("b.sh").alias("b_sh"),
+        )
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("a_sh", "b_sh")) / F.size(
+        F.array_union("a_sh", "b_sh")
+    )
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", r4(F.col("jaccard")).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )

@@ -574,3 +574,35 @@ def test_d12_partitioning_independent(spark, sf_dir):
     a = sorted(map(tuple, d12_tfidf_cosine_pairs(spark, sf_dir).collect()))
     b = sorted(map(tuple, d12_tfidf_cosine_pairs(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_d2b_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D2B_ORACLE,
+        d2b_minhash_banding_oracle,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        d2b_minhash_banding_oracle(spark, sf_dir), _D2B_ORACLE, sf_dir
+    )
+
+
+def test_d2b_recall_against_exact_jaccard(spark, sf_dir):
+    """The 3x4 banding must catch every fixture near-dup family (all
+    sit at jaccard >= 0.95, where a miss needs all three bands to
+    split — probability well under a percent)."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        d2b_minhash_banding_oracle,
+        jaccard_pairs,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"]) for r in jaccard_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in d2b_minhash_banding_oracle(spark, sf_dir).collect()
+    }
+    assert lsh <= exact  # exact verification: no false positives
+    assert lsh == exact  # and on this fixture, full recall
