@@ -382,10 +382,55 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     )
 
 
-@query("d3_simhash_pairs")
+_D3_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, len(toks) AS n_tok, unnest(toks) AS tok FROM d),
+    h AS (SELECT doc_id, n_tok,
+                 CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+          FROM tok),
+    bits AS (
+      SELECT doc_id, gb.b AS b,
+             CASE WHEN 2 * sum(CASE WHEN (h >> gb.b) & 1 = 1
+                               THEN 1 ELSE 0 END) > max(n_tok)
+                  THEN 1 ELSE 0 END AS bit
+      FROM h, generate_series(0, {SIMHASH_BITS - 1}) gb(b)
+      GROUP BY doc_id, gb.b),
+    bands AS (
+      SELECT doc_id, b // 16 AS band_id,
+             CAST(sum(bit * CAST(power(2, b % 16) AS BIGINT)) AS BIGINT)
+               AS band_val
+      FROM bits GROUP BY doc_id, b // 16),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.a_id, c.b_id,
+             CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.a_id
+      JOIN bits y ON y.doc_id = c.b_id AND y.b = x.b
+      GROUP BY c.a_id, c.b_id)
+    SELECT a_id, b_id, hamming FROM ham
+    WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    ORDER BY a_id, b_id
+"""
+
+
+@query("d3_simhash_pairs", oracle=_D3_ORACLE)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3). Rows-only for the driver;
-    pytest pins determinism and cross-checks against a Python oracle."""
+    """SimHash near-dup pairs (hamming ≤ 3) — HASH-VERIFIED as of round
+    8 (rows-only rounds 4-7): the fingerprint is md5-derived end to
+    end, so the whole pipeline replays relationally — per-token 64-bit
+    md5 prefixes, strict-majority bit votes over each doc's DISTINCT
+    tokens, 16-bit pigeonhole bands, candidate generation, and the
+    exact hamming verify. A hash-prefix slip, a majority-tie flip, a
+    band boundary error, or a popcount bug flips the driver hash.
+    pytest additionally pins determinism and the pure-Python oracle."""
     d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
