@@ -1042,15 +1042,18 @@ def register_version_feed_source(spark: SparkSession) -> str:
                 # interleaving harness). Skip it.
                 continue
             if (
-                "deleted_from" in manifest
-                or "updated_from" in manifest
-                or "merged_from" in manifest
+                manifest.get("deleted_from")
+                or manifest.get("updated_from")
+                or manifest.get("merged_from")
             ):
                 # a COW rewrite's `added` files are rewritten SURVIVORS
                 # — emitting them duplicates rows the feed already
                 # delivered, and an append-only feed has no retraction
                 # to carry the change. Fail loudly (Delta's append-only
                 # streaming-read contract); CDC is a different operator.
+                # An INSERT-ONLY merge (merged_from == []) rewrote
+                # nothing — its added files are genuinely new rows and
+                # flow through like an append.
                 raise ValueError(
                     f"kmce_version_feed: version {v} is a copy-on-write "
                     "rewrite; the append-only change feed cannot "

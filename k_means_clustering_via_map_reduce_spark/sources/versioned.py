@@ -862,10 +862,12 @@ def read_changes(
         if "compacted_from" in m:
             continue
         if (
-            "deleted_from" in m
-            or "updated_from" in m
-            or "merged_from" in m
+            m.get("deleted_from")
+            or m.get("updated_from")
+            or m.get("merged_from")
         ):
+            # empty merged_from = insert-only merge: nothing rewritten,
+            # the added files are genuinely new rows
             raise ValueError(
                 f"read_changes: version {v} is a copy-on-write rewrite; "
                 "the append-only change diff cannot represent "

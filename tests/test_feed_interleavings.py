@@ -279,3 +279,34 @@ def test_compaction_only_drain_is_clean_empty_progress(spark, tmp_path):
     )
     _drain(spark, root, sink, ckpt)
     assert _sink_rows(spark, sink) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_insert_only_merge_flows_through_the_feed(spark, tmp_path):
+    """A merge that rewrote NOTHING (all source keys unmatched) is an
+    append in COW clothing — the feed and the batch diff both emit its
+    rows instead of refusing."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_changes,
+    )
+
+    register_version_feed_source(spark)
+    root = str(tmp_path / "t")
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    commit_append(
+        spark.createDataFrame([(1, "a", 1.0)], "id BIGINT, tag STRING, v DOUBLE"),
+        root,
+    )
+    merge_into(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(50, "NEW", 5.0)], "id BIGINT, tag STRING, v DOUBLE"
+        ),
+        "id",
+    )
+    assert read_manifest(root, 2)["merged_from"] == []
+    _drain(spark, root, sink, ckpt)
+    assert _sink_rows(spark, sink) == [(1, "a", 1.0), (50, "NEW", 5.0)]
+    assert sorted(
+        map(tuple, read_changes(spark, root, 1).collect())
+    ) == [(50, "NEW", 5.0)]
