@@ -8,6 +8,8 @@ import hashlib
 import os
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 import k_means_clustering_via_map_reduce_spark.queries as Q
@@ -606,3 +608,54 @@ def test_d2b_recall_against_exact_jaccard(spark, sf_dir):
     }
     assert lsh <= exact  # exact verification: no false positives
     assert lsh == exact  # and on this fixture, full recall
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c d efg "),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda t: t.strip()),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_d3_oracle_replays_engine_simhash_on_arbitrary_text(
+    spark_prop, texts
+):
+    """The round-8 D3 oracle upgrade's guard: on ARBITRARY token soups
+    (repeated tokens, multi-space runs, single-char vocab), the DuckDB
+    replay of the md5 simhash — hash prefixes, majority votes over
+    distinct tokens, band keys, hamming — must emit exactly the
+    engine's pair set. Any divergence in tokenization, UBIGINT
+    semantics, majority ties, or two's-complement handling shows here
+    before the driver sees it."""
+    import duckdb
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D3_ORACLE,
+        simhash_pairs,
+    )
+
+    spark = spark_prop
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    got = sorted(
+        map(
+            tuple,
+            simhash_pairs(spark.createDataFrame(pdf))
+            .orderBy("a_id", "b_id")
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        want = sorted(map(tuple, con.execute(_D3_ORACLE).fetchall()))
+    finally:
+        con.close()
+    assert got == want
