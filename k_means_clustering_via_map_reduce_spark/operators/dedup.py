@@ -1839,15 +1839,11 @@ _D2B_ORACLE = f"""
 """
 
 
-def d2b_minhash_banding_oracle(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """D2b: MinHash-LSH pairs whose whole pipeline replays in SQL —
-    md5 permutations, min-over-shingles signatures, 4-row band keys,
-    band-equality candidates, exact-jaccard verification. A permutation
-    index slip, a band boundary error, a min over the wrong set, or a
-    candidate leak flips the hash."""
-    s = _shingled(spark, sf_dir)
+def minhash_banding_pairs_md5(shingled: DataFrame) -> DataFrame:
+    """The d2b pipeline over a pre-shingled frame (doc_id, lang, sh) —
+    factored so the hypothesis guard can drive it on arbitrary
+    synthetic corpora."""
+    s = shingled
     perm_mins = [
         F.array_min(
             F.transform(
@@ -1916,3 +1912,14 @@ def d2b_minhash_banding_oracle(
         .select("a_id", "b_id", r4(F.col("jaccard")).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
+
+
+def d2b_minhash_banding_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D2b: MinHash-LSH pairs whose whole pipeline replays in SQL —
+    md5 permutations, min-over-shingles signatures, 4-row band keys,
+    band-equality candidates, exact-jaccard verification. A permutation
+    index slip, a band boundary error, a min over the wrong set, or a
+    candidate leak flips the hash."""
+    return minhash_banding_pairs_md5(_shingled(spark, sf_dir))

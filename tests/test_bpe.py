@@ -16,6 +16,9 @@ from collections import Counter
 
 import duckdb
 import pytest
+from hypothesis import given as given_hyp
+from hypothesis import settings as settings_hyp
+from hypothesis import strategies as st_hyp
 
 from k_means_clustering_via_map_reduce_spark.operators.text import (
     BPE_END,
@@ -319,3 +322,66 @@ def test_t25_oracle_recursive_cte_encodes_like_the_engine(spark, sf_dir):
     assert got, "vocab empty"
     for w, n in got.items():
         assert n == bpe_encode_len(w, T25_MERGES), w
+
+
+@pytest.mark.parametrize("n_merges", [4, 24])
+@settings_hyp(max_examples=20, deadline=None)
+@given_hyp(
+    hist=st_hyp.lists(
+        st_hyp.tuples(
+            st_hyp.text(alphabet="abcd01", min_size=1, max_size=8),
+            st_hyp.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_recursive_cte_encode_matches_engine_on_arbitrary_merges(
+    hist, n_merges
+):
+    """The T25 oracle's wrapped-string rewrite, driven with MERGES
+    TRAINED ON ARBITRARY HISTOGRAMS (not just the shipped artifact):
+    for every word in the histogram, the DuckDB recursive CTE must
+    encode to the same token count as the engine's merge pass — the
+    guard for the replace()-semantics equivalence argument."""
+    import duckdb
+
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        bpe_encode_len,
+        train_merges_from_histogram,
+    )
+
+    merges = train_merges_from_histogram(hist, n_merges)
+    if not merges:
+        return
+    rows = ", ".join(
+        f"({i + 1}, '{left}', '{right}')"
+        for i, (left, right) in enumerate(merges)
+    )
+    words = ", ".join(f"('{w}')" for w, _ in hist)
+    con = duckdb.connect()
+    try:
+        got = dict(
+            con.execute(f"""
+            WITH RECURSIVE merges(mrank, ml, mr) AS
+              (SELECT * FROM (VALUES {rows})),
+            dw(word) AS (SELECT * FROM (VALUES {words})),
+            enc AS (
+              SELECT word, 0 AS r,
+                     regexp_replace(word, '(.)', '|\\1|', 'g')
+                       || '|{BPE_END}|' AS s
+              FROM dw
+              UNION ALL
+              SELECT e.word, e.r + 1,
+                     replace(e.s, '|' || m.ml || '||' || m.mr || '|',
+                             '|' || m.ml || m.mr || '|')
+              FROM enc e JOIN merges m ON m.mrank = e.r + 1)
+            SELECT word, (len(s) - len(replace(s, '|', ''))) // 2
+            FROM enc WHERE r = {len(merges)}
+            """).fetchall()
+        )
+    finally:
+        con.close()
+    for w, _ in hist:
+        assert got[w] == bpe_encode_len(w, merges), (w, merges)

@@ -659,3 +659,62 @@ def test_d3_oracle_replays_engine_simhash_on_arbitrary_text(
     finally:
         con.close()
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("xy z w v "),
+            min_size=3,
+            max_size=30,
+        ).filter(lambda t: t.strip()),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_d2b_oracle_replays_engine_banding_on_arbitrary_text(
+    spark_prop, texts
+):
+    """d2b's guard (same class as the d3 one): md5 permutation mins,
+    band keys, candidates, and exact jaccard must agree between the
+    engine and the DuckDB replay on arbitrary token soups — with a
+    single 'lang' so the blocking never hides a divergence."""
+    import duckdb
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D2B_ORACLE,
+    )
+
+    spark = spark_prop
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    )
+
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        minhash_banding_pairs_md5,
+    )
+
+    shingled = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", "lang", shingles(F.col("text"), 3).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    got = sorted(map(tuple, minhash_banding_pairs_md5(shingled).collect()))
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        want = sorted(map(tuple, con.execute(_D2B_ORACLE).fetchall()))
+    finally:
+        con.close()
+    assert got == want
