@@ -444,6 +444,70 @@ def zorder_probe(spark) -> None:
         shutil.rmtree(lroot, ignore_errors=True)
 
 
+
+def incremental_probe_r8(spark) -> None:
+    """Round-8 incremental-maintenance cost shape: with H corpus
+    versions already processed, the NEXT refresh (one new version)
+    must cost ~flat wall regardless of H — the refresh reads only the
+    diff plus the vocabulary-sized state, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts,
+    )
+
+    rows_per = 2_000
+    print("\n## incremental refresh wall vs processed history (x1->x8)")
+    print("| history H | catch-up s (H versions) | +1 refresh s "
+          "| state rows |")
+    print("|---|---|---|---|")
+    for h in (8, 16, 32, 64):
+        tmp = tempfile.mkdtemp(prefix="kmce_incprobe_")
+        try:
+            corpus = os.path.join(tmp, "c")
+            state = os.path.join(tmp, "s")
+            for b in range(h):
+                commit_append(
+                    spark.range(b * rows_per, (b + 1) * rows_per)
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        F.concat(
+                            F.lit("tok"),
+                            (F.col("id") % 500).cast("string"),
+                            F.lit(" tok"),
+                            (F.col("id") % 501).cast("string"),
+                        ).alias("text"),
+                    )
+                    .coalesce(1),
+                    corpus,
+                )
+            t0 = time.time()
+            refresh_token_counts(spark, corpus, state)
+            t_catchup = time.time() - t0
+            commit_append(
+                spark.range(h * rows_per, (h + 1) * rows_per)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat(
+                        F.lit("tok"), (F.col("id") % 500).cast("string")
+                    ).alias("text"),
+                )
+                .coalesce(1),
+                corpus,
+            )
+            t0 = time.time()
+            refresh_token_counts(spark, corpus, state)
+            t_inc = time.time() - t0
+            from k_means_clustering_via_map_reduce_spark.operators.incremental import (  # noqa: E501
+                token_counts_state,
+            )
+
+            n_state = token_counts_state(spark, state).count()
+            print(f"| {h} | {t_catchup:.2f} | {t_inc:.2f} | {n_state} |")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     if "--zorder" in sys.argv:
         spark = _spark()
@@ -466,6 +530,11 @@ def main() -> None:
         merge_probe(spark)
         spark.stop()
         return
+    if "--incremental" in sys.argv:
+        spark = _spark()
+        incremental_probe_r8(spark)
+        spark.stop()
+        return
     spark = _spark()
     real_table_probe(spark)
     metadata_only_probe()
@@ -474,6 +543,7 @@ def main() -> None:
     feed_probe(spark)
     zorder_probe(spark)
     merge_probe(spark)
+    incremental_probe_r8(spark)
     spark.stop()
 
 
