@@ -1667,3 +1667,114 @@ def t25_bpe_encode_supplied(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T26 — bigram language-model quality scoring (round-9 surface,
+# library-first per the new-entry budget pacing; the @query
+# registration is one decorator away). The CCNet/KenLM idiom: train an
+# n-gram LM on the corpus, score every document by its per-token
+# negative log-likelihood, and filter the tail — the quality face
+# t2/t15's rule-based scores approximate. Add-one-smoothed bigrams:
+# p(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V), per-doc score =
+# -sum(ln p) / n_pairs over adjacent token pairs.
+#
+# Fully relational, so SQL-oracled: counts are exact integers, the
+# smoothing formula replays verbatim, and the one FP-summation-order
+# hazard (a per-doc sum of ~dozens of ln terms) sits far inside the
+# 4-decimal rounding that every avg()-bearing oracle here already
+# rides on.
+#
+# Scale: training is ONE corpus->bigram-histogram shuffle (key space =
+# seen bigrams, partial-agg combines upstream; a production corpus
+# caps to the top-K bigrams exactly like the BPE vocab cap); scoring
+# explodes adjacent pairs (narrow) and joins the vocabulary-sized
+# count tables — broadcast when the vocab fits, plain shuffle joins
+# otherwise; the per-doc aggregate is the only other exchange.
+# --------------------------------------------------------------------------
+T26_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    pairs AS (
+      -- generate_series cannot lateral-join a column in this DuckDB
+      -- (the d11 oracle's workaround): build the pair list as a
+      -- SCALAR list_transform and unnest the structs
+      SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> struct_pack(w1 := w[i], w2 := w[i + 1])))
+                 AS p
+        FROM d WHERE len(w) >= 2)),
+    uni AS (
+      SELECT w1 AS w, count(*) AS cu FROM pairs GROUP BY w1),
+    bi AS (
+      SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(w) AS tok FROM d)),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             -ln((bi.cb + 1.0) / (uni.cu + v.vocab)) AS nll
+      FROM pairs p
+      JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+      JOIN uni ON uni.w = p.w1
+      CROSS JOIN v)
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(nll) / count(*), 4) AS avg_nll
+    FROM scored GROUP BY doc_id, lang ORDER BY doc_id
+"""
+
+
+def t26_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26: per-document add-one-smoothed bigram negative
+    log-likelihood — train and score in one relational plan, the
+    oracle replaying counts, smoothing, and the per-doc mean exactly
+    (a count slip, a vocabulary-size error, or an off-by-one in the
+    smoothing flips the hash)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), " ")
+    toks = docs.select("doc_id", "lang", w.alias("w")).filter(
+        F.size("w") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i", "w1"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        "w1",
+        F.expr("w[i + 1]").alias("w2"),
+    )
+    uni = pairs.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    vocab = (
+        docs.select(F.explode(w).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, pairs["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("cb") + F.lit(1.0))
+                / (F.col("cu") + F.col("vocab"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            r4(F.sum("nll") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -103,3 +103,52 @@ def test_bm25_matches_duckdb_oracle(spark, sf_dir):
     compare_to_oracle(
         bm25_topk(docs, QUERY, k=25), Q.ORACLE_SQL["t22_bm25_topk"], sf_dir
     )
+
+
+def test_t26_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T26_ORACLE,
+        t26_bigram_lm_score,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(t26_bigram_lm_score(spark, sf_dir), T26_ORACLE, sf_dir)
+
+
+def test_t26_scores_match_pure_python_lm(spark, sf_dir):
+    """Per-doc scores vs a from-scratch add-one bigram LM."""
+    import math
+    from collections import Counter
+
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        t26_bigram_lm_score,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    docs = [
+        (r["doc_id"], (r["text"] or "").strip().split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    vocab = set()
+    for _, w in docs:
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            uni[a] += 1
+            bi[(a, b)] += 1
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_nll"])
+        for r in t26_bigram_lm_score(spark, sf_dir).collect()
+    }
+    v = len(vocab)
+    for did, w in docs:
+        prs = list(zip(w, w[1:]))
+        if not prs:
+            assert did not in got
+            continue
+        nll = sum(
+            -math.log((bi[p] + 1.0) / (uni[p[0]] + v)) for p in prs
+        )
+        assert got[did][0] == len(prs)
+        assert abs(got[did][1] - round(nll / len(prs), 4)) <= 1e-4, did
