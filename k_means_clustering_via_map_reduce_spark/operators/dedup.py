@@ -1739,6 +1739,7 @@ def _d11b_oracle(cap: int) -> str:
 D11B_ORACLE = _d11b_oracle(D11B_POSTING_CAP)
 
 
+@query("d11b_segment_neardup_capped", oracle=D11B_ORACLE)
 def d11b_segment_neardup_capped(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1914,6 +1915,7 @@ def minhash_banding_pairs_md5(shingled: DataFrame) -> DataFrame:
     )
 
 
+@query("d2b_minhash_lsh_md5", oracle=_D2B_ORACLE)
 def d2b_minhash_banding_oracle(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -852,6 +852,7 @@ P11_ORACLE = f"""
 """
 
 
+@query("p11_weighted_sample", oracle=P11_ORACLE)
 def p11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11: per-source composition of the length-weighted K-doc sample
     — the oracle replays draw, division, total order, cut, and

@@ -1035,6 +1035,7 @@ S9_ORACLE = f"""
 """
 
 
+@query("s9_radius_search", oracle=S9_ORACLE)
 def s9_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: every (query, neighbor) pair within cosine >= 0.3 of the
     first-{n} query set, exact. Same FP operation order as the oracle

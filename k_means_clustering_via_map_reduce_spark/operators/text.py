@@ -1728,6 +1728,7 @@ T26_ORACLE = """
 """
 
 
+@query("t26_bigram_lm_score", oracle=T26_ORACLE)
 def t26_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T26: per-document add-one-smoothed bigram negative
     log-likelihood — train and score in one relational plan, the

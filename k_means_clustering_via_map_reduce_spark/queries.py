@@ -5280,6 +5280,7 @@ F26_ORACLE = """
 """
 
 
+@query("f26_merge_into_read", oracle=F26_ORACLE)
 def f26_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the table AFTER one MERGE commit that both updates
     (en rows with even doc_id gain 1000 chars) and inserts (20 new
@@ -5353,6 +5354,7 @@ F27_ORACLE = """
 """
 
 
+@query("f27_change_diff_read", oracle=F27_ORACLE)
 def f27_change_diff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the batch diff of versions (2, 4]: the table was built
     as four doc_id-quarter commits, so the diff must hold exactly the
@@ -5411,6 +5413,7 @@ K24_ORACLE = """
 """
 
 
+@query("k24_incremental_token_counts", oracle=K24_ORACLE)
 def k24_incremental_token_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
