@@ -1818,10 +1818,10 @@ _D2B_ORACLE = f"""
       FROM s),
     bands AS (
       SELECT doc_id, lang, sh, b.band,
-             sig[b.band * {D2B_ROWS} + 1] || '-'
-               || sig[b.band * {D2B_ROWS} + 2] || '-'
-               || sig[b.band * {D2B_ROWS} + 3] || '-'
-               || sig[b.band * {D2B_ROWS} + 4] AS key
+             {" || '-' || ".join(
+                 f"sig[b.band * {D2B_ROWS} + {r + 1}]"
+                 for r in range(D2B_ROWS)
+             )} AS key
       FROM sig,
            (SELECT unnest(generate_series(0, {D2B_BANDS - 1})) AS band) b),
     cands AS (

@@ -519,7 +519,8 @@ def _cow_rewrite(
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
-    kept = [f for f in rel_files if f not in set(affected_rel)]
+    affected = set(affected_rel)
+    kept = [f for f in rel_files if f not in affected]
     prev_stats = manifest.get("stats", {})
     new_manifest = {
         "version": version,
@@ -743,7 +744,8 @@ def merge_into(
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
-    kept = [f for f in rel_files if f not in set(affected_rel)]
+    affected = set(affected_rel)
+    kept = [f for f in rel_files if f not in affected]
     prev_stats = manifest.get("stats", {})
     new_manifest = {
         "version": version,
@@ -814,13 +816,38 @@ def zorder_commit(
     interleave itself is identical). The Z column is dropped before the
     write — it is layout, not data."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
 
+    for c in (col_x, col_y):
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"zorder_commit: column {c!r} is "
+                f"{df.schema[c].dataType.simpleString()}, need a numeric "
+                "type to interleave"
+            )
     mx = df.agg(
-        F.max(col_x).alias("mx"), F.max(col_y).alias("my")
+        F.min(col_x).alias("nx"),
+        F.max(col_x).alias("mx"),
+        F.min(col_y).alias("ny"),
+        F.max(col_y).alias("my"),
     ).collect()[0]
+    if mx["mx"] is None or mx["my"] is None:
+        raise ValueError(
+            "zorder_commit: empty input (or all-NULL cluster columns) — "
+            "nothing to lay out"
+        )
     scale = 1 << bits
-    nx = F.floor(F.col(col_x) * scale / (mx["mx"] + 1))
-    ny = F.floor(F.col(col_y) * scale / (mx["my"] + 1))
+    # (x - min) * scale / (max - min + 1) lands every value in
+    # [0, scale-1] regardless of sign or offset; the former max-only
+    # form produced negative bins for negative values and degenerate
+    # bins for large positive minimums, silently collapsing clustering
+    # quality (round-8 ADVICE).
+    nx = F.floor(
+        (F.col(col_x) - mx["nx"]) * scale / (mx["mx"] - mx["nx"] + 1)
+    )
+    ny = F.floor(
+        (F.col(col_y) - mx["ny"]) * scale / (mx["my"] - mx["ny"] + 1)
+    )
     z = z_value(nx, ny, bits)
     clustered = (
         df.withColumn("_kmce_z", z)

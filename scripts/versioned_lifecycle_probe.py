@@ -291,8 +291,9 @@ def skipping_probe(spark) -> None:
     print("|---|---|---|---|")
     root = tempfile.mkdtemp(prefix="kmce_skip_probe_")
     try:
+        ver = 0
         for b in range(n_files):
-            commit_append(
+            ver = commit_append(
                 spark.range(b * rows_per, (b + 1) * rows_per)
                 .select(F.col("id"), (F.col("id") % 97).alias("v"))
                 .coalesce(1),
@@ -302,7 +303,7 @@ def skipping_probe(spark) -> None:
             lo = 0
             hi = keep * rows_per - 1
             t0 = time.time()
-            kept = prune_files(root, n_files, "id", lo, hi)
+            kept = prune_files(root, ver, "id", lo, hi)
             prune_ms = (time.time() - t0) * 1e3
             assert len(kept) == keep, (keep, len(kept))
             pred = (F.col("id") >= lo) & (F.col("id") <= hi)
@@ -313,7 +314,7 @@ def skipping_probe(spark) -> None:
                 .count()
             )
             t_pruned = time.time() - t0
-            man = read_manifest(root, n_files)
+            man = read_manifest(root, ver)
             t0 = time.time()
             n_full = (
                 spark.read.parquet(

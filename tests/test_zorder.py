@@ -83,3 +83,46 @@ def test_f25_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         f25_zorder_skipping_read(spark, sf_dir), F25_ORACLE, sf_dir
     )
+
+
+def test_zorder_normalizes_negative_and_offset_columns(spark, tmp_path):
+    """Min-max normalization (round-8 ADVICE fix): negative values and a
+    large positive minimum must land every row in a valid [0, 2^bits)
+    bin, keeping the layout clustered — the old max-only form produced
+    negative bins (broken interleave) for exactly these inputs."""
+    d = spark.range(1024).select(
+        (F.col("id") - 512).alias("x"),          # negative half-range
+        (F.col("id") + 1_000_000).alias("y"),    # large positive minimum
+    )
+    root = str(tmp_path / "zneg")
+    v = zorder_commit(d, root, "x", "y", n_files=8)
+    man = read_manifest(root, v)
+    assert len(man["files"]) == 8
+    # every file's stats must be tight enough that a narrow probe on
+    # EITHER column prunes — degenerate (single-bin) normalization
+    # would leave per-file ranges spanning the whole domain
+    by_x = prune_files(root, v, "x", -512, -384)
+    by_y = prune_files(root, v, "y", 1_000_000, 1_000_128)
+    assert len(by_x) < 8
+    assert len(by_y) < 8
+    # and the read-back is lossless
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_version,
+    )
+
+    assert read_version(spark, root).count() == 1024
+
+
+def test_zorder_rejects_empty_and_non_numeric(spark, tmp_path):
+    import pytest as _pt
+
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    with _pt.raises(ValueError, match="empty"):
+        zorder_commit(empty, str(tmp_path / "ze"), "x", "y")
+    txt = spark.range(4).select(
+        F.col("id").alias("x"), F.col("id").cast("string").alias("y")
+    )
+    with _pt.raises(TypeError, match="numeric"):
+        zorder_commit(txt, str(tmp_path / "zt"), "x", "y")
