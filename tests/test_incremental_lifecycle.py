@@ -1,0 +1,226 @@
+"""Model-based property test: k24 incremental maintenance composed with
+the FULL table lifecycle — the fifth interleaving harness on the
+versioned table (the first four each falsified a real bug: expire
+idempotency, the ingest-ledger crash window, the read(None) prune
+crash, and the change feed re-emitting the table through a compaction
+version).
+
+A refresh job maintains exact corpus token counts in its own versioned
+state table while BOTH tables churn underneath it: corpus appends,
+insert-only merges (legal through an append-only diff), OPTIMIZE on
+either table, retention, and vacuum. Invariants no sequence may break:
+
+- EXACTNESS: after any successful terminal refresh, the state equals
+  the plain token recount of the corpus snapshot — compaction versions
+  contribute nothing twice, insert-only merges contribute exactly their
+  inserts, and state-side OPTIMIZE/expire/vacuum never disturb either
+  the counts or the applied-batch ledger (compact must CARRY the
+  ledger: dropping it would double-apply the next diff).
+- NO-OP DISCIPLINE: a refresh whose diff is empty (nothing new, or only
+  compaction versions since the checkpoint) burns NO state version.
+- LOUD FAILURE, never silent corruption: a corpus COW update-merge
+  poisons the append-only diff — the refresh must RAISE, not fold a
+  best-effort delta; retention overtaking the checkpoint must likewise
+  raise, which is why the scheduled-expire clamp (keep at least the
+  unprocessed manifests) is part of the modeled contract.
+
+Each example runs real Spark jobs; sequences stay small (the x1->x8
+refresh cost shape lives in scripts/incremental_probe.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+    _token_counts,
+    refresh_token_counts,
+    token_counts_state,
+)
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    applied_batches,
+    commit_append,
+    compact,
+    expire_versions,
+    latest_version,
+    merge_into,
+    read_version,
+    vacuum,
+)
+
+# Op alphabet: corpus-side append / insert-only merge / OPTIMIZE /
+# clamped expire / vacuum; state-side OPTIMIZE / expire / vacuum;
+# "refresh" folds the diff; "poison" is a corpus COW update-merge
+# (terminal: the maintenance job is wedged by design afterwards).
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 5)),
+        st.just("refresh"),
+        st.tuples(st.just("merge_insert"), st.integers(0, 3)),
+        st.just("compact_corpus"),
+        st.just("compact_state"),
+        st.tuples(st.just("expire_corpus"), st.integers(1, 3)),
+        st.tuples(st.just("expire_state"), st.integers(1, 2)),
+        st.just("vacuum_corpus"),
+        st.just("vacuum_state"),
+        st.just("poison"),
+    ),
+    min_size=3,
+    max_size=9,
+)
+
+
+def _corpus_batch(spark, b: int, seq: int):
+    texts = [
+        (seq * 10 + i, " ".join(f"w{(b + i + j) % 7}" for j in range(5)))
+        for i in range(4)
+    ]
+    return spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+
+
+def _state_rows(spark, state_root):
+    return sorted(
+        (r["token"], r["freq"])
+        for r in token_counts_state(spark, state_root).collect()
+    )
+
+
+def _snapshot_recount(spark, corpus_root):
+    """Content-based truth: token counts of the LATEST snapshot —
+    robust to compaction/expire/vacuum, unlike a version-range replay."""
+    full = read_version(spark, corpus_root).select("text")
+    return sorted(
+        (r["token"], r["freq"]) for r in _token_counts(full).collect()
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_OPS)
+def test_state_exact_under_full_lifecycle(spark_prop, ops, tmp_path_factory):
+    spark = spark_prop
+    base = tmp_path_factory.mktemp("inclife")
+    corpus, state = str(base / "corpus"), str(base / "state")
+    seq = 0
+    commit_append(_corpus_batch(spark, 9, seq), corpus)
+    seq += 1
+    poisoned = False
+    for op in ops:
+        if poisoned:
+            break
+        if op == "refresh":
+            before = latest_version(state)
+            done = max(applied_batches(state), default=0)
+            # diff content = appended/merged-in rows in (done, latest]
+            has_data = _diff_has_rows(spark, corpus, done)
+            refresh_token_counts(spark, corpus, state)
+            if before and not has_data:
+                # no-op discipline: empty diff burns no state version
+                assert latest_version(state) == before
+        elif op == "compact_corpus":
+            compact(spark, corpus, target_files=1)
+        elif op == "compact_state":
+            if latest_version(state) > 0:
+                compact(spark, state, target_files=1)
+        elif op == "vacuum_corpus":
+            vacuum(corpus, retention_seconds=0.0)
+        elif op == "vacuum_state":
+            if latest_version(state) > 0:
+                vacuum(state, retention_seconds=0.0)
+        elif op == "poison":
+            # COW update-merge on the corpus: rewrite doc 0's text —
+            # unrepresentable in an append-only diff
+            merge_into(
+                spark,
+                corpus,
+                spark.createDataFrame(
+                    [(0, "w0 w0 w0 w0 w0")], "doc_id BIGINT, text STRING"
+                ),
+                "doc_id",
+            )
+            poisoned = True
+        else:
+            kind, arg = op
+            if kind == "append":
+                commit_append(_corpus_batch(spark, arg, seq), corpus)
+                seq += 1
+            elif kind == "merge_insert":
+                # all-new doc_ids => insert-only merge: merged_from is
+                # empty and the added files are genuinely new rows,
+                # legal through the append-only diff
+                merge_into(
+                    spark,
+                    corpus,
+                    _corpus_batch(spark, arg, seq),
+                    "doc_id",
+                )
+                seq += 1
+            elif kind == "expire_corpus":
+                # scheduled-job contract: retention may not overtake
+                # the refresh checkpoint
+                done = max(applied_batches(state), default=0)
+                keep = max(arg, latest_version(corpus) - done, 1)
+                expire_versions(corpus, keep_last=keep)
+            elif kind == "expire_state":
+                if latest_version(state) > 0:
+                    expire_versions(state, keep_last=arg)
+    if poisoned:
+        # the diff cannot represent the rewrite: refresh must refuse
+        # loudly (unless the checkpoint already covers the COW version,
+        # which cannot happen here — poison always bumps latest)
+        with pytest.raises(ValueError, match="copy-on-write"):
+            refresh_token_counts(spark, corpus, state)
+        return
+    refresh_token_counts(spark, corpus, state)  # terminal catch-up
+    assert _state_rows(spark, state) == _snapshot_recount(spark, corpus)
+
+
+def _diff_has_rows(spark, corpus_root: str, done: int) -> bool:
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_changes,
+    )
+
+    now = latest_version(corpus_root)
+    if now <= done:
+        return False
+    return bool(read_changes(spark, corpus_root, done, now).head(1))
+
+
+def test_state_compact_carries_ledger_and_counts(spark, tmp_path):
+    """OPTIMIZE on the state table between refreshes: the applied-batch
+    ledger must carry through the rewrite (dropping it would re-apply
+    the already-folded diff on the next refresh — a silent double
+    count), and the compacted counts must stay byte-exact."""
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(_corpus_batch(spark, 0, 0), corpus)
+    refresh_token_counts(spark, corpus, state)
+    before = _state_rows(spark, state)
+    ledger = applied_batches(state)
+    compact(spark, state, target_files=1)
+    assert applied_batches(state) == ledger
+    assert _state_rows(spark, state) == before
+    # a refresh with nothing new after the compact is still a no-op
+    v = latest_version(state)
+    refresh_token_counts(spark, corpus, state)
+    assert latest_version(state) == v
+    assert _state_rows(spark, state) == before
+
+
+def test_corpus_compact_diff_contributes_nothing(spark, tmp_path):
+    """An OPTIMIZE version inside the unprocessed corpus range must
+    fold ZERO extra counts — the compaction re-adds every row as
+    rewritten files, and counting them again doubles the state (the
+    exact bug the fourth harness caught in the change feed)."""
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(_corpus_batch(spark, 0, 0), corpus)
+    refresh_token_counts(spark, corpus, state)
+    truth = _state_rows(spark, state)
+    compact(spark, corpus, target_files=1)
+    refresh_token_counts(spark, corpus, state)
+    assert _state_rows(spark, state) == truth
