@@ -1199,3 +1199,25 @@ def radius_search_ivf(
     matched._kmce_probes = len(probe_pairs)  # pytest ledger
     matched._kmce_total = len(q_rows) * len(rads)
     return matched
+
+
+def s9b_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b staged query face (round-10 surface, library-first; the
+    @query registration is one decorator away): the IVF-pruned radius
+    search over the fixture embeddings. The prune is EXACT (spherical
+    triangle inequality with an ulp of slack — extra probing is
+    correctness-free, under-probing impossible), so this serves the
+    SAME oracle as the brute s9 arm at every scale and any clustering:
+    registration reuses S9_ORACLE verbatim.
+
+    Scale: centroids + per-cell radii are a K-row broadcast; per-query
+    admissible cells are a K-row driver computation; the search joins
+    corpus to (query, cell) pairs on cell id — per-query work is the
+    member mass of admissible cells, and on clusterable corpora (the
+    IVF premise, measured honestly in tests/test_similarity.py and
+    BASELINE.md §r8 s9b) that is a small fraction of the table."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < S9_N_QUERIES)
+    return radius_search_ivf(e, q)

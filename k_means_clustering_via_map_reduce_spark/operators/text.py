@@ -1779,3 +1779,108 @@ def t26_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T27 — repetition-based quality filters (round-10 surface, library-
+# first; the @query registration is one decorator away). The
+# Gopher/MassiveText repetition rules, word-granular (the corpus has no
+# line structure): a document dominated by one repeated n-gram, or with
+# too few distinct words, is boilerplate/spam and leaves the training
+# set. Two exact per-doc statistics plus the composed gate:
+#
+#   distinct_frac    = |distinct words| / |words|
+#   top_bigram_frac  = max within-doc bigram count / (|words| - 1)
+#   flagged          = top_bigram_frac >= 0.08 OR distinct_frac <= 0.40
+#
+# Scale: the whole computation is NARROW — split, array_distinct,
+# sort-the-bigrams, one aggregate() lambda for the max run length —
+# zero shuffles before the display orderBy, whole-stage codegen end to
+# end. The d1-style explode+groupBy formulation would shuffle the
+# corpus's full bigram stream; sorting WITHIN the row's array keeps the
+# count local to the document, which is the only correct granularity
+# anyway. Both sides compare the unrounded IEEE quotients (correctly
+# rounded in every engine); rounding to 4dp is display-only.
+# --------------------------------------------------------------------------
+T27_TOP_BIGRAM_MAX = 0.08
+T27_DISTINCT_MIN = 0.40
+
+T27_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+    pairs AS (
+      SELECT doc_id, p.w1 || ' ' || p.w2 AS bg
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> struct_pack(w1 := w[i], w2 := w[i + 1])))
+                     AS p
+            FROM d)),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM pairs
+            GROUP BY doc_id, bg),
+    top AS (SELECT doc_id, max(c) AS topc FROM bgc GROUP BY doc_id)
+    SELECT d.doc_id, d.lang,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(len(list_distinct(w)) * 1.0 / len(w), 4)
+             AS distinct_frac,
+           round(t.topc * 1.0 / (len(w) - 1), 4) AS top_bigram_frac,
+           (t.topc * 1.0 / (len(w) - 1) >= {T27_TOP_BIGRAM_MAX}
+            OR len(list_distinct(w)) * 1.0 / len(w)
+               <= {T27_DISTINCT_MIN}) AS flagged
+    FROM d JOIN top t USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition statistics over a (doc_id, lang, text) frame
+    — factored so tests can drive synthetic pathological documents."""
+    w = F.split(F.trim(F.col("text")), " ")
+    base = docs.select("doc_id", "lang", w.alias("w")).filter(
+        F.size("w") >= 2
+    )
+    # max bigram multiplicity without leaving the row: build the bigram
+    # array, sort it, and fold a (prev, run, best) accumulator — equal
+    # bigrams are adjacent after the sort, so the longest run IS the
+    # top count
+    bg = F.expr(
+        "array_sort(transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
+    )
+    top = F.expr(
+        "aggregate(bg,"
+        " struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        "           THEN acc.run + 1 ELSE 1 END,"
+        "   'best', greatest(acc.best,"
+        "           CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        "           THEN acc.run + 1 ELSE 1 END)),"
+        " acc -> acc.best)"
+    )
+    dfrac = F.size(F.array_distinct("w")) / F.size("w")
+    tfrac = F.col("topc") / (F.size("w") - 1)
+    return (
+        base.withColumn("bg", bg)
+        .withColumn("topc", top)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("w").cast("bigint").alias("n_words"),
+            r4(dfrac).alias("distinct_frac"),
+            r4(tfrac).alias("top_bigram_frac"),
+            (
+                (tfrac >= T27_TOP_BIGRAM_MAX)
+                | (dfrac <= T27_DISTINCT_MIN)
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t27_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27: per-document repetition quality gate — a run-length slip in
+    the fold, an off-by-one in the bigram window, or a threshold
+    boundary difference flips the hash (every doc is a row)."""
+    return repetition_stats(spread(load_table(spark, sf_dir, "documents")))

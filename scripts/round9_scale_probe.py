@@ -1,0 +1,188 @@
+"""Round-9 scale evidence (VERDICT r08 "Next round" #5):
+
+1. d11b capped-vs-uncapped segment near-dup curve, ×1→×8 with a PLANTED
+   GLOBAL HOT SHINGLE. Corpus copies get disjoint vocabularies (the
+   scale_evidence.py discipline — duplicate density constant), but one
+   bigram ("zzhot zzhot") is appended to every 4th document in EVERY
+   copy, so its per-lang segment-df grows linearly with scale and the
+   uncapped pair join's hot component grows QUADRATICALLY. The capped
+   arm (posting_cap=300, binding from ×2 at this corpus's lang mix)
+   must flatten back to ~linear: the d1b posting-cap discipline
+   measured at segment granularity. Wall time + shuffle-write records
+   per arm per scale, from the Spark REST API.
+
+2. f24 connector prune curve under growing file counts (16/64/256
+   single-file commits): a selective range probe through the
+   kmce_versioned DataSource must plan O(selected) input partitions and
+   stay ~flat in wall time while the full scan grows with the table.
+
+Run: python scripts/round9_scale_probe.py  (markdown to stdout; paste
+into BASELINE.md round-9 sections).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.scale_evidence import (  # noqa: E402
+    _app_id,
+    _spark,
+    shuffle_metrics,
+)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/kmce_r9_corpus"
+MULTS = (1, 2, 4, 8)
+HOT_EVERY = 4  # every 4th doc carries the global hot bigram
+PROBE_CAP = 300  # binds from x2 on this corpus's lang mix
+
+
+def build_hot_corpora(spark: SparkSession) -> None:
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    for m in MULTS:
+        out = os.path.join(WORK, f"x{m}")
+        if os.path.exists(os.path.join(out, "_DONE")):
+            continue
+        copies = []
+        for i in range(m):
+            t = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", r"(\S+)", f"c{i}$1")
+            )
+            # the hot bigram is NOT prefixed: global across copies, so
+            # its segment-df scales with the corpus while every other
+            # shingle's stays constant
+            t = F.when(
+                F.col("doc_id") % HOT_EVERY == 0,
+                F.concat(t, F.lit(" zzhot zzhot")),
+            ).otherwise(t)
+            copies.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias(
+                        "doc_id"
+                    ),
+                    t.alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        d = copies[0]
+        for c in copies[1:]:
+            d = d.unionAll(c)
+        d.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        open(os.path.join(out, "_DONE"), "w").close()
+
+
+def d11b_probe(spark: SparkSession) -> None:
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        segment_family_df,
+    )
+
+    app = _app_id()
+    print("\n## Round-9 d11b capped-vs-uncapped curve (planted hot shingle)")
+    print(f"(sf0.1 ×1→×8, hot bigram in every {HOT_EVERY}th doc across "
+          f"copies; cap={PROBE_CAP})")
+    print("| scale | arm | wall s | shuffle rows | family rows |")
+    print("|---|---|---|---|---|")
+    for m in MULTS:
+        docs = spark.read.parquet(
+            os.path.join(WORK, f"x{m}", "documents.parquet")
+        )
+        for arm, cap in (("uncapped", None), ("capped", PROBE_CAP)):
+            group = f"d11b_{arm}_x{m}"
+            spark.sparkContext.setJobGroup(group, group)
+            t0 = time.time()
+            fam = segment_family_df(docs, posting_cap=cap)
+            row = fam.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("family_df").alias("mass"),
+            ).collect()[0]
+            wall = time.time() - t0
+            spark.sparkContext.setJobGroup("", "")
+            _, rows = shuffle_metrics(app, group)
+            print(
+                f"| ×{m} | {arm} | {wall:.1f} | {rows:,} | {row['n']:,} |"
+            )
+
+
+def f24_probe(spark: SparkSession) -> None:
+    import shutil
+    import tempfile
+
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        register_versioned_source,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    register_versioned_source(spark)
+    rows_per = 10_000
+    print("\n## Round-9 f24 connector prune curve (growing file counts)")
+    print(f"({rows_per} rows/file, probe = one file's id range; "
+          "partitions from the post-prune RDD)")
+    print("| files | probe partitions | probe s | full-scan partitions "
+          "| full s |")
+    print("|---|---|---|---|---|")
+    for n_files in (16, 64, 256):
+        root = tempfile.mkdtemp(prefix=f"kmce_f24_{n_files}_")
+        try:
+            for b in range(n_files):
+                commit_append(
+                    spark.range(b * rows_per, (b + 1) * rows_per)
+                    .select(F.col("id"), (F.col("id") % 97).alias("v"))
+                    .coalesce(1),
+                    root,
+                )
+            lo, hi = 0, rows_per - 1  # exactly the first file
+            t0 = time.time()
+            probe = (
+                spark.read.format("kmce_versioned")
+                .option("root", root)
+                .load()
+                .filter((F.col("id") >= lo) & (F.col("id") <= hi))
+            )
+            n_probe = probe.count()
+            t_probe = time.time() - t0
+            p_probe = probe.rdd.getNumPartitions()
+            t0 = time.time()
+            full = (
+                spark.read.format("kmce_versioned")
+                .option("root", root)
+                .load()
+            )
+            n_full = full.count()
+            t_full = time.time() - t0
+            p_full = full.rdd.getNumPartitions()
+            assert n_probe == rows_per, n_probe
+            assert n_full == n_files * rows_per, n_full
+            print(
+                f"| {n_files} | {p_probe} | {t_probe:.2f} | {p_full} "
+                f"| {t_full:.2f} |"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    spark = _spark()
+    if "--f24-only" not in sys.argv:
+        build_hot_corpora(spark)
+        d11b_probe(spark)
+    if "--d11b-only" not in sys.argv:
+        f24_probe(spark)
+
+
+if __name__ == "__main__":
+    main()

@@ -333,3 +333,16 @@ def test_s9b_prune_bites_on_clustered_data(spark):
         pruned._kmce_probes,
         pruned._kmce_total,
     )
+
+
+def test_s9b_query_face_matches_s9_oracle_driver_style(spark, sf_dir):
+    """The staged s9b registration contract: the IVF-pruned query face
+    hash-matches the BRUTE arm's oracle (S9_ORACLE) — exactness is the
+    whole claim, so the oracle is shared verbatim."""
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        S9_ORACLE,
+        s9b_radius_search_ivf,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(s9b_radius_search_ivf(spark, sf_dir), S9_ORACLE, sf_dir)
