@@ -5454,3 +5454,83 @@ def k24_incremental_token_counts(
         .select("token", F.col("freq").cast("bigint").alias("freq"))
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# F28 — SHALLOW CLONE read (round-10 surface, library-first; the @query
+# registration is one decorator away). Delta's CREATE TABLE ... SHALLOW
+# CLONE: fork a snapshot as a new writable table in O(#files) driver
+# metadata, zero data copied (sources/versioned.py: clone_table). The
+# staged flow commits documents at the source, clones it, appends 20
+# brand-new 'xx'-lang rows TO THE CLONE, and aggregates the clone's
+# latest version — so the oracle replays source-content + fork-delta
+# relationally, and the source table must remain bit-identical
+# (pinned in tests/test_clone.py along with the zero-copy property).
+# --------------------------------------------------------------------------
+_F28_STAGED: dict[tuple, object] = {}
+
+F28_ORACLE = """
+    WITH forked AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      UNION ALL
+      SELECT 2000000 + gs.i AS doc_id, 'xx' AS lang,
+             7 * gs.i AS n_chars
+      FROM generate_series(0, 19) gs(i))
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           max(doc_id) AS max_doc
+    FROM forked GROUP BY lang ORDER BY lang
+"""
+
+
+def f28_shallow_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate a CLONE after forking it from the source snapshot and
+    appending 20 'xx'-lang rows to the fork only: a clone that copied
+    data (wrong files), leaked its append back to the source, or lost
+    a source file reference flips the hash; max_doc pins the fork
+    delta.
+
+    Scale: the clone commit is O(#files) driver-side JSON — forking a
+    petabyte table costs milliseconds and zero storage until the fork
+    diverges; reads plan exactly the referenced files with carried
+    stats, so pruning works on the fork immediately."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        clone_table,
+        commit_append,
+        read_version,
+    )
+
+    import os as _os
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F28_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_clone_")
+        src = _os.path.join(tmp.name, "src")
+        dst = _os.path.join(tmp.name, "fork")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        commit_append(d.repartition(5, "lang"), src)
+        clone_table(src, dst)
+        inserts = spark.range(20).select(
+            (F.col("id") + 2_000_000).alias("doc_id"),
+            F.lit("xx").alias("lang"),
+            (F.col("id") * 7).cast(d.schema["n_chars"].dataType).alias(
+                "n_chars"
+            ),
+        )
+        commit_append(inserts, dst)
+        _F28_STAGED[key] = (tmp, src, dst)
+    _, _, dst = _F28_STAGED[key]
+    return (
+        read_version(spark, dst)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

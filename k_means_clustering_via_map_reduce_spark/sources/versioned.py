@@ -913,3 +913,77 @@ def read_changes(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
+def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE`` verb):
+    commit a version-1 manifest at ``dst_root`` whose file list
+    references the source snapshot's data files BY ABSOLUTE PATH — no
+    data is copied, the clone is O(#files) driver-side metadata.
+    Returns the clone's version (always 1).
+
+    The clone is a fully independent table from its first commit on:
+    appends/OPTIMIZE/COW on the clone write their own files under
+    ``dst_root`` (a manifest may mix absolute source refs with local
+    relative refs — every reader joins against the table root, and
+    ``os.path.join(root, abs) == abs`` on POSIX); the source never
+    observes them, and vice versa. Stats and schema carry from the
+    source manifest (re-keyed to the absolute names), so file pruning
+    works on the clone immediately.
+
+    Caveats, same as Delta's: ``vacuum(dst)`` can never touch source
+    files (it only removes files under the clone's own data dir), but
+    ``vacuum``+``expire_versions`` on the SOURCE can delete files the
+    clone still references — retention policy on a cloned-from table
+    must account for live clones. Time travel below the clone point
+    shows the source's history only from the source table.
+
+    Scale: the 100 TB use case is dev/test forks and experiment
+    isolation — a writable snapshot of a petabyte table in
+    milliseconds, paying storage only for the delta the fork writes.
+
+    Reference parity: the MapReduce substrate has no table lifecycle
+    at all; CLONE is engine surface beyond it (SURVEY.md §2.3 f-family).
+    """
+    src_version = (
+        latest_version(src_root) if version is None else version
+    )
+    if src_version == 0:
+        raise ValueError(f"cannot clone an empty table: {src_root}")
+    if latest_version(dst_root) != 0:
+        raise ValueError(
+            f"clone target {dst_root} is not empty — clone creates a "
+            "NEW table"
+        )
+    src_manifest = read_manifest(src_root, src_version)
+    src_abs = os.path.abspath(src_root)
+    abs_files = [
+        f if os.path.isabs(f) else os.path.join(src_abs, f)
+        for f in src_manifest["files"]
+    ]
+    stats = src_manifest.get("stats", {})
+    abs_stats = {
+        (f if os.path.isabs(f) else os.path.join(src_abs, f)): s
+        for f, s in stats.items()
+    }
+    txn = uuid.uuid4().hex[:12]
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "files": abs_files,
+        "added": abs_files,
+        "cloned_from": {"root": src_abs, "version": src_version},
+        "batches": [],
+        "stats": abs_stats,
+    }
+    if src_manifest.get("schema") is not None:
+        manifest["schema"] = src_manifest["schema"]
+    os.makedirs(os.path.join(dst_root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(dst_root, 1) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(dst_root, 1))
+    finally:
+        os.remove(tmp)
+    return 1

@@ -84,36 +84,95 @@ def build_hot_corpora(spark: SparkSession) -> None:
         open(os.path.join(out, "_DONE"), "w").close()
 
 
+def _pair_join_rows(docs, cap) -> int:
+    """Row count of the shingle-posting self-join — segment_family_df's
+    dominant intermediate, counted with the same prunes. Catalyst runs
+    join -> n_common agg -> partner agg in ONE stage here (the groupBy
+    keys extend the (lang, seg) hash partitioning the dist agg already
+    established — zero extra exchanges), so shuffle metrics CANNOT see
+    this volume; the join's own output cardinality is the honest cost
+    number, and a count() of a join is row-semantics, not a prunable
+    column scan."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        D11_JACCARD,
+        D11_SHINGLE_W,
+        SEGMENT_WORDS,
+    )
+
+    w = F.split(F.trim(F.col("text")), " ")
+    seg_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
+        f" as int) - 1), i -> array_join(slice(w, i * {SEGMENT_WORDS}"
+        f" + 1, {SEGMENT_WORDS}), ' '))"
+    )
+    segs = docs.select("doc_id", "lang", w.alias("w")).select(
+        "doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg")
+    )
+    dist = segs.groupBy("lang", "seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    sw = F.split(F.col("seg"), " ")
+    shingle_expr = F.when(
+        F.size(sw) >= D11_SHINGLE_W,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split(seg, ' ')) -"
+                f" {D11_SHINGLE_W - 1}), i -> array_join(slice("
+                f"split(seg, ' '), i, {D11_SHINGLE_W}), ' '))"
+            )
+        ),
+    ).otherwise(F.array(F.col("seg")))
+    sh = dist.withColumn("sh", shingle_expr).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = sh.select(
+        "lang", "seg", "df", "n_sh", F.explode("sh").alias("sg")
+    )
+    if cap is not None:
+        keep = (
+            ex.groupBy("lang", "sg")
+            .agg(F.count(F.lit(1)).alias("seg_df"))
+            .filter(F.col("seg_df") <= cap)
+            .select("lang", "sg")
+        )
+        ex = ex.join(keep, ["lang", "sg"])
+    a, b = ex.alias("a"), ex.alias("b")
+    return a.join(
+        b,
+        [
+            F.col("a.sg") == F.col("b.sg"),
+            F.col("a.lang") == F.col("b.lang"),
+            F.col("a.seg") != F.col("b.seg"),
+            F.col("a.n_sh") >= D11_JACCARD * F.col("b.n_sh"),
+            F.col("b.n_sh") >= D11_JACCARD * F.col("a.n_sh"),
+        ],
+    ).count()
+
+
 def d11b_probe(spark: SparkSession) -> None:
     from k_means_clustering_via_map_reduce_spark.operators.dedup import (
         segment_family_df,
     )
 
-    app = _app_id()
     print("\n## Round-9 d11b capped-vs-uncapped curve (planted hot shingle)")
     print(f"(sf0.1 ×1→×8, hot bigram in every {HOT_EVERY}th doc across "
           f"copies; cap={PROBE_CAP})")
-    print("| scale | arm | wall s | shuffle rows | family rows |")
-    print("|---|---|---|---|---|")
+    print("| scale | arm | pair-join rows | wall s (full family calc) |")
+    print("|---|---|---|---|")
     for m in MULTS:
         docs = spark.read.parquet(
             os.path.join(WORK, f"x{m}", "documents.parquet")
         )
         for arm, cap in (("uncapped", None), ("capped", PROBE_CAP)):
-            group = f"d11b_{arm}_x{m}"
-            spark.sparkContext.setJobGroup(group, group)
+            pairs = _pair_join_rows(docs, cap)
             t0 = time.time()
             fam = segment_family_df(docs, posting_cap=cap)
-            row = fam.agg(
+            fam.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("family_df").alias("mass"),
-            ).collect()[0]
+            ).collect()
             wall = time.time() - t0
-            spark.sparkContext.setJobGroup("", "")
-            _, rows = shuffle_metrics(app, group)
-            print(
-                f"| ×{m} | {arm} | {wall:.1f} | {rows:,} | {row['n']:,} |"
-            )
+            print(f"| ×{m} | {arm} | {pairs:,} | {wall:.1f} |")
 
 
 def f24_probe(spark: SparkSession) -> None:
