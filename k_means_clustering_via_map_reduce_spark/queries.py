@@ -5534,3 +5534,112 @@ def f28_shallow_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q81 — ordered FUNNEL analysis (round-10 surface, library-first; the
+# @query registration is one decorator away). The product-analytics
+# verb the windowed q-family doesn't cover: how many users completed
+# signup -> view -> click -> purchase IN ORDER, each step strictly
+# after the previous one's first completion AND within a 48-hour
+# deadline of it (MATCH_RECOGNIZE-lite, expressed as chained
+# conditional-min aggregation; without the deadline every fixture user
+# completes and the funnel cannot discriminate). All timestamp
+# comparisons run in exact integer MICROSECONDS (unix_micros /
+# epoch_us — the fixture's nanos are microsecond-aligned, and both
+# engines convert exactly), so a boundary event can never flip a
+# strict-after compare across engines.
+#
+# Scale: the four step times are CHAINED WINDOW MINIMA over one
+# user_id partitioning — a single exchange + sort serves all four
+# passes (q41's clustering-reuse discipline), then one global 4-column
+# aggregate and a stack() to rows. No driver loop, no per-step re-scan
+# of the events table, no per-row UDF; per-user work is bounded by
+# history length, the same envelope as any sessionizer.
+# --------------------------------------------------------------------------
+Q81_STEPS = ("signup", "view", "click", "purchase")
+Q81_DEADLINE_US = 48 * 3600 * 1_000_000  # each step within 48h of prev
+
+Q81_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (
+      SELECT user_id, min(us) AS t FROM e
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(us) AS t FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND us > s1.t
+        AND us <= s1.t + {Q81_DEADLINE_US} GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(us) AS t FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'click' AND us > s2.t
+        AND us <= s2.t + {Q81_DEADLINE_US} GROUP BY e.user_id),
+    s4 AS (
+      SELECT e.user_id, min(us) AS t FROM e JOIN s3 USING (user_id)
+      WHERE event_type = 'purchase' AND us > s3.t
+        AND us <= s3.t + {Q81_DEADLINE_US} GROUP BY e.user_id),
+    counts AS (
+      SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+      UNION ALL SELECT '2_view', count(*) FROM s2
+      UNION ALL SELECT '3_click', count(*) FROM s3
+      UNION ALL SELECT '4_purchase', count(*) FROM s4)
+    SELECT step, CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE) / first_value(n_users)
+                 OVER (ORDER BY step), 4) AS frac_of_entry
+    FROM counts ORDER BY step
+"""
+
+
+def funnel_counts(e: DataFrame) -> DataFrame:
+    """The funnel core over a (user_id, event_type, us) frame —
+    factored so tests can drive synthetic out-of-order histories."""
+    w = Window.partitionBy("user_id")
+    d = e
+    prev_t = None
+    for i, step in enumerate(Q81_STEPS, start=1):
+        cond = F.col("event_type") == step
+        if prev_t is not None:
+            cond = (
+                cond
+                & (F.col("us") > F.col(prev_t))
+                & (F.col("us") <= F.col(prev_t) + Q81_DEADLINE_US)
+            )
+        d = d.withColumn(f"t{i}", F.min(F.when(cond, F.col("us"))).over(w))
+        prev_t = f"t{i}"
+    per_user = d.groupBy("user_id").agg(
+        *[F.first(f"t{i}").alias(f"t{i}") for i in range(1, 5)]
+    )
+    totals = per_user.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, 5)]
+    )
+    stack_args = ", ".join(
+        f"'{i + 1}_{s}', n{i + 1}, CAST(n{i + 1} AS DOUBLE) / n1"
+        for i, s in enumerate(Q81_STEPS)
+    )
+    return (
+        totals.select(
+            F.expr(
+                f"stack(4, {stack_args}) AS (step, n_users, frac_raw)"
+            )
+        )
+        .select(
+            "step",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            r4(F.col("frac_raw")).alias("frac_of_entry"),
+        )
+        .orderBy("step")
+    )
+
+
+def q81_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q81: users reaching each ordered funnel step (strictly-after
+    chaining on first completions, 48h step deadline) plus the
+    conversion fraction from the entry step — a step-order slip, an
+    inclusive-boundary compare, or a lost per-user first-completion
+    flips the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return funnel_counts(e)

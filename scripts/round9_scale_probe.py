@@ -3,13 +3,18 @@
 1. d11b capped-vs-uncapped segment near-dup curve, ×1→×8 with a PLANTED
    GLOBAL HOT SHINGLE. Corpus copies get disjoint vocabularies (the
    scale_evidence.py discipline — duplicate density constant), but one
-   bigram ("zzhot zzhot") is appended to every 4th document in EVERY
-   copy, so its per-lang segment-df grows linearly with scale and the
+   bigram ("zzhot zzhot") is appended to EVERY document in EVERY copy,
+   so its per-lang segment-df grows linearly with scale and the
    uncapped pair join's hot component grows QUADRATICALLY. The capped
-   arm (posting_cap=300, binding from ×2 at this corpus's lang mix)
-   must flatten back to ~linear: the d1b posting-cap discipline
-   measured at segment granularity. Wall time + shuffle-write records
-   per arm per scale, from the Spark REST API.
+   arm (posting_cap=300, binding at every scale here) must flatten
+   back to ~linear: the d1b posting-cap discipline measured at segment
+   granularity. Metrics per arm per scale: the pair-JOIN's output
+   cardinality (counted directly — Catalyst chains join -> both aggs
+   in one exchange-free stage by reusing the (lang, seg) partitioning,
+   so shuffle metrics cannot see this volume), the max surviving
+   posting size (the per-key fan-out bound: grows with the corpus
+   uncapped, <= cap by construction capped), and the full family-calc
+   wall time.
 
 2. f24 connector prune curve under growing file counts (16/64/256
    single-file commits): a selective range probe through the
@@ -38,9 +43,9 @@ from scripts.scale_evidence import (  # noqa: E402
 )
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = "/tmp/kmce_r9_corpus"
+WORK = "/tmp/kmce_r9_corpus_h1"
 MULTS = (1, 2, 4, 8)
-HOT_EVERY = 4  # every 4th doc carries the global hot bigram
+HOT_EVERY = 1  # EVERY doc carries the global hot bigram
 PROBE_CAP = 300  # binds from x2 on this corpus's lang mix
 
 
@@ -136,8 +141,17 @@ def _pair_join_rows(docs, cap) -> int:
             .select("lang", "sg")
         )
         ex = ex.join(keep, ["lang", "sg"])
+    # max surviving posting list: the per-key bound on join fan-out —
+    # uncapped it grows with the corpus (the hot shingle), capped it is
+    # <= cap BY CONSTRUCTION, which is the whole claim
+    max_posting = (
+        ex.groupBy("lang", "sg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
     a, b = ex.alias("a"), ex.alias("b")
-    return a.join(
+    n = a.join(
         b,
         [
             F.col("a.sg") == F.col("b.sg"),
@@ -147,6 +161,7 @@ def _pair_join_rows(docs, cap) -> int:
             F.col("b.n_sh") >= D11_JACCARD * F.col("a.n_sh"),
         ],
     ).count()
+    return n, max_posting
 
 
 def d11b_probe(spark: SparkSession) -> None:
@@ -157,14 +172,14 @@ def d11b_probe(spark: SparkSession) -> None:
     print("\n## Round-9 d11b capped-vs-uncapped curve (planted hot shingle)")
     print(f"(sf0.1 ×1→×8, hot bigram in every {HOT_EVERY}th doc across "
           f"copies; cap={PROBE_CAP})")
-    print("| scale | arm | pair-join rows | wall s (full family calc) |")
-    print("|---|---|---|---|")
+    print("| scale | arm | pair-join rows | max posting | wall s (full family calc) |")
+    print("|---|---|---|---|---|")
     for m in MULTS:
         docs = spark.read.parquet(
             os.path.join(WORK, f"x{m}", "documents.parquet")
         )
         for arm, cap in (("uncapped", None), ("capped", PROBE_CAP)):
-            pairs = _pair_join_rows(docs, cap)
+            pairs, max_posting = _pair_join_rows(docs, cap)
             t0 = time.time()
             fam = segment_family_df(docs, posting_cap=cap)
             fam.agg(
@@ -172,7 +187,10 @@ def d11b_probe(spark: SparkSession) -> None:
                 F.sum("family_df").alias("mass"),
             ).collect()
             wall = time.time() - t0
-            print(f"| ×{m} | {arm} | {pairs:,} | {wall:.1f} |")
+            print(
+                f"| ×{m} | {arm} | {pairs:,} | {max_posting:,} "
+                f"| {wall:.1f} |"
+            )
 
 
 def f24_probe(spark: SparkSession) -> None:

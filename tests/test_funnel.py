@@ -1,0 +1,71 @@
+"""Q81 ordered funnel (round-10 staged): synthetic ordering/deadline
+pins and the driver-style oracle compare."""
+
+from __future__ import annotations
+
+from k_means_clustering_via_map_reduce_spark.queries import (
+    Q81_DEADLINE_US,
+    Q81_ORACLE,
+    funnel_counts,
+    q81_funnel_steps,
+)
+from tests.oracle_utils import compare_to_oracle
+
+H = 3600 * 1_000_000  # one hour in micros
+
+
+def _counts(spark, rows):
+    e = spark.createDataFrame(
+        rows, "user_id BIGINT, event_type STRING, us BIGINT"
+    )
+    return {
+        r["step"]: r["n_users"] for r in funnel_counts(e).collect()
+    }
+
+
+def test_funnel_requires_strict_order(spark):
+    # user 1: perfect chain; user 2: purchase BEFORE click — stops at
+    # click-is-reached but purchase (which precedes it) must not count
+    rows = [
+        (1, "signup", 0), (1, "view", H), (1, "click", 2 * H),
+        (1, "purchase", 3 * H),
+        (2, "signup", 0), (2, "view", H), (2, "purchase", 2 * H),
+        (2, "click", 3 * H),
+    ]
+    c = _counts(spark, rows)
+    assert c == {
+        "1_signup": 2, "2_view": 2, "3_click": 2, "4_purchase": 1
+    }
+
+
+def test_funnel_step_boundary_is_strictly_after(spark):
+    # view at EXACTLY the signup instant must not chain (strict >)
+    rows = [(1, "signup", 100), (1, "view", 100), (1, "view", 101)]
+    c = _counts(spark, rows)
+    assert c["2_view"] == 1  # the 101 view, not the 100 one
+    rows2 = [(1, "signup", 100), (1, "view", 100)]
+    assert _counts(spark, rows2)["2_view"] == 0
+
+
+def test_funnel_deadline_is_inclusive(spark):
+    on_time = [(1, "signup", 0), (1, "view", Q81_DEADLINE_US)]
+    late = [(1, "signup", 0), (1, "view", Q81_DEADLINE_US + 1)]
+    assert _counts(spark, on_time)["2_view"] == 1
+    assert _counts(spark, late)["2_view"] == 0
+
+
+def test_funnel_chains_on_first_completion_not_any(spark):
+    # the user's FIRST view starts the click clock; a click within
+    # deadline of a LATER view but not the first must not count
+    rows = [
+        (1, "signup", 0),
+        (1, "view", H),  # first view: click deadline = H + 48h
+        (1, "view", 100 * H),
+        (1, "click", 100 * H + 1),  # within 48h of the later view only
+    ]
+    c = _counts(spark, rows)
+    assert c["2_view"] == 1 and c["3_click"] == 0
+
+
+def test_q81_matches_oracle_driver_style(spark, sf_dir):
+    compare_to_oracle(q81_funnel_steps(spark, sf_dir), Q81_ORACLE, sf_dir)
