@@ -87,3 +87,62 @@ def refresh_token_counts(
 def token_counts_state(spark: SparkSession, state_root: str) -> DataFrame:
     """The maintained aggregate, read back as a plain snapshot."""
     return read_version(spark, state_root)
+
+
+def refresh_vocab(
+    spark: SparkSession, corpus_root: str, state_root: str
+) -> int:
+    """One incremental VOCABULARY refresh: fold the un-processed corpus
+    versions into a (token, first_seen, freq) state — ``first_seen`` is
+    the corpus version of the refresh that introduced the token and is
+    IMMUTABLE once set (the SCD-style "record creation version" field),
+    while ``freq`` accumulates additively. Returns the corpus version
+    the state now reflects.
+
+    The merge therefore has per-column semantics k24's plain additive
+    merge does not exercise: existing rows keep their first_seen and
+    add freqs; brand-new tokens enter with first_seen = this refresh's
+    corpus version. A merge that overwrites first_seen (the naive
+    UPDATE SET *) silently corrupts every "vocabulary growth over time"
+    query downstream — the exact bug the k25 oracle flips on.
+
+    Scale: identical envelope to refresh_token_counts — O(diff) reads,
+    vocabulary-sized state, one MERGE; the state table answers both
+    "current vocab" and "vocab as of version V" (first_seen <= V)
+    without replaying history."""
+    done = max(applied_batches(state_root), default=0)
+    now = latest_version(corpus_root)
+    if now <= done:
+        return done
+    delta = _token_counts(
+        read_changes(spark, corpus_root, done, now).select("text")
+    ).withColumn("first_seen", F.lit(now).cast("bigint"))
+    if latest_version(state_root) == 0:
+        commit_append(
+            delta.select("token", "first_seen", "freq"),
+            state_root,
+            batch_id=now,
+        )
+        return now
+    state = read_version(spark, state_root).select(
+        "token",
+        F.col("first_seen").alias("old_first_seen"),
+        F.col("freq").alias("old_freq"),
+    )
+    merged = delta.join(state, "token", "left").select(
+        "token",
+        # first_seen is write-once: the stored value wins
+        F.coalesce(F.col("old_first_seen"), F.col("first_seen")).alias(
+            "first_seen"
+        ),
+        (F.col("freq") + F.coalesce(F.col("old_freq"), F.lit(0))).alias(
+            "freq"
+        ),
+    )
+    merge_into(spark, state_root, merged, "token", batch_id=now)
+    return now
+
+
+def vocab_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """The maintained vocabulary, read back as a plain snapshot."""
+    return read_version(spark, state_root)

@@ -5643,3 +5643,70 @@ def q81_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     return funnel_counts(e)
+
+
+# --------------------------------------------------------------------------
+# K25 — incremental VOCABULARY maintenance with write-once first_seen
+# (round-10 surface, library-first; the @query registration is one
+# decorator away). k24 proves additive incremental state; this adds the
+# per-column merge semantics real standing stats need: first_seen is
+# IMMUTABLE once set (the version whose refresh introduced the token),
+# freq accumulates. Staged as three doc_id-third commits with a refresh
+# after each, so the oracle can replay first_seen as min(third)+1 —
+# a merge that overwrites first_seen on re-encountered tokens (the
+# naive UPDATE SET *) flips the hash on every cross-third token.
+# --------------------------------------------------------------------------
+_K25_STAGED: dict[tuple, object] = {}
+
+K25_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id % 3 AS third,
+             unnest(string_split(trim(text), ' ')) AS token
+      FROM documents)
+    SELECT token, CAST(min(third) + 1 AS BIGINT) AS first_seen,
+           CAST(count(*) AS BIGINT) AS freq
+    FROM tok GROUP BY token ORDER BY token
+"""
+
+
+def k25_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained vocabulary after three interleaved commit+refresh
+    rounds: (token, first_seen corpus version, accumulated freq) —
+    exact incremental maintenance with a write-once column, never a
+    corpus re-scan.
+
+    Scale: O(diff) per refresh against a vocabulary-sized state (the
+    k24 envelope); the state answers vocabulary-growth-over-time
+    queries (first_seen <= V) without history replay."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_vocab,
+        vocab_state,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    import os as _os
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _K25_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_vocab_")
+        corpus = _os.path.join(tmp.name, "corpus")
+        state = _os.path.join(tmp.name, "state")
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for third in range(3):
+            commit_append(d.filter(F.col("doc_id") % 3 == third), corpus)
+            refresh_vocab(spark, corpus, state)
+        _K25_STAGED[key] = (tmp, state)
+    _, state = _K25_STAGED[key]
+    return (
+        vocab_state(spark, state)
+        .select(
+            "token",
+            F.col("first_seen").cast("bigint").alias("first_seen"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+        .orderBy("token")
+    )

@@ -143,3 +143,70 @@ def test_k24_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         k24_incremental_token_counts(spark, sf_dir), K24_ORACLE, sf_dir
     )
+
+
+def test_vocab_first_seen_is_write_once(spark, tmp_path):
+    """k25 core semantics: a token re-encountered in a later diff keeps
+    its original first_seen while freq accumulates; new tokens stamp
+    the current corpus version."""
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_vocab,
+        vocab_state,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")],
+            "doc_id BIGINT, text STRING",
+        ),
+        corpus,
+    )
+    refresh_vocab(spark, corpus, state)
+    commit_append(
+        spark.createDataFrame(
+            [(3, "alpha delta")], "doc_id BIGINT, text STRING"
+        ),
+        corpus,
+    )
+    refresh_vocab(spark, corpus, state)
+    rows = {
+        r["token"]: (r["first_seen"], r["freq"])
+        for r in vocab_state(spark, state).collect()
+    }
+    assert rows == {
+        "alpha": (1, 3),  # first_seen stays 1, freq 2 + 1
+        "beta": (1, 1),
+        "gamma": (1, 1),
+        "delta": (2, 1),
+    }
+
+
+def test_vocab_refresh_with_nothing_new_is_noop(spark, tmp_path):
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_vocab,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        latest_version,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(_corpus_batch(spark, 0), corpus)
+    refresh_vocab(spark, corpus, state)
+    v = latest_version(state)
+    refresh_vocab(spark, corpus, state)
+    assert latest_version(state) == v
+
+
+def test_k25_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        K25_ORACLE,
+        k25_incremental_vocab,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        k25_incremental_vocab(spark, sf_dir), K25_ORACLE, sf_dir
+    )
