@@ -872,3 +872,120 @@ def p11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# P12 — resample the corpus TO A TARGET MIXTURE (round-10 surface,
+# library-first; the @query registration is one decorator away). The
+# "hit the data-mixing spec" primitive: given per-source target shares,
+# downsample each source with a value-pure Bernoulli so the output mix
+# matches the spec at the largest achievable size (downsample-only —
+# the bottleneck source, the one most under target, is kept whole and
+# everything else thins to match). Target here: share proportional to
+# source index + 1 (graded 1..20 — the fixture's sources are uniform,
+# so a uniform target would be vacuous and every rate would be 1).
+#
+#   N_out  = min_s  n_s / p_s          (the downsample-only frontier)
+#   rate_s = p_s * N_out / n_s         (bottleneck source: exactly 1)
+#   keep doc iff md5-draw(doc_id) < rate_s * 2^52
+#
+# The draw is the p5/p11 discipline: a 52-bit md5 prefix is exactly
+# representable in a double, IEEE multiply/divide are correctly rounded
+# everywhere, so acceptance is BIT-IDENTICAL across engines, partition
+# layouts, and history.
+#
+# Scale: one vocabulary-sized agg for the per-source counts (broadcast
+# back), then a narrow filter over the corpus — no shuffle of the data,
+# no collect; rates recompute from the live counts, so the operator
+# self-adjusts as the corpus grows.
+# --------------------------------------------------------------------------
+P12_SALT = "pmix"
+
+
+def target_mix_resample(
+    docs: DataFrame, share_col: F.Column
+) -> DataFrame:
+    """Downsample-only resampling of ``docs`` to the per-source target
+    shares given by ``share_col`` (an expression over the `source`
+    column; normalized internally). Returns survivors."""
+    from pyspark.sql.window import Window
+    shares = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("p_raw", share_col)
+        .withColumn(
+            "p_s",
+            F.col("p_raw")
+            / F.sum("p_raw").over(Window.partitionBy()),
+        )
+        .withColumn("frontier", F.col("n_s") / F.col("p_s"))
+        .withColumn(
+            "n_out", F.min("frontier").over(Window.partitionBy())
+        )
+        .withColumn(
+            "rate", F.col("p_s") * F.col("n_out") / F.col("n_s")
+        )
+        .select("source", "rate")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(P12_SALT), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (
+        docs.join(F.broadcast(shares), "source")
+        .filter(u < F.col("rate") * F.lit(float(1 << 52)))
+        .drop("rate")
+    )
+
+
+P12_ORACLE = f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_s,
+             CAST(substr(source, 4) AS DOUBLE) + 1 AS p_raw
+      FROM documents GROUP BY source),
+    normed AS (
+      SELECT source, n_s, p_raw / sum(p_raw) OVER () AS p_s
+      FROM counts),
+    rates AS (
+      SELECT source, n_s, p_s, min(n_s / p_s) OVER () AS n_out
+      FROM normed),
+    surv AS (
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST(('0x' || substr(md5('{P12_SALT}'
+              || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) * 1.0
+            < (r.p_s * r.n_out / r.n_s) * 4503599627370496.0)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM surv GROUP BY source ORDER BY source
+"""
+
+
+def p12_target_mix_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """P12: per-source composition of the target-mixture resample
+    (target share proportional to source index + 1) — a rate slip, a
+    normalization error, a draw-width difference, or a frontier
+    min taken over the wrong set flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    share = F.substring("source", 4, 10).cast("double") + F.lit(1.0)
+    s = target_mix_resample(docs, share)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

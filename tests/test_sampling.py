@@ -115,3 +115,82 @@ def test_p8_decontamination_is_live_and_consistent(spark, sf_dir):
     }
     for r in rows:
         assert r["n_eval"] + r["n_train"] == totals[r["lang"]]
+
+
+# ---------------------------------------------------------------- P12
+def test_p12_target_mix_shapes_the_output(spark, sf_dir):
+    """The survivors' per-source shares must track the graded target
+    (share ∝ source index + 1): the heaviest-target source keeps ~all
+    its docs (it is the downsample-only bottleneck) and shares must be
+    monotone-ish in the index (Bernoulli noise bounded at fixture
+    scale by a loose factor-2 band)."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        target_mix_resample,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    share = F.substring("source", 4, 10).cast("double") + F.lit(1.0)
+    out = target_mix_resample(docs, share)
+    n_in = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_out = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    total = sum(n_out.values())
+    # bottleneck source (highest target share) keeps everything
+    assert n_out.get("src19", 0) == n_in["src19"]
+    # graded: src19's share must exceed src0's by a wide margin
+    share0 = n_out.get("src0", 0) / total
+    share19 = n_out["src19"] / total
+    assert share19 > 4 * max(share0, 1e-9), (share0, share19)
+    # downsample-only: never more docs out than in, per source
+    assert all(n_out.get(s, 0) <= n_in[s] for s in n_in)
+
+
+def test_p12_is_value_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        target_mix_resample,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    share = F.substring("source", 4, 10).cast("double") + F.lit(1.0)
+    a = sorted(
+        r["doc_id"]
+        for r in target_mix_resample(docs, share).select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in target_mix_resample(
+            docs.repartition(13), share
+        ).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_p12_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        P12_ORACLE,
+        p12_target_mix_resample,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        p12_target_mix_resample(spark, sf_dir), P12_ORACLE, sf_dir
+    )
