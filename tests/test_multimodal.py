@@ -550,3 +550,46 @@ def test_m9_dhash_matches_formula_reference(spark, sf_dir):
         else:
             assert w == 1, (did, w)  # all-zero only when degenerate
     assert nonzero > len(rows) * 0.8
+
+
+# ---------------------------------------------------------------- M10
+def test_m10_energy_pins_on_known_blob(spark):
+    """Hand-computed pin: doc 0 has 2 samples (0*31 + i*17) % 2048 -
+    1024 = (-1024, -1007); one window of length 2; sum_sq = 1024^2 +
+    1007^2 = 2062625; loud iff 2062625 > 400000*2 (true)."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        audio_energy_windows,
+        synthesize_pcm_wav,
+    )
+
+    d = spark.createDataFrame([(0,)], "doc_id BIGINT")
+    row = audio_energy_windows(synthesize_pcm_wav(d)).collect()[0]
+    assert row["n_samples"] == 2
+    assert row["n_windows"] == 1
+    assert row["total_sq"] == 1024 * 1024 + 1007 * 1007
+    assert row["max_window_sq"] == row["total_sq"]
+    assert row["n_loud"] == 1
+
+
+def test_m10_partial_tail_window_counts(spark):
+    """doc 34: 36 samples => one full 32-window + a 4-sample tail —
+    both must appear, and the tail's loudness uses ITS length."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        audio_energy_windows,
+        synthesize_pcm_wav,
+    )
+
+    d = spark.createDataFrame([(34,)], "doc_id BIGINT")
+    row = audio_energy_windows(synthesize_pcm_wav(d)).collect()[0]
+    assert row["n_samples"] == 36
+    assert row["n_windows"] == 2
+
+
+def test_m10_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        M10_ORACLE,
+        m10_audio_energy,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(m10_audio_energy(spark, sf_dir), M10_ORACLE, sf_dir)
