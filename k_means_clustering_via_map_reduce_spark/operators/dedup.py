@@ -123,14 +123,27 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH banding — the sub-quadratic scale path.
 # --------------------------------------------------------------------------
+def _xxhash_perm(i: int):
+    """Arity-1 lambda factory for the permutation hash. A
+    ``lambda s, i=i:`` default-arg closure changes the lambda's ARITY —
+    PySpark's transform() passes the array index as the second
+    argument, silently shadowing the captured permutation number, so
+    every "permutation" computed xxhash64(position, shingle): one
+    effective permutation instead of ``perms`` (caught by the round-9
+    advisor pass; text.py:_marker_count documents the same trap)."""
+
+    def f(s):
+        return F.xxhash64(F.lit(i), s)
+
+    return f
+
+
 def minhash_signatures(docs: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """Per-document MinHash signature: sig[i] = min over shingles of
     xxhash64(i, shingle). Pure expressions, one pass, no shuffle."""
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
+            F.array_min(F.transform(F.col("sh"), _xxhash_perm(i)))
             for i in range(perms)
         ]
     )
@@ -1845,19 +1858,26 @@ def minhash_banding_pairs_md5(shingled: DataFrame) -> DataFrame:
     factored so the hypothesis guard can drive it on arbitrary
     synthetic corpora."""
     s = shingled
+    # Arity-1 factory, NOT `lambda sg, i=i:` — the default arg changes
+    # the lambda's arity, PySpark passes the ARRAY INDEX as `i`, and
+    # the salt silently becomes str(Column) (a fresh per-build lambda
+    # variable name!): every permutation collapses to one garbage salt
+    # that VARIES ACROSS PLAN BUILDS — within-build-deterministic,
+    # across-build-nondeterministic LSH recall, reproduced 10/20 wrong
+    # on a 4-doc corpus before this fix (round-9 advisor pass).
+
+    def _md5_perm(i: int):
+        def f(sg):
+            return F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), sg)), 1, 13),
+                16,
+                10,
+            ).cast("bigint")
+
+        return f
+
     perm_mins = [
-        F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda sg, i=i: F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{i}|"), sg)), 1, 13
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        ).alias(f"m{i}")
+        F.array_min(F.transform(F.col("sh"), _md5_perm(i))).alias(f"m{i}")
         for i in range(D2B_PERMS)
     ]
     sig = s.select("doc_id", "lang", "sh", F.array(*perm_mins).alias("sig"))
@@ -1925,3 +1945,116 @@ def d2b_minhash_banding_oracle(
     index slip, a band boundary error, a min over the wrong set, or a
     candidate leak flips the hash."""
     return minhash_banding_pairs_md5(_shingled(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# D13 — the DEDUP PIPELINE end to end (round-10 surface, library-first;
+# the @query registration is one decorator away). What a user actually
+# RUNS against a corpus, as one entry: md5 MinHash-LSH candidates (d2b's
+# fully replayable banding) -> exact-jaccard verification -> connected
+# components (transitive closure — A~B, B~C collapses all three) ->
+# keep one canonical doc (min doc_id) per family -> per-lang removal
+# accounting. Every stage replays in the oracle: the banding arithmetic
+# as md5 SQL, the closure as a recursive CTE (d5's playbook over d2b's
+# pairs).
+#
+# Scale: LSH banding bounds the candidate space (never all-pairs), the
+# verify join touches candidates only, and the CC iteration count is
+# the family diameter (near-dup families are dense blobs — 1-2 rounds);
+# the accounting join broadcasts the drop set when families are rare
+# (the common case) and hash-joins otherwise.
+# --------------------------------------------------------------------------
+_D13_ORACLE = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d),
+    sig AS (
+      SELECT doc_id, lang, sh,
+             list_transform(generate_series(0, {D2B_PERMS - 1}),
+               i -> list_min(list_transform(sh,
+                 sg -> CAST(('0x' || substr(md5(i || '|' || sg), 1, 13))
+                       AS BIGINT)))) AS sig
+      FROM s),
+    bands AS (
+      SELECT doc_id, lang, sh, b.band,
+             {" || '-' || ".join(
+                 f"sig[b.band * {D2B_ROWS} + {r + 1}]"
+                 for r in range(D2B_ROWS)
+             )} AS key
+      FROM sig,
+           (SELECT unnest(generate_series(0, {D2B_BANDS - 1})) AS band) b),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.sh AS a_sh, b.sh AS b_sh
+      FROM bands a JOIN bands b
+        ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id),
+    p AS (
+      SELECT a_id, b_id FROM cands
+      WHERE len(list_intersect(a_sh, b_sh)) * 1.0
+            / len(list_distinct(a_sh || b_sh)) >= {JACCARD_THRESHOLD}),
+    e AS (
+      SELECT a_id AS x, b_id AS y FROM p
+      UNION SELECT b_id, a_id FROM p),
+    reach(x, y) AS (
+      SELECT x, y FROM e
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x),
+    lbl AS (
+      SELECT x AS doc_id, least(x, min(y)) AS label
+      FROM reach GROUP BY x),
+    marked AS (
+      SELECT doc.doc_id, doc.lang, doc.n_chars,
+             coalesce(l.label <> doc.doc_id, FALSE) AS dropped
+      FROM documents doc LEFT JOIN lbl l USING (doc_id))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN dropped THEN 0 ELSE n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM marked GROUP BY lang ORDER BY lang
+"""
+
+
+def dedup_pipeline(docs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """The full pipeline over (doc_id, lang, n_chars) docs and their
+    pre-shingled frame: banded candidates -> verified pairs -> CC ->
+    canonical-per-family accounting. Factored for synthetic tests."""
+    pairs = minhash_banding_pairs_md5(shingled).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    marked = docs.join(
+        dropped.withColumn("dropped", F.lit(True)), "doc_id", "left"
+    ).withColumn("dropped", F.coalesce(F.col("dropped"), F.lit(False)))
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("dropped"), 0).otherwise(F.col("n_chars"))
+            ).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: per-lang removal accounting of the end-to-end near-dup
+    pipeline — a banding slip, a verification leak, a closure that
+    misses a transitive hop, or a canonical pick that drops the wrong
+    family member flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return dedup_pipeline(docs, _shingled(spark, sf_dir))

@@ -718,3 +718,61 @@ def test_d2b_oracle_replays_engine_banding_on_arbitrary_text(
     finally:
         con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------- D13
+def test_d13_pipeline_collapses_families_to_one_canonical(spark):
+    """Synthetic three-doc near-dup family plus one unrelated doc: the
+    family must collapse to ONE canonical (min doc_id) survivor — the
+    transitive-closure step's chain behavior is separately pinned at
+    the connected_components unit level above. The tail words are
+    chosen so the deterministic md5 banding RECALLS all three pairs
+    (banding at J~0.67 is ~48%-recall by design, so an arbitrary
+    triple may legitimately come back partial)."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        dedup_pipeline,
+        minhash_banding_pairs_md5,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "en", 100, base + " one two"),
+        (2, "en", 100, base + " one three"),
+        (3, "en", 100, base + " seven three"),
+        (9, "en", 100, "totally different text with no overlap here"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"
+    )
+    sh = docs.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    )
+    # precondition: the fixed banding finds the full family (fails
+    # loudly here, not in the aggregate, if the md5 layout shifts)
+    found = sorted(
+        (r["a_id"], r["b_id"])
+        for r in minhash_banding_pairs_md5(sh).collect()
+    )
+    assert found == [(1, 2), (1, 3), (2, 3)], found
+    out = {r["lang"]: r.asDict() for r in dedup_pipeline(
+        docs.select("doc_id", "lang", "n_chars"), sh
+    ).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 4
+    # docs 2 and 3 drop (canonical = 1), doc 9 survives
+    assert en["n_dropped"] == 2
+    assert en["kept_chars"] == 200
+
+
+def test_d13_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D13_ORACLE,
+        d13_dedup_pipeline,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(d13_dedup_pipeline(spark, sf_dir), _D13_ORACLE, sf_dir)

@@ -30,7 +30,12 @@ Q.load_all()
 
 # (sha256[:16] of repr(canonical_rows(...)), row count) at sf0.001.
 GOLDEN = {
-    "d2_minhash_lsh_pairs": ("212d9faa3776adaa", 26),
+    # Re-pinned in round 9 after fixing the transform-lambda arity bug
+    # (a `lambda s, i=i:` default arg made PySpark pass the ARRAY INDEX
+    # as i, collapsing all 32 permutations to one): the real 32-perm
+    # banding recalls 2 more true pairs at sf0.001. Digest re-derived
+    # in two fresh sessions (local[8]/sp=8 and local[3]/sp=17).
+    "d2_minhash_lsh_pairs": ("ec9415631c2bd617", 28),
     "d3_simhash_pairs": ("4c22c95269e71b5d", 1892),
     "s2_lsh_topk": ("76c5bba8fb725b1f", 100),
     "s3_ivf_topk": ("86a9659a8f3ec1e0", 100),
