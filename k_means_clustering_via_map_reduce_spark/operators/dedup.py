@@ -1507,8 +1507,13 @@ def d11_segment_near_dup_boilerplate(
     off-by-one, a shingle slip, a jaccard boundary flip, or a family
     double-count flips the hash. The oracle applies NO posting cap, so
     this path runs ``segment_family_df`` uncapped — the query and its
-    oracle agree by construction at any scale; production corpora opt
-    into the capped form explicitly."""
+    oracle agree by construction at any scale.
+
+    ROLE (round 9): this is the declared TRUTH ARM. The registered
+    PRODUCTION form is d11b (`d11b_segment_neardup_capped`), whose
+    posting cap is encoded in its own oracle and whose pair-join cost
+    is measured exactly linear per corpus doubling where this arm's
+    accelerates quadratically on a hot shingle (BASELINE.md §r9)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.split(F.trim(F.col("text")), " ")
     seg_expr = F.expr(
