@@ -123,3 +123,28 @@ def test_f28_matches_oracle_driver_style(spark, sf_dir):
     )
     assert got == want
     assert latest_version(src) == 1
+
+
+def test_compacting_a_clone_materializes_it_locally(spark, tmp_path):
+    """OPTIMIZE on a clone rewrites the (absolute-ref) source files into
+    clone-local files — the zero-copy fork's escape hatch from source
+    retention: after compact, vacuum+expire on the SOURCE can no longer
+    break the clone."""
+    import shutil
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "fork")
+    commit_append(spark.range(50).select("id").repartition(4), src)
+    clone_table(src, dst)
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        compact,
+        expire_versions,
+        read_manifest,
+    )
+
+    compact(spark, dst, target_files=1)
+    man = read_manifest(dst, 2)
+    assert all(not os.path.isabs(f) for f in man["files"]), man["files"]
+    # the fork now survives total source destruction
+    expire_versions(dst, keep_last=1)
+    shutil.rmtree(src)
+    assert len(_rows(spark, dst)) == 50
