@@ -1678,7 +1678,15 @@ def d12_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or not. The engine's size-ratio prune stays lossless for the capped
 # score too (capped <= true jaccard <= the size bound).
 # --------------------------------------------------------------------------
-D11B_POSTING_CAP = 10_000
+# The cap BINDS at the driver's own sf0.01 scale (max fixture posting
+# is 23), so the cap-encoded-oracle mirror is exercised by the driver
+# hash itself, not only by the synthetic hot-shingle pytest. Production
+# corpora tune the cap to corpus size (the contract — engine == oracle
+# — holds at ANY value; capping only underestimates jaccard, erring
+# toward keeping data); the cost shape either way is measured in
+# BASELINE.md §r9 (capped pair-join exactly linear per doubling,
+# per-key fan-out <= cap by construction).
+D11B_POSTING_CAP = 16
 
 
 def _d11b_oracle(cap: int) -> str:
