@@ -146,3 +146,83 @@ def refresh_vocab(
 def vocab_state(spark: SparkSession, state_root: str) -> DataFrame:
     """The maintained vocabulary, read back as a plain snapshot."""
     return read_version(spark, state_root)
+
+
+def refresh_token_counts_window(
+    spark: SparkSession,
+    corpus_root: str,
+    state_root: str,
+    window: int = 2,
+) -> int:
+    """One SLIDING-WINDOW refresh: maintain exact token counts over the
+    LAST ``window`` corpus versions — the k24 additive fold plus the
+    semantics it cannot express: RETRACTION. The state table keeps one
+    (token, version, freq) sub-aggregate row per contributing corpus
+    version; a refresh appends the new diff's sub-aggregate and
+    COW-deletes the sub-aggregates that slid out of the window, then
+    the serving view sums the survivors. Returns the corpus version the
+    state now reflects.
+
+    Retraction-by-deletion beats retraction-by-subtraction: subtracting
+    needs the expired version's counts re-derivable (a second read of
+    old corpus files — O(history)), while deleting its sub-aggregate
+    rows is file-granular COW against version-clustered state files —
+    O(expired state), and an interrupted refresh can always re-run (the
+    ledger checkpoint rides the LAST commit of the refresh).
+
+    Scale: per refresh O(diff) corpus reads + one append + one
+    stats-pruned COW delete over the vocabulary-sized state; the
+    serving sum is a window-bounded aggregate of <= window
+    sub-aggregates per token."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        delete_where,
+    )
+
+    done = max(applied_batches(state_root), default=0)
+    now = latest_version(corpus_root)
+    if now <= done:
+        return done
+    delta = _token_counts(
+        read_changes(spark, corpus_root, done, now).select("text")
+    ).select(
+        "token",
+        F.lit(now).cast("bigint").alias("version"),
+        "freq",
+    )
+    low = now - window  # versions <= low slide out
+    if latest_version(state_root) == 0:
+        commit_append(delta, state_root, batch_id=now)
+        return now
+    # Up to two commits per refresh (append, then retraction); the
+    # batch_id rides the FINAL commit so a crash between them replays
+    # the whole refresh — the re-append would duplicate, so an
+    # idempotency guard first drops any partial rows for `now` (a
+    # no-op delete burns no version). When nothing expires, the
+    # retraction would be a no-op COW (which records no ledger entry),
+    # so the batch_id rides the append instead.
+    delete_where(spark, state_root, f"version = {now}")
+    has_expired = bool(
+        read_version(spark, state_root)
+        .filter(F.col("version") <= low)
+        .head(1)
+    )
+    if has_expired:
+        commit_append(delta, state_root)
+        delete_where(
+            spark, state_root, f"version <= {low}", batch_id=now
+        )
+    else:
+        commit_append(delta, state_root, batch_id=now)
+    return now
+
+
+def windowed_token_counts(
+    spark: SparkSession, state_root: str
+) -> DataFrame:
+    """The serving view: token counts summed over the in-window
+    sub-aggregates."""
+    return (
+        read_version(spark, state_root)
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )

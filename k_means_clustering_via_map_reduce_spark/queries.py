@@ -5710,3 +5710,116 @@ def k25_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# Q82 — event-type TRANSITION MATRIX (round-10 surface, library-first;
+# the @query registration is one decorator away). The Markov-chain view
+# of user behavior: for each ordered pair (src, dst) of event types,
+# how many times a user's event of type src was immediately followed by
+# one of type dst, plus the row-normalized transition probability —
+# the "what happens after an error" / session-model-fitting primitive.
+#
+# Scale: one lead() window over the user_id partitioning (one exchange,
+# the q41 clustering), then a 25-row aggregate; the probability is a
+# windowed sum over the 25-row result — driver-trivial. Per-user
+# ordering ties break on event_id for a total order.
+# --------------------------------------------------------------------------
+Q82_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT event_type AS src, nxt AS dst,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q82_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q82: the 5x5 next-event transition matrix with row-normalized
+    probabilities — an ordering slip (wrong tie-break), a lost last
+    event, or a normalization over the wrong margin flips the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    counts = o.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("src"))
+    return (
+        counts.withColumn("p", r4(F.col("n") / row_total))
+        .select("src", "dst", "n", "p")
+        .orderBy("src", "dst")
+    )
+
+
+# --------------------------------------------------------------------------
+# K26 — SLIDING-WINDOW incremental maintenance (round-10 surface,
+# library-first; the @query registration is one decorator away). k24
+# proves the additive fold; this adds the semantics addition cannot
+# express: RETRACTION. Token counts over the LAST 2 corpus versions,
+# maintained as per-version sub-aggregates — each refresh appends the
+# new diff's sub-aggregate and COW-deletes the ones that slid out
+# (operators/incremental.py: refresh_token_counts_window; retraction by
+# deletion is O(expired state), never a re-read of old corpus files).
+# Staged as four doc_id-quarter commits with a refresh after each, so
+# the terminal state must equal the plain recount of quarters 3 and 4.
+# --------------------------------------------------------------------------
+_K26_STAGED: dict[tuple, object] = {}
+
+K26_ORACLE = """
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+          FROM documents WHERE doc_id % 4 IN (2, 3))
+    GROUP BY token ORDER BY token
+"""
+
+
+def k26_windowed_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained sliding-window (last-2-versions) token counts
+    after four interleaved commit+refresh rounds — a dropped
+    retraction (stale counts), a double-applied diff, or a window
+    boundary slip flips the hash.
+
+    Scale: per refresh O(diff) corpus reads + one append + one
+    stats-pruned COW delete of the expired sub-aggregates; the serving
+    sum touches <= window rows per token."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts_window,
+        windowed_token_counts,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    import os as _os
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _K26_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_slide_")
+        corpus = _os.path.join(tmp.name, "corpus")
+        state = _os.path.join(tmp.name, "state")
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for q in range(4):
+            commit_append(d.filter(F.col("doc_id") % 4 == q), corpus)
+            refresh_token_counts_window(spark, corpus, state, window=2)
+        _K26_STAGED[key] = (tmp, state)
+    _, state = _K26_STAGED[key]
+    return (
+        windowed_token_counts(spark, state)
+        .select("token", F.col("freq").cast("bigint").alias("freq"))
+        .orderBy("token")
+    )

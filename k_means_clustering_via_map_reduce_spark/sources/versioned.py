@@ -468,6 +468,7 @@ def _cow_rewrite(
     predicate: str,
     transform,
     manifest_key: str,
+    batch_id: int | None = None,
 ) -> int:
     """Shared copy-on-write engine for DELETE/UPDATE: find the files
     that CONTAIN matching rows (one input_file_name() scan, predicate
@@ -528,7 +529,10 @@ def _cow_rewrite(
         "files": kept + new_files,
         "added": new_files,
         manifest_key: affected_rel,
-        "batches": manifest.get("batches", []),
+        "batches": (
+            manifest.get("batches", [])
+            + ([batch_id] if batch_id is not None else [])
+        ),
         "stats": {
             **{f: prev_stats[f] for f in kept if f in prev_stats},
             **_collect_file_stats(root, new_files),
@@ -547,7 +551,12 @@ def _cow_rewrite(
     return version
 
 
-def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    batch_id: int | None = None,
+) -> int:
     """COPY-ON-WRITE DELETE (Delta/Iceberg's DELETE FROM, minimally):
     commit a new version in which no row satisfies ``predicate`` — the
     right-to-be-forgotten operation a training-corpus store must have.
@@ -569,7 +578,10 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     def drop_matches(affected):
         return affected.filter(f"NOT ({predicate})")
 
-    return _cow_rewrite(spark, root, predicate, drop_matches, "deleted_from")
+    return _cow_rewrite(
+        spark, root, predicate, drop_matches, "deleted_from",
+        batch_id=batch_id,
+    )
 
 
 def update_where(

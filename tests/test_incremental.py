@@ -210,3 +210,66 @@ def test_k25_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         k25_incremental_vocab(spark, sf_dir), K25_ORACLE, sf_dir
     )
+
+
+def test_windowed_refresh_retracts_expired_versions(spark, tmp_path):
+    """k26 core: after the window slides, only in-window versions'
+    tokens remain; the retraction is exact."""
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts_window,
+        windowed_token_counts,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    batches = ["aa bb", "bb cc", "cc dd"]
+    for i, text in enumerate(batches):
+        commit_append(
+            spark.createDataFrame(
+                [(i, text)], "doc_id BIGINT, text STRING"
+            ),
+            corpus,
+        )
+        refresh_token_counts_window(spark, corpus, state, window=2)
+    rows = {
+        r["token"]: r["freq"]
+        for r in windowed_token_counts(spark, state).collect()
+    }
+    # window = versions 2..3 => "bb cc" + "cc dd"
+    assert rows == {"bb": 1, "cc": 2, "dd": 1}
+
+
+def test_windowed_refresh_noop_and_ledger(spark, tmp_path):
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts_window,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        applied_batches,
+        latest_version,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(
+        spark.createDataFrame([(0, "x y")], "doc_id BIGINT, text STRING"),
+        corpus,
+    )
+    refresh_token_counts_window(spark, corpus, state, window=2)
+    assert applied_batches(state) == {1}
+    v = latest_version(state)
+    # nothing new: no version burned, ledger unchanged
+    refresh_token_counts_window(spark, corpus, state, window=2)
+    assert latest_version(state) == v
+    assert applied_batches(state) == {1}
+
+
+def test_k26_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        K26_ORACLE,
+        k26_windowed_token_counts,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        k26_windowed_token_counts(spark, sf_dir), K26_ORACLE, sf_dir
+    )
