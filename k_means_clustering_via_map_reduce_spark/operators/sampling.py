@@ -989,3 +989,70 @@ def p12_target_mix_resample(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# P13 — QUALITY-QUANTILE curriculum buckets (round-10 surface,
+# library-first; the @query registration is one decorator away).
+# Curriculum training feeds data easy-to-hard: rank the corpus by the
+# t2 quality score and cut it into N equal-depth buckets (ntile), then
+# report each bucket's composition — the schedule manifest a training
+# loop consumes. Ranking key is (rounded quality, doc_id): rounding
+# BEFORE ranking makes Spark and the oracle rank identical keys (the
+# p4 discipline), doc_id makes the order total, so the bucket
+# assignment is bit-stable across engines and partitionings.
+#
+# Scale: ntile is one global sort — the one operation that genuinely
+# wants a range partitioner (Spark plans exactly that); everything
+# else is per-bucket aggregation. At 100 TB the schedule would be cut
+# per-shard with approx quantile bounds; the exact global form is the
+# correctness anchor.
+# --------------------------------------------------------------------------
+P13_BUCKETS = 8
+
+P13_ORACLE = f"""
+    WITH d AS (SELECT doc_id, source, n_chars,
+                      string_split(trim(text), ' ') AS w FROM documents),
+    q AS (SELECT doc_id, source, n_chars,
+                 {QUALITY_SQL} AS quality FROM d),
+    t AS (SELECT doc_id, source, n_chars, quality,
+                 ntile({P13_BUCKETS}) OVER (ORDER BY quality, doc_id)
+                   AS bucket
+          FROM q)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+def p13_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: the 8-bucket quality curriculum manifest — a ranking-key
+    difference, an ntile boundary slip, or an unstable tie-break flips
+    the hash (avg_quality must be monotone nondecreasing in bucket by
+    construction; pinned in tests)."""
+    from pyspark.sql.window import Window
+
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        _quality_expr,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "source", "n_chars", _quality_expr().alias("quality")
+    )
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(P13_BUCKETS).over(w))
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg("quality")).alias("avg_quality"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("bucket")
+    )

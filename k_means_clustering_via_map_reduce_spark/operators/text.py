@@ -1884,3 +1884,77 @@ def t27_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold, an off-by-one in the bigram window, or a threshold
     boundary difference flips the hash (every doc is a row)."""
     return repetition_stats(spread(load_table(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# T28 — n-gram NOVELTY profile (round-10 surface, library-first; the
+# @query registration is one decorator away). For each document, the
+# fraction of its distinct 3-gram shingles appearing for the FIRST time
+# in the corpus when documents are taken in doc_id order (per
+# language, the dedup-family convention): the "how much new text does
+# each document add" curve that corpus-growth monitoring and
+# contamination analysis read, and the exact complement of t19's
+# containment (a doc wholly made of seen shingles has novelty 0).
+#
+# Scale: one explode + one (lang, shingle) min-agg — the posting-list
+# shuffle, corpus-linear — then a join back on the same key and a
+# per-doc agg on doc_id; no pair space anywhere. first-seen is a pure
+# min, so the profile is partition- and history-independent.
+# --------------------------------------------------------------------------
+T28_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d),
+    ex AS (SELECT doc_id, lang, unnest(sh) AS sg FROM s),
+    first_seen AS (
+      SELECT lang, sg, min(doc_id) AS first_doc
+      FROM ex GROUP BY lang, sg)
+    SELECT e.doc_id, e.lang,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS novelty_frac
+    FROM ex e JOIN first_seen f ON f.lang = e.lang AND f.sg = e.sg
+    GROUP BY e.doc_id, e.lang ORDER BY e.doc_id
+"""
+
+
+def novelty_profile(shingled: DataFrame) -> DataFrame:
+    """Per-doc novelty over a (doc_id, lang, sh) frame — factored so
+    tests can drive synthetic orderings."""
+    ex = shingled.select("doc_id", "lang", F.explode("sh").alias("sg"))
+    first_seen = ex.groupBy("lang", "sg").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.when(
+        F.col("first_doc") == F.col("doc_id"), 1
+    ).otherwise(0)
+    return (
+        ex.join(first_seen, ["lang", "sg"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            r4(F.sum(novel) / F.count(F.lit(1))).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t28_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28: per-doc first-occurrence shingle fraction in doc_id order —
+    a min over the wrong key, a dedup slip in the shingle set, or a
+    join that drops singleton shingles flips the hash."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _shingled,
+    )
+
+    return novelty_profile(_shingled(spark, sf_dir).drop("n_sh"))

@@ -69,3 +69,60 @@ def test_funnel_chains_on_first_completion_not_any(spark):
 
 def test_q81_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(q81_funnel_steps(spark, sf_dir), Q81_ORACLE, sf_dir)
+
+
+# ---------------------------------------------------------------- Q82
+def test_q82_transition_counts_pin(spark):
+    """Hand-built two-user history: transitions follow per-user ts
+    order with event_id tie-breaks, and the last event of each user
+    contributes no row."""
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q82_transition_matrix,
+    )
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    # drive the registered builder through a temp view shim: build the
+    # same plan inline instead (the builder reads the fixture) — the
+    # pin uses the same window logic on a local frame
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = spark.createDataFrame(
+        [
+            (1, "view", 100, 1),
+            (1, "click", 200, 2),
+            (1, "click", 200, 3),     # tie on ts -> event_id orders
+            (1, "purchase", 300, 4),
+            (2, "signup", 100, 5),    # user 2: single transition
+            (2, "view", 150, 6),
+        ],
+        "user_id BIGINT, event_type STRING, ts BIGINT, event_id BIGINT",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    got = {
+        (r["event_type"], r["nxt"]): r["n"]
+        for r in o.groupBy("event_type", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "click"): 1,
+        ("click", "purchase"): 1,
+        ("signup", "view"): 1,
+    }
+
+
+def test_q82_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q82_ORACLE,
+        q82_transition_matrix,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        q82_transition_matrix(spark, sf_dir), Q82_ORACLE, sf_dir
+    )

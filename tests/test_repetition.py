@@ -45,3 +45,44 @@ def test_t27_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         t27_repetition_filter(spark, sf_dir), T27_ORACLE, sf_dir
     )
+
+
+# ---------------------------------------------------------------- T28
+def test_t28_novelty_ordering_pin(spark):
+    """First doc is all-novel; an exact copy later is zero-novel; a
+    half-overlapping doc scores its new half."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        novelty_profile,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "a b c d e"),
+            (2, "en", "a b c d e"),          # exact copy: novelty 0
+            (3, "en", "c d e f g h"),        # mixes seen + new
+            (4, "fr", "a b c d e"),          # other lang: independent
+        ],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    sh = d.select("doc_id", "lang", shingles(F.col("text"), 3).alias("sh"))
+    rows = {r["doc_id"]: r.asDict() for r in novelty_profile(sh).collect()}
+    assert rows[1]["novelty_frac"] == 1.0
+    assert rows[2]["novelty_frac"] == 0.0
+    assert 0.0 < rows[3]["novelty_frac"] < 1.0
+    assert rows[4]["novelty_frac"] == 1.0  # per-lang first-seen
+
+
+def test_t28_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T28_ORACLE,
+        t28_novelty_profile,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        t28_novelty_profile(spark, sf_dir), T28_ORACLE, sf_dir
+    )

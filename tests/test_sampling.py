@@ -194,3 +194,30 @@ def test_p12_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         p12_target_mix_resample(spark, sf_dir), P12_ORACLE, sf_dir
     )
+
+
+# ---------------------------------------------------------------- P13
+def test_p13_buckets_are_monotone_and_balanced(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        P13_BUCKETS,
+        p13_quality_curriculum,
+    )
+
+    rows = p13_quality_curriculum(spark, sf_dir).collect()
+    assert len(rows) == P13_BUCKETS
+    qs = [r["avg_quality"] for r in rows]
+    assert qs == sorted(qs)  # curriculum order: easy-to-hard
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile equal depth
+
+
+def test_p13_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        P13_ORACLE,
+        p13_quality_curriculum,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(
+        p13_quality_curriculum(spark, sf_dir), P13_ORACLE, sf_dir
+    )
