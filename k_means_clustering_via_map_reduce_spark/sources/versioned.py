@@ -462,6 +462,33 @@ def _uri_to_local(uri: str) -> str:
     return os.path.realpath(path)
 
 
+def _drop_empty_files(root: str, rel_files: list) -> list:
+    """Remove zero-row parquet outputs from a freshly-written file set
+    (deleting them from disk too). A COW rewrite whose affected files
+    lose ALL their rows (e.g. the k26 retraction deleting a whole
+    version's sub-aggregate) otherwise leaves a 0-row file that carries
+    forward in every later manifest — a small-file leak that grows with
+    table age. O(#new files) driver-side footer reads."""
+    import pyarrow.parquet as pq
+
+    kept = []
+    for rel in rel_files:
+        path = os.path.join(root, rel)
+        try:
+            n = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            kept.append(rel)
+            continue
+        if n > 0:
+            kept.append(rel)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    return kept
+
+
 def _cow_rewrite(
     spark: SparkSession,
     root: str,
@@ -515,10 +542,13 @@ def _cow_rewrite(
         F.col("_kmce_file").isin(raw_affected)
     ).drop("_kmce_file")
     transform(affected_rows).write.parquet(data_dir)
-    new_files = sorted(
-        os.path.join(os.path.relpath(data_dir, root), n)
-        for n in os.listdir(data_dir)
-        if n.endswith(".parquet")
+    new_files = _drop_empty_files(
+        root,
+        sorted(
+            os.path.join(os.path.relpath(data_dir, root), n)
+            for n in os.listdir(data_dir)
+            if n.endswith(".parquet")
+        ),
     )
     affected = set(affected_rel)
     kept = [f for f in rel_files if f not in affected]
@@ -751,10 +781,13 @@ def merge_into(
     version = parent + 1
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
     new_content.write.parquet(data_dir)
-    new_files = sorted(
-        os.path.join(os.path.relpath(data_dir, root), n)
-        for n in os.listdir(data_dir)
-        if n.endswith(".parquet")
+    new_files = _drop_empty_files(
+        root,
+        sorted(
+            os.path.join(os.path.relpath(data_dir, root), n)
+            for n in os.listdir(data_dir)
+            if n.endswith(".parquet")
+        ),
     )
     affected = set(affected_rel)
     kept = [f for f in rel_files if f not in affected]

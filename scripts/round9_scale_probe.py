@@ -254,12 +254,71 @@ def f24_probe(spark: SparkSession) -> None:
 
 def main() -> None:
     spark = _spark()
+    only = [a for a in sys.argv[1:] if a.startswith("--")]
+    if only == ["--k26-only"]:
+        k26_probe(spark)
+        return
     if "--f24-only" not in sys.argv:
         build_hot_corpora(spark)
         d11b_probe(spark)
     if "--d11b-only" not in sys.argv:
         f24_probe(spark)
+        k26_probe(spark)
 
+
+
+
+def k26_probe(spark: SparkSession) -> None:
+    """Sliding-window maintenance cost shape: per-refresh wall and
+    state size as HISTORY grows — the window bounds the state, the
+    diff bounds the refresh, and retraction cost tracks the expired
+    sub-aggregates, not the history length."""
+    import shutil
+    import tempfile
+
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts_window,
+        windowed_token_counts,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        read_manifest,
+        latest_version,
+    )
+
+    rows_per = 2_000
+    print("\n## Round-9 k26 sliding-window maintenance cost (history growth)")
+    print(f"({rows_per} docs/commit, window=2; wall is the FULL refresh "
+          "incl. retraction)")
+    print("| history versions | refresh wall s | state rows | state files |")
+    print("|---|---|---|---|")
+    base = tempfile.mkdtemp(prefix="kmce_k26_")
+    corpus = os.path.join(base, "corpus")
+    state = os.path.join(base, "state")
+    try:
+        checkpoints = {1, 2, 4, 8, 16, 32}
+        for n in range(1, 33):
+            commit_append(
+                spark.range(n * 100_000, n * 100_000 + rows_per).selectExpr(
+                    "id AS doc_id",
+                    # ~40 tokens/doc, version-salted vocab so each diff
+                    # contributes fresh tokens (worst case for state)
+                    f"concat_ws(' ', transform(sequence(1, 40),"
+                    f" i -> concat('v{n}w', pmod(id * i, 500)))) AS text",
+                ),
+                corpus,
+            )
+            t0 = time.time()
+            refresh_token_counts_window(spark, corpus, state, window=2)
+            wall = time.time() - t0
+            if n in checkpoints:
+                srows = windowed_token_counts(spark, state).count()
+                sfiles = len(
+                    read_manifest(state, latest_version(state))["files"]
+                )
+                print(f"| {n} | {wall:.1f} | {srows:,} | {sfiles} |")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 if __name__ == "__main__":
     main()

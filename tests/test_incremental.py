@@ -273,3 +273,30 @@ def test_k26_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         k26_windowed_token_counts(spark, sf_dir), K26_ORACLE, sf_dir
     )
+
+
+def test_windowed_refresh_state_files_stay_bounded(spark, tmp_path):
+    """The retraction must not leak empty files: after many refreshes
+    the state manifest holds only the in-window versions' files (the
+    round-9 probe caught one 0-row file accumulating per retraction
+    before _drop_empty_files)."""
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts_window,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        latest_version,
+        read_manifest,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    for i in range(8):
+        commit_append(
+            spark.createDataFrame(
+                [(i, f"w{i} common")], "doc_id BIGINT, text STRING"
+            ).coalesce(1),
+            corpus,
+        )
+        refresh_token_counts_window(spark, corpus, state, window=2)
+    n_files = len(read_manifest(state, latest_version(state))["files"])
+    assert n_files <= 4, n_files  # in-window appends only, no leak
