@@ -173,7 +173,13 @@ def refresh_token_counts_window(
     Scale: per refresh O(diff) corpus reads + one append + one
     stats-pruned COW delete over the vocabulary-sized state; the
     serving sum is a window-bounded aggregate of <= window
-    sub-aggregates per token."""
+    sub-aggregates per token.
+
+    Granularity note: a refresh that folds SEVERAL corpus versions
+    labels the whole delta with the newest one, so the window is exact
+    over corpus versions only when refreshes run per commit (the k24
+    cadence); a lagging refresher coarsens expiry to refresh batches —
+    conservative (late retraction), never early."""
     from k_means_clustering_via_map_reduce_spark.sources.versioned import (
         delete_where,
     )
