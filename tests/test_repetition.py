@@ -86,3 +86,97 @@ def test_t28_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         t28_novelty_profile(spark, sf_dir), T28_ORACLE, sf_dir
     )
+
+
+# ------------------------------------------------- hypothesis guards
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c d ee f "),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda t: t.strip()),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts=_TEXTS)
+def test_t27_oracle_replays_engine_on_arbitrary_text(spark_prop, texts):
+    """t27's guard (the d3/d2b discipline): on arbitrary token soups —
+    repeated bigrams, single-char words, multi-space runs — the DuckDB
+    replay of bigram multiplicity, distinct fraction, and the threshold
+    gate must emit exactly the engine's rows. A divergence in the
+    run-length fold (the sorted-array trick), the pair window, or a
+    threshold boundary shows here before the driver sees it."""
+    import duckdb
+    import pandas as pd
+
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T27_ORACLE,
+        repetition_stats,
+    )
+
+    spark = spark_prop
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    )
+    got = sorted(
+        map(
+            tuple,
+            repetition_stats(spark.createDataFrame(pdf)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        want = sorted(map(tuple, con.execute(T27_ORACLE).fetchall()))
+    finally:
+        con.close()
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts=_TEXTS)
+def test_t28_oracle_replays_engine_on_arbitrary_text(spark_prop, texts):
+    """t28's guard: first-occurrence accounting must agree on arbitrary
+    corpora — duplicated docs, shingle sets of size one, shared and
+    disjoint vocabularies."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T28_ORACLE,
+        novelty_profile,
+    )
+
+    spark = spark_prop
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    )
+    sh = spark.createDataFrame(pdf).select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    )
+    got = sorted(map(tuple, novelty_profile(sh).collect()))
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        want = sorted(map(tuple, con.execute(T28_ORACLE).fetchall()))
+    finally:
+        con.close()
+    assert got == want
