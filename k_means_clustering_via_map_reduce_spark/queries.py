@@ -5823,3 +5823,85 @@ def k26_windowed_token_counts(
         .select("token", F.col("freq").cast("bigint").alias("freq"))
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# Q83 — ROLLING Z-SCORE anomaly detection (round-10 surface, library-
+# first; the @query registration is one decorator away). The streaming
+# telemetry primitive batch-shaped: each event scored against the
+# rolling mean/stddev of the PRECEDING 20 same-type events (the
+# trailing frame excludes the current row — self-inclusion would
+# dampen exactly the outliers being hunted), flagged at |z| > 2.5;
+# warm-up rows (< 10 predecessors) are unscored. Per-type anomaly
+# accounting comes back.
+#
+# Scale: one exchange on event_type feeds the three frame aggregates
+# (shared window spec — one sort, multi-aggregate) and the final
+# group-by reuses the clustering; frame width bounds per-row state.
+# The z boundary sits on continuous data (ulp coincidence at 2.5 is
+# measure-zero); max_abs_z rounds for display only.
+# --------------------------------------------------------------------------
+Q83_WINDOW = 20
+Q83_MIN_PREV = 10
+Q83_Z = 2.5
+
+Q83_ORACLE = f"""
+    WITH w AS (
+      SELECT event_type, value,
+             avg(value) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN {Q83_WINDOW} PRECEDING AND 1 PRECEDING)
+               AS mu,
+             stddev_samp(value) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN {Q83_WINDOW} PRECEDING AND 1 PRECEDING)
+               AS sd,
+             count(*) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN {Q83_WINDOW} PRECEDING AND 1 PRECEDING)
+               AS nprev
+      FROM events),
+    z AS (
+      SELECT event_type, (value - mu) / sd AS z FROM w
+      WHERE nprev >= {Q83_MIN_PREV} AND sd > 0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN abs(z) > {Q83_Z} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           round(max(abs(z)), 4) AS max_abs_z
+    FROM z GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q83_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q83: per-type anomaly accounting under trailing-window z-scores
+    — a frame boundary slip (self-inclusion, off-by-one at either
+    edge), a warm-up miscount, or a stddev population/sample mixup
+    flips the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-Q83_WINDOW, -1)
+    )
+    w = (
+        e.withColumn("mu", F.avg("value").over(frame))
+        .withColumn("sd", F.stddev_samp("value").over(frame))
+        .withColumn("nprev", F.count(F.lit(1)).over(frame))
+    )
+    z = (
+        w.filter((F.col("nprev") >= Q83_MIN_PREV) & (F.col("sd") > 0))
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(
+                (F.abs("z") > Q83_Z).cast("bigint")
+            ).alias("n_anomalies"),
+            r4(F.max(F.abs("z"))).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -126,3 +126,48 @@ def test_q82_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         q82_transition_matrix(spark, sf_dir), Q82_ORACLE, sf_dir
     )
+
+
+# ---------------------------------------------------------------- Q83
+def test_q83_frame_excludes_current_row(spark):
+    """The trailing frame must not include the scored row: a lone
+    outlier after a stable run must score |z| >> threshold (self-
+    inclusion would shrink it by inflating the window stddev)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q83_MIN_PREV,
+        Q83_WINDOW,
+    )
+
+    rows = [(i, "m", 100.0 + (i % 3) * 0.1, i) for i in range(20)]
+    rows.append((20, "m", 500.0, 20))  # the outlier
+    e = spark.createDataFrame(
+        rows, "ts BIGINT, event_type STRING, value DOUBLE, event_id BIGINT"
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-Q83_WINDOW, -1)
+    )
+    w = (
+        e.withColumn("mu", F.avg("value").over(frame))
+        .withColumn("sd", F.stddev_samp("value").over(frame))
+        .withColumn("nprev", F.count(F.lit(1)).over(frame))
+        .filter((F.col("nprev") >= Q83_MIN_PREV) & (F.col("sd") > 0))
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+    )
+    zs = {r["ts"]: r["z"] for r in w.collect()}
+    assert abs(zs[20]) > 100  # stable run -> tiny sd -> huge z
+    assert all(abs(z) < 3 for t, z in zs.items() if t < 20)
+
+
+def test_q83_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q83_ORACLE,
+        q83_rolling_zscore,
+    )
+    from tests.oracle_utils import compare_to_oracle
+
+    compare_to_oracle(q83_rolling_zscore(spark, sf_dir), Q83_ORACLE, sf_dir)
