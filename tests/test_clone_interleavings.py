@@ -1,0 +1,165 @@
+"""Model-based property test: SHALLOW CLONE composed with the table
+lifecycle on both sides — the sixth interleaving harness on the
+versioned table.
+
+A fork and its source each take appends, OPTIMIZE, retention, and
+vacuum in arbitrary order. The invariants no sequence may break:
+
+- FORK FIDELITY: whenever the fork is readable, it returns EXACTLY the
+  snapshot it was cloned from plus its own appends — never the
+  source's later appends, never a partial view.
+- LOUD FAILURE, never silent corruption: source-side expire+vacuum may
+  legitimately delete files the fork still references (the documented
+  Delta shallow-clone caveat) — after that, a fork read must RAISE
+  (missing file), not return a subset. Vacuum deletes whole files and
+  Spark raises on a missing input, so a partial/silent read indicates
+  a manifest bug.
+- MATERIALIZATION ESCAPE: once the fork is compacted, no source-side
+  op can affect it ever again.
+- SOURCE IMMUNITY: nothing done to the fork (appends, compaction,
+  vacuum with zero retention) ever changes the source's content or
+  file set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    clone_table,
+    commit_append,
+    compact,
+    expire_versions,
+    latest_version,
+    read_version,
+    vacuum,
+)
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append_src"), st.integers(0, 3)),
+        st.tuples(st.just("append_fork"), st.integers(0, 3)),
+        st.just("compact_src"),
+        st.just("compact_fork"),
+        st.tuples(st.just("expire_src"), st.integers(1, 2)),
+        st.just("vacuum_src"),
+        st.just("vacuum_fork"),
+        st.just("read_fork"),
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+def _rows(spark, root):
+    return sorted(r["id"] for r in read_version(spark, root).collect())
+
+
+@settings(max_examples=10, deadline=None)
+@given(ops=_OPS)
+def test_fork_fidelity_under_lifecycle(spark_prop, ops, tmp_path_factory):
+    spark = spark_prop
+    base = tmp_path_factory.mktemp("clonelife")
+    src, fork = str(base / "src"), str(base / "fork")
+    commit_append(spark.range(10).select("id"), src)
+    clone_table(src, fork)
+    expected_fork = set(range(10))  # clone-point rows + fork appends
+    src_rows = set(range(10))
+    seq = 0
+    fork_materialized = False
+    fork_broken = False  # source retention deleted a referenced file
+
+    def fork_readable() -> bool:
+        return fork_materialized or not fork_broken
+
+    for op in ops:
+        kind = op[0] if isinstance(op, tuple) else op
+        if kind == "append_src":
+            seq += 1
+            rows = set(range(1000 * seq, 1000 * seq + 5))
+            commit_append(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(rows)], "id BIGINT"
+                ),
+                src,
+            )
+            src_rows |= rows
+        elif kind == "append_fork":
+            seq += 1
+            rows = set(range(1000 * seq, 1000 * seq + 5))
+            commit_append(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(rows)], "id BIGINT"
+                ),
+                fork,
+            )
+            expected_fork |= rows
+        elif kind == "compact_src":
+            compact(spark, src, target_files=1)
+        elif kind == "compact_fork":
+            if fork_broken and not fork_materialized:
+                # compaction must also fail loudly: it reads the table
+                with pytest.raises(Exception):
+                    compact(spark, fork, target_files=1)
+            else:
+                compact(spark, fork, target_files=1)
+                fork_materialized = True
+        elif kind == "expire_src":
+            expire_versions(src, keep_last=op[1])
+        elif kind == "vacuum_src":
+            removed = vacuum(src, retention_seconds=0.0)
+            # any removal MAY have broken an unmaterialized fork; track
+            # pessimistically (exactness of breakage is checked at read:
+            # either full fidelity or a loud raise)
+            if removed and not fork_materialized:
+                fork_broken = True
+        elif kind == "vacuum_fork":
+            vacuum(fork, retention_seconds=0.0)
+        elif kind == "read_fork":
+            if fork_readable():
+                assert set(_rows(spark, fork)) == expected_fork
+            else:
+                # missing-file reads may still succeed if the removed
+                # files weren't actually referenced by the fork's
+                # LATEST manifest; accept either full fidelity or raise
+                try:
+                    got = set(_rows(spark, fork))
+                except Exception:
+                    return  # loud failure: wedged by design
+                assert got == expected_fork  # never partial
+        # source immunity: fork ops never leak into the source
+        assert set(_rows(spark, src)) == src_rows
+    # terminal read, same contract
+    if fork_readable():
+        assert set(_rows(spark, fork)) == expected_fork
+    else:
+        try:
+            got = set(_rows(spark, fork))
+        except Exception:
+            return
+        assert got == expected_fork
+
+
+def test_source_retention_breaks_fork_loudly(spark, tmp_path):
+    """The documented shallow-clone caveat, pinned end to end: source
+    OPTIMIZE + expire + vacuum deletes the pre-compaction files the
+    fork still references — the fork must then RAISE on read (missing
+    input file), never return a subset; a fork compacted BEFORE the
+    purge is immune."""
+    src, fork = str(tmp_path / "src"), str(tmp_path / "fork")
+    commit_append(spark.range(20).select("id").repartition(2), src)
+    clone_table(src, fork)
+    # source rewrites + drops its history, then reclaims
+    compact(spark, src, target_files=1)
+    expire_versions(src, keep_last=1)
+    removed = vacuum(src, retention_seconds=0.0)
+    assert removed, "vacuum must reclaim the pre-compaction files"
+    # source unaffected; fork is now wedged LOUDLY
+    assert _rows(spark, src) == list(range(20))
+    with pytest.raises(Exception):
+        read_version(spark, fork).collect()
