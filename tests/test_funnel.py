@@ -171,3 +171,20 @@ def test_q83_matches_oracle_driver_style(spark, sf_dir):
     from tests.oracle_utils import compare_to_oracle
 
     compare_to_oracle(q83_rolling_zscore(spark, sf_dir), Q83_ORACLE, sf_dir)
+
+
+def test_q81_q83_single_exchange_plans(spark, sf_dir):
+    """The scale claims in the docstrings, pinned: q81's four chained
+    window passes and q83's three frame aggregates each plan exactly
+    ONE hash exchange (the user_id / event_type clustering reused)."""
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q81_funnel_steps,
+        q83_rolling_zscore,
+    )
+
+    for fn, n_windows_min in ((q81_funnel_steps, 4), (q83_rolling_zscore, 1)):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+        assert plan.count("Window") >= n_windows_min
