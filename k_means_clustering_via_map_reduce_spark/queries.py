@@ -5905,3 +5905,70 @@ def q83_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# F29 — AS OF ingest-batch time travel (round-10 surface, library-first;
+# the @query registration is one decorator away). "Read the corpus as
+# it stood when ingest batch B landed": resolve the earliest version
+# whose cumulative batch ledger contains B (sources/versioned.py:
+# version_for_batch) and read that pinned snapshot — the reproducible-
+# training-run verb, keyed on a deterministic coordinate instead of the
+# wall clock (which no oracle could replay). Staged as four quarter
+# commits carrying batch ids 10/20/30/40; AS OF batch 20 must see
+# exactly the first two quarters.
+# --------------------------------------------------------------------------
+_F29_STAGED: dict[tuple, object] = {}
+
+F29_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents WHERE doc_id % 4 IN (0, 1)
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def f29_asof_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the snapshot AS OF ingest batch 20 of a four-commit
+    table (batches 10/20/30/40 over doc_id quarters): a ledger-
+    resolution slip (wrong version, later quarters leaking in) flips
+    the hash.
+
+    Scale: resolution is O(versions) driver-side manifest metadata;
+    the read plans exactly the pinned version's files — time travel
+    costs nothing at scan time."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        read_version,
+        version_for_batch,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F29_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_asof_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        for q in range(4):
+            commit_append(
+                d.filter(F.col("doc_id") % 4 == q),
+                tmp.name,
+                batch_id=(q + 1) * 10,
+            )
+        _F29_STAGED[key] = tmp
+    root = _F29_STAGED[key].name
+    v = version_for_batch(root, 20)
+    return (
+        read_version(spark, root, v)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

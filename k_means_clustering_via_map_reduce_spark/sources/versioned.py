@@ -1032,3 +1032,24 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
     finally:
         os.remove(tmp)
     return 1
+
+
+def version_for_batch(root: str, batch_id: int) -> int:
+    """Resolve the earliest version whose cumulative ingest ledger
+    contains ``batch_id`` — time travel keyed on a DETERMINISTIC ingest
+    coordinate instead of wall time (Delta's TIMESTAMP AS OF resolves a
+    commit timestamp the same way; wall clocks don't replay across
+    engines, batch ids do). Raises KeyError if no version carries the
+    batch. O(versions) driver-side manifest reads, earliest-first."""
+    latest = latest_version(root)
+    for v in range(1, latest + 1):
+        try:
+            m = read_manifest(root, v)
+        except FileNotFoundError:
+            continue  # expired history below the retention window
+        if batch_id in m.get("batches", []):
+            return v
+    raise KeyError(
+        f"version_for_batch: no version of {root} carries batch "
+        f"{batch_id} (latest={latest})"
+    )

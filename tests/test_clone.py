@@ -148,3 +148,31 @@ def test_compacting_a_clone_materializes_it_locally(spark, tmp_path):
     expire_versions(dst, keep_last=1)
     shutil.rmtree(src)
     assert len(_rows(spark, dst)) == 50
+
+
+# ---------------------------------------------------------------- F29
+def test_version_for_batch_resolution_and_guards(spark, tmp_path):
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        version_for_batch,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(spark.range(3).select("id"), root, batch_id=100)
+    commit_append(spark.range(3, 6).select("id"), root)  # no batch
+    commit_append(spark.range(6, 9).select("id"), root, batch_id=200)
+    assert version_for_batch(root, 100) == 1
+    # the ledger is cumulative: batch 200 first appears at v3
+    assert version_for_batch(root, 200) == 3
+    with pytest.raises(KeyError):
+        version_for_batch(root, 999)
+
+
+def test_f29_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F29_ORACLE,
+        f29_asof_batch_read,
+    )
+
+    compare_to_oracle(
+        f29_asof_batch_read(spark, sf_dir), F29_ORACLE, sf_dir
+    )
