@@ -23,9 +23,6 @@ vacuum in arbitrary order. The invariants no sequence may break:
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -35,7 +32,6 @@ from k_means_clustering_via_map_reduce_spark.sources.versioned import (
     commit_append,
     compact,
     expire_versions,
-    latest_version,
     read_version,
     vacuum,
 )
