@@ -2062,6 +2062,7 @@ def dedup_pipeline(docs: DataFrame, shingled: DataFrame) -> DataFrame:
     )
 
 
+@query("d13_dedup_pipeline", oracle=_D13_ORACLE)
 def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13: per-lang removal accounting of the end-to-end near-dup
     pipeline — a banding slip, a verification leak, a closure that

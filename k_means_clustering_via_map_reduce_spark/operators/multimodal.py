@@ -1525,6 +1525,7 @@ def audio_energy_windows(df: DataFrame) -> DataFrame:
     )
 
 
+@query("m10_audio_energy", oracle=M10_ORACLE)
 def m10_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10: exact windowed energy statistics of every synthesized WAV,
     through the real RIFF parse — integer end to end, so the hash

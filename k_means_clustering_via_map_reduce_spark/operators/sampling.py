@@ -967,6 +967,7 @@ P12_ORACLE = f"""
 """
 
 
+@query("p12_target_mix_resample", oracle=P12_ORACLE)
 def p12_target_mix_resample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1028,6 +1029,7 @@ P13_ORACLE = f"""
 """
 
 
+@query("p13_quality_curriculum", oracle=P13_ORACLE)
 def p13_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13: the 8-bucket quality curriculum manifest — a ranking-key
     difference, an ntile boundary slip, or an unstable tie-break flips

@@ -1126,17 +1126,23 @@ def radius_search_ivf(
     queries: DataFrame,
     radius: float = S9_RADIUS,
     nlist: int = IVF_NLIST,
+    centers: list | None = None,
 ) -> DataFrame:
     """Exact radius search through cell pruning; returns the SAME rows
-    as the brute s9 arm plus a probe ledger pytest reads."""
+    as the brute s9 arm plus a probe ledger pytest reads.
+
+    ``centers`` lets the caller serve from a persisted coarse codebook
+    (the s7 index) instead of refitting — the bound is exact under ANY
+    centers, so a stale or shared codebook costs probes, never rows."""
     import math
 
-    from k_means_clustering_via_map_reduce_spark.kmeans import mllib_fit
+    if centers is None:
+        from k_means_clustering_via_map_reduce_spark.kmeans import mllib_fit
 
-    model, _ = mllib_fit(
-        corpus, k=nlist, array_col="v", max_iter=10, seed=IVF_SEED
-    )
-    centers = [ctr.tolist() for ctr in model.clusterCenters()]
+        model, _ = mllib_fit(
+            corpus, k=nlist, array_col="v", max_iter=10, seed=IVF_SEED
+        )
+        centers = [ctr.tolist() for ctr in model.clusterCenters()]
     assign = _cosine_assign_udf(centers)
 
     c = (
@@ -1201,14 +1207,16 @@ def radius_search_ivf(
     return matched
 
 
+@query("s9b_radius_search_ivf", oracle=S9_ORACLE)
 def s9b_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9b staged query face (round-10 surface, library-first; the
-    @query registration is one decorator away): the IVF-pruned radius
-    search over the fixture embeddings. The prune is EXACT (spherical
-    triangle inequality with an ulp of slack — extra probing is
-    correctness-free, under-probing impossible), so this serves the
-    SAME oracle as the brute s9 arm at every scale and any clustering:
-    registration reuses S9_ORACLE verbatim.
+    """S9b: the IVF-pruned radius search over the fixture embeddings.
+    The prune is EXACT (spherical triangle inequality with an ulp of
+    slack — extra probing is correctness-free, under-probing
+    impossible), so this serves the SAME oracle as the brute s9 arm at
+    every scale and any clustering: registration reuses S9_ORACLE
+    verbatim. Serves from the s7 persisted codebook (built here if
+    absent — one seeded fit per process shared across s7/s9b, never a
+    per-query refit).
 
     Scale: centroids + per-cell radii are a K-row broadcast; per-query
     admissible cells are a K-row driver computation; the search joins
@@ -1216,8 +1224,18 @@ def s9b_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     member mass of admissible cells, and on clusterable corpora (the
     IVF premise, measured honestly in tests/test_similarity.py and
     BASELINE.md §r8 s9b) that is a small fraction of the table."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    key = staging_key(sf_dir, "embeddings")
+    if _S7_STAGED.get("key") != key:
+        build_ivf_index(e)
+        _S7_STAGED["key"] = key
+    centers = [
+        r.center
+        for r in spark.table("s7_centroids").orderBy("cell").collect()
+    ]
     q = e.filter(F.col("vec_id") < S9_N_QUERIES)
-    return radius_search_ivf(e, q)
+    return radius_search_ivf(e, q, centers=centers)

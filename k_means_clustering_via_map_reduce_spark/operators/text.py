@@ -1879,6 +1879,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+@query("t27_repetition_filter", oracle=T27_ORACLE)
 def t27_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T27: per-document repetition quality gate — a run-length slip in
     the fold, an off-by-one in the bigram window, or a threshold
@@ -1949,6 +1950,7 @@ def novelty_profile(shingled: DataFrame) -> DataFrame:
     )
 
 
+@query("t28_novelty_profile", oracle=T28_ORACLE)
 def t28_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T28: per-doc first-occurrence shingle fraction in doc_id order —
     a min over the wrong key, a dedup slip in the shingle set, or a

@@ -5483,6 +5483,7 @@ F28_ORACLE = """
 """
 
 
+@query("f28_shallow_clone_read", oracle=F28_ORACLE)
 def f28_shallow_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate a CLONE after forking it from the source snapshot and
     appending 20 'xx'-lang rows to the fork only: a clone that copied
@@ -5631,6 +5632,7 @@ def funnel_counts(e: DataFrame) -> DataFrame:
     )
 
 
+@query("q81_funnel_steps", oracle=Q81_ORACLE)
 def q81_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q81: users reaching each ordered funnel step (strictly-after
     chaining on first completions, 48h step deadline) plus the
@@ -5669,6 +5671,7 @@ K25_ORACLE = """
 """
 
 
+@query("k25_incremental_vocab", oracle=K25_ORACLE)
 def k25_incremental_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained vocabulary after three interleaved commit+refresh
     rounds: (token, first_seen corpus version, accumulated freq) —
@@ -5740,6 +5743,7 @@ Q82_ORACLE = """
 """
 
 
+@query("q82_transition_matrix", oracle=Q82_ORACLE)
 def q82_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q82: the 5x5 next-event transition matrix with row-normalized
     probabilities — an ordering slip (wrong tie-break), a lost last
@@ -5784,6 +5788,7 @@ K26_ORACLE = """
 """
 
 
+@query("k26_windowed_token_counts", oracle=K26_ORACLE)
 def k26_windowed_token_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5872,6 +5877,7 @@ Q83_ORACLE = f"""
 """
 
 
+@query("q83_rolling_zscore", oracle=Q83_ORACLE)
 def q83_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q83: per-type anomaly accounting under trailing-window z-scores
     — a frame boundary slip (self-inclusion, off-by-one at either
@@ -5929,6 +5935,7 @@ F29_ORACLE = """
 """
 
 
+@query("f29_asof_batch_read", oracle=F29_ORACLE)
 def f29_asof_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate the snapshot AS OF ingest batch 20 of a four-commit
     table (batches 10/20/30/40 over doc_id quarters): a ledger-
