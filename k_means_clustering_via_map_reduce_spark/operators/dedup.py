@@ -1336,7 +1336,7 @@ D11_SHINGLE_W = 2
 D11_JACCARD = 0.6
 D11_FAMILY_CUTOFF = 3
 
-D11_ORACLE = f"""
+D11_UNCAPPED_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, lang, string_split(trim(text), ' ') AS w
       FROM documents
@@ -1394,6 +1394,93 @@ D11_ORACLE = f"""
              AS drop_frac
     FROM marked GROUP BY lang ORDER BY lang
 """
+
+
+# Shared capped-oracle template: the SAME SQL serves the registered d11
+# (production cap) and d11b (fixture-scale binding-cap demonstration) —
+# one source of truth, generated from the cap so engine and oracle can
+# never desync on the constant (round-9 ADVICE discipline).
+def _d11b_oracle(cap: int) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(0,
+                 CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+               i -> array_to_string(
+                 w[i * {SEGMENT_WORDS} + 1 :
+                   i * {SEGMENT_WORDS} + {SEGMENT_WORDS}], ' ')))
+               AS seg
+      FROM d
+    ),
+    dist AS (
+      SELECT lang, seg, count(DISTINCT doc_id) AS df,
+             string_split(seg, ' ') AS sw
+      FROM segs GROUP BY lang, seg
+    ),
+    sh AS (
+      SELECT lang, seg, df,
+             CASE WHEN len(sw) >= {D11_SHINGLE_W} THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(sw) - {D11_SHINGLE_W - 1}),
+                 i -> array_to_string(sw[i:i + {D11_SHINGLE_W - 1}], ' ')))
+             ELSE [array_to_string(sw, ' ')] END AS sh
+      FROM dist
+    ),
+    ex AS (
+      SELECT lang, seg, df, len(sh) AS n_sh, unnest(sh) AS sg FROM sh
+    ),
+    keep AS (
+      SELECT lang, sg FROM ex GROUP BY lang, sg
+      HAVING count(*) <= {cap}
+    ),
+    exk AS (SELECT ex.* FROM ex JOIN keep USING (lang, sg)),
+    inter AS (
+      SELECT a.lang, a.seg, b.seg AS b_seg, a.n_sh AS a_n,
+             b.n_sh AS b_n, b.df AS b_df, count(*) AS n_common
+      FROM exk a JOIN exk b
+        ON a.lang = b.lang AND a.sg = b.sg AND a.seg <> b.seg
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    pairs AS (
+      SELECT lang, seg, b_df FROM inter
+      WHERE n_common * 1.0 / (a_n + b_n - n_common) >= {D11_JACCARD}
+    ),
+    fam AS (
+      SELECT s.lang, s.seg, s.df,
+             s.df + coalesce(sum(p.b_df), 0) AS family_df
+      FROM sh s LEFT JOIN pairs p
+        ON p.lang = s.lang AND p.seg = s.seg
+      GROUP BY s.lang, s.seg, s.df
+    ),
+    marked AS (
+      SELECT g.doc_id, g.lang,
+             f.family_df >= {D11_FAMILY_CUTOFF} AS drop
+      FROM segs g JOIN fam f ON f.lang = g.lang AND f.seg = g.seg
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(sum(CASE WHEN drop THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS drop_frac
+    FROM marked GROUP BY lang ORDER BY lang
+"""
+
+
+# Production posting cap for the REGISTERED d11 arm: realistic library
+# scale (never binds at fixture scale, so fixture rows equal the
+# uncapped truth arm's), encoded in the oracle so engine == oracle at
+# ANY scale; the uncapped form remains a pytest-only truth pin
+# (D11_UNCAPPED_ORACLE, tests/test_segment_neardup.py).
+D11_POSTING_CAP = 10_000
+
+D11_ORACLE = _d11b_oracle(D11_POSTING_CAP)
 
 
 def segment_family_df(
@@ -1495,26 +1582,10 @@ def segment_family_df(
     )
 
 
-@query("d11_segment_neardup_boilerplate", oracle=D11_ORACLE)
-def d11_segment_near_dup_boilerplate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """D11: per-language boilerplate accounting under FAMILY-df removal
-    — segments whose near-dup family collectively appears in >=
-    D11_FAMILY_CUTOFF documents are dropped; the oracle recomputes
-    segmentation, distinct-segment dfs, the jaccard pairs, the family
-    mass, and the per-doc marking relationally, so a segmentation
-    off-by-one, a shingle slip, a jaccard boundary flip, or a family
-    double-count flips the hash. The oracle applies NO posting cap, so
-    this path runs ``segment_family_df`` uncapped — the query and its
-    oracle agree by construction at any scale.
-
-    ROLE (round 9): this is the declared TRUTH ARM. The registered
-    PRODUCTION form is d11b (`d11b_segment_neardup_capped`), whose
-    posting cap is encoded in its own oracle and whose pair-join cost
-    is measured exactly linear per corpus doubling where this arm's
-    accelerates quadratically on a hot shingle (BASELINE.md §r9)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def _d11_accounting(docs: DataFrame, posting_cap: int | None) -> DataFrame:
+    """Shared d11/d11b face: per-language boilerplate accounting under
+    family-df removal at the given posting cap (None = the uncapped
+    truth form, pytest-only)."""
     w = F.split(F.trim(F.col("text")), " ")
     seg_expr = F.expr(
         f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
@@ -1525,7 +1596,7 @@ def d11_segment_near_dup_boilerplate(
     segs = docs.select(
         "doc_id", "lang", w.alias("w")
     ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
-    fam = segment_family_df(docs, posting_cap=None)
+    fam = segment_family_df(docs, posting_cap=posting_cap)
     marked = segs.join(fam, ["lang", "seg"]).withColumn(
         "drop", F.col("family_df") >= D11_FAMILY_CUTOFF
     )
@@ -1541,6 +1612,31 @@ def d11_segment_near_dup_boilerplate(
         )
         .orderBy("lang")
     )
+
+
+@query("d11_segment_neardup_boilerplate", oracle=D11_ORACLE)
+def d11_segment_near_dup_boilerplate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D11: per-language boilerplate accounting under FAMILY-df removal
+    — segments whose near-dup family collectively appears in >=
+    D11_FAMILY_CUTOFF documents are dropped; the oracle recomputes
+    segmentation, distinct-segment dfs, the jaccard pairs, the family
+    mass, and the per-doc marking relationally, so a segmentation
+    off-by-one, a shingle slip, a jaccard boundary flip, or a family
+    double-count flips the hash.
+
+    ROLE (round 10): the PRODUCTION arm — posting cap
+    D11_POSTING_CAP=10k, realistic for corpus-scale hot shingles and
+    ENCODED IN THE ORACLE, so engine == oracle at any scale whether or
+    not the cap binds (it never binds at fixture scale, where this
+    output equals the uncapped truth form's). The registered surface
+    carries no uncapped superlinear pair join: the uncapped form is a
+    pytest-only truth pin against D11_UNCAPPED_ORACLE
+    (tests/test_segment_neardup.py); the fixture-scale BINDING-cap
+    mirror is d11b."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return _d11_accounting(docs, posting_cap=D11_POSTING_CAP)
 
 
 # --------------------------------------------------------------------------
@@ -1678,88 +1774,17 @@ def d12_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or not. The engine's size-ratio prune stays lossless for the capped
 # score too (capped <= true jaccard <= the size bound).
 # --------------------------------------------------------------------------
-# The cap BINDS at the driver's own sf0.01 scale (max fixture posting
-# is 23), so the cap-encoded-oracle mirror is exercised by the driver
-# hash itself, not only by the synthetic hot-shingle pytest. Production
-# corpora tune the cap to corpus size (the contract — engine == oracle
-# — holds at ANY value; capping only underestimates jaccard, erring
-# toward keeping data); the cost shape either way is measured in
-# BASELINE.md §r9 (capped pair-join exactly linear per doubling,
-# per-key fan-out <= cap by construction).
+# Fixture-scale DEMONSTRATION cap: BINDS at the driver's own sf0.01
+# scale (max fixture posting is 23), so the cap-encoded-oracle mirror
+# is exercised by the driver hash itself with the cap BITING, not only
+# by the synthetic hot-shingle pytest. This is NOT a production
+# default (round-10 ADVICE) — the production arm is the registered d11
+# at D11_POSTING_CAP=10k, and `segment_family_df`'s library default is
+# 10k; the contract (engine == oracle) holds at ANY cap, capping only
+# underestimates jaccard (erring toward keeping data), and the cost
+# shape is measured in BASELINE.md §r9 (capped pair-join exactly
+# linear per doubling, per-key fan-out <= cap by construction).
 D11B_POSTING_CAP = 16
-
-
-def _d11b_oracle(cap: int) -> str:
-    return f"""
-    WITH d AS (
-      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
-      FROM documents
-    ),
-    segs AS (
-      SELECT doc_id, lang,
-             unnest(list_transform(
-               generate_series(0,
-                 CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
-               i -> array_to_string(
-                 w[i * {SEGMENT_WORDS} + 1 :
-                   i * {SEGMENT_WORDS} + {SEGMENT_WORDS}], ' ')))
-               AS seg
-      FROM d
-    ),
-    dist AS (
-      SELECT lang, seg, count(DISTINCT doc_id) AS df,
-             string_split(seg, ' ') AS sw
-      FROM segs GROUP BY lang, seg
-    ),
-    sh AS (
-      SELECT lang, seg, df,
-             CASE WHEN len(sw) >= {D11_SHINGLE_W} THEN
-               list_distinct(list_transform(
-                 generate_series(1, len(sw) - {D11_SHINGLE_W - 1}),
-                 i -> array_to_string(sw[i:i + {D11_SHINGLE_W - 1}], ' ')))
-             ELSE [array_to_string(sw, ' ')] END AS sh
-      FROM dist
-    ),
-    ex AS (
-      SELECT lang, seg, df, len(sh) AS n_sh, unnest(sh) AS sg FROM sh
-    ),
-    keep AS (
-      SELECT lang, sg FROM ex GROUP BY lang, sg
-      HAVING count(*) <= {cap}
-    ),
-    exk AS (SELECT ex.* FROM ex JOIN keep USING (lang, sg)),
-    inter AS (
-      SELECT a.lang, a.seg, b.seg AS b_seg, a.n_sh AS a_n,
-             b.n_sh AS b_n, b.df AS b_df, count(*) AS n_common
-      FROM exk a JOIN exk b
-        ON a.lang = b.lang AND a.sg = b.sg AND a.seg <> b.seg
-      GROUP BY 1, 2, 3, 4, 5, 6
-    ),
-    pairs AS (
-      SELECT lang, seg, b_df FROM inter
-      WHERE n_common * 1.0 / (a_n + b_n - n_common) >= {D11_JACCARD}
-    ),
-    fam AS (
-      SELECT s.lang, s.seg, s.df,
-             s.df + coalesce(sum(p.b_df), 0) AS family_df
-      FROM sh s LEFT JOIN pairs p
-        ON p.lang = s.lang AND p.seg = s.seg
-      GROUP BY s.lang, s.seg, s.df
-    ),
-    marked AS (
-      SELECT g.doc_id, g.lang,
-             f.family_df >= {D11_FAMILY_CUTOFF} AS drop
-      FROM segs g JOIN fam f ON f.lang = g.lang AND f.seg = g.seg
-    )
-    SELECT lang,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_segments,
-           CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dropped,
-           round(sum(CASE WHEN drop THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
-             AS drop_frac
-    FROM marked GROUP BY lang ORDER BY lang
-"""
 
 
 D11B_ORACLE = _d11b_oracle(D11B_POSTING_CAP)
@@ -1769,37 +1794,17 @@ D11B_ORACLE = _d11b_oracle(D11B_POSTING_CAP)
 def d11b_segment_neardup_capped(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """D11b: d11's boilerplate accounting through the CAPPED family-df
-    (posting_cap={cap}) with the cap replayed in the oracle — the form
-    a 100 TB corpus actually runs, exact against its own contract at
-    any scale (tests/test_segment_neardup.py drives a cap that BINDS
-    on a synthetic hot-shingle corpus to prove the mirror)."""
+    """D11b: the BINDING-CAP mirror demonstration — d11's accounting
+    at a cap deliberately small enough (16 < the fixture's max posting
+    of 23) that the driver hash itself exercises the cap-encoded
+    oracle with the cap BITING, not just vacuously present. This is a
+    fixture-scale demonstration constant, NOT a production default:
+    the production arm is the registered d11 (cap 10k) and the library
+    default on ``segment_family_df`` is 10k (round-10 ADVICE);
+    tests/test_segment_neardup.py additionally drives a synthetic
+    hot-shingle corpus through several cap points."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    w = F.split(F.trim(F.col("text")), " ")
-    seg_expr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
-        f" as int) - 1), i -> array_join(slice(w, i * {SEGMENT_WORDS}"
-        f" + 1, {SEGMENT_WORDS}), ' '))"
-    )
-    segs = docs.select(
-        "doc_id", "lang", w.alias("w")
-    ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
-    fam = segment_family_df(docs, posting_cap=D11B_POSTING_CAP)
-    marked = segs.join(fam, ["lang", "seg"]).withColumn(
-        "drop", F.col("family_df") >= D11_FAMILY_CUTOFF
-    )
-    return (
-        marked.groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.col("drop").cast("bigint")).alias("n_dropped"),
-            r4(
-                F.sum(F.col("drop").cast("double")) / F.count(F.lit(1))
-            ).alias("drop_frac"),
-        )
-        .orderBy("lang")
-    )
+    return _d11_accounting(docs, posting_cap=D11B_POSTING_CAP)
 
 
 # --------------------------------------------------------------------------

@@ -65,6 +65,11 @@ def refresh_token_counts(
     delta = _token_counts(
         read_changes(spark, corpus_root, done, now).select("text")
     )
+    if not delta.head(1):
+        # row-empty diff (compaction-only versions since the
+        # checkpoint): committing would burn a state version on
+        # nothing — the no-op discipline the lifecycle tests pin
+        return done
     if latest_version(state_root) == 0:
         commit_append(delta, state_root, batch_id=now)
         return now
@@ -117,6 +122,8 @@ def refresh_vocab(
     delta = _token_counts(
         read_changes(spark, corpus_root, done, now).select("text")
     ).withColumn("first_seen", F.lit(now).cast("bigint"))
+    if not delta.head(1):
+        return done  # row-empty diff: no-op, no version burned
     if latest_version(state_root) == 0:
         commit_append(
             delta.select("token", "first_seen", "freq"),
@@ -196,7 +203,10 @@ def refresh_token_counts_window(
         "freq",
     )
     low = now - window  # versions <= low slide out
+    empty_delta = not bool(delta.head(1))
     if latest_version(state_root) == 0:
+        if empty_delta:
+            return done  # nothing to add, nothing to retract
         commit_append(delta, state_root, batch_id=now)
         return now
     # Up to two commits per refresh (append, then retraction); the
@@ -205,13 +215,24 @@ def refresh_token_counts_window(
     # idempotency guard first drops any partial rows for `now` (a
     # no-op delete burns no version). When nothing expires, the
     # retraction would be a no-op COW (which records no ledger entry),
-    # so the batch_id rides the append instead.
+    # so the batch_id rides the append instead. A row-empty diff
+    # (compaction-only versions since the checkpoint) must not burn an
+    # append version — but it can still slide sub-aggregates out of
+    # the window, so the retraction (which carries the checkpoint)
+    # runs whenever anything expired.
     delete_where(spark, state_root, f"version = {now}")
     has_expired = bool(
         read_version(spark, state_root)
         .filter(F.col("version") <= low)
         .head(1)
     )
+    if empty_delta:
+        if has_expired:
+            delete_where(
+                spark, state_root, f"version <= {low}", batch_id=now
+            )
+            return now
+        return done  # pure no-op: no data, no expiry, no version
     if has_expired:
         commit_append(delta, state_root)
         delete_where(

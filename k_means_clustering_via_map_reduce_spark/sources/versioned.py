@@ -435,6 +435,7 @@ def read_version(
     if version is None:
         version = latest_version(root)
     files = read_manifest(root, version)["files"]
+    _check_external_refs(root, files)
     reader = spark.read
     schema = table_schema(root, version)
     if schema is not None:
@@ -446,6 +447,26 @@ def read_version(
         # deterministic and null-fills columns a file predates.
         reader = reader.schema(schema)
     return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
+def _check_external_refs(root: str, files: list) -> None:
+    """Clone manifests reference files OUTSIDE the table root by
+    absolute path (the shallow-fork contract; `clone_table` also
+    records them under the manifest's ``external_files`` key). A
+    relocated or source-vacuumed reference must fail LOUDLY at plan
+    time with table context — never as an opaque mid-scan error, and
+    never a silent partial read. Absoluteness IS the marker, so the
+    check survives fork-side COW/append commits that carry the refs
+    forward by name. O(#external refs) driver-side stat calls."""
+    missing = [
+        f for f in files if os.path.isabs(f) and not os.path.exists(f)
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"table {root}: {len(missing)} externally-referenced "
+            f"file(s) missing (cloned source relocated or vacuumed?); "
+            f"first: {missing[:3]}"
+        )
 
 
 def _uri_to_local(uri: str) -> str:
@@ -1017,6 +1038,9 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
         "parent": 0,
         "files": abs_files,
         "added": abs_files,
+        # distinct key for refs living OUTSIDE this table's root —
+        # readers verify their existence loudly (round-10 ADVICE)
+        "external_files": abs_files,
         "cloned_from": {"root": src_abs, "version": src_version},
         "batches": [],
         "stats": abs_stats,
@@ -1040,7 +1064,16 @@ def version_for_batch(root: str, batch_id: int) -> int:
     coordinate instead of wall time (Delta's TIMESTAMP AS OF resolves a
     commit timestamp the same way; wall clocks don't replay across
     engines, batch ids do). Raises KeyError if no version carries the
-    batch. O(versions) driver-side manifest reads, earliest-first."""
+    batch. O(versions) driver-side manifest reads, earliest-first.
+
+    The ledger is CUMULATIVE, so the earliest surviving manifest that
+    contains the batch is the introducing version only if its PARENT
+    manifest is readable and lacks the batch (or the match is v1,
+    which has no parent). After retention expired the introducing
+    manifest, any surviving match also contains later commits —
+    returning it would silently time-travel FORWARD of the batch, so
+    that case raises instead (Delta's TIMESTAMP AS OF errors on
+    pre-retention timestamps the same way)."""
     latest = latest_version(root)
     for v in range(1, latest + 1):
         try:
@@ -1048,6 +1081,24 @@ def version_for_batch(root: str, batch_id: int) -> int:
         except FileNotFoundError:
             continue  # expired history below the retention window
         if batch_id in m.get("batches", []):
+            if v == 1:
+                return v
+            try:
+                parent = read_manifest(root, v - 1)
+            except FileNotFoundError:
+                raise KeyError(
+                    f"version_for_batch: batch {batch_id} of {root} "
+                    f"predates retained history — the earliest surviving "
+                    f"version carrying it (v{v}) has an expired parent, "
+                    f"so its snapshot includes commits after the batch"
+                ) from None
+            if batch_id in parent.get("batches", []):
+                # unreachable via the earliest-first scan (the parent
+                # would have matched), kept as a loud invariant
+                raise KeyError(
+                    f"version_for_batch: ledger invariant violated at "
+                    f"v{v} of {root}"
+                )
             return v
     raise KeyError(
         f"version_for_batch: no version of {root} carries batch "

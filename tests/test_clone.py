@@ -167,6 +167,57 @@ def test_version_for_batch_resolution_and_guards(spark, tmp_path):
         version_for_batch(root, 999)
 
 
+def test_version_for_batch_raises_when_batch_predates_retention(
+    spark, tmp_path
+):
+    """Retention expiring the INTRODUCING manifest makes the earliest
+    surviving ledger match a later snapshot (it contains commits after
+    the batch) — resolution must raise, never silently time-travel
+    forward (round-10 ADVICE medium; Delta's TIMESTAMP AS OF errors
+    the same way). A batch whose introducing manifest SURVIVES keeps
+    resolving."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        expire_versions,
+        version_for_batch,
+    )
+
+    root = str(tmp_path / "t")
+    for i, b in enumerate((10, 20, 30, 40)):
+        commit_append(
+            spark.range(i * 3, i * 3 + 3).select("id"), root, batch_id=b
+        )
+    assert version_for_batch(root, 20) == 2
+    expire_versions(root, keep_last=2)  # v1, v2 manifests gone
+    # batch 30 introduced at v3; v2 expired, so v3's introduction point
+    # is unconfirmable too — BOTH pre-retention batches must raise
+    for b in (10, 20, 30):
+        with pytest.raises(KeyError, match="retained history|carries"):
+            version_for_batch(root, b)
+    # batch 40's parent manifest (v3) survives: still resolvable
+    assert version_for_batch(root, 40) == 4
+
+
+def test_clone_read_fails_loudly_when_source_relocated(spark, tmp_path):
+    """A clone references source files by absolute path (recorded under
+    the manifest's external_files key); relocating the source must fail
+    at PLAN time with table context, not as an opaque scan error or a
+    stale-path read (round-10 ADVICE)."""
+    import shutil
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "fork")
+    commit_append(spark.range(10).select("id"), src)
+    clone_table(src, dst)
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_manifest,
+    )
+
+    man = read_manifest(dst, 1)
+    assert man["external_files"] == man["files"]
+    shutil.move(src, str(tmp_path / "relocated"))
+    with pytest.raises(FileNotFoundError, match="externally-referenced"):
+        read_version(spark, dst)
+
+
 def test_f29_matches_oracle_driver_style(spark, sf_dir):
     from k_means_clustering_via_map_reduce_spark.queries import (
         F29_ORACLE,

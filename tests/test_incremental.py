@@ -263,6 +263,61 @@ def test_windowed_refresh_noop_and_ledger(spark, tmp_path):
     assert applied_batches(state) == {1}
 
 
+def test_windowed_refresh_compaction_only_diff_is_noop(spark, tmp_path):
+    """A corpus diff that is ROW-EMPTY (only a compaction version since
+    the checkpoint) must burn no state version — the round-10 ADVICE
+    re-entry of the empty-file leak through the append path — while a
+    window slide driven by data-less versions still RETRACTS expired
+    sub-aggregates (retraction-only commit carrying the checkpoint)."""
+    from k_means_clustering_via_map_reduce_spark.operators.incremental import (
+        refresh_token_counts_window,
+        windowed_token_counts,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        compact,
+        read_manifest,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    commit_append(
+        spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha")], "doc_id BIGINT, text STRING"
+        ).coalesce(2),
+        corpus,
+    )
+    refresh_token_counts_window(spark, corpus, state, window=3)
+    v = latest_version(state)
+    # compaction advances the corpus version with a row-empty diff;
+    # window=3 means nothing expires yet (sub-agg version 1 > 2-3)
+    compact(spark, corpus, target_files=1)
+    assert refresh_token_counts_window(spark, corpus, state, window=3) == 1
+    assert latest_version(state) == v  # pure no-op: no version burned
+    for f in read_manifest(state, v)["files"]:
+        assert "txn-" in f  # sanity: files all came from real commits
+    # a data commit, then a refresh: normal path (low = 3-3 = 0)
+    commit_append(
+        spark.createDataFrame(
+            [(2, "gamma")], "doc_id BIGINT, text STRING"
+        ).coalesce(1),
+        corpus,
+    )
+    assert refresh_token_counts_window(spark, corpus, state, window=3) == 3
+    # another compaction slides version-1 sub-aggregates out of the
+    # window (low = 4-3 = 1): retraction-ONLY refresh on a row-empty
+    # diff — checkpoint rides the delete, and NO empty append happened
+    compact(spark, corpus, target_files=1)
+    v_before = latest_version(state)
+    assert refresh_token_counts_window(spark, corpus, state, window=3) == 4
+    assert latest_version(state) == v_before + 1  # exactly one commit
+    assert applied_batches(state) >= {4}
+    counts = {
+        r["token"]: r["freq"]
+        for r in windowed_token_counts(spark, state).collect()
+    }
+    assert counts == {"gamma": 1}  # v1's alpha/beta retracted
+
+
 def test_k26_matches_oracle_driver_style(spark, sf_dir):
     from k_means_clustering_via_map_reduce_spark.queries import (
         K26_ORACLE,

@@ -90,6 +90,25 @@ def test_d11_matches_oracle_driver_style(spark, sf_dir):
     )
 
 
+def test_d11_uncapped_truth_pin(spark, sf_dir):
+    """The UNCAPPED form (pytest-only since round 10 — the registered
+    d11 runs at the production cap) against the cap-free relational
+    oracle, plus the structural pin that the production cap never
+    binds at fixture scale: registered output == uncapped output."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        D11_UNCAPPED_ORACLE,
+        _d11_accounting,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    uncapped = _d11_accounting(docs, posting_cap=None)
+    compare_to_oracle(uncapped, D11_UNCAPPED_ORACLE, sf_dir)
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, d11_segment_near_dup_boilerplate(spark, sf_dir).collect())
+    )
+
+
 def test_posting_cap_is_a_subset_guard(spark, sf_dir):
     """Capping drops shingles from the pair join only: a huge cap
     equals the exact form, cap=0 degrades family_df to exact df (no
