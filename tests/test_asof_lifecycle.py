@@ -1,0 +1,155 @@
+"""Seventh interleaving harness: f29 AS OF batch resolution composed
+with the FULL table lifecycle (the six predecessors each falsified a
+real bug; this one targets the newest least-composed invariant — the
+cumulative ingest ledger under OPTIMIZE's no-data versions, retention,
+vacuum, and k26-style COW retraction on the SAME table).
+
+Model: every batch commit records (batch_id, introducing version,
+frozen snapshot row set). Invariants no op sequence may break:
+
+- RESOLUTION: while the introducing manifest AND its parent survive,
+  ``version_for_batch`` returns exactly the introducing version —
+  never a later snapshot (OPTIMIZE versions and COW versions carry the
+  cumulative ledger forward but must not capture the resolution).
+- LOUD PRE-RETENTION FAILURE: once retention expired the introducing
+  manifest (or its parent, making the introduction unconfirmable), the
+  resolution RAISES — returning any surviving version would silently
+  time-travel FORWARD of the batch (the round-10 ADVICE medium bug,
+  fixed alongside this harness).
+- SNAPSHOT FIDELITY: for every resolvable batch, reading AS OF the
+  resolved version returns the model's frozen row set — later appends,
+  deletes, and compactions never leak in; earlier deletes never hide
+  rows that were present at the batch point. Vacuum at the default
+  grace window never disturbs a readable snapshot.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    commit_append,
+    compact,
+    delete_where,
+    expire_versions,
+    latest_version,
+    read_manifest,
+    read_version,
+    vacuum,
+    version_for_batch,
+)
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append_batch"), st.integers(0, 4)),
+        st.tuples(st.just("append_plain"), st.integers(0, 4)),
+        st.just("compact"),
+        st.tuples(st.just("delete_mod"), st.integers(2, 5)),
+        st.tuples(st.just("expire"), st.integers(1, 4)),
+        st.just("vacuum"),
+    ),
+    min_size=4,
+    max_size=10,
+)
+
+
+def _manifest_survives(root: str, version: int) -> bool:
+    try:
+        read_manifest(root, version)
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def _rows(spark, root, version=None):
+    return frozenset(
+        (r["id"], r["v"]) for r in read_version(spark, root, version).collect()
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(ops=_OPS)
+def test_asof_batch_resolution_under_full_lifecycle(
+    spark_prop, ops, tmp_path_factory
+):
+    spark = spark_prop
+    root = str(tmp_path_factory.mktemp("asof") / "t")
+    next_batch = 100
+    next_id = 0
+    current: set[tuple] = set()
+    # batch_id -> (introducing version, frozen snapshot at that commit)
+    ledger: dict[int, tuple[int, frozenset]] = {}
+
+    for op in ops:
+        kind = op[0] if isinstance(op, tuple) else op
+        if kind == "append_batch":
+            n = op[1] + 1
+            rows = [(next_id + i, (next_id + i) % 7) for i in range(n)]
+            next_id += n
+            v = commit_append(
+                spark.createDataFrame(rows, "id BIGINT, v BIGINT").coalesce(
+                    1
+                ),
+                root,
+                batch_id=next_batch,
+            )
+            current |= set(rows)
+            ledger[next_batch] = (v, frozenset(current))
+            next_batch += 1
+        elif kind == "append_plain":
+            n = op[1] + 1
+            rows = [(next_id + i, (next_id + i) % 7) for i in range(n)]
+            next_id += n
+            commit_append(
+                spark.createDataFrame(rows, "id BIGINT, v BIGINT").coalesce(
+                    1
+                ),
+                root,
+            )
+            current |= set(rows)
+        elif kind == "compact":
+            if latest_version(root) == 0:
+                continue
+            compact(spark, root, target_files=1)
+        elif kind == "delete_mod":
+            if latest_version(root) == 0:
+                continue
+            m = op[1]
+            delete_where(spark, root, f"id % {m} = 0")
+            current = {r for r in current if r[0] % m != 0}
+        elif kind == "expire":
+            if latest_version(root) == 0:
+                continue
+            expire_versions(root, keep_last=op[1])
+        elif kind == "vacuum":
+            if latest_version(root) == 0:
+                continue
+            vacuum(root)
+
+        # ---- invariants, checked after EVERY op ----
+        for batch_id, (v_b, snap) in ledger.items():
+            confirmable = _manifest_survives(root, v_b) and (
+                v_b == 1 or _manifest_survives(root, v_b - 1)
+            )
+            if confirmable:
+                assert version_for_batch(root, batch_id) == v_b, (
+                    batch_id,
+                    v_b,
+                )
+            else:
+                with pytest.raises(KeyError):
+                    version_for_batch(root, batch_id)
+
+    # ---- terminal: snapshot fidelity for every resolvable batch ----
+    for batch_id, (v_b, snap) in ledger.items():
+        try:
+            got_v = version_for_batch(root, batch_id)
+        except KeyError:
+            continue  # pre-retention, pinned above
+        assert _rows(spark, root, got_v) == snap, batch_id
+    # the live snapshot equals the model's current row set
+    if latest_version(root) > 0:
+        assert _rows(spark, root) == frozenset(current)
