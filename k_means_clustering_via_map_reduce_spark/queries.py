@@ -5979,3 +5979,222 @@ def f29_asof_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F30 — RESTORE (round-11 surface, library-first; the @query
+# registration is one decorator away). Delta's RESTORE TABLE ... TO
+# VERSION AS OF as an auditable zero-copy commit: roll a table back to
+# an earlier snapshot by manifest reference, keep history readable,
+# keep the ingest ledger. The staged lifecycle — append, append, COW
+# delete (the "oops" to undo), RESTORE past it, append again — makes
+# the final aggregate pin the rollback: without the restore the
+# deleted language's rows are missing from the hash; without isolation
+# the restore would also wipe the post-restore append.
+#
+# Scale: the restore commit is O(#files) driver-side JSON whatever the
+# table size; the read after it plans the referenced files directly.
+# Mechanism + lifecycle invariants: sources/versioned.py::restore_table,
+# tests/test_restore.py.
+# --------------------------------------------------------------------------
+_F30_STAGED: dict[tuple, object] = {}
+
+F30_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def f30_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate a table after RESTORE undid a COW delete: v1+v2 load
+    two doc_id thirds, v3 deletes lang='en' (the mistake), v4 restores
+    to v2, v5 appends the last third — the result must equal the plain
+    full-corpus aggregate, so a restore that missed files, leaked the
+    delete, or clobbered the later append flips the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+        restore_table,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F30_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_restore_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        commit_append(d.filter(F.col("doc_id") % 3 == 0), tmp.name)
+        commit_append(d.filter(F.col("doc_id") % 3 == 1), tmp.name)
+        delete_where(spark, tmp.name, "lang = 'en'")
+        restore_table(tmp.name, 2)
+        commit_append(d.filter(F.col("doc_id") % 3 == 2), tmp.name)
+        _F30_STAGED[key] = tmp
+    return (
+        read_version(spark, _F30_STAGED[key].name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q84 — gap-based SESSIONIZATION (round-11 surface, library-first; the
+# @query registration is one decorator away). The canonical event-
+# analytics operator the reference's substrate cannot express at all:
+# per-user sessions cut at >30-minute silence, reported as the
+# session-length histogram with duration mass. All time arithmetic in
+# exact integer microseconds (the q81 discipline), so a boundary event
+# can never flip the cut across engines; equal-timestamp ties are
+# harmless by construction (a tie's lag-diff is 0 on every ordering,
+# and RANGE-framed cumulative sums give tied rows one shared session
+# id in both engines).
+#
+# Scale: ONE exchange + sort on user_id serves the lag, the cumulative
+# sum, and the per-session grouping (the q41 clustering-reuse
+# discipline — .explain shows a single Exchange); per-user work is
+# history-length-bounded. This is the shape Delta/Spark sessionize at
+# any scale when the gap rule is relational; the stateful streaming
+# twin is k4's session window.
+# --------------------------------------------------------------------------
+Q84_GAP_US = 30 * 60 * 1_000_000
+
+Q84_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    m AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {Q84_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid,
+             us
+      FROM m),
+    per AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             max(us) - min(us) AS dur
+      FROM s GROUP BY user_id, sid)
+    SELECT n_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(dur) AS BIGINT) AS total_dur_us,
+           CAST(max(dur) AS BIGINT) AS max_dur_us
+    FROM per GROUP BY n_events ORDER BY n_events
+"""
+
+
+def sessionize(e: DataFrame, gap_us: int = Q84_GAP_US) -> DataFrame:
+    """(user_id, sid, n_events, dur) over a (user_id, us) frame —
+    factored so tests can drive synthetic boundary histories."""
+    w = Window.partitionBy("user_id").orderBy("us")
+    new_s = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn("new_s", new_s)
+        .withColumn("sid", F.sum("new_s").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("us") - F.min("us")).alias("dur"),
+        )
+    )
+
+
+def q84_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q84: the session-length histogram under a 30-minute gap rule —
+    a cut-boundary slip (>= for >), a lost first-event session start,
+    or a cumulative-sum framing difference flips the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    per = sessionize(e)
+    return (
+        per.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("dur").alias("total_dur_us"),
+            F.max("dur").alias("max_dur_us"),
+        )
+        .orderBy("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q85 — COHORT RETENTION matrix (round-11 surface, library-first; the
+# @query registration is one decorator away). Users are cohorted by
+# the epoch week of their FIRST event; each later active week counts
+# them at offset = week - cohort_week. Epoch weeks (us // 7 days) keep
+# the bucketing timezone-free and integer-exact in both engines.
+#
+# Scale: one per-user min (partial agg), one broadcast-sized join back
+# (users << events), one (cohort, offset) aggregate — no window over
+# the event table, no driver loop; this is the shape retention jobs
+# run at any scale.
+# --------------------------------------------------------------------------
+Q85_WEEK_US = 7 * 86400 * 1_000_000
+
+Q85_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {Q85_WEEK_US} AS wk FROM events),
+    first AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS off
+      FROM e JOIN first f USING (user_id))
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(off AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_wk, off ORDER BY cohort_wk, week_offset
+"""
+
+
+def q85_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q85: the (cohort week, week offset) active-user matrix — a
+    first-week slip, a distinct-activity miss (double-counting a user
+    active twice in one week), or an offset off-by-one flips the
+    hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # integer DIV, never float division: exact at any epoch
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {Q85_WEEK_US}"
+        ).alias("wk"),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_wk", "week_offset")
+    )

@@ -958,13 +958,16 @@ def read_changes(
             m.get("deleted_from")
             or m.get("updated_from")
             or m.get("merged_from")
+            or "restored_from" in m
         ):
             # empty merged_from = insert-only merge: nothing rewritten,
-            # the added files are genuinely new rows
+            # the added files are genuinely new rows; a RESTORE can
+            # remove rows (everything added after the restore point),
+            # which an append-only diff cannot represent either
             raise ValueError(
-                f"read_changes: version {v} is a copy-on-write rewrite; "
-                "the append-only change diff cannot represent "
-                "deletes/updates"
+                f"read_changes: version {v} is a copy-on-write rewrite "
+                "or restore; the append-only change diff cannot "
+                "represent deletes/updates/rollbacks"
             )
         files.extend(m.get("added", []))
     schema = table_schema(root, v1) if v1 >= 1 else None
@@ -1056,6 +1059,65 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
     finally:
         os.remove(tmp)
     return 1
+
+
+def restore_table(root: str, version: int) -> int:
+    """RESTORE (Delta's ``RESTORE TABLE ... TO VERSION AS OF V``):
+    commit a NEW version whose content equals snapshot ``version`` — an
+    auditable roll-back, not history surgery. Zero data copy: the new
+    manifest references the target snapshot's files BY NAME, so the
+    restore is O(#files) driver-side metadata at any table size.
+
+    History stays immutable: the rolled-back versions remain readable
+    (until retention), the restore records ``restored_from`` for audit,
+    and the cumulative ingest ledger CARRIES FORWARD — a batch ingested
+    after the restore point still resolves to its original introducing
+    version (whose snapshot still shows it); the restore never
+    un-ingests. The change feed raises on restore versions (a rollback
+    can remove rows, which an append-only diff cannot represent).
+
+    Vacuum safety falls out of the manifest model: the restored files
+    are referenced by a surviving manifest, so ``vacuum`` keeps them;
+    files added after the restore point stay referenced by their own
+    surviving manifests until retention expires those."""
+    latest = latest_version(root)
+    if latest == 0:
+        raise ValueError("cannot restore an empty table")
+    if not 1 <= version <= latest:
+        raise ValueError(
+            f"restore_table: version {version} out of range "
+            f"(1..{latest})"
+        )
+    target = read_manifest(root, version)  # raises if expired
+    if version == latest:
+        return latest  # restoring to the head is a no-op, no commit
+    head = read_manifest(root, latest)
+    txn = uuid.uuid4().hex[:12]
+    new_version = latest + 1
+    manifest = {
+        "version": new_version,
+        "parent": latest,
+        "files": target["files"],
+        "added": [],
+        "restored_from": version,
+        # the ingest ledger is cumulative table HISTORY, not snapshot
+        # content — it survives the rollback
+        "batches": head.get("batches", []),
+        "stats": target.get("stats", {}),
+    }
+    if target.get("schema") is not None:
+        manifest["schema"] = target["schema"]
+    if "external_files" in target:
+        manifest["external_files"] = target["external_files"]
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, new_version) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, new_version))
+    finally:
+        os.remove(tmp)
+    return new_version
 
 
 def version_for_batch(root: str, batch_id: int) -> int:
