@@ -2077,3 +2077,84 @@ def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     return dedup_pipeline(docs, _shingled(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# D14 — cross-source duplication PROVENANCE matrix (round-11 surface,
+# library-first; the @query registration is one decorator away).
+# Dedup tells you WHAT repeats; curation also needs WHERE FROM: which
+# source pairs share content (mirrors, scrapes of scrapes, syndication)
+# so whole sources can be down-weighted before pairwise dedup ever
+# runs. At d7's segment granularity: for every unordered source pair,
+# the number of DISTINCT segment texts both emit and the total
+# occurrence mass (n_a * n_b summed over shared segments).
+#
+# Scale: the self-join is keyed on the DISTINCT (segment, source)
+# table — aggregate-sized, never the corpus — and fan-out per segment
+# is bounded by the source count (<= n_sources per side), so the pair
+# space is |distinct segments| * O(sources²) worst case and tiny in
+# practice; the d1b posting-cap lever applies unchanged if a segment
+# ever goes source-viral.
+# --------------------------------------------------------------------------
+_D14_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS w
+      FROM documents),
+    segs AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(0,
+                 CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+               i -> array_to_string(
+                 w[i * {SEGMENT_WORDS} + 1 :
+                   i * {SEGMENT_WORDS} + {SEGMENT_WORDS}], ' ')))
+               AS seg
+      FROM d),
+    s AS (
+      SELECT seg, source, count(*) AS n FROM segs GROUP BY seg, source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared_segments,
+           CAST(sum(a.n * b.n) AS BIGINT) AS n_occurrence_pairs
+    FROM s a JOIN s b ON a.seg = b.seg AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY src_a, src_b
+"""
+
+
+def d14_source_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14: the unordered source-pair content-sharing matrix over d7
+    segments — a segmentation slip, a per-source count error, or a
+    pair-orientation bug (double-counting (a,b) and (b,a)) flips the
+    hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), " ")
+    seg_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(w, i * {SEGMENT_WORDS} + 1,"
+        f" {SEGMENT_WORDS}), ' '))"
+    )
+    segs = docs.select("doc_id", "source", w.alias("w")).select(
+        "doc_id", "source", F.explode(seg_expr).alias("seg")
+    )
+    s = segs.groupBy("seg", "source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.seg") == F.col("b.seg"),
+                F.col("a.source") < F.col("b.source"),
+            ],
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_segments"),
+            F.sum(F.col("a.n") * F.col("b.n"))
+            .cast("bigint")
+            .alias("n_occurrence_pairs"),
+        )
+        .orderBy("src_a", "src_b")
+    )

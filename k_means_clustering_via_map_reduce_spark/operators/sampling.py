@@ -1058,3 +1058,81 @@ def p13_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# P14 — deterministic EPOCH SHARDING (round-11 surface, library-first;
+# the @query registration is one decorator away). The training-loader
+# contract: every epoch deals the corpus into N shards by a value-pure
+# hash salted with the epoch number, so (a) shard assignment is
+# reproducible from (epoch, doc_id) alone — no stored shuffle order,
+# no history dependence — and (b) consecutive epochs deal DIFFERENT
+# partitions (the reshuffle-each-epoch semantics) without moving a
+# byte until read time. md5-prefix hashing is the p5/p11/p12
+# discipline: replayable in any engine, bit-identical acceptance.
+#
+# Scale: the assignment is a narrow projection (no shuffle at all);
+# the per-(epoch, shard) accounting below is one aggregate. A real
+# loader would partition-write by (epoch, shard) — f2's dynamic
+# partition write — but the assignment itself is the operator.
+# --------------------------------------------------------------------------
+P14_SHARDS = 8
+P14_EPOCHS = 2
+P14_SALT = "epoch"
+
+P14_ORACLE = f"""
+    WITH a AS (
+      SELECT e.epoch, d.doc_id, d.n_chars,
+             CAST(('0x' || substr(md5('{P14_SALT}' ||
+                   CAST(e.epoch AS VARCHAR) || '|' ||
+                   CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               % {P14_SHARDS} AS shard
+      FROM documents d,
+           (SELECT unnest(generate_series(0, {P14_EPOCHS - 1}))
+              AS epoch) e)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM a GROUP BY epoch, shard ORDER BY epoch, shard
+"""
+
+
+def epoch_shard(docs: DataFrame, epoch: int,
+                n_shards: int = P14_SHARDS) -> DataFrame:
+    """Assign every row a deterministic shard for ``epoch`` — the
+    value-pure reshuffle-per-epoch dealer."""
+    key = F.concat(
+        F.lit(f"{P14_SALT}{epoch}|"), F.col("doc_id").cast("string")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10)
+        .cast("bigint") % n_shards
+    )
+    return docs.withColumn("epoch", F.lit(epoch).cast("bigint")
+                           ).withColumn("shard", shard)
+
+
+def p14_epoch_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: the per-(epoch, shard) composition of the deterministic
+    dealer over two epochs — a salt slip, a modulus boundary
+    difference, or an epoch bleed (same deal both epochs) flips the
+    hash (min/max doc pin membership, not just counts)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    dealt = None
+    for e in range(P14_EPOCHS):
+        d = epoch_shard(docs, e)
+        dealt = d if dealt is None else dealt.unionByName(d)
+    return (
+        dealt.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )

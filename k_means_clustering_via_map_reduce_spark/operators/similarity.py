@@ -1239,3 +1239,161 @@ def s9b_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     q = e.filter(F.col("vec_id") < S9_N_QUERIES)
     return radius_search_ivf(e, q, centers=centers)
+
+
+# --------------------------------------------------------------------------
+# S10 — cosine radius SELF-JOIN neighbor profile (round-11 surface,
+# library-first; the @query registration is one decorator away). The
+# corpus-vs-corpus face of s9: for EVERY vector, how many neighbors
+# lie within cosine >= R, with the strongest/weakest neighbor
+# similarity — the semantic-dedup candidate census (d6's question) and
+# the density signal cluster-quality checks read. The prune is the
+# s9b spherical triangle inequality applied on BOTH sides: members of
+# cells (a, b) can only pair within R if
+# angle(centroid_a, centroid_b) <= acos(R) + rad_a + rad_b, so the
+# admissible cell-pair grid is a K^2 driver-side numpy computation and
+# the join touches only admissible pairs — EXACT under any clustering,
+# so the oracle is the brute all-pairs replay at every scale.
+#
+# Per-vector summaries use count/max/min only (addition-order-free),
+# so the hash cannot hang on float summation order.
+#
+# Scale: postings join postings through a broadcast K^2 pair table,
+# shuffling on the cell key once (the s7 bucketed layout serves it
+# shuffle-free); per-vector fan-out is the mass of admissible cells —
+# on clusterable corpora (the IVF premise, measured in
+# tests/test_similarity.py) a small fraction of N, and the profile
+# output is exactly N rows whatever the pair count.
+# --------------------------------------------------------------------------
+S10_RADIUS = 0.3
+
+S10_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS va,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+    n AS (
+      SELECT va AS vec_id, count(*) AS n_neighbors,
+             round(max(cos), 4) AS max_cos,
+             round(min(cos), 4) AS min_cos
+      FROM p WHERE cos >= {S10_RADIUS} GROUP BY va)
+    SELECT e.vec_id,
+           CAST(coalesce(n.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+           n.max_cos, n.min_cos
+    FROM e LEFT JOIN n USING (vec_id) ORDER BY e.vec_id
+"""
+
+
+def radius_selfjoin_profile(
+    corpus: DataFrame,
+    centers: list,
+    radius: float = S10_RADIUS,
+) -> DataFrame:
+    """Per-vector radius-neighbor profile through the two-sided cell
+    prune. ``centers`` is any coarse codebook (shared with s7/s9b);
+    exactness never depends on it."""
+    import math
+
+    import numpy as np
+
+    assign = _cosine_assign_udf(centers)
+    c = (
+        spread(corpus)
+        .withColumn("a", assign(F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            F.col("a.cell").alias("cell"),
+            F.col("a.angle").alias("angle"),
+        )
+        .withColumn("nrm", vector_norm(F.col("v")))
+    )
+    rads = {
+        r["cell"]: r["rad"]
+        for r in c.groupBy("cell").agg(F.max("angle").alias("rad")).collect()
+    }
+    limit = math.acos(max(min(radius, 1.0), -1.0))
+    cn = np.asarray(centers, dtype=np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    ang = np.arccos(np.clip(cn @ cn.T, -1.0, 1.0))
+    cells = sorted(rads)
+    pairs = [
+        (int(ca), int(cb))
+        for ca in cells
+        for cb in cells
+        if ang[ca, cb] <= limit + rads[ca] + rads[cb] + S9B_EPS
+    ]
+    spark = corpus.sparkSession
+    pairs_df = spark.createDataFrame(pairs, "cell_a INT, cell_b INT")
+    a = c.select(
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+        F.col("cell").alias("cell_b"),
+    )
+    matched = (
+        a.join(F.broadcast(pairs_df), "cell_a")
+        .join(b, "cell_b")
+        .filter(F.col("va") != F.col("vb"))
+        .withColumn(
+            "cos",
+            dot(F.col("av"), F.col("bv"))
+            / (F.col("anrm") * F.col("bnrm")),
+        )
+        .filter(F.col("cos") >= radius)
+    )
+    prof = matched.groupBy("va").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        r4(F.max("cos")).alias("max_cos"),
+        r4(F.min("cos")).alias("min_cos"),
+    )
+    base = corpus.select("vec_id")
+    out = (
+        base.join(prof, base["vec_id"] == prof["va"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_neighbors"), F.lit(0))
+            .cast("bigint")
+            .alias("n_neighbors"),
+            "max_cos",
+            "min_cos",
+        )
+        .orderBy("vec_id")
+    )
+    out._kmce_cell_pairs = len(pairs)  # pytest prune ledger
+    out._kmce_cell_grid = len(cells) * len(cells)
+    return out
+
+
+def s10_radius_selfjoin_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S10: every vector's radius-0.3 neighbor census, exact through
+    the two-sided cell prune — a one-sided bound (missing rad_b), a
+    dropped isolated vector, or a self-pair leak flips the hash.
+    Serves from the s7 persisted codebook (built here if absent — the
+    s9b discipline, one seeded fit per process)."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    key = staging_key(sf_dir, "embeddings")
+    if _S7_STAGED.get("key") != key:
+        build_ivf_index(e)
+        _S7_STAGED["key"] = key
+    centers = [
+        r.center
+        for r in spark.table("s7_centroids").orderBy("cell").collect()
+    ]
+    return radius_selfjoin_profile(e, centers)

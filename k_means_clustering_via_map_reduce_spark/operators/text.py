@@ -1960,3 +1960,161 @@ def t28_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return novelty_profile(_shingled(spark, sf_dir).drop("n_sh"))
+
+
+# --------------------------------------------------------------------------
+# T29 — PERPLEXITY-QUARTILE quality gate (round-11 surface, library-
+# first; the @query registration is one decorator away). The CCNet /
+# Wikipedia-LM filter shape: score every document under the corpus's
+# own bigram LM (t26's add-one-smoothed NLL), rank per language, and
+# gate the worst quartile. Ranking uses (ROUNDED score, doc_id) — the
+# p13 discipline: rounding before ranking gives both engines identical
+# sort keys, doc_id makes the order total, and ntile's integer
+# semantics are engine-identical, so the gate is bit-stable where an
+# interpolated-quantile threshold would hang correctness on a 1-ulp
+# libm difference.
+#
+# Scale: t26's scoring plan (corpus-linear joins against the bigram/
+# unigram tables) plus ONE per-language sort for the ntile — at 100 TB
+# the ranking would run per-shard against broadcast approx-quantile
+# cuts; the exact per-language form is the correctness anchor.
+# --------------------------------------------------------------------------
+T29_BUCKETS = 4
+
+T29_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> struct_pack(w1 := w[i], w2 := w[i + 1])))
+                 AS p
+        FROM d WHERE len(w) >= 2)),
+    uni AS (
+      SELECT w1 AS w, count(*) AS cu FROM pairs GROUP BY w1),
+    bi AS (
+      SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(w) AS tok FROM d)),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             round(sum(-ln((bi.cb + 1.0) / (uni.cu + v.vocab)))
+                   / count(*), 4) AS nll
+      FROM pairs p
+      JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+      JOIN uni ON uni.w = p.w1
+      CROSS JOIN v
+      GROUP BY p.doc_id, p.lang),
+    ranked AS (
+      SELECT doc_id, lang, nll,
+             ntile({T29_BUCKETS}) OVER (PARTITION BY lang
+                                        ORDER BY nll, doc_id) AS q
+      FROM scored)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN q = {T29_BUCKETS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           round(avg(CASE WHEN q = {T29_BUCKETS} THEN nll END), 4)
+             AS flagged_avg_nll,
+           round(avg(CASE WHEN q < {T29_BUCKETS} THEN nll END), 4)
+             AS kept_avg_nll
+    FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
+def t29_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T29: per-language worst-perplexity-quartile gate over the t26
+    bigram-LM scores — a ranking-key difference, an ntile boundary
+    slip, or a smoothing error upstream flips the hash."""
+    from pyspark.sql.window import Window
+
+    scored = t26_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", "lang", F.col("avg_nll").alias("nll")
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    ranked = scored.withColumn("q", F.ntile(T29_BUCKETS).over(w))
+    flagged = F.col("q") == T29_BUCKETS
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged.cast("bigint")).alias("n_flagged"),
+            r4(F.avg(F.when(flagged, F.col("nll")))).alias(
+                "flagged_avg_nll"
+            ),
+            r4(F.avg(F.when(~flagged, F.col("nll")))).alias(
+                "kept_avg_nll"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# T30 — token RARITY profile (round-11 surface, library-first; the
+# @query registration is one decorator away). The CCNet word-frequency
+# signal: rank the corpus vocabulary by frequency (dense_rank over
+# count DESC, token ASC — the tie-break makes the rank total and
+# engine-identical), then profile each document by the mean log2 rank
+# of its tokens — low = common-word text, high = rare-word text; the
+# complement of t21's corpus-level Zipf slope at document granularity.
+#
+# Scale: the vocabulary table is aggregate-sized (tokens, not
+# occurrences); its global rank sort is vocab-bounded, and the
+# occurrence join back is the corpus-linear posting shuffle every
+# dedup/text op here already pays. No pair space, no driver loop.
+# --------------------------------------------------------------------------
+T30_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    freq AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, dense_rank() OVER (ORDER BY c DESC, tok ASC) AS rnk
+      FROM freq)
+    SELECT t.doc_id, t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(log2(r.rnk)), 4) AS avg_log2_rank,
+           CAST(max(r.rnk) AS BIGINT) AS rarest_rank
+    FROM toks t JOIN ranked r ON r.tok = t.tok
+    GROUP BY t.doc_id, t.lang ORDER BY t.doc_id
+"""
+
+
+def t30_token_rarity_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T30: per-document mean log2 frequency-rank of its tokens — a
+    rank tie-break difference, a lost singleton token, or a join that
+    drops out-of-vocabulary rows flips the hash (every doc is a
+    row)."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.withColumn(
+        "rnk",
+        F.dense_rank().over(
+            Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+        ),
+    ).select("tok", "rnk")
+    return (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            r4(F.avg(F.log2("rnk"))).alias("avg_log2_rank"),
+            F.max("rnk").cast("bigint").alias("rarest_rank"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,188 @@
+"""Round-11 staged operators (t29, t30, p14, d14, s10): driver-style
+oracle compares plus the structural properties each one's contract
+claims."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import compare_to_oracle
+
+
+# ------------------------------------------------------------------ t29
+def test_t29_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T29_ORACLE,
+        t29_perplexity_gate,
+    )
+
+    compare_to_oracle(t29_perplexity_gate(spark, sf_dir), T29_ORACLE, sf_dir)
+
+
+def test_t29_gate_is_a_quartile(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        t29_perplexity_gate,
+    )
+
+    for r in t29_perplexity_gate(spark, sf_dir).collect():
+        # ntile(4): flagged quartile within 1 of n/4, and the flagged
+        # (worst) mean NLL strictly above the kept mean
+        assert abs(r["n_flagged"] - r["n_docs"] / 4) <= 1
+        assert r["flagged_avg_nll"] > r["kept_avg_nll"]
+
+
+# ------------------------------------------------------------------ t30
+def test_t30_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T30_ORACLE,
+        t30_token_rarity_profile,
+    )
+
+    compare_to_oracle(
+        t30_token_rarity_profile(spark, sf_dir), T30_ORACLE, sf_dir
+    )
+
+
+def test_t30_rank_semantics(spark, sf_dir):
+    """Every document rows out; rank 1 = the most frequent token, so a
+    doc containing the corpus's top token has min possible components
+    and avg_log2_rank >= 0 with rarest_rank <= vocab size."""
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        t30_token_rarity_profile,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    prof = t30_token_rarity_profile(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(prof) == n_docs
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    for r in prof:
+        assert 0.0 <= r["avg_log2_rank"]
+        assert 1 <= r["rarest_rank"] <= vocab
+
+
+# ------------------------------------------------------------------ p14
+def test_p14_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        P14_ORACLE,
+        p14_epoch_sharding,
+    )
+
+    compare_to_oracle(p14_epoch_sharding(spark, sf_dir), P14_ORACLE, sf_dir)
+
+
+def test_p14_deal_is_deterministic_and_epoch_dependent(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        epoch_shard,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e0 = {
+        r["doc_id"]: r["shard"]
+        for r in epoch_shard(docs, 0).collect()
+    }
+    e0b = {
+        r["doc_id"]: r["shard"]
+        for r in epoch_shard(docs.repartition(7), 0).collect()
+    }
+    assert e0 == e0b  # layout-independent
+    e1 = {
+        r["doc_id"]: r["shard"]
+        for r in epoch_shard(docs, 1).collect()
+    }
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    # a re-deal moves ~ (1 - 1/N) of rows; an epoch bleed moves none
+    assert moved > len(e0) // 2
+
+
+def test_p14_shards_partition_the_corpus(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        P14_SHARDS,
+        p14_epoch_sharding,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "documents").count()
+    rows = p14_epoch_sharding(spark, sf_dir).collect()
+    for epoch in {r["epoch"] for r in rows}:
+        got = [r for r in rows if r["epoch"] == epoch]
+        assert sum(r["n_docs"] for r in got) == n
+        assert {r["shard"] for r in got} <= set(range(P14_SHARDS))
+
+
+# ------------------------------------------------------------------ d14
+def test_d14_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D14_ORACLE,
+        d14_source_provenance,
+    )
+
+    compare_to_oracle(
+        d14_source_provenance(spark, sf_dir), _D14_ORACLE, sf_dir
+    )
+
+
+def test_d14_pairs_are_unordered_and_nonvacuous(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        d14_source_provenance,
+    )
+
+    rows = d14_source_provenance(spark, sf_dir).collect()
+    assert rows  # the fixture genuinely shares segments across sources
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert r["n_occurrence_pairs"] >= r["n_shared_segments"] >= 1
+
+
+# ------------------------------------------------------------------ s10
+def test_s10_matches_brute_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        S10_ORACLE,
+        s10_radius_selfjoin_profile,
+    )
+
+    compare_to_oracle(
+        s10_radius_selfjoin_profile(spark, sf_dir), S10_ORACLE, sf_dir
+    )
+
+
+def test_s10_prune_bites_on_clusters_with_zero_loss(spark):
+    """On tight synthetic clusters the two-sided cell bound must prune
+    most of the K^2 grid while the profile stays EXACTLY the brute
+    answer (the s9b honesty discipline at self-join shape)."""
+    import numpy as np
+
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        radius_selfjoin_profile,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 10.0
+    rows = []
+    for i in range(160):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.standard_normal(16) * 0.05).tolist()))
+    e = spark.createDataFrame(rows, "vec_id BIGINT, v ARRAY<DOUBLE>")
+    got = radius_selfjoin_profile(e, [c.tolist() for c in centers])
+    pruned = {r["vec_id"]: (r["n_neighbors"], r["max_cos"], r["min_cos"])
+              for r in got.collect()}
+    assert got._kmce_cell_pairs < got._kmce_cell_grid / 2  # prune bites
+    # brute truth: all-pairs via a single-cell codebook (no pruning
+    # possible when every vector shares one cell)
+    one_cell = radius_selfjoin_profile(e, [centers[0].tolist()])
+    assert one_cell._kmce_cell_pairs == one_cell._kmce_cell_grid == 1
+    truth = {
+        r["vec_id"]: (r["n_neighbors"], r["max_cos"], r["min_cos"])
+        for r in one_cell.collect()
+    }
+    assert pruned == truth  # zero loss under real pruning
