@@ -1532,3 +1532,136 @@ def m10_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerates zero arithmetic drift."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return audio_energy_windows(synthesize_pcm_wav(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M11 — image NEAR-DUP census over dHash (round-11 surface, library-
+# first; the @query registration is one decorator away). The promise
+# m9 makes, kept: d3's banded hamming machinery verbatim with the
+# 64-bit perceptual hash as the key. Bands = 4 x 16 bits (4 hex chars)
+# — pigeonhole-complete for hamming <= 3 (a pair differing in <= 3
+# bits leaves at least one band untouched); candidates verify by exact
+# hamming (two 32-bit halves, xor + bit_count — integer-exact in both
+# engines); the census reports, per image, its exact-duplicate count
+# (d = 0) and its near-duplicate count (1 <= d <= 3).
+#
+# The oracle replays EVERYTHING relationally — the synthetic pixel
+# formula, the thumbnail/luma/packing of m9, the banding, the xor
+# hamming, the census — so this is a hash-verified near-dup join over
+# a REAL decode path (inflate + defilter + resample on the engine
+# side).
+#
+# Scale: identical shape to d3 — the posting shuffle is keyed on
+# (band, 16-bit key), fan-out bounded by band-bucket population (the
+# d1b cap lever applies if a band key ever goes viral); blobs never
+# enter the join, only 16-hex fingerprints.
+# --------------------------------------------------------------------------
+M11_MAX_HAMMING = 3
+
+_M9_BASE_SQL = M9_ORACLE.rsplit("ORDER BY", 1)[0]
+
+M11_ORACLE = f"""
+    WITH base AS ({_M9_BASE_SQL}),
+    bands AS (
+      SELECT doc_id, dhash, gb.b AS band,
+             substr(dhash, gb.b * 4 + 1, 4) AS key
+      FROM base, generate_series(0, 3) gb(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.dhash AS ah, b.dhash AS bh
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND a.doc_id <> b.doc_id),
+    ham AS (
+      SELECT a_id, b_id,
+             bit_count(xor(CAST(('0x' || substr(ah, 1, 8)) AS BIGINT),
+                           CAST(('0x' || substr(bh, 1, 8)) AS BIGINT)))
+           + bit_count(xor(CAST(('0x' || substr(ah, 9, 8)) AS BIGINT),
+                           CAST(('0x' || substr(bh, 9, 8)) AS BIGINT)))
+               AS d
+      FROM cand),
+    census AS (
+      SELECT a_id AS doc_id,
+             sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS n_exact,
+             sum(CASE WHEN d BETWEEN 1 AND {M11_MAX_HAMMING}
+                 THEN 1 ELSE 0 END) AS n_near
+      FROM ham GROUP BY a_id)
+    SELECT b.doc_id,
+           CAST(coalesce(c.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(c.n_near, 0) AS BIGINT) AS n_near
+    FROM base b LEFT JOIN census c USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
+def dhash_neardup_census(
+    hashes: DataFrame, max_hamming: int = M11_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id, n_exact, n_near) over a (doc_id, dhash) frame — the
+    banded-complete hamming census, factored so tests can drive
+    synthetic hash sets across the pigeonhole boundary."""
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "key", F.expr("substring(dhash, band * 4 + 1, 4)")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("dhash").alias("ah"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("dhash").alias("bh"),
+        "band",
+        "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "ah", "bh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    half = lambda c, p: F.conv(F.substring(c, p, 8), 16, 10).cast("bigint")
+    d = (
+        F.bit_count(half(F.col("ah"), 1).bitwiseXOR(half(F.col("bh"), 1)))
+        + F.bit_count(half(F.col("ah"), 9).bitwiseXOR(half(F.col("bh"), 9)))
+    )
+    ham = cand.withColumn("d", d)
+    census = ham.groupBy(F.col("a_id").alias("doc_id")).agg(
+        F.sum((F.col("d") == 0).cast("bigint")).alias("n_exact"),
+        F.sum(
+            ((F.col("d") >= 1) & (F.col("d") <= max_hamming)).cast(
+                "bigint"
+            )
+        ).alias("n_near"),
+    )
+    return (
+        hashes.select("doc_id")
+        .join(census, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.coalesce(F.col("n_near"), F.lit(0))
+            .cast("bigint")
+            .alias("n_near"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def m11_image_neardup_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M11: per-image exact/near duplicate counts under hamming <= 3
+    over the real-decode dHashes — a banding slip (incomplete
+    candidates), an xor/bit_count error, or a dropped isolated image
+    flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hashes = image_dhash(synthesize_media(docs)).select("doc_id", "dhash")
+    return dhash_neardup_census(hashes)

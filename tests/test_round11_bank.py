@@ -186,3 +186,41 @@ def test_s10_prune_bites_on_clusters_with_zero_loss(spark):
         for r in one_cell.collect()
     }
     assert pruned == truth  # zero loss under real pruning
+
+
+# ------------------------------------------------------------------ m11
+def test_m11_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        M11_ORACLE,
+        m11_image_neardup_census,
+    )
+
+    compare_to_oracle(
+        m11_image_neardup_census(spark, sf_dir), M11_ORACLE, sf_dir
+    )
+
+
+def test_m11_banding_is_pigeonhole_complete_to_three_bits(spark):
+    """Hashes differing in <= 3 bits MUST pair (one of 4 bands
+    untouched); a 4-bit spread ACROSS all bands must not (bounded
+    blocking, not brute force) — and hamming counts are exact."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        dhash_neardup_census,
+    )
+
+    base = "00000000" + "00000000"  # 16 hex zeros
+    flip3 = "01" + "0001" + "0000000001"  # bits in 3 different bands
+    spread4 = "1000" + "1000" + "1000" + "1000"  # one bit per band
+    rows = [(0, base), (1, base), (2, flip3), (3, spread4)]
+    hashes = spark.createDataFrame(rows, "doc_id BIGINT, dhash STRING")
+    got = {
+        r["doc_id"]: (r["n_exact"], r["n_near"])
+        for r in dhash_neardup_census(hashes).collect()
+    }
+    # 0 and 1 are exact dups; 2 is within hamming 3 of both (bits in 3
+    # bands -> the 4th band matches, candidates complete); 3 touches
+    # every band with a single bit, so it shares NO band with base and
+    # never becomes a candidate despite hamming 4
+    assert got[0] == (1, 1) and got[1] == (1, 1)
+    assert got[2] == (0, 2)
+    assert got[3] == (0, 0)
