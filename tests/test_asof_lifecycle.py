@@ -2,7 +2,9 @@
 with the FULL table lifecycle (the six predecessors each falsified a
 real bug; this one targets the newest least-composed invariant — the
 cumulative ingest ledger under OPTIMIZE's no-data versions, retention,
-vacuum, and k26-style COW retraction on the SAME table).
+vacuum, k26-style COW retraction, and the f30 RESTORE rollback on the
+SAME table — restore carries the ledger forward, so resolution and
+snapshot fidelity must survive arbitrary rollbacks too).
 
 Model: every batch commit records (batch_id, introducing version,
 frozen snapshot row set). Invariants no op sequence may break:
@@ -38,6 +40,7 @@ from k_means_clustering_via_map_reduce_spark.sources.versioned import (
     latest_version,
     read_manifest,
     read_version,
+    restore_table,
     vacuum,
     version_for_batch,
 )
@@ -50,6 +53,7 @@ _OPS = st.lists(
         st.tuples(st.just("delete_mod"), st.integers(2, 5)),
         st.tuples(st.just("expire"), st.integers(1, 4)),
         st.just("vacuum"),
+        st.tuples(st.just("restore"), st.integers(1, 3)),
     ),
     min_size=4,
     max_size=10,
@@ -82,6 +86,8 @@ def test_asof_batch_resolution_under_full_lifecycle(
     current: set[tuple] = set()
     # batch_id -> (introducing version, frozen snapshot at that commit)
     ledger: dict[int, tuple[int, frozenset]] = {}
+    # every version's model row set (restore targets resolve here)
+    version_rows: dict[int, frozenset] = {}
 
     for op in ops:
         kind = op[0] if isinstance(op, tuple) else op
@@ -128,6 +134,15 @@ def test_asof_batch_resolution_under_full_lifecycle(
             if latest_version(root) == 0:
                 continue
             vacuum(root)
+        elif kind == "restore":
+            latest = latest_version(root)
+            target = latest - op[1]
+            if target < 1 or not _manifest_survives(root, target):
+                continue
+            restore_table(root, target)
+            current = set(version_rows[target])
+        if latest_version(root) > 0:
+            version_rows[latest_version(root)] = frozenset(current)
 
         # ---- invariants, checked after EVERY op ----
         for batch_id, (v_b, snap) in ledger.items():
