@@ -1871,11 +1871,12 @@ _D2B_ORACLE = f"""
 """
 
 
-def minhash_banding_pairs_md5(shingled: DataFrame) -> DataFrame:
-    """The d2b pipeline over a pre-shingled frame (doc_id, lang, sh) —
-    factored so the hypothesis guard can drive it on arbitrary
-    synthetic corpora."""
-    s = shingled
+def md5_band_keys(shingled: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, lang, *carry, band, key) — the d2b md5 signature +
+    banding stage, factored so the batch pair join (d2b/d13) and the
+    d15 incremental index refresh share ONE arithmetic (any drift
+    between index build and batch replay would silently lose
+    candidates)."""
     # Arity-1 factory, NOT `lambda sg, i=i:` — the default arg changes
     # the lambda's arity, PySpark passes the ARRAY INDEX as `i`, and
     # the salt silently becomes str(Column) (a fresh per-build lambda
@@ -1898,11 +1899,13 @@ def minhash_banding_pairs_md5(shingled: DataFrame) -> DataFrame:
         F.array_min(F.transform(F.col("sh"), _md5_perm(i))).alias(f"m{i}")
         for i in range(D2B_PERMS)
     ]
-    sig = s.select("doc_id", "lang", "sh", F.array(*perm_mins).alias("sig"))
-    bands = sig.select(
+    sig = shingled.select(
+        "doc_id", "lang", *carry, F.array(*perm_mins).alias("sig")
+    )
+    return sig.select(
         "doc_id",
         "lang",
-        "sh",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -1922,7 +1925,14 @@ def minhash_banding_pairs_md5(shingled: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "lang", "sh", F.col("bk.band"), F.col("bk.key"))
+    ).select("doc_id", "lang", *carry, F.col("bk.band"), F.col("bk.key"))
+
+
+def minhash_banding_pairs_md5(shingled: DataFrame) -> DataFrame:
+    """The d2b pipeline over a pre-shingled frame (doc_id, lang, sh) —
+    factored so the hypothesis guard can drive it on arbitrary
+    synthetic corpora."""
+    bands = md5_band_keys(shingled, carry=("sh",))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -2157,4 +2167,115 @@ def d14_source_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_occurrence_pairs"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# D15 — INCREMENTAL MinHash-LSH index maintenance (round-11 surface,
+# library-first; the @query registration is one decorator away). The
+# composition the k24 discipline and the d2b banding exist for: a
+# standing LSH index over a GROWING corpus. The state table holds the
+# compact band keys (doc_id, lang, band, key); each refresh computes
+# keys for ONLY the corpus diff (read_changes) and appends them with
+# the processed-version checkpoint riding the commit (the k21 ledger
+# discipline) — signatures are pure functions of the text, so
+# append-only maintenance is exact and the batch recompute is the
+# oracle: pairs served from the maintained index must HASH-EQUAL the
+# full-corpus d2b replay after any commit/refresh interleaving.
+#
+# Scale: per refresh O(diff) signature work (the md5 perms run over
+# new docs only — on a 100 TB corpus with a 0.1% daily ingest this is
+# the 1000x saving over re-signing the corpus); the candidate join is
+# banded as ever; verification re-reads SHINGLES for candidate docs
+# only (the index stays compact — keys, not payloads).
+# --------------------------------------------------------------------------
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh) over any (doc_id, lang, text) frame — the
+    _shingled construction decoupled from the fixture loader."""
+    return docs.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    )
+
+
+def refresh_minhash_index(
+    spark: SparkSession, corpus_root: str, state_root: str
+) -> int:
+    """One incremental index refresh: band keys for the un-processed
+    corpus versions' documents, appended with the ledger checkpoint.
+    Returns the corpus version the index now reflects (row-empty diffs
+    burn no version — the k24 no-op discipline)."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        applied_batches,
+        commit_append,
+        latest_version,
+        read_changes,
+    )
+
+    done = max(applied_batches(state_root), default=0)
+    now = latest_version(corpus_root)
+    if now <= done:
+        return done
+    diff = read_changes(spark, corpus_root, done, now).select(
+        "doc_id", "lang", "text"
+    )
+    keys = md5_band_keys(shingle_docs(diff))
+    if not keys.head(1):
+        return done
+    commit_append(keys, state_root, batch_id=now)
+    return now
+
+
+def minhash_pairs_from_index(
+    spark: SparkSession, corpus_root: str, state_root: str
+) -> DataFrame:
+    """Serve the d2b near-dup pairs from the MAINTAINED index: banded
+    candidates off the state table, exact-jaccard verification against
+    shingles re-read for candidate docs only."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        read_version,
+    )
+
+    bands = read_version(spark, state_root)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            [
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    sh = shingle_docs(
+        read_version(spark, corpus_root).select("doc_id", "lang", "text")
+    ).select("doc_id", "sh")
+    pairs = (
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+            ),
+            "a_id",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+            ),
+            "b_id",
+        )
+    )
+    jac = F.size(F.array_intersect("a_sh", "b_sh")) / F.size(
+        F.array_union("a_sh", "b_sh")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", r4(F.col("jaccard")).alias("jaccard"))
+        .orderBy("a_id", "b_id")
     )

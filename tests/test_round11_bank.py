@@ -224,3 +224,77 @@ def test_m11_banding_is_pigeonhole_complete_to_three_bits(spark):
     assert got[0] == (1, 1) and got[1] == (1, 1)
     assert got[2] == (0, 2)
     assert got[3] == (0, 0)
+
+
+# ------------------------------------------------------------------ d15
+def test_d15_matches_batch_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D2B_ORACLE,
+    )
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        d15_incremental_minhash_pairs,
+    )
+
+    compare_to_oracle(
+        d15_incremental_minhash_pairs(spark, sf_dir), _D2B_ORACLE, sf_dir
+    )
+
+
+def test_d15_maintained_equals_batch_under_interleavings(spark, tmp_path):
+    """The maintained index must serve EXACTLY the batch d2b pairs
+    after every prefix of an interleaving that includes a lagging
+    refresher (two commits folded by one refresh), an immediate
+    refresher, and a no-op refresh — the index is a pure function of
+    the corpus content, never of the refresh cadence."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        minhash_banding_pairs_md5,
+        minhash_pairs_from_index,
+        refresh_minhash_index,
+        shingle_docs,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        latest_version,
+        read_version,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "index")
+    fam = "the quick brown fox jumps over the lazy dog {}"
+    batches = [
+        [(0, "en", fam.format("one")), (1, "en", fam.format("two"))],
+        [(10, "en", fam.format("three")), (11, "de", fam.format("vier"))],
+        [(20, "en", "completely unrelated words about spark plans")],
+        [(30, "de", fam.format("funf"))],
+    ]
+    refresh_after = {0, 2, 3}  # batch 1 folds lazily into refresh 2
+
+    def batch_truth():
+        docs = read_version(spark, corpus).select("doc_id", "lang", "text")
+        return sorted(
+            map(tuple, minhash_banding_pairs_md5(
+                shingle_docs(docs).withColumn("n_sh", F.size("sh"))
+                .drop("n_sh")
+            ).collect())
+        )
+
+    for i, rows in enumerate(batches):
+        commit_append(
+            spark.createDataFrame(
+                rows, "doc_id BIGINT, lang STRING, text STRING"
+            ),
+            corpus,
+        )
+        if i in refresh_after:
+            refresh_minhash_index(spark, corpus, state)
+            got = sorted(
+                map(
+                    tuple,
+                    minhash_pairs_from_index(spark, corpus, state).collect(),
+                )
+            )
+            assert got == batch_truth(), f"prefix through batch {i}"
+    v = latest_version(state)
+    # a refresh with nothing new burns no index version
+    refresh_minhash_index(spark, corpus, state)
+    assert latest_version(state) == v
