@@ -1526,6 +1526,14 @@ def segment_family_df(
             )
         ),
     ).otherwise(F.array(F.col("seg")))
+    # The distinct-segment table feeds four consumers (posting-cap
+    # census, both pair-join sides, the final family join). Measured
+    # (round 10, min-of-3 isolation): recomputing the pipeline per
+    # consumer is ~2x FASTER than localCheckpointing `sh` here —
+    # materialization carries the full shingle arrays into block
+    # storage and every consumer then scans them, while recomputation
+    # keeps per-consumer column pruning (the census reads only
+    # (lang, sg)). Deliberately NOT checkpointed.
     sh = dist.withColumn("sh", shingle_expr).withColumn(
         "n_sh", F.size("sh")
     )
