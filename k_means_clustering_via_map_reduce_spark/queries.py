@@ -6247,3 +6247,130 @@ def d15_incremental_minhash_pairs(
     return minhash_pairs_from_index(
         spark, tmp.name + "/corpus", tmp.name + "/index"
     )
+
+
+# --------------------------------------------------------------------------
+# Q86 — SCD-2 TEMPORAL dimension join (round-11 surface, library-first;
+# the @query registration is one decorator away). The data-warehouse
+# staple q20's event-to-event as-of doesn't cover: facts join a
+# SLOWLY-CHANGING DIMENSION on (key, fact_ts BETWEEN valid_from AND
+# valid_to) — each fact picks up the dimension attributes that were in
+# force when it happened. The dimension here is synthesized
+# deterministically (per-user tier history: three validity windows
+# with per-user irregular cut points, all integer-us arithmetic) so
+# the ORACLE performs the same BETWEEN join over the same dim CTE —
+# the join semantics are what's under test, not the dim content.
+#
+# Scale: the classic SCD shape — an equi-join on the dimension KEY
+# with the validity range as a residual filter. Versions-per-key is
+# small by construction (SCD dims change slowly), so the fan-out is
+# bounded and the dim side broadcasts; no interval index needed until
+# versions-per-key grows large (then q28's binned range join is the
+# lever).
+# --------------------------------------------------------------------------
+Q86_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    bounds AS (
+      SELECT min(us) AS lo, max(us) + 1 AS hi FROM e),
+    users AS (SELECT DISTINCT user_id FROM e),
+    dim AS (
+      SELECT u.user_id, w.i,
+             CASE w.i WHEN 0 THEN b.lo
+                      WHEN 1 THEN b.lo + (b.hi - b.lo)
+                                  * (u.user_id % 7 + 1) // 10
+                      ELSE b.lo + (b.hi - b.lo)
+                                  * (u.user_id % 3 + 8) // 11 END
+               AS valid_from,
+             CASE w.i WHEN 0 THEN b.lo + (b.hi - b.lo)
+                                  * (u.user_id % 7 + 1) // 10
+                      WHEN 1 THEN b.lo + (b.hi - b.lo)
+                                  * (u.user_id % 3 + 8) // 11
+                      ELSE b.hi END AS valid_to,
+             (u.user_id + w.i) % 4 AS tier
+      FROM users u, (SELECT unnest(generate_series(0, 2)) AS i) w,
+           bounds b)
+    SELECT d.tier,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(e.value), 4) AS sum_value
+    FROM e JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.us >= d.valid_from AND e.us < d.valid_to
+    GROUP BY d.tier ORDER BY d.tier
+"""
+
+
+def scd2_dim(e: DataFrame) -> DataFrame:
+    """(user_id, valid_from, valid_to, tier): the synthesized SCD-2
+    tier history — three windows per user, per-user irregular cuts,
+    integer-us arithmetic (DIV, never float) so both engines build the
+    identical dimension."""
+    from pyspark.sql.window import Window as _W
+
+    bounds = e.agg(
+        F.min("us").alias("lo"), (F.max("us") + 1).alias("hi")
+    )
+    users = e.select("user_id").distinct()
+    d = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "lo",
+            "hi",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+        )
+        .withColumn(
+            "cut1",
+            F.expr("lo + (hi - lo) * (user_id % 7 + 1) DIV 10"),
+        )
+        .withColumn(
+            "cut2",
+            F.expr("lo + (hi - lo) * (user_id % 3 + 8) DIV 11"),
+        )
+    )
+    # key emitted as d_user_id: the dim derives FROM the fact frame,
+    # and a same-name join column would be an ambiguous self-join
+    return d.select(
+        F.col("user_id").alias("d_user_id"),
+        F.when(F.col("i") == 0, F.col("lo"))
+        .when(F.col("i") == 1, F.col("cut1"))
+        .otherwise(F.col("cut2"))
+        .alias("valid_from"),
+        F.when(F.col("i") == 0, F.col("cut1"))
+        .when(F.col("i") == 1, F.col("cut2"))
+        .otherwise(F.col("hi"))
+        .alias("valid_to"),
+        ((F.col("user_id") + F.col("i")) % 4).alias("tier"),
+    )
+
+
+def q86_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q86: per-tier event accounting through the SCD-2 BETWEEN join —
+    a validity-boundary slip (>= vs >), a version overlap/gap in the
+    dim build, or a fact matching two versions flips the hash (every
+    event matches EXACTLY one version by construction; pinned in
+    tests)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    dim = scd2_dim(e)
+    joined = e.join(
+        F.broadcast(dim),
+        [
+            F.col("user_id") == F.col("d_user_id"),
+            F.col("us") >= F.col("valid_from"),
+            F.col("us") < F.col("valid_to"),
+        ],
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("tier")
+    )

@@ -298,3 +298,54 @@ def test_d15_maintained_equals_batch_under_interleavings(spark, tmp_path):
     # a refresh with nothing new burns no index version
     refresh_minhash_index(spark, corpus, state)
     assert latest_version(state) == v
+
+
+# ------------------------------------------------------------------ q86
+def test_q86_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q86_ORACLE,
+        q86_scd2_temporal_join,
+    )
+
+    compare_to_oracle(
+        q86_scd2_temporal_join(spark, sf_dir), Q86_ORACLE, sf_dir
+    )
+
+
+def test_q86_dim_versions_tile_the_timeline(spark, sf_dir):
+    """SCD-2 structural contract: per user the versions are gap-free,
+    overlap-free, and cover [lo, hi) — so every fact matches EXACTLY
+    one version (checked globally too)."""
+    from k_means_clustering_via_map_reduce_spark.queries import scd2_dim
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    dim = scd2_dim(e).collect()
+    by_user = {}
+    for r in dim:
+        by_user.setdefault(r["d_user_id"], []).append(
+            (r["valid_from"], r["valid_to"])
+        )
+    lo = min(v[0] for vs in by_user.values() for v in vs)
+    hi = max(v[1] for vs in by_user.values() for v in vs)
+    for u, vs in by_user.items():
+        vs.sort()
+        assert len(vs) == 3
+        assert vs[0][0] == lo and vs[-1][1] == hi
+        for (f1, t1), (f2, t2) in zip(vs, vs[1:]):
+            assert t1 == f2  # contiguous: no gap, no overlap
+            assert f1 < t1 <= f2 < t2
+    n = e.count()
+    m = e.join(
+        spark.createDataFrame(dim),
+        [
+            F.col("user_id") == F.col("d_user_id"),
+            F.col("us") >= F.col("valid_from"),
+            F.col("us") < F.col("valid_to"),
+        ],
+    ).count()
+    assert m == n  # exactly one version per fact
