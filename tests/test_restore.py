@@ -133,3 +133,26 @@ def test_f30_matches_oracle_driver_style(spark, sf_dir):
     from tests.oracle_utils import compare_to_oracle
 
     compare_to_oracle(f30_restore_read(spark, sf_dir), F30_ORACLE, sf_dir)
+
+
+def test_restore_composes_with_clone_external_refs(spark, tmp_path):
+    """Restoring a FORK back to its clone point must carry the
+    external source references (and their loud-missing check) — a
+    restore that dropped the external_files key would silently lose
+    the integrity guard."""
+    import shutil
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        clone_table,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "fork")
+    commit_append(spark.range(10).select("id"), src)
+    clone_table(src, dst)
+    commit_append(spark.range(100, 105).select("id"), dst)
+    restore_table(dst, 1)  # back to the clone point
+    assert _rows(spark, dst) == [(i,) for i in range(10)]
+    assert read_manifest(dst, 3)["external_files"]
+    shutil.move(src, str(tmp_path / "gone"))
+    with pytest.raises(FileNotFoundError, match="externally-referenced"):
+        read_version(spark, dst)

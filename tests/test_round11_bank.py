@@ -349,3 +349,33 @@ def test_q86_dim_versions_tile_the_timeline(spark, sf_dir):
         ],
     ).count()
     assert m == n  # exactly one version per fact
+
+
+def test_d15_refresh_raises_on_corpus_cow(spark, tmp_path):
+    """A corpus COW delete poisons the append-only diff — the index
+    refresh must RAISE (k24's loud-failure contract), never fold a
+    best-effort delta that silently keeps signatures for deleted
+    docs."""
+    import pytest as _pytest
+
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        refresh_minhash_index,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "index")
+    commit_append(
+        spark.createDataFrame(
+            [(0, "en", "a b c d"), (1, "en", "a b c e")],
+            "doc_id BIGINT, lang STRING, text STRING",
+        ),
+        corpus,
+    )
+    refresh_minhash_index(spark, corpus, state)
+    delete_where(spark, corpus, "doc_id = 0")
+    with _pytest.raises(ValueError, match="copy-on-write"):
+        refresh_minhash_index(spark, corpus, state)
