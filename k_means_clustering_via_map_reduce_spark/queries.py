@@ -6374,3 +6374,163 @@ def q86_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Q87 — weighted PAGERANK over the source-provenance graph (round-11
+# surface, library-first; the @query registration is one decorator
+# away). The iterative-graph-algorithm face beyond d5's connected
+# components: rank sources by shared-content mass (d14's edges,
+# weight = shared segments), 3 power iterations, damping 0.85. All
+# rank arithmetic in INTEGER MICRO-UNITS (bigint, floor division) —
+# the k13 quantization discipline taken to its exact conclusion, so
+# both engines compute bit-identical ranks with no float-summation
+# order anywhere; floor losses make total mass slightly sub-1e6,
+# which is deterministic and documented (production PageRank uses
+# doubles with a convergence tolerance; the integer form is the
+# cross-engine correctness anchor). Dangling sources (no shared
+# content) keep the teleport term only.
+#
+# Scale: per iteration one join of the rank vector (node-sized)
+# against the edge list (edge-sized) + one aggregate — the standard
+# distributed PageRank shape; iteration count is fixed, driver state
+# is zero (the loop builds one lazy plan per iteration over
+# node-sized frames).
+# --------------------------------------------------------------------------
+Q87_ITERS = 3
+Q87_DAMP_PCT = 85  # damping in percent — integer arithmetic only
+Q87_UNIT = 1_000_000
+
+_Q87_EDGES = f"""
+    d AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS w
+      FROM documents),
+    segs AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(0,
+                 CAST(ceil(len(w) / 8.0) AS BIGINT) - 1),
+               i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')))
+               AS seg
+      FROM d),
+    s AS (
+      SELECT seg, source, count(*) AS n FROM segs GROUP BY seg, source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS w
+      FROM s a JOIN s b ON a.seg = b.seg AND a.source < b.source
+      GROUP BY a.source, b.source),
+    edges AS (
+      SELECT src_a AS u, src_b AS v, w FROM pairs
+      UNION ALL
+      SELECT src_b AS u, src_a AS v, w FROM pairs),
+    outw AS (SELECT u, sum(w) AS tot FROM edges GROUP BY u),
+    nodes AS (SELECT DISTINCT source FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes)
+"""
+
+
+def _q87_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.source,
+             ({Q87_UNIT} * (100 - {Q87_DAMP_PCT})) // (100 * nn.n)
+             + coalesce((
+                 SELECT sum((r.rank * e.w * {Q87_DAMP_PCT})
+                            // (o.tot * 100))
+                 FROM edges e
+                 JOIN {prev} r ON r.source = e.u
+                 JOIN outw o ON o.u = e.u
+                 WHERE e.v = n.source), 0) AS rank
+      FROM nodes n, nn)
+    """
+
+
+Q87_ORACLE = (
+    "WITH "
+    + _Q87_EDGES
+    + f""",
+    r0 AS (SELECT source, {Q87_UNIT} // nn.n AS rank FROM nodes, nn)
+    """
+    + "".join(
+        "," + _q87_iter_sql(f"r{i}", f"r{i + 1}")
+        for i in range(Q87_ITERS)
+    )
+    + f"""
+    SELECT source, CAST(rank AS BIGINT) AS rank_micro
+    FROM r{Q87_ITERS} ORDER BY source
+"""
+)
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = Q87_ITERS,
+    damp_pct: int = Q87_DAMP_PCT,
+) -> DataFrame:
+    """(source, rank_micro) after ``iters`` integer-exact power
+    iterations over a weighted directed edge list (u, v, w)."""
+    spark = nodes.sparkSession
+    n = nodes.count()
+    outw = edges.groupBy("u").agg(F.sum("w").alias("tot"))
+    ew = edges.join(outw, "u")
+    teleport = (Q87_UNIT * (100 - damp_pct)) // (100 * n)
+    ranks = nodes.select(
+        "source", F.lit(Q87_UNIT // n).cast("bigint").alias("rank")
+    )
+    for _ in range(iters):
+        inflow = (
+            ew.join(ranks, ew["u"] == ranks["source"])
+            .select(
+                F.col("v"),
+                F.expr(
+                    f"(rank * w * {damp_pct}) DIV (tot * 100)"
+                ).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["source"] == inflow["v"], "left")
+            .select(
+                "source",
+                (
+                    F.lit(teleport)
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return ranks.select(
+        "source", F.col("rank").alias("rank_micro")
+    ).orderBy("source")
+
+
+def q87_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q87: integer micro-unit PageRank of every source over the
+    shared-segment graph — a weight slip, a dangling-node leak, a
+    damping error, or any float-order divergence flips the hash
+    (ranks are bit-identical by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        SEGMENT_WORDS,
+        d14_source_provenance,
+    )
+
+    # the oracle hardcodes the segment width (module-import order makes
+    # the constant unimportable at oracle-definition time) — guard the
+    # mirror loudly instead of desyncing silently (the d2b lesson)
+    assert SEGMENT_WORDS == 8, "Q87_ORACLE hardcodes SEGMENT_WORDS=8"
+
+    pairs = d14_source_provenance(spark, sf_dir).select(
+        "src_a", "src_b", F.col("n_shared_segments").alias("w")
+    )
+    edges = pairs.select(
+        F.col("src_a").alias("u"), F.col("src_b").alias("v"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("src_b").alias("u"), F.col("src_a").alias("v"), "w"
+        )
+    )
+    nodes = docs.select("source").distinct()
+    return pagerank_integer(nodes, edges)

@@ -379,3 +379,53 @@ def test_d15_refresh_raises_on_corpus_cow(spark, tmp_path):
     delete_where(spark, corpus, "doc_id = 0")
     with _pytest.raises(ValueError, match="copy-on-write"):
         refresh_minhash_index(spark, corpus, state)
+
+
+# ------------------------------------------------------------------ q87
+def test_q87_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q87_ORACLE,
+        q87_source_pagerank,
+    )
+
+    compare_to_oracle(
+        q87_source_pagerank(spark, sf_dir), Q87_ORACLE, sf_dir
+    )
+
+
+def test_q87_integer_pagerank_hand_computed(spark):
+    """A 3-node graph small enough to fold by hand: a<->b (w=1 each
+    way), c dangling. Teleport = 150000//3 = 50000; a and b feed each
+    other their full damped rank; c never receives."""
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        pagerank_integer,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "source STRING"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "u STRING, v STRING, w BIGINT"
+    )
+    got = {
+        r["source"]: r["rank_micro"]
+        for r in pagerank_integer(nodes, edges, iters=3).collect()
+    }
+    r = 1_000_000 // 3  # 333333
+    for _ in range(3):
+        inflow = (r * 1 * 85) // (1 * 100)
+        r_ab = 50_000 + inflow
+        r = r_ab
+    assert got == {"a": r, "b": r, "c": 50_000}
+
+
+def test_q87_mass_is_bounded_and_dangling_gets_teleport(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q87_source_pagerank,
+    )
+
+    rows = q87_source_pagerank(spark, sf_dir).collect()
+    total = sum(r["rank_micro"] for r in rows)
+    # floor losses only shrink mass, teleport floor only shrinks it
+    assert total <= 1_000_000
+    assert all(r["rank_micro"] >= 1 for r in rows)
