@@ -1665,3 +1665,102 @@ def m11_image_neardup_census(
     docs = spread(load_table(spark, sf_dir, "documents"))
     hashes = image_dhash(synthesize_media(docs)).select("doc_id", "dhash")
     return dhash_neardup_census(hashes)
+
+
+# --------------------------------------------------------------------------
+# M12 — video SCENE-CHANGE detection (round-11 surface, library-first;
+# the @query registration is one decorator away). The shot-boundary
+# primitive every video-curation pipeline runs before sampling: score
+# each CONSECUTIVE frame pair by the exact integer sum of absolute
+# pixel deltas, flag a cut when the pair's total delta crosses the
+# threshold, report per-video cut accounting. The synthetic pixel
+# formula makes per-pair deltas genuinely vary (the +7 frame shift
+# wraps mod 256 on a per-(doc, frame) varying pixel subset, so a cut
+# here is "pair with at least one wrapping pixel") and the oracle
+# replays every pixel of every pair relationally — a pairing
+# off-by-one, an unsigned-underflow in the delta, or a threshold
+# boundary slip flips the hash.
+#
+# Scale: the m5 shape — Arrow-batched mapInPandas where the blob
+# lives, one numpy abs-diff per pair, only (doc_id, pair_idx, scalar)
+# rows leave the stage; no shuffle before the per-video aggregate.
+# --------------------------------------------------------------------------
+M12_CUT_THRESHOLD = 10 * VIDEO_W * VIDEO_H  # mean abs delta >= 10
+
+
+def frame_delta_profile(df: DataFrame) -> DataFrame:
+    """(doc_id, pair_idx, delta_sum) for every consecutive frame pair
+    of every KVID blob — exact integer arithmetic (int32 diffs, never
+    uint8 underflow)."""
+    import numpy as np
+    import pandas as pd
+
+    def deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "pair_idx": [], "delta_sum": []}
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[:4] != b"KVID":
+                    continue
+                n = int.from_bytes(blob[4:8], "little")
+                w = int.from_bytes(blob[8:10], "little")
+                h = int.from_bytes(blob[10:12], "little")
+                arr = (
+                    np.frombuffer(blob[12:], dtype=np.uint8)
+                    .reshape(n, w * h)
+                    .astype(np.int32)
+                )
+                d = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+                for i, s in enumerate(d):
+                    out["doc_id"].append(int(did))
+                    out["pair_idx"].append(i)
+                    out["delta_sum"].append(int(s))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        deltas,
+        schema="doc_id BIGINT, pair_idx BIGINT, delta_sum BIGINT",
+    )
+
+
+M12_ORACLE = f"""
+    WITH d AS (SELECT doc_id, doc_id % 24 + 4 AS n_frames
+               FROM documents),
+    pr AS (SELECT doc_id, n_frames,
+                  unnest(range(0, n_frames - 1)) AS pair_idx FROM d),
+    px AS (SELECT doc_id, n_frames, pair_idx,
+                  unnest(range(0, {VIDEO_W * VIDEO_H})) AS p FROM pr),
+    ds AS (SELECT doc_id, n_frames, pair_idx,
+                  sum(abs((doc_id*31 + (pair_idx+1)*7 + p*3) % 256
+                        - (doc_id*31 + pair_idx*7 + p*3) % 256)) AS s
+           FROM px GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN s >= {M12_CUT_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(max(s) AS BIGINT) AS max_delta,
+           CAST(sum(s) AS BIGINT) AS total_delta
+    FROM ds GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def m12_scene_change_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M12: per-video cut accounting under the exact-delta threshold —
+    every consecutive pair scored through the REAL container parse,
+    flagged, and aggregated; the oracle recomputes every pixel delta
+    from the synthesis formula."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = frame_delta_profile(synthesize_video(docs))
+    cut = (F.col("delta_sum") >= M12_CUT_THRESHOLD).cast("bigint")
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(cut).alias("n_cuts"),
+            F.max("delta_sum").alias("max_delta"),
+            F.sum("delta_sum").alias("total_delta"),
+        )
+        .orderBy("doc_id")
+    )

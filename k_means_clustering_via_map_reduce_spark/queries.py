@@ -6534,3 +6534,79 @@ def q87_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = docs.select("source").distinct()
     return pagerank_integer(nodes, edges)
+
+
+# --------------------------------------------------------------------------
+# F31 — DESCRIBE HISTORY (round-11 surface, library-first; the @query
+# registration is one decorator away). The audit face of the table
+# lifecycle: one row per surviving version with its commit kind, file
+# accounting, and cumulative ledger size. The staged lifecycle is
+# fully deterministic (every commit coalesce(1), fixed verb sequence),
+# so the oracle is the LITERAL expected history — the one oracle form
+# that is right for pure metadata (there is no data to replay; the
+# history IS the assertion).
+#
+# Scale: O(versions) driver-side manifest reads, no data touched —
+# the same cost class as Delta's DESCRIBE HISTORY.
+# --------------------------------------------------------------------------
+_F31_STAGED: dict[tuple, object] = {}
+
+F31_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'append',  CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'delete',  CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'restore', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(5 AS BIGINT), 'append',  CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(6 AS BIGINT), 'compact', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(version, kind, n_files, n_added, n_batches)
+    ORDER BY version
+"""
+
+
+def f31_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31: the audit history of a six-verb lifecycle (append, append,
+    COW delete, restore, append, OPTIMIZE) — a kind misclassification,
+    a file-accounting slip, a ledger reset across restore/compact, or
+    a lost version row flips the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        compact,
+        delete_where,
+        restore_table,
+        table_history,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F31_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_history_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        root = tmp.name
+        commit_append(
+            d.filter(F.col("doc_id") % 3 == 0).coalesce(1), root,
+            batch_id=10,
+        )
+        commit_append(
+            d.filter(F.col("doc_id") % 3 == 1).coalesce(1), root,
+            batch_id=20,
+        )
+        # the predicate confines the COW to v1's single file, so the
+        # rewrite is one-partition-in/one-file-out regardless of the
+        # scan's small-file packing — the literal oracle stays stable
+        delete_where(spark, root, "lang = 'en' AND doc_id % 3 = 0")
+        restore_table(root, 2)
+        commit_append(
+            d.filter(F.col("doc_id") % 3 == 2).coalesce(1), root,
+            batch_id=30,
+        )
+        compact(spark, root, target_files=1)
+        _F31_STAGED[key] = tmp
+    return (
+        table_history(spark, _F31_STAGED[key].name)
+        .select("version", "kind", "n_files", "n_added", "n_batches")
+        .orderBy("version")
+    )

@@ -1166,3 +1166,51 @@ def version_for_batch(root: str, batch_id: int) -> int:
         f"version_for_batch: no version of {root} carries batch "
         f"{batch_id} (latest={latest})"
     )
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY (Delta's verb, minimally): one row per
+    SURVIVING version — version, commit kind, file/added counts, the
+    cumulative ledger size, and the audit pointer (restored_from /
+    cloned_from root, when present). Driver-side manifest walk,
+    O(versions) metadata reads, no data touched; expired versions are
+    simply absent (retention is part of the history's truth).
+
+    Kinds mirror the commit verbs: append, delete, update, merge,
+    compact, restore, clone."""
+    latest = latest_version(root)
+    rows = []
+    for v in range(1, latest + 1):
+        try:
+            m = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        if "restored_from" in m:
+            kind, audit = "restore", str(m["restored_from"])
+        elif "cloned_from" in m:
+            kind, audit = "clone", m["cloned_from"]["root"]
+        elif "compacted_from" in m:
+            kind, audit = "compact", None
+        elif m.get("deleted_from"):
+            kind, audit = "delete", None
+        elif m.get("updated_from"):
+            kind, audit = "update", None
+        elif "merged_from" in m:
+            kind, audit = "merge", None
+        else:
+            kind, audit = "append", None
+        rows.append(
+            (
+                v,
+                kind,
+                len(m.get("files", [])),
+                len(m.get("added", [])),
+                len(m.get("batches", [])),
+                audit,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, kind STRING, n_files BIGINT, n_added BIGINT,"
+        " n_batches BIGINT, audit STRING",
+    )

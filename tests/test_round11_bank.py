@@ -429,3 +429,83 @@ def test_q87_mass_is_bounded_and_dangling_gets_teleport(spark, sf_dir):
     # floor losses only shrink mass, teleport floor only shrinks it
     assert total <= 1_000_000
     assert all(r["rank_micro"] >= 1 for r in rows)
+
+
+# ------------------------------------------------------------------ f31
+def test_f31_matches_literal_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F31_ORACLE,
+        f31_table_history,
+    )
+
+    compare_to_oracle(f31_table_history(spark, sf_dir), F31_ORACLE, sf_dir)
+
+
+def test_table_history_kinds_and_retention(spark, tmp_path):
+    """Every verb classifies correctly; expired versions drop out of
+    the history (retention is part of the truth, not an error)."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        clone_table,
+        commit_append,
+        expire_versions,
+        merge_into,
+        table_history,
+    )
+
+    src = str(tmp_path / "src")
+    commit_append(spark.range(5).select("id"), src, batch_id=1)
+    dst = str(tmp_path / "fork")
+    clone_table(src, dst)
+    merge_into(
+        spark, dst, spark.range(3, 8).select("id"), "id"
+    )
+    hist = {r["version"]: r["kind"]
+            for r in table_history(spark, dst).collect()}
+    assert hist == {1: "clone", 2: "merge"}
+    commit_append(spark.range(100, 101).select("id"), dst)
+    expire_versions(dst, keep_last=2)
+    hist2 = {r["version"]: r["kind"]
+             for r in table_history(spark, dst).collect()}
+    assert hist2 == {2: "merge", 3: "append"}
+
+
+# ------------------------------------------------------------------ m12
+def test_m12_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        M12_ORACLE,
+        m12_scene_change_detect,
+    )
+
+    compare_to_oracle(
+        m12_scene_change_detect(spark, sf_dir), M12_ORACLE, sf_dir
+    )
+
+
+def test_m12_delta_is_signed_exact(spark):
+    """A hand-built 3-frame KVID: frame deltas computed from REAL
+    bytes must be the signed abs diff (a uint8 subtraction would wrap
+    and a 255->0 step must score 255, not 1... the other way around:
+    |0 - 255| = 255, never the uint8 wrap 1)."""
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        VIDEO_H,
+        VIDEO_W,
+        frame_delta_profile,
+    )
+
+    npx = VIDEO_W * VIDEO_H
+    f0 = bytes([0] * npx)
+    f1 = bytes([255] * npx)
+    f2 = bytes([250] * npx)
+    blob = (
+        b"KVID"
+        + (3).to_bytes(4, "little")
+        + VIDEO_W.to_bytes(2, "little")
+        + VIDEO_H.to_bytes(2, "little")
+        + f0 + f1 + f2
+    )
+    df = spark.createDataFrame([(7, blob)], "doc_id BIGINT, blob BINARY")
+    got = {
+        r["pair_idx"]: r["delta_sum"]
+        for r in frame_delta_profile(df).collect()
+    }
+    assert got == {0: 255 * npx, 1: 5 * npx}
