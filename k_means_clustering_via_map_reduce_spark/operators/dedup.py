@@ -2138,6 +2138,7 @@ _D14_ORACLE = f"""
 """
 
 
+@query("d14_source_provenance", oracle=_D14_ORACLE)
 def d14_source_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D14: the unordered source-pair content-sharing matrix over d7
     segments — a segmentation slip, a per-source count error, or a
@@ -2286,4 +2287,53 @@ def minhash_pairs_from_index(
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", r4(F.col("jaccard")).alias("jaccard"))
         .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D15 — incremental MinHash-LSH index, served (round-11 surface,
+# library-first; the @query registration is one decorator away). Three
+# doc_id-third corpus commits, a diff-only index refresh after each
+# (operators/dedup.py::refresh_minhash_index — the k24 ledger
+# discipline over d2b's md5 banding), then the near-dup pairs SERVED
+# FROM THE MAINTAINED INDEX. The oracle is d2b's full-corpus batch
+# replay verbatim: maintained == recomputed, hash-equal, after any
+# commit/refresh interleaving (the lifecycle harness drives the
+# interleavings; this face drives the driver hash).
+# --------------------------------------------------------------------------
+_D15_STAGED: dict[tuple, object] = {}
+
+
+@query("d15_incremental_minhash_pairs", oracle=_D2B_ORACLE)
+def d15_incremental_minhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D15: near-dup pairs from the incrementally-maintained LSH index
+    — an index/batch banding drift, a missed diff, a double-applied
+    refresh, or a candidate leak across refresh generations flips the
+    hash against the batch-recompute oracle."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        staging_key,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _D15_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_d15_")
+        corpus = tmp.name + "/corpus"
+        state = tmp.name + "/index"
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        for third in range(3):
+            commit_append(d.filter(F.col("doc_id") % 3 == third), corpus)
+            refresh_minhash_index(spark, corpus, state)
+        _D15_STAGED[key] = tmp
+    tmp = _D15_STAGED[key]
+    return minhash_pairs_from_index(
+        spark, tmp.name + "/corpus", tmp.name + "/index"
     )

@@ -1655,6 +1655,7 @@ def dhash_neardup_census(
     )
 
 
+@query("m11_image_neardup_census", oracle=M11_ORACLE)
 def m11_image_neardup_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1744,6 +1745,7 @@ M12_ORACLE = f"""
 """
 
 
+@query("m12_scene_change_detect", oracle=M12_ORACLE)
 def m12_scene_change_detect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1114,6 +1114,7 @@ def epoch_shard(docs: DataFrame, epoch: int,
                            ).withColumn("shard", shard)
 
 
+@query("p14_epoch_sharding", oracle=P14_ORACLE)
 def p14_epoch_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: the per-(epoch, shard) composition of the deterministic
     dealer over two epochs — a salt slip, a modulus boundary

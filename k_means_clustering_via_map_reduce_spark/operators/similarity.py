@@ -1375,6 +1375,7 @@ def radius_selfjoin_profile(
     return out
 
 
+@query("s10_radius_selfjoin_profile", oracle=S10_ORACLE)
 def s10_radius_selfjoin_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

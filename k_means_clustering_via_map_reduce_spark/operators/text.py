@@ -2026,6 +2026,7 @@ T29_ORACLE = f"""
 """
 
 
+@query("t29_perplexity_gate", oracle=T29_ORACLE)
 def t29_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T29: per-language worst-perplexity-quartile gate over the t26
     bigram-LM scores — a ranking-key difference, an ntile boundary
@@ -2086,6 +2087,7 @@ T30_ORACLE = """
 """
 
 
+@query("t30_token_rarity_profile", oracle=T30_ORACLE)
 def t30_token_rarity_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

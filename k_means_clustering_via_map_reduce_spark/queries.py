@@ -6008,6 +6008,7 @@ F30_ORACLE = """
 """
 
 
+@query("f30_restore_read", oracle=F30_ORACLE)
 def f30_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate a table after RESTORE undid a COW delete: v1+v2 load
     two doc_id thirds, v3 deletes lang='en' (the mistake), v4 restores
@@ -6121,6 +6122,7 @@ def sessionize(e: DataFrame, gap_us: int = Q84_GAP_US) -> DataFrame:
     )
 
 
+@query("q84_sessionization", oracle=Q84_ORACLE)
 def q84_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q84: the session-length histogram under a 30-minute gap rule —
     a cut-boundary slip (>= for >), a lost first-event session start,
@@ -6171,6 +6173,7 @@ Q85_ORACLE = f"""
 """
 
 
+@query("q85_cohort_retention", oracle=Q85_ORACLE)
 def q85_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q85: the (cohort week, week offset) active-user matrix — a
     first-week slip, a distinct-activity miss (double-counting a user
@@ -6197,55 +6200,6 @@ def q85_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         act.groupBy("cohort_wk", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_wk", "week_offset")
-    )
-
-
-# --------------------------------------------------------------------------
-# D15 — incremental MinHash-LSH index, served (round-11 surface,
-# library-first; the @query registration is one decorator away). Three
-# doc_id-third corpus commits, a diff-only index refresh after each
-# (operators/dedup.py::refresh_minhash_index — the k24 ledger
-# discipline over d2b's md5 banding), then the near-dup pairs SERVED
-# FROM THE MAINTAINED INDEX. The oracle is d2b's full-corpus batch
-# replay verbatim: maintained == recomputed, hash-equal, after any
-# commit/refresh interleaving (the lifecycle harness drives the
-# interleavings; this face drives the driver hash).
-# --------------------------------------------------------------------------
-_D15_STAGED: dict[tuple, object] = {}
-
-
-def d15_incremental_minhash_pairs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """D15: near-dup pairs from the incrementally-maintained LSH index
-    — an index/batch banding drift, a missed diff, a double-applied
-    refresh, or a candidate leak across refresh generations flips the
-    hash against the batch-recompute oracle."""
-    import tempfile as _tf
-
-    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
-        minhash_pairs_from_index,
-        refresh_minhash_index,
-    )
-    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
-        commit_append,
-    )
-
-    key = staging_key(sf_dir, "documents")
-    if key not in _D15_STAGED:
-        tmp = _tf.TemporaryDirectory(prefix="kmce_d15_")
-        corpus = tmp.name + "/corpus"
-        state = tmp.name + "/index"
-        d = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text"
-        )
-        for third in range(3):
-            commit_append(d.filter(F.col("doc_id") % 3 == third), corpus)
-            refresh_minhash_index(spark, corpus, state)
-        _D15_STAGED[key] = tmp
-    tmp = _D15_STAGED[key]
-    return minhash_pairs_from_index(
-        spark, tmp.name + "/corpus", tmp.name + "/index"
     )
 
 
@@ -6345,6 +6299,7 @@ def scd2_dim(e: DataFrame) -> DataFrame:
     )
 
 
+@query("q86_scd2_temporal_join", oracle=Q86_ORACLE)
 def q86_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q86: per-tier event accounting through the SCD-2 BETWEEN join —
     a validity-boundary slip (>= vs >), a version overlap/gap in the
@@ -6506,6 +6461,7 @@ def pagerank_integer(
     ).orderBy("source")
 
 
+@query("q87_source_pagerank", oracle=Q87_ORACLE)
 def q87_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q87: integer micro-unit PageRank of every source over the
     shared-segment graph — a weight slip, a dangling-node leak, a
@@ -6564,6 +6520,7 @@ F31_ORACLE = """
 """
 
 
+@query("f31_table_history", oracle=F31_ORACLE)
 def f31_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F31: the audit history of a six-verb lifecycle (append, append,
     COW delete, restore, append, OPTIMIZE) — a kind misclassification,
