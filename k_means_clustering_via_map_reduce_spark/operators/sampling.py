@@ -1137,3 +1137,88 @@ def p14_epoch_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+# --------------------------------------------------------------------------
+# P15 — per-source TOKEN-BUDGET selection: keep each source's
+# highest-quality documents until the source's token budget is spent.
+# The data-mixture verb between p4 (doc-count quota) and p7
+# (temperature weights): real mixtures are specified in TOKENS, and
+# the greedy quality-ordered prefix is how curation pipelines spend
+# them. A document is kept iff it STARTS within budget (cumulative
+# tokens BEFORE it < budget) — the boundary doc that overflows the
+# budget is kept, the one after is not, and both engines agree
+# because the rule never divides.
+#
+# Determinism: ranking key is (rounded quality DESC, doc_id) — the
+# p13 discipline; token counts are exact integers (len of the token
+# list), so the cumulative frame is integer-exact.
+#
+# Scale: one window pass per source over (quality, doc_id) — the
+# corpus shuffles once on source; at 100 TB the same plan runs
+# per-shard with budget split proportionally (documented), the exact
+# global form is the correctness anchor.
+# --------------------------------------------------------------------------
+P15_BUDGET = 800  # tokens per source; binds at every fixture scale
+
+P15_ORACLE = f"""
+    WITH d AS (SELECT doc_id, source,
+                      string_split(trim(text), ' ') AS w FROM documents),
+    q AS (SELECT doc_id, source, len(w) AS n_tok,
+                 {QUALITY_SQL} AS quality FROM d),
+    c AS (SELECT doc_id, source, n_tok, quality,
+                 coalesce(sum(n_tok) OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+          FROM q),
+    kept AS (SELECT * FROM c WHERE before < {P15_BUDGET})
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+           round(min(quality), 4) AS min_kept_quality,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM kept GROUP BY source ORDER BY source
+"""
+
+
+@query("p15_token_budget_pick", oracle=P15_ORACLE)
+def p15_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: the per-source greedy token-budget manifest — a ranking-key
+    difference, a frame that includes the current row (kept docs could
+    then never overflow the budget), or a budget compare on the
+    inclusive sum flips the hash (kept_tokens >= budget whenever a
+    source overflows; pinned in tests)."""
+    from pyspark.sql.window import Window
+
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        _quality_expr,
+        tokens,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    q = d.select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        _quality_expr().alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = q.withColumn(
+        "before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    kept = c.filter(F.col("before") < P15_BUDGET)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("kept_tokens"),
+            r4(F.min("quality")).alias("min_kept_quality"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

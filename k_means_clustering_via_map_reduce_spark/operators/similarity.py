@@ -1398,3 +1398,79 @@ def s10_radius_selfjoin_profile(
         for r in spark.table("s7_centroids").orderBy("cell").collect()
     ]
     return radius_selfjoin_profile(e, centers)
+
+
+# --------------------------------------------------------------------------
+# S11 — exact MAXIMUM-INNER-PRODUCT top-k (MIPS): rank by the inner
+# product of the query against POPULARITY-SCALED item vectors, NOT by
+# cosine. The retrieval scoring recommender and two-tower models
+# actually serve: the item's scalar prior (popularity, freshness, CTR
+# calibration) lives in its vector's NORM, so ranking = prior × cosine
+# and differs from cosine whenever priors vary. The fixture embeddings
+# are unit-norm, so the prior is attached explicitly — a deterministic
+# quarter-step weight 1 + (vec_id % 7) / 4 (exact binary fractions:
+# the scale multiply is a single exact-input IEEE op in both engines).
+# MIPS has no triangle inequality; the s3/s5 index path applies only
+# after norm augmentation, for which this exact form is the oracle.
+#
+# Determinism: score = weight * dot(q, v) — one dot in the oracle's
+# operand order, one multiply; ties to the lower neighbor id; the
+# ranking key is the raw double, 4-dp rounding touches display only.
+#
+# Scale: identical to s1 — broadcast the query side, scan the corpus
+# once, per-query top-k via window; no corpus shuffle.
+# --------------------------------------------------------------------------
+S11_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      1 + (vec_id % 7) / 4.0 AS wt
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {TOPK_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             e.wt * list_dot_product(q.qv, e.v) AS ip,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY e.wt * list_dot_product(q.qv, e.v) DESC,
+                        e.vec_id ASC) AS rank
+      FROM q JOIN e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(ip, 4) AS inner_product
+    FROM scored WHERE rank <= {TOPK_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("s11_mips_topk", oracle=S11_ORACLE)
+def s11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: exact popularity-scaled inner-product top-5 for the first
+    20 vectors — a normalization sneaking in (MIPS order must differ
+    from s1's cosine order; pinned in tests), a prior applied to the
+    query side, a self-match, or an unstable tie flips the hash."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (1 + (F.col("vec_id") % 7) / 4.0).alias("wt"),
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = spread(e).join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("wt") * dot(F.col("qv"), F.col("v"))).alias("ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("ip")).alias("inner_product"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -2120,3 +2120,133 @@ def t30_token_rarity_profile(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T31 — PMI COLLOCATIONS: the top-10 adjacent-token collocations per
+# language by pointwise mutual information, min bigram count 3. The
+# phrase-mining primitive (new-term discovery, tokenizer-merge
+# candidates, multi-word-expression lexicons) the t-family lacked:
+# t14 ranks bigrams by raw count, which surfaces stopword pairs; PMI
+# surfaces pairs that co-occur MORE than their unigram frequencies
+# predict.
+#
+# Determinism: the ranking key is the raw likelihood ratio
+# (c_xy * N) / (c_x * c_y) — exact BIGINT products, ONE IEEE division,
+# bit-identical in both engines (the p11 discipline) — with (w1, w2)
+# breaking ties; log2 touches only the displayed 4-dp value (the
+# t26/t12 precedent).
+#
+# Scale: two vocabulary-keyed aggregates (unigrams, bigrams) off one
+# narrow explode, a vocabulary-sized join to attach unigram counts,
+# and a per-lang top-10 window over the min-count-filtered bigram
+# table — the corpus shuffles on token keys only; at 100 TB the
+# min-count filter is what keeps the joined table vocabulary-sized.
+# --------------------------------------------------------------------------
+T31_MIN_COUNT = 3
+T31_TOP_N = 10
+
+T31_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    toks AS (
+      SELECT lang, unnest(w) AS tok FROM d),
+    uni AS (
+      SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+    tot AS (
+      SELECT lang, count(*) AS n FROM toks GROUP BY lang),
+    pairs AS (
+      SELECT lang, p.w1 AS w1, p.w2 AS w2
+      FROM (
+        SELECT lang,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> struct_pack(w1 := w[i], w2 := w[i + 1])))
+                 AS p
+        FROM d WHERE len(w) >= 2)),
+    bi AS (
+      SELECT lang, w1, w2, count(*) AS c_xy
+      FROM pairs GROUP BY lang, w1, w2
+      HAVING count(*) >= {T31_MIN_COUNT}),
+    scored AS (
+      SELECT bi.lang, bi.w1, bi.w2, bi.c_xy,
+             (bi.c_xy * tot.n) * 1.0 / (u1.c * u2.c) AS ratio
+      FROM bi
+      JOIN uni u1 ON u1.lang = bi.lang AND u1.tok = bi.w1
+      JOIN uni u2 ON u2.lang = bi.lang AND u2.tok = bi.w2
+      JOIN tot ON tot.lang = bi.lang),
+    ranked AS (
+      SELECT lang, w1, w2, c_xy, ratio,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ratio DESC, w1, w2) AS rank
+      FROM scored)
+    SELECT lang, CAST(rank AS BIGINT) AS rank, w1, w2,
+           CAST(c_xy AS BIGINT) AS c_xy,
+           round(log2(ratio), 4) AS pmi
+    FROM ranked WHERE rank <= {T31_TOP_N}
+    ORDER BY lang, rank
+"""
+
+
+@query("t31_collocation_pmi", oracle=T31_ORACLE)
+def t31_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31: per-language top-10 PMI collocations — a bigram boundary
+    slip (crossing documents), an N that counts pairs instead of
+    tokens, a ranking on the rounded log instead of the exact ratio,
+    or an unstable tie-break flips the hash."""
+    from pyspark.sql.window import Window
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", tokens(F.col("text")).alias("w")
+    )
+    toks = d.select("lang", F.explode("w").alias("tok"))
+    uni = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bi = (
+        pairs.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= T31_MIN_COUNT)
+    )
+    u1 = uni.select(
+        F.col("lang").alias("l1"), F.col("tok").alias("t1"), F.col("c").alias("c1")
+    )
+    u2 = uni.select(
+        F.col("lang").alias("l2"), F.col("tok").alias("t2"), F.col("c").alias("c2")
+    )
+    scored = (
+        bi.join(u1, (F.col("lang") == F.col("l1")) & (F.col("w1") == F.col("t1")))
+        .join(u2, (F.col("lang") == F.col("l2")) & (F.col("w2") == F.col("t2")))
+        .join(tot, "lang")
+        .select(
+            "lang", "w1", "w2", "c_xy",
+            ((F.col("c_xy") * F.col("n")) * 1.0
+             / (F.col("c1") * F.col("c2"))).alias("ratio"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ratio").desc(), F.col("w1"), F.col("w2")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= T31_TOP_N)
+        .select(
+            "lang",
+            F.col("rank").cast("bigint").alias("rank"),
+            "w1", "w2", "c_xy",
+            r4(F.log2("ratio")).alias("pmi"),
+        )
+        .orderBy("lang", "rank")
+    )

@@ -6567,3 +6567,423 @@ def f31_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "kind", "n_files", "n_added", "n_batches")
         .orderBy("version")
     )
+
+
+# --------------------------------------------------------------------------
+# Q88 — market-basket co-occurrence pairs. The association-mining
+# primitive (the support table behind apriori/FP-growth): how many
+# orders contain each PAIR of parts, reported as the support histogram
+# with an exact pair-identity checksum. The reference's substrate has
+# no self-join at all; this is the canonical one.
+#
+# Scale: the pair space is generated per-order (basket² fan-out, but
+# baskets are bounded — a 100-item basket yields 4,950 pairs, never a
+# corpus² join); the only corpus-sized shuffles are the per-order
+# distinct and the (x, y) pair count. A pathological mega-basket is
+# the q34 salting story, not this plan's.
+# --------------------------------------------------------------------------
+Q88_ORACLE = """
+    WITH po AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS x, b.p AS y, count(*) AS n_orders
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(x + y) AS BIGINT) AS pair_key_mass
+    FROM pairs GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+@query("q88_basket_pairs", oracle=Q88_ORACLE)
+def q88_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q88: per-support pair counts with an exact endpoint checksum —
+    a duplicate-line slip (missing per-order distinct), a reflexive or
+    double-counted pair (x < y violated), or a join-key error flips
+    the hash."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        pairs.groupBy("n_orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("x") + F.col("y")).alias("pair_key_mass"),
+        )
+        .orderBy("n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q89 — Pareto / ABC classification: rank parts by shipped quantity,
+# classify by cumulative share (A = first 50% of mass, B = to 80%,
+# C = the tail). The inventory-curation operator every warehouse
+# report runs. The share cut is evaluated with INTEGER cross-
+# multiplication (cum * 10 <= total * 5), so no engine ever divides
+# before classifying — a float cumshare at a boundary part cannot
+# flip the class. l_quantity is integral by TPC-H construction; the
+# engine casts it to BIGINT so sums are exact in both engines.
+#
+# Scale: one partial agg to part grain (the corpus-sized shuffle),
+# then ONE global sort of the part-grain table for the cumulative
+# window — the p13 ntile discipline; the presentation agg is 3 rows.
+# --------------------------------------------------------------------------
+Q89_ORACLE = """
+    WITH pq AS (
+      SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(qty) AS total FROM pq),
+    c AS (
+      SELECT pk, qty, total,
+             sum(qty) OVER (ORDER BY qty DESC, pk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pq, t),
+    cls AS (
+      SELECT CASE WHEN cum * 10 <= total * 5 THEN 'A'
+                  WHEN cum * 10 <= total * 8 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             pk, qty, total
+      FROM c)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(qty) AS BIGINT) AS sum_qty,
+           round(sum(qty) * 1.0 / any_value(total), 4) AS qty_share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@query("q89_pareto_class", oracle=Q89_ORACLE)
+def q89_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q89: the ABC mass split — an unstable rank order (ties must
+    break on partkey), a cumulative frame slip (RANGE for ROWS double-
+    counts tied quantities), or a boundary division flips the hash."""
+    pq = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    total = pq.agg(F.sum("qty").alias("total"))
+    w = (
+        Window.orderBy(F.col("qty").desc(), F.col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pq.crossJoin(F.broadcast(total)).withColumn("cum", F.sum("qty").over(w))
+    cls = c.withColumn(
+        "abc_class",
+        F.when(F.col("cum") * 10 <= F.col("total") * 5, "A")
+        .when(F.col("cum") * 10 <= F.col("total") * 8, "B")
+        .otherwise("C"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("qty").alias("sum_qty"),
+            r4(F.sum("qty") * 1.0 / F.any_value("total")).alias("qty_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q90 — gaps-and-islands: per-user CONSECUTIVE-DAY event streaks via
+# the day − row_number() island key, reported as the streak-length
+# histogram. The classic engagement metric (n-day streaks) and the
+# canonical islands pattern — no iteration, one window pass. Days are
+# exact integer epoch days (us DIV 86400e6), the q84/q85 discipline.
+#
+# Scale: one distinct to (user, day) grain, one window sorted within
+# user (row_number), one re-agg — all on the user clustering; per-user
+# work is history-bounded. No self-join formulation (the O(days²)
+# trap) anywhere.
+# --------------------------------------------------------------------------
+Q90_DAY_US = 86400 * 1_000_000
+
+Q90_ORACLE = f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {Q90_DAY_US} AS day
+      FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM ud),
+    streaks AS (
+      SELECT user_id, island, count(*) AS streak_len,
+             min(day) AS start_day
+      FROM isl GROUP BY user_id, island)
+    SELECT CAST(streak_len AS BIGINT) AS streak_len,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(start_day) AS BIGINT) AS first_start_day
+    FROM streaks GROUP BY streak_len ORDER BY streak_len
+"""
+
+
+@query("q90_streak_islands", oracle=Q90_ORACLE)
+def q90_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q90: the consecutive-day streak histogram — a missing (user,
+    day) dedup (same-day events split an island), an off-by-one in the
+    island key, or a non-dense row numbering flips the hash."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {Q90_DAY_US}"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        ud.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("day").alias("start_day"),
+        )
+    )
+    return (
+        streaks.groupBy("streak_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("start_day").alias("first_start_day"),
+        )
+        .orderBy("streak_len")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q91 — TRIANGLE COUNT over the part co-purchase graph: nodes are
+# parts, an undirected edge joins two parts that share an order, a
+# triangle is three pairwise-connected parts. The graph-analytics
+# primitive behind clustering-coefficient / community features — and a
+# second graph shape beside q87's iterative PageRank: q91 is the
+# JOIN-bound one.
+#
+# Scale: the engine runs the DEGREE-ORIENTED wedge algorithm — every
+# edge is directed from its lower-(degree, id) endpoint, wedges are
+# pairs of out-edges, and a wedge closes iff its two far endpoints are
+# an edge. Orienting by degree bounds out-degrees by O(sqrt(edges)) on
+# any graph (arboricity bound), so wedge volume is O(edges^1.5) worst
+# case instead of sum(degree²) — the difference between a hub node
+# generating deg² wedges and its edges being charged to their smaller
+# endpoints. Triangle count is orientation-invariant, so the oracle
+# replays the plain id-ordered triple join.
+# --------------------------------------------------------------------------
+Q91_ORACLE = """
+    WITH po AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+      GROUP BY v),
+    tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1 JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT coalesce(sum(a + b + c), 0) FROM tri) AS BIGINT)
+             AS tri_key_mass
+"""
+
+
+@query("q91_triangle_count", oracle=Q91_ORACLE)
+def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q91: global triangle census with an endpoint checksum — a
+    double-counted wedge (orientation tie-break slip), a missed
+    closing edge (the (min, max) canonicalization), or an edge-dedup
+    error flips the hash. The engine's degree orientation must count
+    EXACTLY what the oracle's id orientation counts."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("v"))
+        .unionAll(e.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # attach degrees, orient each edge from the lower-(d, id) endpoint
+    ed = (
+        e.join(deg.withColumnRenamed("v", "x").withColumnRenamed("d", "dx"), "x")
+        .join(deg.withColumnRenamed("v", "y").withColumnRenamed("d", "dy"), "y")
+    )
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    dir_e = ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
+    )
+    w1, w2 = dir_e.alias("w1"), dir_e.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.ddst") < F.col("w2.ddst"))
+            | (
+                (F.col("w1.ddst") == F.col("w2.ddst"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(
+        F.col("w1.src").alias("a"),
+        F.col("w1.dst").alias("u"),
+        F.col("w2.dst").alias("v"),
+    )
+    # a wedge closes iff (u, v) is an edge in id-canonical form
+    closing = e.select(F.col("x").alias("cu"), F.col("y").alias("cv"))
+    tri = wedges.join(
+        closing,
+        (F.least("u", "v") == F.col("cu"))
+        & (F.greatest("u", "v") == F.col("cv")),
+    ).select(
+        (F.col("a") + F.col("u") + F.col("v")).alias("key_sum")
+    )
+    stats = tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.coalesce(F.sum("key_sum"), F.lit(0)).alias("tri_key_mass"),
+    )
+    meta = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+        )
+    )
+    return F.broadcast(meta).crossJoin(stats).select(
+        "n_nodes", "n_edges", "max_degree", "n_triangles", "tri_key_mass"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q92 — calendar GAP-FILL with forward-fill: the time-series
+# densification operator (Timescale's time_bucket_gapfill + locf).
+# Per event type, the daily event-count series is densified over the
+# GLOBAL observed [min_day, max_day] calendar; missing days take
+# count 0 and carry the last observed day's count forward (locf).
+# Days are exact integer epoch days; the calendar is generated with
+# sequence()/generate_series, never read from data.
+#
+# Scale: the calendar is |days| × |types| rows — metadata-sized next
+# to the event table (a 10-year calendar is 3,653 rows per type); the
+# corpus contributes one partial agg to (type, day) grain. The
+# forward-fill window sorts the DENSE series (small), not the corpus.
+# --------------------------------------------------------------------------
+Q92_ORACLE = f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // {Q90_DAY_US} AS day, count(*) AS n
+      FROM events GROUP BY event_type, day),
+    bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM d),
+    cal AS (
+      SELECT t.event_type,
+             unnest(generate_series(bounds.lo, bounds.hi)) AS day
+      FROM (SELECT DISTINCT event_type FROM d) t, bounds),
+    dense AS (
+      SELECT cal.event_type, cal.day,
+             coalesce(d.n, 0) AS n,
+             CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS is_gap,
+             coalesce(last_value(d.n IGNORE NULLS) OVER (
+               PARTITION BY cal.event_type ORDER BY cal.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS locf
+      FROM cal LEFT JOIN d
+        ON d.event_type = cal.event_type AND d.day = cal.day)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(is_gap) AS BIGINT) AS n_gap_days,
+           CAST(sum(n) AS BIGINT) AS observed_mass,
+           CAST(sum(CASE WHEN is_gap = 1 THEN locf ELSE 0 END) AS BIGINT)
+             AS carried_mass
+    FROM dense GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q92_gapfill_locf", oracle=Q92_ORACLE)
+def q92_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q92: gap-filled daily series per event type — a calendar bound
+    slip, a gap misclassified as observed, or a forward-fill that
+    reads the zero-filled column instead of the observed one flips
+    the hash (carried_mass counts locf on GAP days only)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {Q90_DAY_US}"
+            ).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    obs = (
+        d.withColumnRenamed("day", "d_day")
+        .withColumnRenamed("event_type", "d_type")
+    )
+    dense = cal.join(
+        obs,
+        (F.col("event_type") == F.col("d_type"))
+        & (F.col("day") == F.col("d_day")),
+        "left",
+    ).select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("cnt"),
+        F.when(F.col("d_day").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.col("n").alias("obs_n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = dense.withColumn(
+        "locf", F.coalesce(F.last("obs_n", ignorenulls=True).over(w), F.lit(0))
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("is_gap").alias("n_gap_days"),
+            F.sum("cnt").alias("observed_mass"),
+            F.sum(
+                F.when(F.col("is_gap") == 1, F.col("locf")).otherwise(0)
+            ).alias("carried_mass"),
+        )
+        .orderBy("event_type")
+    )
