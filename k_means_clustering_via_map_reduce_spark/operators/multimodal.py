@@ -1766,3 +1766,229 @@ def m12_scene_change_detect(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M13 — DOMINANT-COLOR census: quantize every decoded PNG pixel to a
+# 9-bit color bucket (3 bits per channel) and report each image's
+# dominant bucket, its population, and the image's palette width. The
+# color-profile primitive behind thumbnail clustering, near-dup
+# triage (palette histograms survive recompression better than bytes)
+# and content filters (flesh-tone / flat-screenshot heuristics). Ties
+# break to the LOWEST bucket id (np.argmax-first semantics, replayed
+# as ORDER BY cnt DESC, bucket ASC).
+#
+# The engine path is the REAL decode (zlib inflate + filter-0 strip)
+# via png_pixel_array; the oracle replays the synthetic pixel formula
+# relationally — pixel (x, y) of doc d has r = (d + y + 3x) % 256 and
+# g, b its +1/+2 successors, so buckets, counts, and the argmax are
+# all integer-exact in both engines.
+#
+# Scale: per-image bounded Arrow-batched mapInPandas (numpy bincount
+# per image), no shuffle before the K-row presentation sort; blobs
+# never leave their partition.
+# --------------------------------------------------------------------------
+M13_SHIFT = 5  # 3 significant bits per channel -> 512 buckets
+
+M13_ORACLE = """
+    WITH png AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents WHERE doc_id % 4 = 0),
+    ys AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y
+      FROM png),
+    cells AS (
+      SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x
+      FROM ys),
+    px AS (
+      SELECT doc_id, w, h,
+             ((doc_id + y + 3 * x) % 256) // 32 * 64
+           + ((doc_id + y + 3 * x + 1) % 256) // 32 * 8
+           + ((doc_id + y + 3 * x + 2) % 256) // 32 AS bucket
+      FROM cells),
+    hist AS (
+      SELECT doc_id, w, h, bucket, count(*) AS cnt
+      FROM px GROUP BY doc_id, w, h, bucket),
+    ranked AS (
+      SELECT doc_id, w, h, bucket, cnt,
+             count(*) OVER (PARTITION BY doc_id) AS n_buckets,
+             sum(cnt) OVER (PARTITION BY doc_id) AS n_pixels,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, bucket ASC) AS rk
+      FROM hist)
+    SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(n_pixels AS BIGINT) AS n_pixels,
+           CAST(bucket AS BIGINT) AS dom_bucket,
+           CAST(cnt AS BIGINT) AS dom_count,
+           CAST(n_buckets AS BIGINT) AS n_buckets
+    FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+def dominant_color(df: DataFrame) -> DataFrame:
+    """(doc_id, w, h, n_pixels, dom_bucket, dom_count, n_buckets) per
+    decodable PNG blob — 9-bit quantized histogram, argmax with
+    lowest-bucket tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                px = png_pixel_array(bytes(blob))
+                if px is None:
+                    continue
+                h, stride = px.shape
+                w = stride // 3
+                rgb = px.reshape(h, w, 3).astype(np.int64)
+                buckets = (
+                    (rgb[:, :, 0] >> M13_SHIFT) * 64
+                    + (rgb[:, :, 1] >> M13_SHIFT) * 8
+                    + (rgb[:, :, 2] >> M13_SHIFT)
+                ).ravel()
+                counts = np.bincount(buckets, minlength=512)
+                dom = int(counts.argmax())  # first max = lowest bucket
+                rows.append(
+                    (
+                        int(did), int(w), int(h), int(buckets.size),
+                        dom, int(counts[dom]),
+                        int((counts > 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "w", "h", "n_pixels",
+                    "dom_bucket", "dom_count", "n_buckets",
+                ],
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(
+        extract,
+        schema=(
+            "doc_id BIGINT, w INT, h INT, n_pixels BIGINT, "
+            "dom_bucket BIGINT, dom_count BIGINT, n_buckets BIGINT"
+        ),
+    )
+
+
+@query("m13_dominant_color", oracle=M13_ORACLE)
+def m13_dominant_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: the dominant 9-bit color bucket of every synthesized PNG
+    through the real decode — a channel-order slip (RGB vs BGR flips
+    the bucket arithmetic), a quantization off-by-one, or an argmax
+    tie-break difference flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return dominant_color(synthesize_media(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M14 — SILENCE-RUN segmentation: per WAV, the silent-sample count,
+# the number of maximal silent runs, and the longest run, where a
+# sample is silent iff |v| < 256 (one-eighth of the int16 fixture
+# headroom). The voice-activity primitive m10's windowed energy
+# cannot express: runs are BOUNDARY-exact (a run is maximal, not a
+# window artifact), which is what silence trimming and utterance
+# splitting actually consume. Integer end to end.
+#
+# The engine is a numpy run-length encode per blob through the REAL
+# RIFF parse (decode_pcm); the oracle replays the PCM formula and
+# finds runs with the gaps-and-islands idiom (i - row_number() over
+# silent samples) — the q90 pattern at sample granularity.
+#
+# Scale: per-blob bounded Arrow-batched mapInPandas, no shuffle;
+# run-length encoding is one vectorized diff per blob.
+# --------------------------------------------------------------------------
+M14_SILENCE_ABS = 256
+
+M14_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 400 + 1)) AS i
+      FROM documents),
+    samp AS (
+      SELECT doc_id, i,
+             CASE WHEN abs((doc_id * 31 + i * 17) % 2048 - 1024)
+                       < {M14_SILENCE_ABS}
+                  THEN 1 ELSE 0 END AS sil
+      FROM s),
+    isl AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+      FROM samp WHERE sil = 1),
+    runs AS (
+      SELECT doc_id, k, count(*) AS run_len
+      FROM isl GROUP BY doc_id, k),
+    agg AS (
+      SELECT doc_id, sum(run_len) AS n_silent,
+             count(*) AS n_runs, max(run_len) AS max_run
+      FROM runs GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.doc_id % 400 + 2 AS BIGINT) AS n_samples,
+           CAST(coalesce(a.n_silent, 0) AS BIGINT) AS n_silent,
+           CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_silent_runs,
+           CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_silent_run
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def silence_runs(df: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, n_silent, n_silent_runs, max_silent_run)
+    per decodable WAV blob — maximal-run statistics under the
+    |v| < M14_SILENCE_ABS gate."""
+    import numpy as np
+    import pandas as pd
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                decoded = decode_pcm(bytes(blob))
+                if decoded is None:
+                    continue
+                _, samples = decoded
+                sil = np.abs(samples) < M14_SILENCE_ABS
+                # run-length encode: boundaries where the flag changes
+                if sil.any():
+                    edges = np.flatnonzero(np.diff(sil.astype(np.int8)))
+                    starts = np.r_[0, edges + 1]
+                    ends = np.r_[edges, len(sil) - 1]
+                    lens = ends - starts + 1
+                    silent_lens = lens[sil[starts]]
+                    n_runs = int(silent_lens.size)
+                    max_run = int(silent_lens.max())
+                else:
+                    n_runs = max_run = 0
+                rows.append(
+                    (
+                        int(did), int(len(samples)), int(sil.sum()),
+                        n_runs, max_run,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_silent",
+                    "n_silent_runs", "max_silent_run",
+                ],
+            )
+
+    return df.mapInPandas(
+        analyze,
+        schema=(
+            "doc_id BIGINT, n_samples BIGINT, n_silent BIGINT, "
+            "n_silent_runs BIGINT, max_silent_run BIGINT"
+        ),
+    )
+
+
+@query("m14_silence_runs", oracle=M14_ORACLE)
+def m14_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: maximal silent-run statistics of every synthesized WAV
+    through the real RIFF parse — a run split at a window boundary, a
+    threshold compare slip (<= for <), or a lost zero-silence doc
+    (LEFT join semantics) flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return silence_runs(synthesize_pcm_wav(docs)).orderBy("doc_id")

@@ -6987,3 +6987,185 @@ def q92_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# F32 — CHECK-constrained table read (Delta's ALTER TABLE ADD
+# CONSTRAINT ... CHECK): stage a versioned table, attach a CHECK
+# constraint (validated against EXISTING data at attach time, a
+# metadata-only commit), append under it, then prove enforcement by
+# attempting a VIOLATING append — which must raise and burn no
+# version. The face reads the final snapshot; the history carries the
+# 'constraint' commit kind.
+#
+# Scale: attach cost is one validation scan of the table (same as
+# Delta); enforcement cost is O(first violation) per incoming batch —
+# a take(1) over the batch, never a table scan. Constraints are
+# snapshot metadata carried by every commit verb (append, COW
+# rewrite, merge, compact, clone, restore).
+# --------------------------------------------------------------------------
+_F32_STAGED: dict[tuple, object] = {}
+
+F32_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_constraint_commits
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("f32_check_constraint_read", oracle=F32_ORACLE)
+def f32_check_constraint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F32: per-lang stats of a CHECK-constrained table after one
+    rejected append — a constraint that silently admits the poisoned
+    batch (its negative n_chars rows shift sum_chars), a burned
+    version on rejection, or a lost constraint-kind history row flips
+    the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_check_constraint,
+        commit_append,
+        latest_version,
+        read_version,
+        table_history,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F32_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_constraint_")
+        d = load_table(spark, sf_dir, "documents")
+        commit_append(d.filter(F.col("doc_id") % 2 == 0), tmp.name)
+        add_check_constraint(
+            spark, tmp.name, "chars_nonneg",
+            "n_chars >= 0 AND lang IS NOT NULL",
+        )
+        commit_append(d.filter(F.col("doc_id") % 2 == 1), tmp.name)
+        poisoned = d.limit(5).withColumn("n_chars", F.lit(-1).cast("long"))
+        try:
+            commit_append(poisoned, tmp.name)
+            raise AssertionError(
+                "f32 staging: violating append was ACCEPTED"
+            )
+        except ConstraintViolationError:
+            pass
+        if latest_version(tmp.name) != 3:
+            raise AssertionError(
+                "f32 staging: rejected append burned a version"
+            )
+        _F32_STAGED[key] = tmp
+    root = _F32_STAGED[key].name
+    hist = table_history(spark, root).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(
+            F.when(F.col("kind") == "constraint", 1).otherwise(0)
+        ).alias("n_constraint_commits"),
+    )
+    return (
+        read_version(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(hist))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# F33 — CONCURRENT-WRITER read (Delta's optimistic concurrency,
+# minimally): two appends race from the same base version — the
+# manifest link's EEXIST makes the slower one LOSE the slot, and
+# because appends commute, it REBASES onto the winner's head and
+# commits one version higher (data files written once, only the
+# manifest retries). Non-commuting verbs (COW delete/update, merge)
+# take an ``expected_version`` CAS instead: a stale read snapshot is
+# a hard ConcurrentWriteError, never a rebase. The face stages
+# exactly that race deterministically (the _assume_parent injection
+# hook), proves the stale delete is refused, and reads the merged
+# result: all three appends present, nothing lost, nothing doubled.
+#
+# Scale: conflict detection is O(1) manifest metadata (a version
+# compare + a link syscall); a rebase re-reads one manifest — commit
+# cost stays independent of table size, Delta's contract.
+# --------------------------------------------------------------------------
+_F33_STAGED: dict[tuple, object] = {}
+
+F33_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(3 AS BIGINT) AS n_appends
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("f33_concurrent_append_read", oracle=F33_ORACLE)
+def f33_concurrent_append_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F33: per-lang stats after a two-writer append race plus a
+    refused stale delete — a lost loser (its rows vanish), a
+    double-applied rebase, a clobbered winner manifest, or a stale
+    delete that went through (doc_id % 3 = 0 rows vanish) all flip
+    the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_append,
+        delete_where,
+        latest_version,
+        read_version,
+        table_history,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F33_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_race_")
+        d = load_table(spark, sf_dir, "documents")
+        base = commit_append(d.filter(F.col("doc_id") % 3 == 0), tmp.name)
+        # writers X and Y both read head = base; X lands first
+        vx = commit_append(
+            d.filter(F.col("doc_id") % 3 == 1), tmp.name, batch_id=101
+        )
+        # Y built against the stale base -> EEXIST -> auto-rebase
+        vy = commit_append(
+            d.filter(F.col("doc_id") % 3 == 2), tmp.name, batch_id=102,
+            _assume_parent=base,
+        )
+        if (vx, vy) != (2, 3):
+            raise AssertionError(f"f33 staging: race landed as {(vx, vy)}")
+        # a COW delete whose read snapshot went stale must be REFUSED
+        try:
+            delete_where(
+                spark, tmp.name, "doc_id % 3 = 0", expected_version=base
+            )
+            raise AssertionError("f33 staging: stale delete was ACCEPTED")
+        except ConcurrentWriteError:
+            pass
+        if latest_version(tmp.name) != 3:
+            raise AssertionError(
+                "f33 staging: refused delete burned a version"
+            )
+        _F33_STAGED[key] = tmp
+    root = _F33_STAGED[key].name
+    hist = table_history(spark, root).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(
+            F.when(F.col("kind") == "append", 1).otherwise(0)
+        ).alias("n_appends"),
+    )
+    return (
+        read_version(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(hist))
+        .orderBy("lang")
+    )

@@ -77,6 +77,96 @@ def applied_batches(root: str) -> set[int]:
     return set(read_manifest(root, latest).get("batches", []))
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A committer's read snapshot went stale under it: either an
+    ``expected_version`` CAS failed for a non-commuting verb, or an
+    append's rebase found the table metadata (constraints) changed
+    since the rows were validated. Delta's
+    ConcurrentAppend/MetadataChangedException, minimally."""
+
+
+class ConstraintViolationError(ValueError):
+    """Incoming rows falsified a table CHECK constraint; the commit
+    wrote no manifest (orphaned data files only, invisible)."""
+
+
+def table_constraints(root: str, version: int | None = None) -> dict:
+    """The table's CHECK constraints ({name: sql_expr}) at ``version``
+    (latest when None) — snapshot metadata like the schema, carried
+    forward by every commit verb."""
+    if version is None:
+        version = latest_version(root)
+    if version == 0:
+        return {}
+    return read_manifest(root, version).get("constraints", {})
+
+
+def _carry_constraints(manifest: dict, prev: dict) -> None:
+    if "constraints" in prev:
+        manifest["constraints"] = prev["constraints"]
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
+    """Reject ``df`` if any row falsifies any constraint. SQL CHECK
+    semantics: NULL passes (only an expression that evaluates to FALSE
+    violates). Cost is O(first violation) — one short-circuit take(1)
+    over the incoming batch, never the table."""
+    from pyspark.sql import functions as F
+
+    for name, expr in constraints.items():
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        ).take(1)
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
+                f"row {bad[0].asDict()}"
+            )
+
+
+def add_check_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (Delta's verb): validate
+    the EXISTING table against ``expr`` (one scan — a constraint that
+    history already falsifies must fail here, not at the next append),
+    then commit a METADATA-ONLY version carrying the same files with
+    the constraint recorded. Enforcement from then on is on every
+    row-adding commit (append, merge, COW update rewrite)."""
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot constrain an empty table")
+    prev = read_manifest(root, parent)
+    cons = dict(prev.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    _enforce_constraints(read_version(spark, root, parent), {name: expr})
+    txn = uuid.uuid4().hex[:12]
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "files": prev.get("files", []),
+        "added": [],
+        "constraint_added": name,
+        "constraints": {**cons, name: expr},
+        "batches": prev.get("batches", []),
+        "stats": prev.get("stats", {}),
+    }
+    if prev.get("schema") is not None:
+        manifest["schema"] = prev["schema"]
+    if "external_files" in prev:
+        manifest["external_files"] = prev["external_files"]
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, parent + 1))
+    finally:
+        os.remove(tmp)
+    return parent + 1
+
+
 def table_schema(root: str, version: int | None = None):
     """The evolved table schema at ``version`` (latest when None), or
     None for pre-evolution manifests that recorded no schema."""
@@ -229,25 +319,45 @@ def prune_files(
 
 
 
-def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
+def commit_append(
+    df: DataFrame,
+    root: str,
+    batch_id: int | None = None,
+    *,
+    _assume_parent: int | None = None,
+) -> int:
     """Append ``df`` as a new immutable snapshot; returns the new
-    version. Optimistic concurrency: two racing committers both write
-    their (uniquely-named) data files, but only one wins the manifest
-    slot — ``os.link`` fails with EEXIST for the loser, whose data
-    files stay orphaned/invisible (retry = recompute parent + relink).
+    version. Optimistic concurrency with AUTO-REBASE: two racing
+    committers both write their (uniquely-named) data files, ``os.link``
+    fails with EEXIST for the loser — and because appends COMMUTE with
+    every data commit (the new files touch nothing the winner read or
+    rewrote), the loser rebases: re-read the new head, re-derive the
+    evolved schema against it (a type conflict still fails loudly),
+    re-link one version higher. Rebase REFUSES (ConcurrentWriteError)
+    if the table's constraint metadata changed since this df was
+    validated — the rows would be entering under rules they were never
+    checked against (Delta's MetadataChangedException). The data files
+    are written exactly once; only the manifest retries.
 
     ``batch_id`` (streaming ingest) rides INSIDE the manifest, so the
     ledger record and the commit are one atomic link — there is no
     crash window in which the version exists but its batch id is
     unrecorded (the round-6 marker-file design had exactly that
     window, bounding replays to one duplicate instead of zero).
+
+    ``_assume_parent`` is the deterministic race-injection hook (tests
+    and the f33 face): build the first manifest attempt against a
+    KNOWN-STALE parent so the EEXIST→rebase path runs without threads.
+    Production callers never pass it.
     """
     txn = uuid.uuid4().hex[:12]
-    parent = latest_version(root)
+    parent = latest_version(root) if _assume_parent is None else _assume_parent
+    validated_cons = table_constraints(root, parent)
+    _enforce_constraints(df, validated_cons)
     # Schema evolution happens AT the commit point (Delta metaData-action
     # idiom): the manifest records the evolved union schema, and a type
     # conflict with history fails loudly BEFORE any data is written.
-    evolved = _evolve_schema(table_schema(root, parent), df.schema)
+    _evolve_schema(table_schema(root, parent), df.schema)
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn}")
     df.write.parquet(data_dir)
     new_files = sorted(
@@ -255,37 +365,53 @@ def commit_append(df: DataFrame, root: str, batch_id: int | None = None) -> int:
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
-    prev = read_manifest(root, parent) if parent else {}
-    prev_files = prev.get("files", [])
-    batches = prev.get("batches", [])
-    if batch_id is not None:
-        batches = batches + [batch_id]
-    manifest = {
-        "version": parent + 1,
-        "parent": parent,
-        "files": prev_files + new_files,
-        "added": new_files,
-        "batches": batches,
-        "schema": evolved.jsonValue(),
-        # per-file min/max (Delta add-action stats): parents' stats
-        # carry forward, new files' come off their fresh footers
-        "stats": {
-            **prev.get("stats", {}),
-            **_collect_file_stats(root, new_files),
-        },
-    }
-    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
-    tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    try:
-        # link (not rename): atomic AND refuses to clobber an existing
-        # manifest, so the slower of two racing commits loses loudly
-        # instead of silently overwriting the winner's snapshot.
-        os.link(tmp, _manifest_path(root, parent + 1))
-    finally:
-        os.remove(tmp)
-    return parent + 1
+    new_stats = _collect_file_stats(root, new_files)
+    for _attempt in range(8):
+        evolved = _evolve_schema(table_schema(root, parent), df.schema)
+        prev = read_manifest(root, parent) if parent else {}
+        prev_files = prev.get("files", [])
+        batches = prev.get("batches", [])
+        if batch_id is not None:
+            batches = batches + [batch_id]
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "files": prev_files + new_files,
+            "added": new_files,
+            "batches": batches,
+            "schema": evolved.jsonValue(),
+            # per-file min/max (Delta add-action stats): parents' stats
+            # carry forward, new files' come off their fresh footers
+            "stats": {**prev.get("stats", {}), **new_stats},
+        }
+        _carry_constraints(manifest, prev)
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            # link (not rename): atomic AND refuses to clobber an
+            # existing manifest, so the slower of two racing commits
+            # loses the slot and falls into the rebase path below
+            # instead of silently overwriting the winner's snapshot.
+            os.link(tmp, _manifest_path(root, parent + 1))
+            return parent + 1
+        except FileExistsError:
+            head = latest_version(root)
+            if head <= parent:
+                raise  # a manifest exists ABOVE the head walk: corrupt
+            if table_constraints(root, head) != validated_cons:
+                raise ConcurrentWriteError(
+                    f"append rebase aborted: table constraints changed "
+                    f"between validation (v{parent}) and commit "
+                    f"(v{head}) — re-validate and retry"
+                )
+            parent = head
+        finally:
+            os.remove(tmp)
+    raise ConcurrentWriteError(
+        f"append to {root} lost {8} straight manifest races"
+    )
 
 
 def compact(
@@ -324,6 +450,7 @@ def compact(
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
+    prev = read_manifest(root, parent)
     manifest = {
         "version": version,
         "parent": parent,
@@ -333,12 +460,13 @@ def compact(
         # the ingest ledger is snapshot state: compaction rewrites the
         # FILE list but must carry the applied-batch record forward, or
         # a post-compaction checkpoint replay would double-commit
-        "batches": read_manifest(root, parent).get("batches", []),
+        "batches": prev.get("batches", []),
     }
+    _carry_constraints(manifest, prev)
     # the table schema is likewise snapshot state — the compacted files
     # are homogeneous, but dropping the record would reopen the
     # footer-sampling nondeterminism for any LATER evolved commit
-    parent_schema = read_manifest(root, parent).get("schema")
+    parent_schema = prev.get("schema")
     if parent_schema is not None:
         manifest["schema"] = parent_schema
     manifest["stats"] = _collect_file_stats(root, new_files)
@@ -517,6 +645,7 @@ def _cow_rewrite(
     transform,
     manifest_key: str,
     batch_id: int | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Shared copy-on-write engine for DELETE/UPDATE: find the files
     that CONTAIN matching rows (one input_file_name() scan, predicate
@@ -528,6 +657,14 @@ def _cow_rewrite(
     from pyspark.sql import functions as F
 
     parent = latest_version(root)
+    if expected_version is not None and parent != expected_version:
+        # COW rewrites do NOT commute (they read the snapshot they
+        # rewrite): a stale read snapshot is a hard conflict, never a
+        # rebase (Delta's ConcurrentDeleteReadException shape).
+        raise ConcurrentWriteError(
+            f"rewrite of {root} expected head v{expected_version}, "
+            f"found v{parent}"
+        )
     if parent == 0:
         raise ValueError("cannot rewrite an empty table")
     manifest = read_manifest(root, parent)
@@ -562,7 +699,11 @@ def _cow_rewrite(
     affected_rows = df.filter(
         F.col("_kmce_file").isin(raw_affected)
     ).drop("_kmce_file")
-    transform(affected_rows).write.parquet(data_dir)
+    rewritten = transform(affected_rows)
+    # an UPDATE can falsify a CHECK constraint; a DELETE can't, but the
+    # enforcement is O(first violation) over the affected subset only
+    _enforce_constraints(rewritten, manifest.get("constraints", {}))
+    rewritten.write.parquet(data_dir)
     new_files = _drop_empty_files(
         root,
         sorted(
@@ -591,6 +732,7 @@ def _cow_rewrite(
     }
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
+    _carry_constraints(new_manifest, manifest)
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -607,6 +749,7 @@ def delete_where(
     root: str,
     predicate: str,
     batch_id: int | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """COPY-ON-WRITE DELETE (Delta/Iceberg's DELETE FROM, minimally):
     commit a new version in which no row satisfies ``predicate`` — the
@@ -631,7 +774,7 @@ def delete_where(
 
     return _cow_rewrite(
         spark, root, predicate, drop_matches, "deleted_from",
-        batch_id=batch_id,
+        batch_id=batch_id, expected_version=expected_version,
     )
 
 
@@ -687,6 +830,7 @@ def merge_into(
     source: DataFrame,
     key: str,
     batch_id: int | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """MERGE INTO (Delta's upsert verb, WHEN MATCHED UPDATE SET * /
     WHEN NOT MATCHED INSERT *): every stored row whose ``key`` appears
@@ -716,6 +860,11 @@ def merge_into(
     from pyspark.sql import functions as F
 
     parent = latest_version(root)
+    if expected_version is not None and parent != expected_version:
+        raise ConcurrentWriteError(
+            f"merge into {root} expected head v{expected_version}, "
+            f"found v{parent}"
+        )
     if parent == 0:
         raise ValueError("cannot merge into an empty table")
     manifest = read_manifest(root, parent)
@@ -798,6 +947,8 @@ def merge_into(
     )
     inserts = src.join(affected_rows.select(key), key, "left_anti")
     new_content = updated.unionByName(inserts.select(*cols))
+    # updates and inserts both enter under the table's CHECK rules
+    _enforce_constraints(new_content, manifest.get("constraints", {}))
     txn = uuid.uuid4().hex[:12]
     version = parent + 1
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
@@ -830,6 +981,7 @@ def merge_into(
     }
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
+    _carry_constraints(new_manifest, manifest)
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -1050,6 +1202,7 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
     }
     if src_manifest.get("schema") is not None:
         manifest["schema"] = src_manifest["schema"]
+    _carry_constraints(manifest, src_manifest)
     os.makedirs(os.path.join(dst_root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(dst_root, 1) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -1107,6 +1260,9 @@ def restore_table(root: str, version: int) -> int:
     }
     if target.get("schema") is not None:
         manifest["schema"] = target["schema"]
+    # constraints are snapshot metadata: a restore returns to the
+    # TARGET's rules (same contract as the schema record above)
+    _carry_constraints(manifest, target)
     if "external_files" in target:
         manifest["external_files"] = target["external_files"]
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
@@ -1177,7 +1333,7 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     simply absent (retention is part of the history's truth).
 
     Kinds mirror the commit verbs: append, delete, update, merge,
-    compact, restore, clone."""
+    compact, restore, clone, constraint."""
     latest = latest_version(root)
     rows = []
     for v in range(1, latest + 1):
@@ -1191,6 +1347,8 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             kind, audit = "clone", m["cloned_from"]["root"]
         elif "compacted_from" in m:
             kind, audit = "compact", None
+        elif "constraint_added" in m:
+            kind, audit = "constraint", m["constraint_added"]
         elif m.get("deleted_from"):
             kind, audit = "delete", None
         elif m.get("updated_from"):

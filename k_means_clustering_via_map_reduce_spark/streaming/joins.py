@@ -426,3 +426,64 @@ def k19_stream_join_then_agg(
     return _run_append_stream(spark, sf_dir, joined_hourly).orderBy(
         "hour_ts"
     )
+
+
+def semi_attribution(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """K27 join body: the attributed-VIEWS set — each view emitted at
+    most ONCE, when a qualifying click proves it converted; click
+    payloads never enter the output. Spark's left-semi stream-stream
+    join keeps the k6 dual-sided state machine but stores only a
+    matched bit on the view side and emits on first match."""
+    v = _with_event_time(views).withWatermark("ts", WATERMARK).alias("v")
+    c = _with_event_time(clicks).withWatermark("ts", WATERMARK).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            f"""
+            v.user_id = c.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL}
+            """
+        ),
+        "left_semi",
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").cast("timestamp_ntz").alias("view_ts"),
+        r4(F.col("v.value")).alias("view_value"),
+    )
+
+
+@query(
+    "k27_stream_semi_join",
+    oracle=f"""
+    SELECT v.event_id AS view_id, v.user_id AS user_id,
+           v.ts AS view_ts, round(v.value, 4) AS view_value
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = v.user_id
+          AND c.ts > v.ts AND c.ts <= v.ts + {ATTRIBUTION_WINDOW_SQL})
+    ORDER BY view_id
+    """,
+)
+def k27_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K27 — stream-stream LEFT SEMI interval join: the third join
+    flavor beside k6's inner (per-pair) and k15/k17's outers
+    (watermark-manufactured NULLs). Semi is the CONVERSION-SET shape —
+    "which views converted?" — and its state story differs from both:
+    the view side buffers a matched BIT instead of accumulating
+    emitted pairs (a view with 50 qualifying clicks emits once, not
+    50 times), and no row is ever watermark-manufactured, so the
+    emitted set equals the batch EXISTS the oracle computes (the k6
+    emission argument: every match is visible once both sides ingest).
+    A duplicate emission per extra click — the inner-join shortcut —
+    is the hash flip this entry exists to catch.
+
+    Scale: state is O(window · arrival rate) per key like k6, but the
+    output (and any downstream consumer) is bounded by the VIEW
+    stream's cardinality, never the match multiplicity."""
+    return _run_append_stream(spark, sf_dir, semi_attribution).orderBy(
+        "view_id"
+    )

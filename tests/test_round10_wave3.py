@@ -210,3 +210,53 @@ def test_s11_differs_from_cosine(spark, sf_dir):
     assert m != c, "MIPS order must differ from cosine somewhere"
     for r in mips:
         assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
+
+
+# ---------------------------------------------------------------- m13
+
+
+def test_m13_pixel_accounting(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "m13_dominant_color")
+    assert rows
+    for r in rows:
+        assert r.n_pixels == r.w * r.h
+        assert 1 <= r.dom_count <= r.n_pixels
+        assert 1 <= r.n_buckets <= min(512, r.n_pixels)
+        assert 0 <= r.dom_bucket < 512
+        # the dominant bucket's count bounds the mean bucket population
+        assert r.dom_count * r.n_buckets >= r.n_pixels
+
+
+# ---------------------------------------------------------------- m14
+
+
+def test_m14_run_accounting(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "m14_silence_runs")
+    docs = Q.load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs, "every WAV doc must report (LEFT join)"
+    for r in rows:
+        assert r.n_samples == r.doc_id % 400 + 2
+        assert 0 <= r.n_silent <= r.n_samples
+        assert (r.n_silent_runs == 0) == (r.n_silent == 0)
+        assert r.max_silent_run <= r.n_silent
+        if r.n_silent_runs:
+            # runs partition the silent samples into maximal blocks
+            assert r.max_silent_run * r.n_silent_runs >= r.n_silent
+
+
+# ---------------------------------------------------------------- k27
+
+
+def test_k27_emits_each_view_once(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "k27_stream_semi_join")
+    assert rows
+    ids = [r.view_id for r in rows]
+    assert len(ids) == len(set(ids)), "semi join must emit a view ONCE"
+    # the conversion set is a strict subset of all views (some views
+    # never convert on the fixture)
+    n_views = (
+        Q.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert 0 < len(ids) < n_views

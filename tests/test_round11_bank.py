@@ -230,8 +230,6 @@ def test_m11_banding_is_pigeonhole_complete_to_three_bits(spark):
 def test_d15_matches_batch_oracle_driver_style(spark, sf_dir):
     from k_means_clustering_via_map_reduce_spark.operators.dedup import (
         _D2B_ORACLE,
-    )
-    from k_means_clustering_via_map_reduce_spark.queries import (
         d15_incremental_minhash_pairs,
     )
 
