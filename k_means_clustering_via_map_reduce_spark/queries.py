@@ -7169,3 +7169,492 @@ def f33_concurrent_append_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hist))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F34 — DELETION VECTORS: merge-on-read DELETE (round-10 wave 4).
+# Delta's deletion vectors / Iceberg's positional delete files,
+# re-expressed Spark-first over the `_metadata` hidden columns: a
+# delete commit writes (file, row_index) sidecars and ZERO data files;
+# every reader applies one LEFT ANTI join; OPTIMIZE's flush
+# (materialize_dvs) folds vectors back into plain files file-
+# granularly. The staged lifecycle — three quarter commits, two
+# stacked DV deletes, a post-delete append (rows that must NOT be
+# affected), then an in-query materialize-equivalence probe — makes
+# the hash pin the whole contract: a vector that leaks onto the late
+# append, fails to union, resurrects under materialization, or drops
+# live rows all flip it.
+#
+# Scale: the delete is O(matching rows) distributed sidecar write +
+# one O(#files) manifest — zero write amplification on a 100 TB
+# table; the read-side anti-join is O(deleted rows), broadcast when
+# small, AQE-replanned when not (Iceberg's positional-delete merge
+# asymptotics). Mechanism + verb-composition invariants:
+# sources/versioned.py::delete_where_dv, tests/test_deletion_vectors.py.
+# --------------------------------------------------------------------------
+_F34_STAGED: dict[tuple, object] = {}
+
+F34_ORACLE = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    WHERE doc_id % 4 = 3
+       OR (lang <> 'de' AND doc_id % 7 <> 3)
+    GROUP BY source ORDER BY source
+"""
+
+
+@query("f34_deletion_vector_read", oracle=F34_ORACLE)
+def f34_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F34: per-source stats through two stacked merge-on-read deletes.
+    v1-v3 load doc_id quarters 0-2, v4 DV-deletes lang='de', v5
+    DV-deletes doc_id%7=3 (vectors UNION), v6 appends quarter 3 —
+    which, arriving after the deletes, keeps its 'de' and %7 rows. The
+    staging then probes materialize-equivalence: a full OPTIMIZE flush
+    of the vectors must leave the aggregate bit-identical, and the
+    result is read from the UNFLUSHED snapshot so the driver hash
+    exercises the anti-join read path itself."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where_dv,
+        materialize_dvs,
+        read_manifest,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F34_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_dv_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        for q in range(3):
+            commit_append(d.filter(F.col("doc_id") % 4 == q), tmp.name)
+        v4 = delete_where_dv(spark, tmp.name, "lang = 'de'")
+        v5 = delete_where_dv(spark, tmp.name, "doc_id % 7 = 3")
+        if (v4, v5) != (4, 5):
+            raise AssertionError(f"f34 staging: DV commits landed {(v4, v5)}")
+        if read_manifest(tmp.name, 5)["added"]:
+            raise AssertionError(
+                "f34 staging: a DV delete wrote data files — merge-on-"
+                "read contract broken"
+            )
+        commit_append(d.filter(F.col("doc_id") % 4 == 3), tmp.name)
+        # materialize-equivalence probe on a THROWAWAY restore of the
+        # same root: flush vectors, aggregate must be bit-identical
+        pre = read_version(spark, tmp.name, 6).agg(
+            F.count(F.lit(1)), F.sum("n_chars")
+        ).collect()[0]
+        materialize_dvs(spark, tmp.name)  # v7: plain files, no dvs
+        post = read_version(spark, tmp.name, 7).agg(
+            F.count(F.lit(1)), F.sum("n_chars")
+        ).collect()[0]
+        if tuple(pre) != tuple(post):
+            raise AssertionError(
+                f"f34 staging: materialize_dvs changed content "
+                f"{tuple(pre)} -> {tuple(post)}"
+            )
+        _F34_STAGED[key] = tmp
+    root = _F34_STAGED[key].name
+    return (
+        # v6 = the unflushed merge-on-read snapshot: the driver hash
+        # goes through the DV anti-join, not the materialized files
+        read_version(spark, root, 6)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q93 — PEAK CONCURRENCY sweep-line (round-10 wave 4): the classic
+# interval-overlap operator (max simultaneous sessions per calendar
+# day) the reference's substrate cannot express. Sessions come from
+# q84's gap rule; each contributes +1 at its start and -1 one
+# microsecond after its last event (inclusive-end intervals), clipped
+# to day boundaries, and the peak is the max of the running boundary
+# sum. All integer microseconds; the tie rule is pinned by ordering
+# (us, delta) so simultaneous ends apply before starts and RANGE-frame
+# peers apply together in both engines.
+#
+# Scale: the sweep partitions by DAY — no global ordered sum; per-day
+# work is bounded by that day's boundary count, the exact shape a
+# 1000-executor sweep over years of data wants. Session derivation
+# reuses q84's single exchange on user_id.
+# --------------------------------------------------------------------------
+Q93_DAY_US = 86400 * 1_000_000
+
+Q93_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    m AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {Q84_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid,
+             us
+      FROM m),
+    ses AS (
+      SELECT user_id, sid, min(us) AS s_us, max(us) + 1 AS e_us
+      FROM s GROUP BY user_id, sid),
+    d AS (
+      SELECT s_us, e_us,
+             unnest(generate_series(s_us // {Q93_DAY_US},
+                                    (e_us - 1) // {Q93_DAY_US})) AS day
+      FROM ses),
+    clip AS (
+      SELECT day,
+             greatest(s_us, day * {Q93_DAY_US}) AS cs,
+             least(e_us, (day + 1) * {Q93_DAY_US}) AS ce
+      FROM d),
+    b AS (
+      SELECT day, cs AS us, 1 AS delta FROM clip
+      UNION ALL
+      SELECT day, ce AS us, -1 AS delta FROM clip),
+    r AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY us, delta) AS run
+      FROM b)
+    SELECT CAST(r.day AS BIGINT) AS day_idx,
+           CAST(max(r.run) AS BIGINT) AS peak_concurrent,
+           CAST(n.n AS BIGINT) AS n_active_sessions
+    FROM r JOIN (SELECT day, count(*) AS n FROM clip GROUP BY day) n
+      USING (day)
+    GROUP BY r.day, n.n ORDER BY day_idx
+"""
+
+
+@query("q93_peak_concurrency", oracle=Q93_ORACLE)
+def q93_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q93: per-day peak concurrent sessions — an interval-end
+    convention slip (inclusive vs exclusive), a tie-order flip at
+    equal boundary instants, a midnight clip miss on a cross-day
+    session, or a lost day in a multi-day span all flip the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    day = Q93_DAY_US
+    w = Window.partitionBy("user_id").orderBy("us")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ses = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > Q84_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("s_us"),
+            (F.max("us") + 1).alias("e_us"),
+        )
+    )
+    clip = (
+        ses.withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    (F.col("s_us") / day).cast("bigint"),
+                    ((F.col("e_us") - 1) / day).cast("bigint"),
+                )
+            ),
+        )
+        .select(
+            "day",
+            F.greatest(F.col("s_us"), F.col("day") * day).alias("cs"),
+            F.least(F.col("e_us"), (F.col("day") + 1) * day).alias("ce"),
+        )
+    )
+    bounds = clip.select(
+        "day", F.col("cs").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        clip.select("day", F.col("ce").alias("us"), F.lit(-1).alias("delta"))
+    )
+    sweep = Window.partitionBy("day").orderBy("us", "delta")
+    peaks = (
+        bounds.withColumn("run", F.sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(F.max("run").alias("peak_concurrent"))
+    )
+    active = clip.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active_sessions")
+    )
+    return (
+        peaks.join(active, "day")
+        .select(
+            F.col("day").alias("day_idx"),
+            "peak_concurrent",
+            "n_active_sessions",
+        )
+        .orderBy("day_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q94 — FIFO BUDGET ALLOCATION (round-10 wave 4): the running-total
+# depletion operator (payments-to-invoices, inventory draw-down,
+# quota spend). Each customer draws a fixed budget against their
+# orders in (date, key) order; an order is filled up to what remains.
+# All arithmetic in exact BIGINT cents (the q87/q89 discipline) — no
+# engine adds doubles in engine-chosen order, so full/partial/empty
+# classification is bit-stable.
+#
+# Scale: one window exchange on o_custkey (per-customer running sum),
+# then a partial-agg rollup — no self-join, no driver loop.
+# --------------------------------------------------------------------------
+Q94_BUDGET_CENTS = 100_000_000  # $1M per customer
+
+Q94_ORACLE = f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders),
+    c AS (
+      SELECT o_orderpriority, cents,
+             sum(cents) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS cum
+      FROM o),
+    a AS (
+      SELECT o_orderpriority, cents,
+             CASE WHEN cum <= {Q94_BUDGET_CENTS} THEN cents
+                  WHEN cum - cents >= {Q94_BUDGET_CENTS} THEN 0
+                  ELSE {Q94_BUDGET_CENTS} - (cum - cents) END AS alloc
+      FROM c)
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN alloc = cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full,
+           CAST(sum(CASE WHEN alloc > 0 AND alloc < cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_partial,
+           CAST(sum(CASE WHEN alloc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unfilled,
+           CAST(sum(alloc) AS BIGINT) AS alloc_cents
+    FROM a GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q94_fifo_allocation", oracle=Q94_ORACLE)
+def q94_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q94: per-priority fill census of a $1M-per-customer FIFO draw —
+    a frame slip (RANGE vs ROWS on the unique (date, key) order is
+    harmless, but losing the key tiebreak is not), a boundary-order
+    overflow misclassification, or float drift in the running total
+    all flip the hash."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderdate",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    b = Q94_BUDGET_CENTS
+    alloc = F.when(F.col("cum") <= b, F.col("cents")).when(
+        F.col("cum") - F.col("cents") >= b, F.lit(0)
+    ).otherwise(F.lit(b) - (F.col("cum") - F.col("cents")))
+    return (
+        o.withColumn("cum", F.sum("cents").over(w))
+        .withColumn("alloc", alloc)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(F.col("alloc") == F.col("cents"), 1).otherwise(0)
+            ).alias("n_full"),
+            F.sum(
+                F.when(
+                    (F.col("alloc") > 0) & (F.col("alloc") < F.col("cents")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_partial"),
+            F.sum(F.when(F.col("alloc") == 0, 1).otherwise(0)).alias(
+                "n_unfilled"
+            ),
+            F.sum("alloc").alias("alloc_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q95 — RELATIONAL DIVISION (round-10 wave 4): "customers whose orders
+# cover EVERY order priority" — the universal-quantifier join (Codd's
+# division) that trips naive NOT EXISTS formulations. Expressed as the
+# scalable count-distinct-equals-total form: one per-customer distinct
+# count against one broadcast scalar, no double-negated correlated
+# subquery, no priorities×customers blow-up.
+#
+# Scale: one partial-agg exchange on o_custkey + a broadcast of the
+# 1-row total; the customer join is key-equi on the surviving
+# (complete) customers only.
+# --------------------------------------------------------------------------
+Q95_ORACLE = """
+    WITH total AS (
+      SELECT count(DISTINCT o_orderpriority) AS t FROM orders),
+    cov AS (
+      SELECT o_custkey
+      FROM orders GROUP BY o_custkey
+      HAVING count(DISTINCT o_orderpriority) = (SELECT t FROM total))
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_complete,
+           round(sum(c_acctbal), 4) AS sum_acctbal
+    FROM customer JOIN cov ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("q95_relational_division", oracle=Q95_ORACLE)
+def q95_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q95: per-segment census of customers covering all order
+    priorities — an off-by-one in the coverage bar, a distinct miss,
+    or a lost segment flips the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    total = o.agg(
+        F.countDistinct("o_orderpriority").alias("t")
+    )
+    cov = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("k"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("k") == F.col("t"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(cov, cust["c_custkey"] == cov["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_complete"),
+            r4(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q96 — NUMERIC COLUMN PROFILE (round-10 wave 4): the Deequ/data-
+# quality profiling operator — per-column count / nulls / distincts /
+# min / max / mean / stddev plus an 8-bin equi-width histogram, in ONE
+# pass via melt-to-long (no per-column scan loop). Histogram bins are
+# computed from the per-column min/max with a clamp (never an epsilon
+# fudge), integer-exact in both engines; mean/stddev round to 4dp (the
+# q1 float discipline).
+#
+# Scale: the melt multiplies rows by the column count but stays a
+# narrow projection feeding ONE partial-aggregated groupBy — the shape
+# that profiles a 100 TB table in a single scan. A per-column loop of
+# full scans (the naive form) would read the table k times.
+# --------------------------------------------------------------------------
+Q96_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+Q96_BINS = 8
+
+
+def _q96_hist_sql(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS column_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(v) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             round(min(v), 4) AS min_v,
+             round(max(v), 4) AS max_v,
+             round(avg(v), 4) AS mean_v,
+             round(stddev_samp(v), 4) AS stddev_v,
+             {", ".join(
+                 f'''CAST(sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS h{b}'''
+                 for b in range(Q96_BINS)
+             )}
+      FROM (
+        SELECT {col} AS v,
+               least(CAST(floor(({col} - mm.lo) * {Q96_BINS}
+                                / (mm.hi - mm.lo)) AS BIGINT),
+                     {Q96_BINS - 1}) AS bin
+        FROM lineitem,
+             (SELECT min({col}) AS lo, max({col}) AS hi FROM lineitem) mm
+      )
+    """
+
+
+Q96_ORACLE = (
+    " UNION ALL ".join(
+        f"SELECT * FROM ({_q96_hist_sql(c)})" for c in Q96_COLS
+    )
+    + " ORDER BY column_name"
+)
+
+
+@query("q96_numeric_profile", oracle=Q96_ORACLE)
+def q96_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q96: one-pass numeric profile of four lineitem measures — a
+    null-counting slip, a histogram edge landing in the wrong bin, or
+    a max row escaping the clamp into a ninth bin all flip the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in Q96_COLS
+                ]
+            )
+        ).alias("m")
+    ).select("m.column_name", "m.v")
+    w = Window.partitionBy("column_name")
+    binned = melted.withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("v") - F.min("v").over(w))
+                * Q96_BINS
+                / (F.max("v").over(w) - F.min("v").over(w))
+            ).cast("bigint"),
+            F.lit(Q96_BINS - 1),
+        ),
+    )
+    return (
+        binned.groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            r4(F.min("v")).alias("min_v"),
+            r4(F.max("v")).alias("max_v"),
+            r4(F.avg("v")).alias("mean_v"),
+            r4(F.stddev_samp("v")).alias("stddev_v"),
+            *[
+                F.sum(
+                    F.when(F.col("bin") == b, 1).otherwise(0)
+                ).alias(f"h{b}")
+                for b in range(Q96_BINS)
+            ],
+        )
+        .orderBy("column_name")
+    )

@@ -1034,17 +1034,22 @@ def register_version_feed_source(spark: SparkSession) -> str:
         out = []
         for v in range(v0 + 1, v1 + 1):
             manifest = read_manifest(root, v)
-            if "compacted_from" in manifest:
-                # OPTIMIZE rewrites the SAME rows into fewer files — a
-                # no-data-change version (Delta's dataChange=false); an
-                # append feed that emitted its `added` files would
-                # re-emit the whole table (caught by the round-8
-                # interleaving harness). Skip it.
+            if (
+                "compacted_from" in manifest
+                or "dv_materialized_from" in manifest
+            ):
+                # OPTIMIZE and the deletion-vector flush rewrite the
+                # SAME live rows into new files — no-data-change
+                # versions (Delta's dataChange=false); an append feed
+                # that emitted their `added` files would re-emit the
+                # whole table (caught by the round-8 interleaving
+                # harness). Skip them.
                 continue
             if (
                 manifest.get("deleted_from")
                 or manifest.get("updated_from")
                 or manifest.get("merged_from")
+                or manifest.get("dv_added")
             ):
                 # a COW rewrite's `added` files are rewritten SURVIVORS
                 # — emitting them duplicates rows the feed already

@@ -156,6 +156,8 @@ def add_check_constraint(
         manifest["schema"] = prev["schema"]
     if "external_files" in prev:
         manifest["external_files"] = prev["external_files"]
+    if prev.get("dvs"):
+        manifest["dvs"] = prev["dvs"]
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -384,6 +386,10 @@ def commit_append(
             # carry forward, new files' come off their fresh footers
             "stats": {**prev.get("stats", {}), **new_stats},
         }
+        if prev.get("dvs"):
+            # live deletion vectors are snapshot state: an append that
+            # dropped them would resurrect every DV-deleted row
+            manifest["dvs"] = prev["dvs"]
         _carry_constraints(manifest, prev)
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
@@ -525,15 +531,21 @@ def vacuum(root: str, retention_seconds: float = 3600.0) -> list[str]:
         for n in os.listdir(mdir):
             if n.startswith("v") and n.endswith(".json"):
                 with open(os.path.join(mdir, n)) as f:
-                    live.update(json.load(f)["files"])
+                    m = json.load(f)
+                live.update(m["files"])
+                # deletion-vector sidecars are as load-bearing as data
+                # files: dropping a referenced DV would RESURRECT rows
+                live.update(m.get("dvs", []))
     cutoff = time.time() - retention_seconds
     removed = []
-    ddir = os.path.join(root, _DATA_DIR)
-    if os.path.isdir(ddir):
+    for top in (_DATA_DIR, _DV_DIR):
+        ddir = os.path.join(root, top)
+        if not os.path.isdir(ddir):
+            continue
         for txn in sorted(os.listdir(ddir)):
             tdir = os.path.join(ddir, txn)
             for n in sorted(os.listdir(tdir)):
-                rel = os.path.join(_DATA_DIR, txn, n)
+                rel = os.path.join(top, txn, n)
                 path = os.path.join(tdir, n)
                 if (
                     n.endswith(".parquet")
@@ -559,10 +571,15 @@ def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Time-travel read: the exact file set manifest N names (latest
-    when ``version`` is None). Never lists the data directory."""
+    when ``version`` is None). Never lists the data directory. When
+    the manifest carries deletion vectors (merge-on-read DELETE,
+    ``delete_where_dv``), the DV anti-join is applied here, so every
+    reader — time travel, compaction, the f-family queries — sees the
+    post-delete row set without any file having been rewritten."""
     if version is None:
         version = latest_version(root)
-    files = read_manifest(root, version)["files"]
+    m = read_manifest(root, version)
+    files = m["files"]
     _check_external_refs(root, files)
     reader = spark.read
     schema = table_schema(root, version)
@@ -574,7 +591,11 @@ def read_version(
         # nondeterministically). The explicit schema makes every read
         # deterministic and null-fills columns a file predates.
         reader = reader.schema(schema)
-    return reader.parquet(*[os.path.join(root, f) for f in files])
+    scan = reader.parquet(*[os.path.join(root, f) for f in files])
+    dvs = m.get("dvs", [])
+    if dvs:
+        scan = _strip_dv_rows(spark, root, scan, dvs)
+    return scan
 
 
 def _check_external_refs(root: str, files: list) -> None:
@@ -595,6 +616,276 @@ def _check_external_refs(root: str, files: list) -> None:
             f"file(s) missing (cloned source relocated or vacuumed?); "
             f"first: {missing[:3]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — MERGE-ON-READ delete (Delta's deletion vectors /
+# Iceberg's positional delete files, re-expressed Spark-first). A DV
+# commit writes NO data files: it records (file, row position) pairs in
+# parquet sidecars under dv/ and a manifest that carries the same file
+# list plus the grown ``dvs`` sidecar set. Readers apply one LEFT ANTI
+# join keyed on the hidden ``_metadata`` columns (file_path, row_index
+# — stable physical positions, independent of split parallelism), so a
+# delete over a 100 TB table costs O(matching rows) distributed work
+# and zero rewrite; ``materialize_dvs`` (OPTIMIZE's DV flush) folds the
+# vectors back into plain files, file-granularly. Reference: the
+# MapReduce substrate has no deletes at all (SURVEY.md §2.1); this is
+# engine surface beyond it, the low-write-amplification twin of the
+# copy-on-write ``delete_where``.
+# ---------------------------------------------------------------------------
+_DV_DIR = "dv"
+_DV_SCHEMA = "_dv_file STRING, _dv_pos BIGINT"
+
+
+def _dv_file_key(root: str):
+    """JVM-side file key for each scanned row: ``_metadata.file_path``
+    normalized from its URI form (``file:/abs`` or ``file:///abs``) to
+    a bare path, then made TABLE-RELATIVE when it lives under ``root``
+    (relocation-safe for table-local files — the same contract as the
+    manifest's relative file refs). External (cloned) refs stay
+    absolute, matching their manifest spelling. Pure string expressions
+    — no UDF in the read path."""
+    from pyspark.sql import functions as F
+
+    base = os.path.abspath(root) + os.sep
+    fp = F.col("_metadata.file_path")
+    bare = F.when(
+        fp.startswith("file:"),
+        F.concat(F.lit("/"), F.regexp_replace(fp, "^file:/*", "")),
+    ).otherwise(fp)
+    return F.when(
+        bare.startswith(base),
+        F.substring(bare, len(base) + 1, 2147483647),
+    ).otherwise(bare)
+
+
+def _read_dvs(spark: SparkSession, root: str, dv_rel: list) -> DataFrame:
+    """The union of the manifest's deletion-vector sidecars, read with
+    a pinned schema (never footer-sampled)."""
+    return spark.read.schema(_DV_SCHEMA).parquet(
+        *[os.path.join(root, f) for f in dv_rel]
+    )
+
+
+def _attach_dv_cols(df: DataFrame, root: str) -> DataFrame:
+    """Attach the DV join key (file key + physical row index) to a
+    file-scan frame. Must be called on the scan relation itself —
+    ``_metadata`` does not survive joins."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_kmce_dv_file", _dv_file_key(root)).withColumn(
+        "_kmce_dv_pos", F.col("_metadata.row_index")
+    )
+
+
+def _strip_dv_rows(
+    spark: SparkSession, root: str, scan: DataFrame, dv_rel: list
+) -> DataFrame:
+    """Filter DV-deleted rows out of a file scan: one LEFT ANTI join on
+    (file key, row position). Extra columns already on ``scan`` (e.g.
+    the COW engine's ``_kmce_file``) pass through untouched. The DV
+    side is O(deleted rows); Catalyst broadcasts it when small and AQE
+    re-plans when not — the same asymptotics as Iceberg's positional
+    delete merge."""
+    dv = _read_dvs(spark, root, dv_rel)
+    keyed = _attach_dv_cols(scan, root)
+    cond = (keyed["_kmce_dv_file"] == dv["_dv_file"]) & (
+        keyed["_kmce_dv_pos"] == dv["_dv_pos"]
+    )
+    return keyed.join(dv, cond, "left_anti").drop(
+        "_kmce_dv_file", "_kmce_dv_pos"
+    )
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    batch_id: int | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """MERGE-ON-READ DELETE: commit a new version in which no live row
+    satisfies ``predicate`` by recording the matching rows' (file,
+    position) pairs as deletion-vector sidecars — no data file is read
+    back, rewritten, or moved. Returns the new version (the CURRENT
+    version for a no-op: predicate matched nothing live, no version
+    burned, no sidecar kept).
+
+    Contract mirrors ``delete_where`` exactly from a reader's view —
+    the two are interchangeable verbs over the same table; this one
+    trades read-side join work for O(1) write amplification, the right
+    half of the trade-off for frequent small deletes over huge files
+    (Delta enables DVs for exactly that shape). Already-deleted rows
+    are invisible to the predicate scan, so re-running a delete is a
+    clean no-op, and DVs from successive deletes UNION. History stays
+    immutable: version N-1 still shows the rows; ``materialize_dvs``
+    or any OPTIMIZE/COW rewrite folds vectors into files.
+
+    Scale: the scan is predicate-pushed; the sidecar write is
+    O(matching rows) distributed; the commit is one O(#files) driver
+    manifest. Non-commuting with concurrent rewrites, so the manifest
+    link race raises rather than rebases (pass ``expected_version``
+    for CAS semantics)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    parent = latest_version(root)
+    if expected_version is not None and parent != expected_version:
+        raise ConcurrentWriteError(
+            f"dv delete on {root} expected head v{expected_version}, "
+            f"found v{parent}"
+        )
+    if parent == 0:
+        raise ValueError("cannot delete from an empty table")
+    manifest = read_manifest(root, parent)
+    files = manifest["files"]
+    _check_external_refs(root, files)
+    reader = spark.read
+    schema = table_schema(root, parent)
+    if schema is not None:
+        reader = reader.schema(schema)
+    keyed = _attach_dv_cols(
+        reader.parquet(*[os.path.join(root, f) for f in files]), root
+    )
+    prev_dvs = manifest.get("dvs", [])
+    if prev_dvs:
+        dv = _read_dvs(spark, root, prev_dvs)
+        cond = (keyed["_kmce_dv_file"] == dv["_dv_file"]) & (
+            keyed["_kmce_dv_pos"] == dv["_dv_pos"]
+        )
+        keyed = keyed.join(dv, cond, "left_anti")
+    txn = uuid.uuid4().hex[:12]
+    version = parent + 1
+    doomed = keyed.filter(predicate).select(
+        F.col("_kmce_dv_file").alias("_dv_file"),
+        F.col("_kmce_dv_pos").alias("_dv_pos"),
+    )
+    dv_dir = os.path.join(root, _DV_DIR, f"txn-{version:05d}-{txn}")
+    doomed.write.parquet(dv_dir)
+    new_dvs = _drop_empty_files(
+        root,
+        sorted(
+            os.path.join(os.path.relpath(dv_dir, root), n)
+            for n in os.listdir(dv_dir)
+            if n.endswith(".parquet")
+        ),
+    )
+    if not new_dvs:
+        shutil.rmtree(dv_dir, ignore_errors=True)
+        return parent
+    new_manifest = {
+        "version": version,
+        "parent": parent,
+        "files": files,
+        "added": [],
+        "dvs": prev_dvs + new_dvs,
+        "dv_added": new_dvs,
+        "batches": (
+            manifest.get("batches", [])
+            + ([batch_id] if batch_id is not None else [])
+        ),
+        # per-file min/max stay VALID bounds after row deletion —
+        # conservative for pruning, never lossy
+        "stats": manifest.get("stats", {}),
+    }
+    if manifest.get("schema") is not None:
+        new_manifest["schema"] = manifest["schema"]
+    _carry_constraints(new_manifest, manifest)
+    if "external_files" in manifest:
+        new_manifest["external_files"] = manifest["external_files"]
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, version) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    finally:
+        os.remove(tmp)
+    return version
+
+
+def materialize_dvs(spark: SparkSession, root: str) -> int:
+    """OPTIMIZE's deletion-vector flush: rewrite ONLY the files that
+    have live DV rows (survivors re-written without their deleted
+    rows), carry every clean file BY NAME, and commit a new version
+    with no ``dvs`` — after which reads are plain scans again. A table
+    with no DVs is a no-op (current version, no commit). History stays
+    immutable: the DV versions still apply their vectors on time
+    travel until retention.
+
+    Scale: data work is O(rows in DV'd files); the distinct-file probe
+    is bounded by the manifest's file count."""
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot materialize an empty table")
+    manifest = read_manifest(root, parent)
+    dvs = manifest.get("dvs", [])
+    if not dvs:
+        return parent
+    dv_keys = {
+        r["_dv_file"]
+        for r in _read_dvs(spark, root, dvs)
+        .select("_dv_file")
+        .distinct()
+        .collect()
+    }
+    # stale keys (files a later COW/compact already rewrote) resolve to
+    # nothing here — their vectors are inert and simply dropped
+    affected = [f for f in manifest["files"] if f in dv_keys]
+    txn = uuid.uuid4().hex[:12]
+    version = parent + 1
+    new_files: list = []
+    if affected:
+        reader = spark.read
+        schema = table_schema(root, parent)
+        if schema is not None:
+            reader = reader.schema(schema)
+        scan = reader.parquet(*[os.path.join(root, f) for f in affected])
+        survivors = _strip_dv_rows(spark, root, scan, dvs)
+        data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
+        survivors.write.parquet(data_dir)
+        new_files = _drop_empty_files(
+            root,
+            sorted(
+                os.path.join(os.path.relpath(data_dir, root), n)
+                for n in os.listdir(data_dir)
+                if n.endswith(".parquet")
+            ),
+        )
+    affected_set = set(affected)
+    kept = [f for f in manifest["files"] if f not in affected_set]
+    prev_stats = manifest.get("stats", {})
+    new_manifest = {
+        "version": version,
+        "parent": parent,
+        "files": kept + new_files,
+        "added": new_files,
+        "dv_materialized_from": affected,
+        "batches": manifest.get("batches", []),
+        "stats": {
+            **{f: prev_stats[f] for f in kept if f in prev_stats},
+            **_collect_file_stats(root, new_files),
+        },
+    }
+    if manifest.get("schema") is not None:
+        new_manifest["schema"] = manifest["schema"]
+    _carry_constraints(new_manifest, manifest)
+    if "external_files" in manifest:
+        # externally-referenced files may have been rewritten local;
+        # keep only refs still in the carried file list
+        ext = [f for f in manifest["external_files"] if f in set(kept)]
+        if ext:
+            new_manifest["external_files"] = ext
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, version) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    finally:
+        os.remove(tmp)
+    return version
 
 
 def _uri_to_local(uri: str) -> str:
@@ -677,6 +968,14 @@ def _cow_rewrite(
     df = reader.parquet(*abs_of).withColumn(
         "_kmce_file", F.input_file_name()
     )
+    dvs = manifest.get("dvs", [])
+    if dvs:
+        # a merge-on-read table: DV-deleted rows are DEAD — they must
+        # neither count as predicate matches nor resurrect through the
+        # rewrite's survivor pass (the rewritten files bake the
+        # deletions in; the carried DV entries for them go stale and
+        # inert, flushed by the next materialize_dvs)
+        df = _strip_dv_rows(spark, root, df, dvs)
     raw_affected = [
         r["_kmce_file"]
         for r in df.filter(predicate).select("_kmce_file").distinct().collect()
@@ -733,6 +1032,14 @@ def _cow_rewrite(
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
     _carry_constraints(new_manifest, manifest)
+    if dvs:
+        # vectors for KEPT files stay live; entries keyed to rewritten
+        # files reference nothing in the new file list (inert)
+        new_manifest["dvs"] = dvs
+    if "external_files" in manifest:
+        ext = [f for f in manifest["external_files"] if f in set(kept)]
+        if ext:
+            new_manifest["external_files"] = ext
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -877,6 +1184,11 @@ def merge_into(
     df = reader.parquet(*abs_of).withColumn(
         "_kmce_file", F.input_file_name()
     )
+    dvs = manifest.get("dvs", [])
+    if dvs:
+        # same merge-on-read discipline as _cow_rewrite: DV-deleted
+        # rows neither match source keys nor survive into rewrites
+        df = _strip_dv_rows(spark, root, df, dvs)
     cols = [c for c in df.columns if c != "_kmce_file"]
     if set(source.columns) != set(cols):
         raise ValueError(
@@ -982,6 +1294,12 @@ def merge_into(
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
     _carry_constraints(new_manifest, manifest)
+    if dvs:
+        new_manifest["dvs"] = dvs
+    if "external_files" in manifest:
+        ext = [f for f in manifest["external_files"] if f in set(kept)]
+        if ext:
+            new_manifest["external_files"] = ext
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -1104,22 +1422,27 @@ def read_changes(
     files: list[str] = []
     for v in range(v0 + 1, v1 + 1):
         m = read_manifest(root, v)
-        if "compacted_from" in m:
+        if "compacted_from" in m or "dv_materialized_from" in m:
+            # OPTIMIZE and the DV flush rewrite the SAME live rows into
+            # new files — no-data-change versions (dataChange=false);
+            # emitting their `added` files would re-deliver old rows
             continue
         if (
             m.get("deleted_from")
             or m.get("updated_from")
             or m.get("merged_from")
+            or m.get("dv_added")
             or "restored_from" in m
         ):
             # empty merged_from = insert-only merge: nothing rewritten,
             # the added files are genuinely new rows; a RESTORE can
             # remove rows (everything added after the restore point),
-            # which an append-only diff cannot represent either
+            # and a DV delete removes rows without adding files —
+            # an append-only diff cannot represent any of them
             raise ValueError(
-                f"read_changes: version {v} is a copy-on-write rewrite "
-                "or restore; the append-only change diff cannot "
-                "represent deletes/updates/rollbacks"
+                f"read_changes: version {v} is a copy-on-write rewrite, "
+                "deletion-vector delete, or restore; the append-only "
+                "change diff cannot represent deletes/updates/rollbacks"
             )
         files.extend(m.get("added", []))
     schema = table_schema(root, v1) if v1 >= 1 else None
@@ -1177,6 +1500,17 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
             "NEW table"
         )
     src_manifest = read_manifest(src_root, src_version)
+    if src_manifest.get("dvs"):
+        # DV sidecar keys are SOURCE-relative; re-rooted under the
+        # clone they would resolve against the wrong base and silently
+        # resurrect deleted rows — the one failure mode this store
+        # never accepts. Materialize first (Delta gates several
+        # clone×DV combinations the same way).
+        raise ValueError(
+            f"cannot shallow-clone {src_root} v{src_version}: snapshot "
+            "carries live deletion vectors — run materialize_dvs on "
+            "the source first"
+        )
     src_abs = os.path.abspath(src_root)
     abs_files = [
         f if os.path.isabs(f) else os.path.join(src_abs, f)
@@ -1265,6 +1599,10 @@ def restore_table(root: str, version: int) -> int:
     _carry_constraints(manifest, target)
     if "external_files" in target:
         manifest["external_files"] = target["external_files"]
+    if target.get("dvs"):
+        # restoring to a merge-on-read snapshot restores its vectors
+        # too — same root, same relative sidecar refs, still live
+        manifest["dvs"] = target["dvs"]
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, new_version) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -1351,6 +1689,10 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             kind, audit = "constraint", m["constraint_added"]
         elif m.get("deleted_from"):
             kind, audit = "delete", None
+        elif m.get("dv_added"):
+            kind, audit = "dv_delete", None
+        elif "dv_materialized_from" in m:
+            kind, audit = "dv_materialize", None
         elif m.get("updated_from"):
             kind, audit = "update", None
         elif "merged_from" in m:
