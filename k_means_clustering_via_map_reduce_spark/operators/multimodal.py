@@ -1992,3 +1992,124 @@ def m14_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LEFT join semantics) flips the hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return silence_runs(synthesize_pcm_wav(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M15 — PATCH-GRID statistics (round-10 wave 4): partition every
+# decoded PNG into a 4x4 patch grid (ViT patchify — the preprocessing
+# every vision-transformer training pipeline runs before embedding)
+# and emit per-patch pixel count and exact per-channel sums. Patch
+# assignment uses the resolution-agnostic integer rule
+# cell = (coord * GRID) div extent, so any width/height (including
+# sizes not divisible by 4) partitions exhaustively with no pixel
+# counted twice — an off-by-one at a patch seam moves mass between
+# patches and flips the hash.
+#
+# The engine path is the REAL decode (zlib inflate + defilter) via
+# png_pixel_array with a vectorized numpy bincount per patch; the
+# oracle replays the synthetic pixel formula relationally
+# (pixel (x, y) of doc d: r = (d + y + 3x) % 256, g/b its +1/+2
+# successors), so counts and sums are integer-exact in both engines.
+#
+# Scale: per-image bounded Arrow-batched mapInPandas, no shuffle
+# before the presentation sort; output is 16 rows per image whatever
+# the resolution — the fixed-fanout shape a 100 TB patch-embedding
+# feed wants (patches stream straight into the encoder batch).
+# --------------------------------------------------------------------------
+M15_GRID = 4
+
+M15_ORACLE = f"""
+    WITH png AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents WHERE doc_id % 4 = 0),
+    ys AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y
+      FROM png),
+    cells AS (
+      SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x
+      FROM ys),
+    px AS (
+      SELECT doc_id,
+             (y * {M15_GRID}) // h AS cell_y,
+             (x * {M15_GRID}) // w AS cell_x,
+             (doc_id + y + 3 * x) % 256 AS r,
+             (doc_id + y + 3 * x + 1) % 256 AS g,
+             (doc_id + y + 3 * x + 2) % 256 AS b
+      FROM cells)
+    SELECT doc_id, CAST(cell_y AS INT) AS cell_y,
+           CAST(cell_x AS INT) AS cell_x,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, cell_y, cell_x
+    ORDER BY doc_id, cell_y, cell_x
+"""
+
+
+def patch_grid_stats(df: DataFrame, grid: int = M15_GRID) -> DataFrame:
+    """(doc_id, cell_y, cell_x, n_px, sum_r, sum_g, sum_b) per
+    decodable PNG blob — exhaustive integer patchify, vectorized per
+    image."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                px = png_pixel_array(bytes(blob))
+                if px is None:
+                    continue
+                h, stride = px.shape
+                w = stride // 3
+                rgb = px.reshape(h, w, 3).astype(np.int64)
+                cy = (np.arange(h) * grid) // h
+                cx = (np.arange(w) * grid) // w
+                cell = (cy[:, None] * grid + cx[None, :]).ravel()
+                n = np.bincount(cell, minlength=grid * grid)
+                sums = [
+                    np.bincount(
+                        cell,
+                        weights=rgb[:, :, ch].ravel(),
+                        minlength=grid * grid,
+                    ).astype(np.int64)
+                    for ch in range(3)
+                ]
+                for c in range(grid * grid):
+                    if n[c] == 0:
+                        continue  # tiny images: empty grid rows/cols
+                    rows.append(
+                        (
+                            int(did), c // grid, c % grid, int(n[c]),
+                            int(sums[0][c]), int(sums[1][c]),
+                            int(sums[2][c]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "cell_y", "cell_x", "n_px",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(
+        extract,
+        schema=(
+            "doc_id BIGINT, cell_y INT, cell_x INT, n_px BIGINT, "
+            "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+        ),
+    )
+
+
+@query("m15_patch_grid", oracle=M15_ORACLE)
+def m15_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: 4x4 patchify statistics of every synthesized PNG through
+    the real decode — a seam off-by-one, a channel-order slip, a
+    dropped sub-grid-size image row, or double-counted seam pixels
+    all flip the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return patch_grid_stats(synthesize_media(docs)).orderBy(
+        "doc_id", "cell_y", "cell_x"
+    )

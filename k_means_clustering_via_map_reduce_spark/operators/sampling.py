@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from k_means_clustering_via_map_reduce_spark.queries import query, r4
 from k_means_clustering_via_map_reduce_spark.sources import load_table, spread
@@ -1221,4 +1222,159 @@ def p15_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# P16 — WATERFILL mixture allocation (round-10 wave 4): split a global
+# token budget across sources so every source gets an equal share of
+# the budget EXCEPT sources too small to absorb theirs — their surplus
+# redistributes among the rest (the classic cap-and-redistribute /
+# water-filling solution, the exact form of the "cap each source,
+# re-normalize the remainder" step every mixture recipe applies before
+# temperature weighting). Solved RELATIONALLY, not iteratively: sorted
+# by size, a source is saturated iff fully funding it and giving every
+# later source at least as much still fits the budget —
+# n_j*(k-j) + prefix_j <= B, a cross-multiplied BIGINT predicate (no
+# engine divides before classifying), so the saturated set is one
+# window pass and the final level is one integer division; the
+# remainder goes to the first r unsaturated sources in (size, source)
+# order. Bit-stable in both engines end to end.
+#
+# Scale: per-source sizes are one partial-agg groupBy over the corpus;
+# everything after operates on the K-row source table (the global
+# window is over K rows, not data — stated because an unpartitioned
+# window over DATA would be the usual red flag).
+# --------------------------------------------------------------------------
+P16_BUDGET_NUM = 6  # budget = (6 * total_tokens) div 10
+P16_BUDGET_DEN = 10
+
+P16_ORACLE = f"""
+    WITH s AS (
+      SELECT source, lang,
+             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             ({P16_BUDGET_NUM} * sum(n)) // {P16_BUDGET_DEN} AS b
+      FROM s),
+    o AS (
+      SELECT source, lang, n,
+             row_number() OVER (ORDER BY n, source, lang) AS rk,
+             sum(n) OVER (ORDER BY n, source, lang) AS pre
+      FROM s),
+    js AS (
+      SELECT coalesce(max(CASE WHEN o.n * (t.k - o.rk) + o.pre <= t.b
+                                THEN o.rk END), 0) AS jstar
+      FROM o, t),
+    pj AS (
+      SELECT coalesce(max(CASE WHEN o.rk = js.jstar THEN o.pre END), 0)
+               AS pre_star
+      FROM o, js),
+    lev AS (
+      SELECT CASE WHEN js.jstar = t.k THEN 0
+                  ELSE (t.b - pj.pre_star) // (t.k - js.jstar) END AS lvl,
+             CASE WHEN js.jstar = t.k THEN 0
+                  ELSE (t.b - pj.pre_star) % (t.k - js.jstar) END AS rem,
+             js.jstar AS jstar
+      FROM js, pj, t)
+    SELECT o.source, o.lang, o.n AS n_tokens,
+           CAST(CASE WHEN o.rk <= lev.jstar THEN o.n
+                     ELSE lev.lvl
+                          + CASE WHEN o.rk - lev.jstar <= lev.rem
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN o.rk <= lev.jstar THEN 1 ELSE 0 END AS BIGINT)
+             AS saturated
+    FROM o, lev ORDER BY o.source, o.lang
+"""
+
+
+@query("p16_waterfill_mix", oracle=P16_ORACLE)
+def p16_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16: per-(source, lang) waterfill allocation of 60% of the
+    corpus's tokens — units as small as one rare-language document
+    SATURATE (keep everything) while large units split the remainder
+    evenly; a saturation off-by-one, a pre-division classification, a
+    lost remainder token, or an unstable sort among equal-size units
+    flips the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "source",
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("n"))
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.expr(
+            f"({P16_BUDGET_NUM} * sum(n)) div {P16_BUDGET_DEN}"
+        ).alias("b"),
+    )
+    # K-row table from here on: the unpartitioned windows below order
+    # SOURCES, never data rows
+    wo = Window.orderBy("n", "source", "lang")
+    o = (
+        s.withColumn("rk", F.row_number().over(wo))
+        .withColumn(
+            "pre",
+            F.sum("n").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .crossJoin(F.broadcast(t))
+    )
+    js = o.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n") * (F.col("k") - F.col("rk")) + F.col("pre")
+                    <= F.col("b"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("jstar")
+    )
+    o2 = o.crossJoin(F.broadcast(js))
+    pj = o2.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("rk") == F.col("jstar"), F.col("pre"))
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("pre_star")
+    )
+    full = o2.crossJoin(F.broadcast(pj))
+    lvl = F.when(F.col("jstar") == F.col("k"), F.lit(0)).otherwise(
+        F.expr("(b - pre_star) div (k - jstar)")
+    )
+    rem = F.when(F.col("jstar") == F.col("k"), F.lit(0)).otherwise(
+        (F.col("b") - F.col("pre_star")) % (F.col("k") - F.col("jstar"))
+    )
+    return (
+        full.withColumn("lvl", lvl)
+        .withColumn("rem", rem)
+        .select(
+            "source",
+            "lang",
+            F.col("n").alias("n_tokens"),
+            F.when(F.col("rk") <= F.col("jstar"), F.col("n"))
+            .otherwise(
+                F.col("lvl")
+                + F.when(
+                    F.col("rk") - F.col("jstar") <= F.col("rem"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+            F.when(F.col("rk") <= F.col("jstar"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("saturated"),
+        )
+        .orderBy("source", "lang")
     )

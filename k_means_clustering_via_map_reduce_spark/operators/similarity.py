@@ -1288,14 +1288,13 @@ S10_ORACLE = f"""
 """
 
 
-def radius_selfjoin_profile(
-    corpus: DataFrame,
-    centers: list,
-    radius: float = S10_RADIUS,
-) -> DataFrame:
-    """Per-vector radius-neighbor profile through the two-sided cell
-    prune. ``centers`` is any coarse codebook (shared with s7/s9b);
-    exactness never depends on it."""
+def _cell_pruned_selfjoin(
+    corpus: DataFrame, centers: list, radius: float
+) -> tuple[DataFrame, int, int]:
+    """(va, vb, cos) pairs with cos >= radius, exact through the
+    two-sided spherical cell prune; returns (pairs, n_admissible_pairs,
+    n_grid) for the pytest prune ledgers. Shared by s10's census and
+    s12's nearest-neighbor argmax."""
     import math
 
     import numpy as np
@@ -1351,6 +1350,21 @@ def radius_selfjoin_profile(
             / (F.col("anrm") * F.col("bnrm")),
         )
         .filter(F.col("cos") >= radius)
+        .select("va", "vb", "cos")
+    )
+    return matched, len(pairs), len(cells) * len(cells)
+
+
+def radius_selfjoin_profile(
+    corpus: DataFrame,
+    centers: list,
+    radius: float = S10_RADIUS,
+) -> DataFrame:
+    """Per-vector radius-neighbor profile through the two-sided cell
+    prune. ``centers`` is any coarse codebook (shared with s7/s9b);
+    exactness never depends on it."""
+    matched, n_pairs, n_grid = _cell_pruned_selfjoin(
+        corpus, centers, radius
     )
     prof = matched.groupBy("va").agg(
         F.count(F.lit(1)).alias("n_neighbors"),
@@ -1370,8 +1384,8 @@ def radius_selfjoin_profile(
         )
         .orderBy("vec_id")
     )
-    out._kmce_cell_pairs = len(pairs)  # pytest prune ledger
-    out._kmce_cell_grid = len(cells) * len(cells)
+    out._kmce_cell_pairs = n_pairs  # pytest prune ledger
+    out._kmce_cell_grid = n_grid
     return out
 
 
@@ -1474,3 +1488,136 @@ def s11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# S12 — EXACT global 1-NN self-join (round-10 wave 4): every vector's
+# single nearest neighbor by cosine, with its label agreement — THE
+# semantic-dedup primitive (a near-duplicate is a 1-NN above
+# threshold) and the standard embedding-quality probe (1-NN label
+# agreement ≈ k-NN classifier accuracy at k=1). Exactness strategy:
+# the s10 two-sided cell prune at a radius every vector's true 1-NN
+# provably clears — the argmax inside the radius-R neighborhood IS
+# the global argmax whenever each vector has ≥1 neighbor at cos >= R,
+# and the query VERIFIES that coverage at run time and raises loudly
+# rather than return a silently-approximate neighbor (measured
+# min-over-vectors max-cos: 0.268 @ sf0.01, 0.282 @ sf0.001,
+# 0.329 @ sf0.1 — all above R=0.25).
+#
+# Determinism: cos = fold-ordered dot / (norm_a * norm_b), the exact
+# operand order DuckDB's list_dot_product uses, so the ranking key is
+# bit-identical across engines; ties break to the lower neighbor id.
+#
+# Scale: pair generation touches only admissible cell pairs (the s7
+# bucketed layout serves the join shuffle-free); the argmax is one
+# window over the pruned pairs, output exactly N rows. On corpora
+# where coverage at a fixed R fails, the production fallback is
+# radius doubling per uncovered stratum — the guard names them.
+# --------------------------------------------------------------------------
+S12_RADIUS = 0.25
+
+S12_ORACLE = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS la, b.label AS lb,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+    r AS (
+      SELECT va, vb, la, lb, cos,
+             row_number() OVER (PARTITION BY va
+                                ORDER BY cos DESC, vb ASC) AS rn
+      FROM p)
+    SELECT va AS vec_id, vb AS nn_id, round(cos, 4) AS nn_cos,
+           CAST(CASE WHEN la = lb THEN 1 ELSE 0 END AS BIGINT)
+             AS same_label
+    FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def nearest_neighbor_profile(
+    corpus: DataFrame, centers: list, radius: float = S12_RADIUS
+) -> DataFrame:
+    """Exact 1-NN per vector through the cell prune, with the runtime
+    coverage guard that makes the radius-bounded argmax provably
+    global. ``corpus``: (vec_id, v, label)."""
+    matched, n_pairs, n_grid = _cell_pruned_selfjoin(
+        corpus.select("vec_id", "v"), centers, radius
+    )
+    w = Window.partitionBy("va").orderBy(
+        F.col("cos").desc(), F.col("vb").asc()
+    )
+    nn = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("va", "vb", "cos")
+        .localCheckpoint(eager=True)
+    )
+    n_corpus = corpus.count()
+    n_covered = nn.count()
+    if n_covered != n_corpus:
+        missing = (
+            corpus.select("vec_id")
+            .join(nn, corpus["vec_id"] == nn["va"], "left_anti")
+            .limit(5)
+            .collect()
+        )
+        raise AssertionError(
+            f"s12 coverage guard: {n_corpus - n_covered} vector(s) have "
+            f"no neighbor at cos >= {radius} — the radius-bounded argmax "
+            f"is not provably global (e.g. {[r['vec_id'] for r in missing]}); "
+            "raise the radius or fall back to per-stratum doubling"
+        )
+    labels = corpus.select("vec_id", "label")
+    la = labels.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la")
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb")
+    )
+    out = (
+        nn.join(la, "va")
+        .join(lb, "vb")
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("vb").alias("nn_id"),
+            r4(F.col("cos")).alias("nn_cos"),
+            F.when(F.col("la") == F.col("lb"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("same_label"),
+        )
+        .orderBy("vec_id")
+    )
+    out._kmce_cell_pairs = n_pairs
+    out._kmce_cell_grid = n_grid
+    return out
+
+
+@query("s12_global_1nn", oracle=S12_ORACLE)
+def s12_global_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: every vector's exact nearest neighbor and label agreement —
+    a prune that loses the true 1-NN, an unstable float tie, a
+    self-match leak, or a coverage hole (guarded, loud) flips it.
+    Serves from the s7 persisted codebook (one seeded fit per
+    process)."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    key = staging_key(sf_dir, "embeddings")
+    if _S7_STAGED.get("key") != key:
+        build_ivf_index(
+            e.select("vec_id", "v")
+        )
+        _S7_STAGED["key"] = key
+    centers = [
+        r.center
+        for r in spark.table("s7_centroids").orderBy("cell").collect()
+    ]
+    return nearest_neighbor_profile(e, centers)

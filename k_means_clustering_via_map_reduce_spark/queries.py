@@ -7658,3 +7658,99 @@ def q96_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --------------------------------------------------------------------------
+# F35 — COLUMN MAPPING: metadata-only RENAME COLUMN (round-10 wave 4).
+# Delta's column-mapping name mode re-expressed minimally: data files
+# keep their original ("physical") column names forever, the manifest
+# carries the logical schema plus a logical->physical map, and a
+# rename is one O(#files) manifest commit — zero bytes rewritten at
+# any table size. The staged lifecycle makes the indirection load-
+# bearing across HETEROGENEOUS files: two quarters committed under
+# the old name, the rename, a third quarter appended under the new
+# name (its files still write the physical spelling), a COW delete
+# predicated ON THE NEW NAME that must hit rows in both file
+# generations, then a fourth quarter appended after the delete. The
+# staging also probes that the newest file's raw parquet schema
+# speaks the physical name — a rename that rewrote data, missed old
+# files, or leaked physical names to readers flips the hash or the
+# probe. Mechanism + verb-composition invariants:
+# sources/versioned.py::rename_column, tests/test_column_mapping.py.
+# --------------------------------------------------------------------------
+_F35_STAGED: dict[tuple, object] = {}
+
+F35_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    WHERE doc_id % 4 = 3 OR n_chars % 5 <> 0
+    GROUP BY lang ORDER BY lang
+"""
+
+
+@query("f35_column_mapping_read", oracle=F35_ORACLE)
+def f35_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F35: per-lang stats through a mid-history column rename — the
+    delete predicate runs on the NEW logical name over files written
+    both before and after the rename, so a broken physical-name
+    indirection loses rows from one file generation and flips the
+    hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where,
+        read_manifest,
+        read_version,
+        rename_column,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F35_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_colmap_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        commit_append(d.filter(F.col("doc_id") % 4 < 2), tmp.name)
+        rename_column(tmp.name, "n_chars", "char_count")
+        commit_append(
+            d.filter(F.col("doc_id") % 4 == 2).withColumnRenamed(
+                "n_chars", "char_count"
+            ),
+            tmp.name,
+        )
+        delete_where(spark, tmp.name, "char_count % 5 = 0")
+        commit_append(
+            d.filter(F.col("doc_id") % 4 == 3).withColumnRenamed(
+                "n_chars", "char_count"
+            ),
+            tmp.name,
+        )
+        # indirection probes: readers see the logical name only, the
+        # newest file stores the physical one
+        cols = read_version(spark, tmp.name).columns
+        if "char_count" not in cols or "n_chars" in cols:
+            raise AssertionError(f"f35 staging: logical schema leak {cols}")
+        m = read_manifest(tmp.name, 5)
+        import os as _os
+
+        raw = spark.read.parquet(_os.path.join(tmp.name, m["added"][0]))
+        if "n_chars" not in raw.columns:
+            raise AssertionError(
+                "f35 staging: post-rename file dropped the physical "
+                f"column spelling ({raw.columns})"
+            )
+        _F35_STAGED[key] = tmp
+    return (
+        read_version(spark, _F35_STAGED[key].name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("char_count").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -1064,12 +1064,15 @@ def register_version_feed_source(spark: SparkSession) -> str:
                     "rewrite; the append-only change feed cannot "
                     "represent deletes/updates"
                 )
+            mapping = manifest.get("column_mapping", {})
             for rel in manifest.get("added", []):
                 table = pq.read_table(_os.path.join(root, rel))
                 cols = {}
                 for n in names:
-                    if n in table.column_names:
-                        cols[n] = table.column(n).to_pylist()
+                    # files speak PHYSICAL names under column mapping
+                    phys = mapping.get(n, n)
+                    if phys in table.column_names:
+                        cols[n] = table.column(phys).to_pylist()
                     else:
                         cols[n] = [None] * len(table)
                 out.extend(zip(*[cols[n] for n in names]))

@@ -158,6 +158,7 @@ def add_check_constraint(
         manifest["external_files"] = prev["external_files"]
     if prev.get("dvs"):
         manifest["dvs"] = prev["dvs"]
+    _carry_mapping(manifest, prev)
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -310,6 +311,9 @@ def prune_files(
     which files it is given)."""
     m = read_manifest(root, version)
     stats = m.get("stats", {})
+    # footer stats are keyed by the files' PHYSICAL column names;
+    # callers prune on logical names
+    column = m.get("column_mapping", {}).get(column, column)
     kept = []
     for f in m["files"]:
         s = stats.get(f, {}).get(column)
@@ -359,9 +363,34 @@ def commit_append(
     # Schema evolution happens AT the commit point (Delta metaData-action
     # idiom): the manifest records the evolved union schema, and a type
     # conflict with history fails loudly BEFORE any data is written.
-    _evolve_schema(table_schema(root, parent), df.schema)
+    parent_logical = table_schema(root, parent)
+    _evolve_schema(parent_logical, df.schema)
+    validated_mapping = column_mapping(root, parent)
+    if validated_mapping:
+        # retired-name rule: a NEW logical column may not reuse a name
+        # that is some other column's on-disk physical spelling — the
+        # files would carry two meanings for one physical column
+        known = (
+            {f.name for f in parent_logical.fields}
+            if parent_logical is not None
+            else set()
+        )
+        retired = {
+            phys
+            for log, phys in validated_mapping.items()
+            if phys != log
+        }
+        bad = sorted(
+            (set(df.columns) - known) & retired
+        )
+        if bad:
+            raise ValueError(
+                f"commit_append: new column(s) {bad} collide with "
+                "retired physical column names (rename history) — pick "
+                "different names or OPTIMIZE to flush the mapping first"
+            )
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn}")
-    df.write.parquet(data_dir)
+    _to_physical(df, validated_mapping).write.parquet(data_dir)
     new_files = sorted(
         os.path.join(os.path.relpath(data_dir, root), n)
         for n in os.listdir(data_dir)
@@ -390,6 +419,7 @@ def commit_append(
             # live deletion vectors are snapshot state: an append that
             # dropped them would resurrect every DV-deleted row
             manifest["dvs"] = prev["dvs"]
+        _carry_mapping(manifest, prev)
         _carry_constraints(manifest, prev)
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
@@ -411,6 +441,13 @@ def commit_append(
                     f"append rebase aborted: table constraints changed "
                     f"between validation (v{parent}) and commit "
                     f"(v{head}) — re-validate and retry"
+                )
+            if column_mapping(root, head) != validated_mapping:
+                raise ConcurrentWriteError(
+                    f"append rebase aborted: the column mapping changed "
+                    f"between validation (v{parent}) and commit "
+                    f"(v{head}) — the data files were written under the "
+                    "old physical naming; rewrite and retry"
                 )
             parent = head
         finally:
@@ -583,18 +620,23 @@ def read_version(
     _check_external_refs(root, files)
     reader = spark.read
     schema = table_schema(root, version)
+    mapping = m.get("column_mapping", {})
     if schema is not None:
         # Read with the manifest's EVOLVED schema, not a sampled parquet
         # footer: under schema evolution the files are heterogeneous,
         # and a footer-sampled read would return whichever commit's
         # schema Spark happened to pick (dropping added columns
         # nondeterministically). The explicit schema makes every read
-        # deterministic and null-fills columns a file predates.
-        reader = reader.schema(schema)
+        # deterministic and null-fills columns a file predates. Under
+        # column mapping the files speak PHYSICAL names; the scan reads
+        # those and the final projection restores the logical names.
+        reader = reader.schema(_physical_schema(schema, mapping))
     scan = reader.parquet(*[os.path.join(root, f) for f in files])
     dvs = m.get("dvs", [])
     if dvs:
         scan = _strip_dv_rows(spark, root, scan, dvs)
+    if mapping:
+        scan = _to_logical(scan, schema, mapping)
     return scan
 
 
@@ -616,6 +658,158 @@ def _check_external_refs(root: str, files: list) -> None:
             f"file(s) missing (cloned source relocated or vacuumed?); "
             f"first: {missing[:3]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Column mapping — METADATA-ONLY rename (Delta's column-mapping
+# feature, name mode, minimally). Data files keep their original
+# ("physical") column names forever; the manifest's schema is the
+# LOGICAL schema, and a ``column_mapping`` dict (logical -> physical,
+# identity pairs omitted) bridges the two. ``rename_column`` is one
+# O(#files) manifest commit — zero data rewritten at any table size —
+# and every reader scans with the physical schema then aliases to
+# logical, so files written before AND after the rename read
+# identically. OPTIMIZE (compact) rewrites all files under their
+# logical names and drops the mapping, the same flush contract as
+# deletion vectors.
+# ---------------------------------------------------------------------------
+def column_mapping(root: str, version: int | None = None) -> dict:
+    """The logical -> physical name map at ``version`` (latest when
+    None); empty when no rename ever happened (identity)."""
+    if version is None:
+        version = latest_version(root)
+    if version == 0:
+        return {}
+    return read_manifest(root, version).get("column_mapping", {})
+
+
+def _carry_mapping(manifest: dict, prev: dict) -> None:
+    if prev.get("column_mapping"):
+        manifest["column_mapping"] = prev["column_mapping"]
+
+
+def _physical_schema(schema, mapping: dict):
+    """The logical schema with mapped fields renamed to their physical
+    (on-disk) spelling — what the parquet reader must be given."""
+    from pyspark.sql.types import StructField, StructType
+
+    if schema is None or not mapping:
+        return schema
+    return StructType(
+        [
+            StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, schema, mapping: dict) -> DataFrame:
+    """Alias a physical-named scan back to logical names (schema field
+    order). Extra helper columns would be dropped — callers attach
+    them after."""
+    from pyspark.sql import functions as F
+
+    if schema is None or not mapping:
+        return df
+    return df.select(
+        *[
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename a logical-named frame to physical spelling before a file
+    write, so every data file of the table speaks one naming."""
+    from pyspark.sql import functions as F
+
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN (Delta's column-mapping verb):
+    one metadata-only commit — the logical schema gets the new name,
+    the mapping records new -> <old's physical name>, and no data file
+    is touched. Time travel below the rename shows the old name (each
+    manifest carries its own schema+mapping). Refuses when a CHECK
+    constraint references the old name (rewrite the constraint
+    explicitly; a silent textual rewrite could alias an unrelated
+    substring), and when ``new`` already exists logically.
+
+    Note the retired-name rule enforced at append time: once ``old``
+    is a physical-only name, a LATER new column may not reuse it
+    (files would hold two meanings for one physical column). Delta
+    avoids this with GUID physical names (id mode); this store keeps
+    names readable and refuses the collision loudly instead."""
+    import re as _re
+
+    from pyspark.sql.types import StructField, StructType
+
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot rename a column of an empty table")
+    prev = read_manifest(root, parent)
+    schema = table_schema(root, parent)
+    if schema is None:
+        raise ValueError(
+            "rename_column needs a recorded table schema (pre-evolution "
+            "manifest) — recommit once to record one"
+        )
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    for cname, expr in prev.get("constraints", {}).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"rename_column: CHECK constraint {cname!r} ({expr}) "
+                f"references {old!r} — drop and recreate it against the "
+                "new name first"
+            )
+    mapping = dict(prev.get("column_mapping", {}))
+    physical = mapping.pop(old, old)
+    mapping[new] = physical
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable)
+            for f in schema.fields
+        ]
+    )
+    txn = uuid.uuid4().hex[:12]
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "files": prev.get("files", []),
+        "added": [],
+        "renamed_column": [old, new],
+        "column_mapping": mapping,
+        "schema": new_schema.jsonValue(),
+        "batches": prev.get("batches", []),
+        "stats": prev.get("stats", {}),
+    }
+    _carry_constraints(manifest, prev)
+    if "external_files" in prev:
+        manifest["external_files"] = prev["external_files"]
+    if prev.get("dvs"):
+        manifest["dvs"] = prev["dvs"]
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, parent + 1))
+    finally:
+        os.remove(tmp)
+    return parent + 1
 
 
 # ---------------------------------------------------------------------------
@@ -743,8 +937,9 @@ def delete_where_dv(
     _check_external_refs(root, files)
     reader = spark.read
     schema = table_schema(root, parent)
+    mapping = manifest.get("column_mapping", {})
     if schema is not None:
-        reader = reader.schema(schema)
+        reader = reader.schema(_physical_schema(schema, mapping))
     keyed = _attach_dv_cols(
         reader.parquet(*[os.path.join(root, f) for f in files]), root
     )
@@ -755,6 +950,16 @@ def delete_where_dv(
             keyed["_kmce_dv_pos"] == dv["_dv_pos"]
         )
         keyed = keyed.join(dv, cond, "left_anti")
+    if mapping:
+        # the predicate speaks logical names; keep the vector key cols
+        keyed = keyed.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col("_kmce_dv_file"),
+            F.col("_kmce_dv_pos"),
+        )
     txn = uuid.uuid4().hex[:12]
     version = parent + 1
     doomed = keyed.filter(predicate).select(
@@ -792,6 +997,7 @@ def delete_where_dv(
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
     _carry_constraints(new_manifest, manifest)
+    _carry_mapping(new_manifest, manifest)
     if "external_files" in manifest:
         new_manifest["external_files"] = manifest["external_files"]
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
@@ -839,8 +1045,14 @@ def materialize_dvs(spark: SparkSession, root: str) -> int:
     if affected:
         reader = spark.read
         schema = table_schema(root, parent)
+        # the rewrite keeps the files' PHYSICAL naming (mapping carries
+        # forward unchanged — only compact flushes it)
         if schema is not None:
-            reader = reader.schema(schema)
+            reader = reader.schema(
+                _physical_schema(
+                    schema, manifest.get("column_mapping", {})
+                )
+            )
         scan = reader.parquet(*[os.path.join(root, f) for f in affected])
         survivors = _strip_dv_rows(spark, root, scan, dvs)
         data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
@@ -871,6 +1083,7 @@ def materialize_dvs(spark: SparkSession, root: str) -> int:
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
     _carry_constraints(new_manifest, manifest)
+    _carry_mapping(new_manifest, manifest)
     if "external_files" in manifest:
         # externally-referenced files may have been rewritten local;
         # keep only refs still in the carried file list
@@ -961,9 +1174,10 @@ def _cow_rewrite(
     manifest = read_manifest(root, parent)
     rel_files = manifest["files"]
     schema = table_schema(root, parent)
+    mapping = manifest.get("column_mapping", {})
     reader = spark.read
     if schema is not None:
-        reader = reader.schema(schema)
+        reader = reader.schema(_physical_schema(schema, mapping))
     abs_of = {os.path.realpath(os.path.join(root, f)): f for f in rel_files}
     df = reader.parquet(*abs_of).withColumn(
         "_kmce_file", F.input_file_name()
@@ -976,6 +1190,16 @@ def _cow_rewrite(
         # deletions in; the carried DV entries for them go stale and
         # inert, flushed by the next materialize_dvs)
         df = _strip_dv_rows(spark, root, df, dvs)
+    if mapping:
+        # the predicate and the transform speak LOGICAL names; alias
+        # the physical scan, keeping the provenance column
+        df = df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col("_kmce_file"),
+        )
     raw_affected = [
         r["_kmce_file"]
         for r in df.filter(predicate).select("_kmce_file").distinct().collect()
@@ -1002,7 +1226,7 @@ def _cow_rewrite(
     # an UPDATE can falsify a CHECK constraint; a DELETE can't, but the
     # enforcement is O(first violation) over the affected subset only
     _enforce_constraints(rewritten, manifest.get("constraints", {}))
-    rewritten.write.parquet(data_dir)
+    _to_physical(rewritten, mapping).write.parquet(data_dir)
     new_files = _drop_empty_files(
         root,
         sorted(
@@ -1032,6 +1256,7 @@ def _cow_rewrite(
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
     _carry_constraints(new_manifest, manifest)
+    _carry_mapping(new_manifest, manifest)
     if dvs:
         # vectors for KEPT files stay live; entries keyed to rewritten
         # files reference nothing in the new file list (inert)
@@ -1177,9 +1402,10 @@ def merge_into(
     manifest = read_manifest(root, parent)
     rel_files = manifest["files"]
     schema = table_schema(root, parent)
+    mapping = manifest.get("column_mapping", {})
     reader = spark.read
     if schema is not None:
-        reader = reader.schema(schema)
+        reader = reader.schema(_physical_schema(schema, mapping))
     abs_of = {os.path.realpath(os.path.join(root, f)): f for f in rel_files}
     df = reader.parquet(*abs_of).withColumn(
         "_kmce_file", F.input_file_name()
@@ -1189,6 +1415,15 @@ def merge_into(
         # same merge-on-read discipline as _cow_rewrite: DV-deleted
         # rows neither match source keys nor survive into rewrites
         df = _strip_dv_rows(spark, root, df, dvs)
+    if mapping:
+        # the source frame and the key speak LOGICAL names
+        df = df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col("_kmce_file"),
+        )
     cols = [c for c in df.columns if c != "_kmce_file"]
     if set(source.columns) != set(cols):
         raise ValueError(
@@ -1264,7 +1499,7 @@ def merge_into(
     txn = uuid.uuid4().hex[:12]
     version = parent + 1
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{version:05d}-{txn}")
-    new_content.write.parquet(data_dir)
+    _to_physical(new_content, mapping).write.parquet(data_dir)
     new_files = _drop_empty_files(
         root,
         sorted(
@@ -1294,6 +1529,7 @@ def merge_into(
     if manifest.get("schema") is not None:
         new_manifest["schema"] = manifest["schema"]
     _carry_constraints(new_manifest, manifest)
+    _carry_mapping(new_manifest, manifest)
     if dvs:
         new_manifest["dvs"] = dvs
     if "external_files" in manifest:
@@ -1453,10 +1689,14 @@ def read_changes(
                 "schema — nothing to shape an empty frame with"
             )
         return spark.createDataFrame([], schema)
+    mapping = column_mapping(root, v1) if v1 >= 1 else {}
     reader = spark.read
     if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(*[os.path.join(root, f) for f in files])
+        # files speak physical names whatever renames happened in or
+        # around the range; present the range under v1's logical names
+        reader = reader.schema(_physical_schema(schema, mapping))
+    scan = reader.parquet(*[os.path.join(root, f) for f in files])
+    return _to_logical(scan, schema, mapping)
 
 
 def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int:
@@ -1537,6 +1777,7 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
     if src_manifest.get("schema") is not None:
         manifest["schema"] = src_manifest["schema"]
     _carry_constraints(manifest, src_manifest)
+    _carry_mapping(manifest, src_manifest)
     os.makedirs(os.path.join(dst_root, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(dst_root, 1) + f".{txn}.tmp"
     with open(tmp, "w") as f:
@@ -1597,6 +1838,7 @@ def restore_table(root: str, version: int) -> int:
     # constraints are snapshot metadata: a restore returns to the
     # TARGET's rules (same contract as the schema record above)
     _carry_constraints(manifest, target)
+    _carry_mapping(manifest, target)
     if "external_files" in target:
         manifest["external_files"] = target["external_files"]
     if target.get("dvs"):
@@ -1687,6 +1929,8 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             kind, audit = "compact", None
         elif "constraint_added" in m:
             kind, audit = "constraint", m["constraint_added"]
+        elif "renamed_column" in m:
+            kind, audit = "rename", "->".join(m["renamed_column"])
         elif m.get("deleted_from"):
             kind, audit = "delete", None
         elif m.get("dv_added"):
