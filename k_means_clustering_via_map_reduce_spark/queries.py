@@ -7754,3 +7754,118 @@ def f35_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# F36 — STABLE ROW IDS (round-10 wave 4): Delta's row tracking,
+# minimally — a dense synthetic id derived at read time from manifest
+# file offsets + the `_metadata.row_index` physical position. No
+# shuffle, no window over data, no zipWithIndex; ids are dense at
+# birth, stable under append (old rows never renumber), stable under
+# DV delete (survivors keep their ids, dead ids vanish), and
+# layout-independent (same ids under any split parallelism — pinned
+# in tests/test_rowids.py). The example-level lineage primitive: join
+# loss spikes back to corpus rows, key a labels sidecar, audit-cite
+# examples — without materializing an id column into 100 TB of
+# parquet.
+#
+# The staged lifecycle commits three doc_id-sorted single-file
+# batches, DV-deletes doc_id%7=2 (ids must NOT shift), then
+# aggregates id spans per lang; the oracle replays the id assignment
+# as rank-within-commit + commit base — integer-exact.
+#
+# Scale: offsets are O(#files) driver-side metadata; the id join is a
+# broadcast of the (file, base) table; the scan stays columnar with
+# pushdown. Mechanism: sources/versioned.py::read_with_rowids.
+# --------------------------------------------------------------------------
+_F36_STAGED: dict[tuple, object] = {}
+
+F36_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, doc_id % 3 AS grp FROM documents),
+    n AS (
+      SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
+      FROM d),
+    r AS (
+      SELECT doc_id, lang, grp,
+             row_number() OVER (PARTITION BY grp ORDER BY doc_id) - 1
+               AS rk
+      FROM d),
+    ids AS (
+      SELECT doc_id, lang, grp,
+             CASE grp WHEN 0 THEN rk
+                      WHEN 1 THEN n.n0 + rk
+                      ELSE n.n0 + n.n1 + rk END AS row_id
+      FROM r, n),
+    live AS (
+      SELECT * FROM ids WHERE grp = 2 OR doc_id % 7 <> 2)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(row_id) AS BIGINT) AS min_rid,
+           CAST(max(row_id) AS BIGINT) AS max_rid,
+           CAST(sum(row_id) AS BIGINT) AS sum_rid
+    FROM live GROUP BY lang ORDER BY lang
+"""
+
+
+@query("f36_stable_rowids", oracle=F36_ORACLE)
+def f36_stable_rowids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F36: per-lang row-id spans through three sorted commits and a
+    DV delete — an id that shifts under deletion, renumbers on
+    append, or depends on scan parallelism flips the exact integer
+    sums."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where_dv,
+        read_with_rowids,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F36_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_rowid_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        )
+        for g in range(2):
+            commit_append(
+                d.filter(F.col("doc_id") % 3 == g)
+                .repartition(1)
+                .sortWithinPartitions("doc_id"),
+                tmp.name,
+            )
+        delete_where_dv(spark, tmp.name, "doc_id % 7 = 2")
+        pre = {
+            r["doc_id"]: r["_row_id"]
+            for r in read_with_rowids(spark, tmp.name).collect()
+        }
+        commit_append(
+            d.filter(F.col("doc_id") % 3 == 2)
+            .repartition(1)
+            .sortWithinPartitions("doc_id"),
+            tmp.name,
+        )
+        post = {
+            r["doc_id"]: r["_row_id"]
+            for r in read_with_rowids(spark, tmp.name).collect()
+        }
+        # stability probe: the append must not move one existing id
+        moved = [k for k, v in pre.items() if post.get(k) != v]
+        if moved:
+            raise AssertionError(
+                f"f36 staging: append shifted {len(moved)} row id(s), "
+                f"e.g. {moved[:3]}"
+            )
+        _F36_STAGED[key] = tmp
+    return (
+        read_with_rowids(spark, _F36_STAGED[key].name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_row_id").alias("min_rid"),
+            F.max("_row_id").alias("max_rid"),
+            F.sum("_row_id").alias("sum_rid"),
+        )
+        .orderBy("lang")
+    )

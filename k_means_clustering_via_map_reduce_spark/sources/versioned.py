@@ -1101,6 +1101,92 @@ def materialize_dvs(spark: SparkSession, root: str) -> int:
     return version
 
 
+def read_with_rowids(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    id_col: str = "_row_id",
+) -> DataFrame:
+    """Snapshot read with a STABLE synthetic row id — Delta's row
+    tracking, minimally: id = (cumulative row offset of the file in
+    manifest order) + (physical row position within the file), derived
+    entirely from the manifest plus the ``_metadata.row_index`` hidden
+    column. No shuffle, no window over data, no zipWithIndex: ids are
+    assigned at READ time from metadata, identically on every executor
+    layout.
+
+    Stability contract (the useful half of row tracking): ids are
+    dense 0..n-1 at birth and STABLE UNDER APPEND (a new commit's
+    files sort after every existing file, so old rows keep their ids),
+    under RENAME (metadata-only), and under DV DELETE (deleted rows
+    keep occupying their positions — survivors' ids never shift, ids
+    of dead rows simply disappear). A COW rewrite or OPTIMIZE
+    renumbers the rewritten files' rows — same caveat Delta documents
+    when row tracking is off during a rewrite. Per-file row counts
+    come from parquet footers, an O(#files) driver-side metadata read
+    (a production deployment records counts in the commit's
+    add-action stats instead).
+
+    The primitive a training pipeline needs for example-level lineage:
+    join loss spikes back to corpus rows, cite examples in an audit,
+    or key a labels sidecar without materializing an id column."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(root)
+    m = read_manifest(root, version)
+    files = m["files"]
+    _check_external_refs(root, files)
+    offsets = []
+    base = 0
+    for f in files:
+        offsets.append((f, base))
+        base += pq.ParquetFile(
+            os.path.join(root, f)
+        ).metadata.num_rows
+    reader = spark.read
+    schema = table_schema(root, version)
+    mapping = m.get("column_mapping", {})
+    if schema is not None:
+        reader = reader.schema(_physical_schema(schema, mapping))
+    scan = (
+        reader.parquet(*[os.path.join(root, f) for f in files])
+        .withColumn("_kmce_rid_file", _dv_file_key(root))
+        .withColumn("_kmce_rid_pos", F.col("_metadata.row_index"))
+    )
+    dvs = m.get("dvs", [])
+    if dvs:
+        # the (file, position) key IS the deletion-vector key — reuse
+        # the attached columns (``_metadata`` does not survive joins,
+        # so the strip must precede the offset join)
+        dv = _read_dvs(spark, root, dvs)
+        cond = (scan["_kmce_rid_file"] == dv["_dv_file"]) & (
+            scan["_kmce_rid_pos"] == dv["_dv_pos"]
+        )
+        scan = scan.join(dv, cond, "left_anti")
+    base_df = spark.createDataFrame(
+        offsets, "_kmce_rid_file STRING, _kmce_rid_base BIGINT"
+    )
+    scan = (
+        scan.join(F.broadcast(base_df), "_kmce_rid_file")
+        .withColumn(
+            id_col, F.col("_kmce_rid_base") + F.col("_kmce_rid_pos")
+        )
+        .drop("_kmce_rid_file", "_kmce_rid_pos", "_kmce_rid_base")
+    )
+    if mapping:
+        scan = scan.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col(id_col),
+        )
+    return scan
+
+
 def _uri_to_local(uri: str) -> str:
     """Normalize an ``input_file_name()`` value to a real local path.
 

@@ -1,0 +1,152 @@
+"""Model-based property test: DELETION VECTORS and COLUMN MAPPING
+composed with the full table lifecycle — the eighth interleaving
+harness on the versioned table.
+
+One table takes appends, DV deletes, COW deletes/updates (predicated
+on the CURRENT logical column name), renames, DV materialization,
+OPTIMIZE, retention, vacuum, and restores in arbitrary order. The
+invariants no sequence may break:
+
+- CONTENT TRUTH: after every op, read_version returns exactly the
+  model's rows under exactly the model's logical column names.
+- NO RESURRECTION: a DV-deleted row never reappears through any later
+  rewrite, flush, rename, or vacuum.
+- NO SILENT LOSS: vacuum with zero grace never deletes a live data
+  file or live DV sidecar.
+- RESTORE FIDELITY: restoring to version V reproduces the exact rows
+  AND column names the model had at V (deletion vectors and mapping
+  both travel with the snapshot).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    commit_append,
+    compact,
+    delete_where,
+    delete_where_dv,
+    expire_versions,
+    latest_version,
+    materialize_dvs,
+    read_version,
+    rename_column,
+    restore_table,
+    update_where,
+    vacuum,
+)
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("dv_delete"), st.sampled_from([2, 3, 5])),
+        st.tuples(st.just("cow_delete"), st.sampled_from([3, 5, 7])),
+        st.tuples(st.just("update"), st.sampled_from([4, 6])),
+        st.just("rename"),
+        st.just("materialize"),
+        st.just("compact"),
+        st.just("vacuum"),
+        st.tuples(st.just("expire"), st.integers(2, 3)),
+        st.just("restore"),
+    ),
+    min_size=4,
+    max_size=9,
+)
+
+
+def _read_state(spark, root):
+    df = read_version(spark, root)
+    cols = df.columns
+    return cols, {r[0]: r[1] for r in df.collect()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_OPS)
+def test_dv_rename_lifecycle_interleavings(
+    spark_prop, ops, tmp_path_factory
+):
+    spark = spark_prop
+    root = str(tmp_path_factory.mktemp("dvlife") / "t")
+    commit_append(
+        spark.range(12).select("id", (F.col("id") * 10).alias("v")), root
+    )
+    rows = {i: 10 * i for i in range(12)}
+    col = "v"
+    rename_n = 0
+    seq = 0
+    # model snapshot per committed version, for restore fidelity
+    snaps = {1: (dict(rows), col)}
+
+    def snap():
+        snaps[latest_version(root)] = (dict(rows), col)
+
+    for op in ops:
+        kind = op[0] if isinstance(op, tuple) else op
+        if kind == "append":
+            seq += 1
+            lo = 1000 * seq
+            commit_append(
+                spark.range(lo, lo + 4).select(
+                    "id", (F.col("id") * 10).alias(col)
+                ),
+                root,
+            )
+            rows.update({i: 10 * i for i in range(lo, lo + 4)})
+            snap()
+        elif kind == "dv_delete":
+            mod = op[1]
+            delete_where_dv(spark, root, f"id % {mod} = 0")
+            rows = {k: v for k, v in rows.items() if k % mod != 0}
+            snap()
+        elif kind == "cow_delete":
+            mod = op[1]
+            delete_where(spark, root, f"id % {mod} = 1")
+            rows = {k: v for k, v in rows.items() if k % mod != 1}
+            snap()
+        elif kind == "update":
+            mod = op[1]
+            update_where(
+                spark, root, f"id % {mod} = 2", {col: f"{col} + 1"}
+            )
+            rows = {
+                k: (v + 1 if k % mod == 2 else v)
+                for k, v in rows.items()
+            }
+            snap()
+        elif kind == "rename":
+            rename_n += 1
+            new = f"v{rename_n}"
+            rename_column(root, col, new)
+            col = new
+            snap()
+        elif kind == "materialize":
+            materialize_dvs(spark, root)
+            snap()
+        elif kind == "compact":
+            compact(spark, root, target_files=1)
+            snap()
+        elif kind == "vacuum":
+            vacuum(root, retention_seconds=0)
+        elif kind == "expire":
+            for v in expire_versions(root, keep_last=op[1]):
+                snaps.pop(v, None)
+        elif kind == "restore":
+            candidates = sorted(
+                v for v in snaps if v < latest_version(root)
+            )
+            if not candidates:
+                continue
+            target = candidates[len(candidates) // 2]
+            restore_table(root, target)
+            rows, col = dict(snaps[target][0]), snaps[target][1]
+            snap()
+        got_cols, got_rows = _read_state(spark, root)
+        assert got_cols == ["id", col], (op, got_cols, col)
+        assert got_rows == rows, (
+            op,
+            sorted(set(got_rows) ^ set(rows))[:5],
+        )
