@@ -748,9 +748,23 @@ def register_versioned_source(spark: SparkSession) -> str:
     )
 
     class FilePartition(InputPartition):
-        def __init__(self, path: str, schema_json: dict):
+        def __init__(
+            self,
+            path: str,
+            schema_json: dict,
+            mapping: dict | None = None,
+            dv_key: str = "",
+            dv_paths: tuple = (),
+        ):
             self.path = path
             self.schema_json = schema_json
+            # column mapping (logical -> physical) and this file's
+            # deletion-vector key + the snapshot's sidecar paths — the
+            # partition is pickled to executors, so everything it
+            # needs to reproduce read_version's semantics rides along
+            self.mapping = mapping or {}
+            self.dv_key = dv_key
+            self.dv_paths = tuple(dv_paths)
 
     def resolve_version(options, root: str) -> int:
         # Explicit option parse (round-7 ADVICE): a truthy-based
@@ -783,6 +797,12 @@ def register_versioned_source(spark: SparkSession) -> str:
             manifest = read_manifest(self.root, self.version)
             self.files = list(manifest["files"])
             self.stats = manifest.get("stats", {})
+            # merge-on-read state: logical->physical rename map and
+            # deletion-vector sidecars — the connector must reproduce
+            # read_version's semantics or a renamed column silently
+            # null-fills and DV-deleted rows resurrect
+            self.mapping = manifest.get("column_mapping", {})
+            self.dvs = list(manifest.get("dvs", []))
             # column -> [lo, hi] probe bounds accumulated by pushFilters
             self.bounds: dict = {}
 
@@ -831,7 +851,9 @@ def register_versioned_source(spark: SparkSession) -> str:
                 s = self.stats.get(f, {})
                 ok = True
                 for col, (lo, hi) in self.bounds.items():
-                    b = s.get(col)
+                    # footer stats speak the files' PHYSICAL names;
+                    # pushed filters speak logical ones
+                    b = s.get(self.mapping.get(col, col))
                     if b is None:
                         continue  # no stats: cannot prune, keep
                     try:
@@ -856,14 +878,25 @@ def register_versioned_source(spark: SparkSession) -> str:
                 # an empty partition list makes Spark invoke read(None);
                 # hand back one explicit empty-file sentinel instead
                 return [FilePartition("", self.schema_json)]
+            dv_paths = tuple(
+                _os.path.join(self.root, d) for d in self.dvs
+            )
             return [
                 FilePartition(
-                    _os.path.join(self.root, f), self.schema_json
+                    _os.path.join(self.root, f),
+                    self.schema_json,
+                    mapping=self.mapping,
+                    # the sidecar key is the manifest's file spelling
+                    # (relative for table-local, absolute for clone
+                    # refs) — exactly what delete_where_dv recorded
+                    dv_key=f,
+                    dv_paths=dv_paths,
                 )
                 for f in kept
             ]
 
         def read(self, part):
+            import numpy as np
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -873,12 +906,30 @@ def register_versioned_source(spark: SparkSession) -> str:
                 return
             want = to_arrow_schema(StructType.fromJson(part.schema_json))
             table = pq.read_table(part.path)
+            if part.dv_paths:
+                # apply this file's deletion vector: physical row
+                # positions of a whole-file read are 0..n-1 in order
+                dead: set = set()
+                for dv_path in part.dv_paths:
+                    dv = pq.read_table(
+                        dv_path, columns=["_dv_file", "_dv_pos"]
+                    )
+                    mask = pa.compute.equal(
+                        dv.column("_dv_file"), part.dv_key
+                    )
+                    dead.update(
+                        dv.filter(mask).column("_dv_pos").to_pylist()
+                    )
+                if dead:
+                    keep = np.ones(len(table), dtype=bool)
+                    keep[list(dead)] = False
+                    table = table.filter(pa.array(keep))
+            mapping = part.mapping
             cols = []
             for field in want:
-                if field.name in table.column_names:
-                    cols.append(
-                        table.column(field.name).cast(field.type)
-                    )
+                phys = mapping.get(field.name, field.name)
+                if phys in table.column_names:
+                    cols.append(table.column(phys).cast(field.type))
                 else:
                     # schema evolution: the file predates this column
                     cols.append(pa.nulls(len(table), type=field.type))

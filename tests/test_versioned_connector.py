@@ -241,3 +241,40 @@ def test_version_option_parse_is_explicit(spark, table):
     got = sorted(map(tuple, _load(spark, table).collect()))
     want = sorted(map(tuple, _load(spark, table, version="3").collect()))
     assert got == want
+
+
+def test_connector_applies_dvs_and_column_mapping(spark, tmp_path):
+    """Merge-on-read parity: the connector must reproduce
+    read_version's semantics on a table with live deletion vectors AND
+    a renamed column — a connector that reads logical names from
+    physical files null-fills silently; one that ignores sidecars
+    resurrects deleted rows."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        delete_where_dv,
+        rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100):
+        commit_append(
+            spark.range(lo, lo + 10)
+            .selectExpr("id", "cast(id % 7 as double) as v")
+            .coalesce(1),
+            root,
+        )
+    rename_column(root, "v", "score")
+    delete_where_dv(spark, root, "id % 3 = 0")
+    register_versioned_source(spark)
+    got_df = _load(spark, root)
+    assert sorted(got_df.columns) == ["id", "score"]
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, read_version(spark, root).collect()))
+    assert got == want
+    assert len(got) == 20 - 7  # ids 0,3,6,9 and 102,105,108 dropped
+    # no silent null-fill: every surviving score is real
+    assert got_df.filter("score is null").count() == 0
+    # stats pruning still translates logical -> physical
+    pruned = _load(spark, root).filter("score >= 0 and id >= 100")
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        i for i in range(100, 110) if i % 3
+    ]
