@@ -2250,3 +2250,71 @@ def t31_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# T32 — TOKEN ENTROPY profile (round-10 wave 4): per-document unigram
+# Shannon entropy aggregated per language — the information-density
+# quality signal (low entropy = repetitive/templated text, the same
+# family as t10's repetition ratios but measured in bits). Computed
+# through the numerically-pinned identity
+# H = log2(N) - (sum over tokens of n*log2(n)) / N, so every log2
+# argument is an INTEGER count — both engines evaluate log2 on
+# identical doubles and only the (rounded, 4dp) summation tail can
+# differ, the t12/t26 float discipline.
+#
+# Scale: one explode + one (doc, token) partial-agg + one per-doc agg
+# + one per-lang agg — all partial-aggregated exchanges, no window
+# over raw tokens, no driver loop.
+# --------------------------------------------------------------------------
+T32_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, lang,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, lang, tok, count(*) AS n
+      FROM w GROUP BY doc_id, lang, tok),
+    doc AS (
+      SELECT doc_id, lang,
+             log2(sum(n)) - sum(n * log2(n)) / sum(n) AS h
+      FROM tf GROUP BY doc_id, lang)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h), 4) AS mean_entropy,
+           round(min(h), 4) AS min_entropy,
+           round(max(h), 4) AS max_entropy
+    FROM doc GROUP BY lang ORDER BY lang
+"""
+
+
+@query("t32_token_entropy", oracle=T32_ORACLE)
+def t32_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32: per-lang document entropy profile — a natural-log slip, a
+    probability-form summation (log2 of non-integer args), or a lost
+    duplicate token flips the 4dp hash."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    doc = tf.groupBy("doc_id", "lang").agg(
+        (
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2("n")) / F.sum("n")
+        ).alias("h")
+    )
+    return (
+        doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg("h")).alias("mean_entropy"),
+            r4(F.min("h")).alias("min_entropy"),
+            r4(F.max("h")).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )

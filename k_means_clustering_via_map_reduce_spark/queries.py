@@ -7869,3 +7869,90 @@ def f36_stable_rowids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q97 — WEIGHTED MEDIAN / quartiles (round-10 wave 4): the robust
+# aggregation (each quantity value weighted by its revenue mass) that
+# percentile_cont cannot express and engines disagree on when done in
+# floats. Integer-exact by construction: weights are BIGINT cents,
+# the selection rule is the cross-multiplied k*cumw >= q*total
+# predicate (no division anywhere), lower-quantile convention
+# (smallest x whose scaled cumulative weight reaches the bar).
+#
+# Scale: the raw table compresses FIRST through a (group, value)
+# partial aggregate — the window then runs over the compressed value
+# domain (|distinct values| rows per group, here ~50), never the raw
+# rows. That ordering is what makes a weighted quantile tractable on
+# 100 TB: the exchange carries the compressed domain only.
+# --------------------------------------------------------------------------
+Q97_ORACLE = """
+    WITH t AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem),
+    s AS (SELECT g, x, sum(w) AS w FROM t GROUP BY g, x),
+    c AS (
+      SELECT g, x, w,
+             sum(w) OVER (PARTITION BY g ORDER BY x) AS cw,
+             sum(w) OVER (PARTITION BY g) AS tw
+      FROM s)
+    SELECT g AS l_returnflag,
+           CAST(min(CASE WHEN 4 * cw >= tw THEN x END) AS BIGINT)
+             AS wq25,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN x END) AS BIGINT)
+             AS wmedian,
+           CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN x END) AS BIGINT)
+             AS wq75,
+           CAST(max(tw) AS BIGINT) AS total_weight_cents
+    FROM c GROUP BY g ORDER BY l_returnflag
+"""
+
+
+@query("q97_weighted_median", oracle=Q97_ORACLE)
+def q97_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q97: revenue-weighted quantity quartiles per return flag — a
+    float-division quantile rule, an upper-median convention, or a
+    window over raw rows instead of the compressed domain flips the
+    hash (the last one only at scale; the first two here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("w"),
+    )
+    s = t.groupBy("g", "x").agg(F.sum("w").alias("w"))
+    cw = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    c = s.withColumn("cw", F.sum("w").over(cw)).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("g"))
+    )
+    return (
+        c.groupBy("g")
+        .agg(
+            F.min(
+                F.when(4 * F.col("cw") >= F.col("tw"), F.col("x"))
+            ).alias("wq25"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("x"))
+            ).alias("wmedian"),
+            F.min(
+                F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("x"))
+            ).alias("wq75"),
+            F.max("tw").alias("total_weight_cents"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "wq25",
+            "wmedian",
+            "wq75",
+            "total_weight_cents",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -840,3 +840,65 @@ def test_f25_scan_reads_only_kept_files(spark, sf_dir):
     pushed = pushed_filters(df)
     assert any("doc_id" in p for p in pushed), pushed
     assert any("n_chars" in p for p in pushed), pushed
+
+
+def test_q94_single_window_exchange_on_custkey(spark, sf_dir):
+    """Q94's running total, classification, and rollup ride ONE
+    exchange on o_custkey plus the final-agg exchange — a plan that
+    re-shuffles per stage would double the 100 TB exchange bill."""
+    df = Q.QUERIES["q94_fifo_allocation"](spark, sf_dir)
+    assert count_shuffles(df) <= 3  # window + final agg + sort
+
+
+def test_q96_profile_is_one_scan(spark, sf_dir):
+    """Q96 profiles four columns in ONE pass: exactly one parquet scan
+    of lineitem (the naive per-column loop reads the table four
+    times)."""
+    df = Q.QUERIES["q96_numeric_profile"](spark, sf_dir)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1, schemas
+    # and the melt must not widen the scan beyond the profiled columns
+    assert "l_comment" not in schemas[0] and "l_orderkey" not in schemas[0]
+
+
+def test_q97_window_runs_over_compressed_domain(spark, sf_dir):
+    """Q97 aggregates to the (group, value) domain BEFORE the window:
+    the plan must show a partial/final aggregate below the window sort
+    — the compression that keeps a weighted quantile tractable on raw
+    100 TB rows."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q97_weighted_median"](spark, sf_dir)
+    plan = physical_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= agg_pos < win_pos, plan[:500]
+
+
+def test_q93_sweep_is_day_partitioned_not_global(spark, sf_dir):
+    """Q93's running boundary sum partitions by day — the plan's
+    window sort keys must include the day key, never a global
+    single-partition order."""
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    df = Q.QUERIES["q93_peak_concurrency"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partitionBy" not in plan or True  # textual form varies
+    # the give-away of a global sweep is a SinglePartition exchange
+    # feeding a Window; assert none exists
+    import re
+
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan
+    ), plan[:800]
+
+
+def test_s12_pairs_join_is_broadcast_grid(spark, sf_dir):
+    """S12's candidate generation joins postings through the broadcast
+    admissible-cell-pair table — the corpus must never cross-join
+    itself."""
+    df = Q.QUERIES["s12_global_1nn"](spark, sf_dir)
+    from k_means_clustering_via_map_reduce_spark.plans import physical_plan
+
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:500]
