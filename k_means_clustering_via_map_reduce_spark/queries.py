@@ -7956,3 +7956,331 @@ def q97_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Q98 — MAXIMUM DRAWDOWN (round-11 bank, library-first; the @query
+# registration is one decorator away). The risk/monitoring staple:
+# per-user running balance (+cents for purchase/signup, -cents for
+# view/click/error), running peak, and the deepest peak-to-current
+# drop. BIGINT cents end to end; ties in the event order break on
+# event_id, so the running series is a total function of the data.
+#
+# Scale: ONE exchange on user_id serves the cumulative sum, the
+# running max, and the drawdown (three RANGE frames over one sort),
+# then a per-user presentation row — no self-join, no driver loop.
+# --------------------------------------------------------------------------
+Q98_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS amt
+      FROM events),
+    cb AS (
+      SELECT user_id, us, event_id,
+             sum(amt) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS bal
+      FROM e),
+    c AS (
+      SELECT user_id, bal,
+             max(bal) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS peak
+      FROM cb),
+    d AS (
+      SELECT user_id, bal, peak, peak - bal AS dd FROM c)
+    SELECT user_id,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+           CAST(sum(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_at_peak
+    FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q98_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q98 (banked): per-user peak balance, deepest drawdown, and the
+    at-peak event count — a frame slip between the cumulative sum and
+    the running max, a tie-order difference, or float money flips the
+    exact integer hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.round(F.col("value") * 100).cast("bigint"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("bigint"))
+        .alias("amt"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    c = e.withColumn("bal", F.sum("amt").over(w)).withColumn(
+        "peak", F.max(F.col("bal")).over(w)
+    )
+    d = c.withColumn("dd", F.col("peak") - F.col("bal"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.max("peak").alias("peak_cents"),
+            F.max("dd").alias("max_drawdown_cents"),
+            F.sum(F.when(F.col("dd") == 0, 1).otherwise(0)).alias(
+                "n_at_peak"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q99 — INTERVAL UNION coverage (round-11 bank, library-first). The
+# complement of q93's peak: per day, the total wall-clock time with
+# AT LEAST ONE session active (union of overlapping intervals) and
+# the number of maximal busy spans. Boundaries at the same instant
+# are pre-aggregated (one net delta per (day, us)), so no tie rule is
+# ever needed; segment lengths are exact integer microseconds.
+#
+# Scale: the q93 day-partitioned sweep plus one lead() over the
+# collapsed boundary set — per-day work bounded by that day's
+# distinct boundary instants.
+# --------------------------------------------------------------------------
+Q99_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    m AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {Q84_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid,
+             us
+      FROM m),
+    ses AS (
+      SELECT user_id, sid, min(us) AS s_us, max(us) + 1 AS e_us
+      FROM s GROUP BY user_id, sid),
+    d AS (
+      SELECT s_us, e_us,
+             unnest(generate_series(s_us // {Q93_DAY_US},
+                                    (e_us - 1) // {Q93_DAY_US})) AS day
+      FROM ses),
+    clip AS (
+      SELECT day,
+             greatest(s_us, day * {Q93_DAY_US}) AS cs,
+             least(e_us, (day + 1) * {Q93_DAY_US}) AS ce
+      FROM d),
+    b AS (
+      SELECT day, us, sum(delta) AS delta FROM (
+        SELECT day, cs AS us, 1 AS delta FROM clip
+        UNION ALL
+        SELECT day, ce AS us, -1 AS delta FROM clip)
+      GROUP BY day, us),
+    r AS (
+      SELECT day, us, delta,
+             sum(delta) OVER (PARTITION BY day ORDER BY us) AS run,
+             lead(us) OVER (PARTITION BY day ORDER BY us) AS nxt
+      FROM b),
+    seg AS (
+      SELECT day,
+             CASE WHEN run > 0 AND nxt IS NOT NULL
+                  THEN nxt - us ELSE 0 END AS cov,
+             CASE WHEN run > 0
+                   AND coalesce(lag(run) OVER (PARTITION BY day
+                                               ORDER BY us), 0) = 0
+                  THEN 1 ELSE 0 END AS starts
+      FROM r)
+    SELECT CAST(day AS BIGINT) AS day_idx,
+           CAST(sum(cov) AS BIGINT) AS covered_us,
+           CAST(sum(starts) AS BIGINT) AS n_busy_spans
+    FROM seg GROUP BY day ORDER BY day_idx
+"""
+
+
+def q99_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q99 (banked): per-day union-covered microseconds and maximal
+    busy-span count — a lost same-instant boundary collapse, an
+    open/closed segment slip, or a span-start rule difference flips
+    the exact integer hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    day = Q93_DAY_US
+    w = Window.partitionBy("user_id").orderBy("us")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ses = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > Q84_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), (F.max("us") + 1).alias("e_us"))
+    )
+    clip = ses.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / day).cast("bigint"),
+                ((F.col("e_us") - 1) / day).cast("bigint"),
+            )
+        ),
+    ).select(
+        "day",
+        F.greatest(F.col("s_us"), F.col("day") * day).alias("cs"),
+        F.least(F.col("e_us"), (F.col("day") + 1) * day).alias("ce"),
+    )
+    b = (
+        clip.select("day", F.col("cs").alias("us"), F.lit(1).alias("delta"))
+        .unionAll(
+            clip.select(
+                "day", F.col("ce").alias("us"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("day", "us")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    sweep = Window.partitionBy("day").orderBy("us")
+    r = (
+        b.withColumn(
+            "run",
+            F.sum("delta").over(
+                sweep.rangeBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("nxt", F.lead("us").over(sweep))
+        .withColumn("prev_run", F.lag("run").over(sweep))
+    )
+    seg = r.select(
+        "day",
+        F.when(
+            (F.col("run") > 0) & F.col("nxt").isNotNull(),
+            F.col("nxt") - F.col("us"),
+        )
+        .otherwise(0)
+        .alias("cov"),
+        F.when(
+            (F.col("run") > 0)
+            & (F.coalesce(F.col("prev_run"), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("starts"),
+    )
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.sum("cov").alias("covered_us"),
+            F.sum("starts").alias("n_busy_spans"),
+        )
+        .select(
+            F.col("day").alias("day_idx"), "covered_us", "n_busy_spans"
+        )
+        .orderBy("day_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# F37 — ATOMIC MULTI-TABLE TRANSACTION (round-11 bank, library-first).
+# commit_multi gives several versioned tables all-or-nothing
+# visibility through one coordinator CAS file (the Iceberg/Nessie
+# catalog-commit shape — beyond Delta's per-table log). The staged
+# lifecycle: seed two tables atomically, inject a CRASHED second
+# transaction (manifests linked, never finalized — must stay
+# invisible on BOTH tables and block writers loudly), abort it, then
+# land the second half atomically. The union-read equals the plain
+# corpus aggregate only if atomicity held at every step.
+# Mechanism + crash/CAS invariants: sources/versioned.py::commit_multi,
+# tests/test_multi_txn.py.
+# --------------------------------------------------------------------------
+_F37_STAGED: dict[tuple, object] = {}
+
+F37_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def f37_multi_table_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F37 (banked): per-lang stats over the UNION of two tables fed
+    exclusively by multi-table transactions, one of which crashed
+    mid-commit and was recovered — a visibility leak (half a txn
+    showing), a lost abort, or a blocked-slot mishandling flips the
+    hash or raises in staging."""
+    import os as _os
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        abort_txn,
+        commit_multi,
+        latest_version,
+        read_manifest,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F37_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_mtxn_")
+        a = _os.path.join(tmp.name, "even")
+        b = _os.path.join(tmp.name, "odd")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        even, odd = d.filter(F.col("doc_id") % 2 == 0), d.filter(
+            F.col("doc_id") % 2 == 1
+        )
+        half = F.col("doc_id") % 4 < 2
+        commit_multi({a: even.filter(half), b: odd.filter(half)})
+        # crash injection: linked but never finalized -> invisible
+        commit_multi(
+            {a: even.filter(~half), b: odd.filter(~half)},
+            _crash_before_finalize=True,
+        )
+        if latest_version(a) != 1 or latest_version(b) != 1:
+            raise AssertionError(
+                "f37 staging: a crashed multi-table txn became visible"
+            )
+        txn = read_manifest(a, 2)["txn"]
+        if not abort_txn(txn["coordinator"], txn["id"]):
+            raise AssertionError("f37 staging: abort lost to a crash")
+        commit_multi({a: even.filter(~half), b: odd.filter(~half)})
+        n = (
+            read_version(spark, a).count()
+            + read_version(spark, b).count()
+        )
+        if n != d.count():
+            raise AssertionError(
+                f"f37 staging: union carries {n} rows, corpus has "
+                f"{d.count()}"
+            )
+        _F37_STAGED[key] = tmp
+    base = _F37_STAGED[key].name
+    u = read_version(spark, _os.path.join(base, "even")).unionByName(
+        read_version(spark, _os.path.join(base, "odd"))
+    )
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

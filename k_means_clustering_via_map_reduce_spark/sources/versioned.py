@@ -45,8 +45,50 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version:05d}.json")
 
 
-def latest_version(root: str) -> int:
-    """Highest committed version, or 0 if the table is empty."""
+_TXN_DIR = "_txns"
+
+
+def _txn_state(coordinator: str, txn_id: str) -> str:
+    """'committed' | 'aborted' | 'pending' — resolved from the
+    coordinator table's single CAS file (see ``commit_multi``)."""
+    path = os.path.join(coordinator, _TXN_DIR, f"{txn_id}.final")
+    try:
+        with open(path) as f:
+            return f.read().strip() or "pending"
+    except FileNotFoundError:
+        return "pending"
+
+
+def _finalize_txn(coordinator: str, txn_id: str, state: str) -> str:
+    """Compare-and-swap the transaction outcome: the FIRST finalizer
+    (committer racing a recoverer) wins via link-don't-clobber; the
+    loser reads the winner's verdict. Returns the WINNING state."""
+    d = os.path.join(coordinator, _TXN_DIR)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"{txn_id}.final")
+    tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        f.write(state)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        pass
+    finally:
+        os.remove(tmp)
+    return _txn_state(coordinator, txn_id)
+
+
+def _manifest_visible(manifest: dict) -> bool:
+    """A manifest carrying a multi-table ``txn`` tag is visible only
+    once its coordinator records 'committed'; plain manifests are
+    visible by construction (the link WAS the commit point)."""
+    t = manifest.get("txn")
+    if not t:
+        return True
+    return _txn_state(t["coordinator"], t["id"]) == "committed"
+
+
+def _raw_max_version(root: str) -> int:
     mdir = os.path.join(root, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return 0
@@ -59,6 +101,60 @@ def latest_version(root: str) -> int:
         if n.startswith("v") and n.endswith(".json")
     ]
     return max(versions, default=0)
+
+
+def latest_version(root: str) -> int:
+    """Highest VISIBLE committed version, or 0 if the table is empty.
+    Manifests belonging to a pending or aborted multi-table
+    transaction are invisible — they can only ever sit ABOVE the
+    visible head (a pending slot blocks later commits), so the walk
+    down is O(in-flight txns), almost always zero extra reads."""
+    v = _raw_max_version(root)
+    while v > 0:
+        try:
+            if _manifest_visible(read_manifest(root, v)):
+                return v
+        except FileNotFoundError:
+            return v  # expired below: the raw max IS the answer
+        v -= 1
+    return 0
+
+
+def _link_slot(tmp: str, root: str, version: int) -> None:
+    """Link a manifest into its slot with aborted-garbage recovery: if
+    the slot is held by a manifest whose multi-table transaction was
+    ABORTED (a crashed commit_multi that never cleaned up), remove the
+    invisible garbage and retry once. A PENDING occupant raises
+    ConcurrentWriteError (the in-flight transaction owns the slot);
+    a visible occupant re-raises FileExistsError for the caller's
+    normal race handling (rebase or hard conflict)."""
+    target = _manifest_path(root, version)
+    try:
+        os.link(tmp, target)
+        return
+    except FileExistsError:
+        try:
+            occupant = read_manifest(root, version)
+        except FileNotFoundError:
+            os.link(tmp, target)  # garbage vanished under us
+            return
+        t = occupant.get("txn")
+        if t:
+            state = _txn_state(t["coordinator"], t["id"])
+            if state == "aborted":
+                try:
+                    os.remove(target)
+                except FileNotFoundError:
+                    pass
+                os.link(tmp, target)
+                return
+            if state == "pending":
+                raise ConcurrentWriteError(
+                    f"slot v{version} of {root} is held by in-flight "
+                    f"multi-table transaction {t['id']} — retry after "
+                    "it finalizes (or abort_txn it)"
+                ) from None
+        raise
 
 
 def read_manifest(root: str, version: int) -> dict:
@@ -164,7 +260,7 @@ def add_check_constraint(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, parent + 1))
+        _link_slot(tmp, root, parent + 1)
     finally:
         os.remove(tmp)
     return parent + 1
@@ -366,29 +462,7 @@ def commit_append(
     parent_logical = table_schema(root, parent)
     _evolve_schema(parent_logical, df.schema)
     validated_mapping = column_mapping(root, parent)
-    if validated_mapping:
-        # retired-name rule: a NEW logical column may not reuse a name
-        # that is some other column's on-disk physical spelling — the
-        # files would carry two meanings for one physical column
-        known = (
-            {f.name for f in parent_logical.fields}
-            if parent_logical is not None
-            else set()
-        )
-        retired = {
-            phys
-            for log, phys in validated_mapping.items()
-            if phys != log
-        }
-        bad = sorted(
-            (set(df.columns) - known) & retired
-        )
-        if bad:
-            raise ValueError(
-                f"commit_append: new column(s) {bad} collide with "
-                "retired physical column names (rename history) — pick "
-                "different names or OPTIMIZE to flush the mapping first"
-            )
+    _check_retired_names(df.columns, parent_logical, validated_mapping)
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn}")
     _to_physical(df, validated_mapping).write.parquet(data_dir)
     new_files = sorted(
@@ -430,7 +504,7 @@ def commit_append(
             # existing manifest, so the slower of two racing commits
             # loses the slot and falls into the rebase path below
             # instead of silently overwriting the winner's snapshot.
-            os.link(tmp, _manifest_path(root, parent + 1))
+            _link_slot(tmp, root, parent + 1)
             return parent + 1
         except FileExistsError:
             head = latest_version(root)
@@ -517,7 +591,7 @@ def compact(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, version))
+        _link_slot(tmp, root, version)
     finally:
         os.remove(tmp)
     return version
@@ -616,6 +690,12 @@ def read_version(
     if version is None:
         version = latest_version(root)
     m = read_manifest(root, version)
+    if not _manifest_visible(m):
+        raise ValueError(
+            f"version {version} of {root} belongs to an uncommitted or "
+            f"aborted multi-table transaction — it is not a readable "
+            "snapshot"
+        )
     files = m["files"]
     _check_external_refs(root, files)
     reader = spark.read
@@ -721,6 +801,28 @@ def _to_logical(df: DataFrame, schema, mapping: dict) -> DataFrame:
     )
 
 
+def _check_retired_names(df_cols, parent_logical, mapping: dict) -> None:
+    """Retired-name rule: a NEW logical column may not reuse a name
+    that is some other column's on-disk physical spelling — the files
+    would carry two meanings for one physical column. Shared by
+    commit_append and commit_multi."""
+    if not mapping:
+        return
+    known = (
+        {f.name for f in parent_logical.fields}
+        if parent_logical is not None
+        else set()
+    )
+    retired = {phys for log, phys in mapping.items() if phys != log}
+    bad = sorted((set(df_cols) - known) & retired)
+    if bad:
+        raise ValueError(
+            f"append: new column(s) {bad} collide with retired "
+            "physical column names (rename history) — pick different "
+            "names or OPTIMIZE to flush the mapping first"
+        )
+
+
 def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
     """Rename a logical-named frame to physical spelling before a file
     write, so every data file of the table speaks one naming."""
@@ -806,7 +908,7 @@ def rename_column(root: str, old: str, new: str) -> int:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, parent + 1))
+        _link_slot(tmp, root, parent + 1)
     finally:
         os.remove(tmp)
     return parent + 1
@@ -1005,7 +1107,7 @@ def delete_where_dv(
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, version))
+        _link_slot(tmp, root, version)
     finally:
         os.remove(tmp)
     return version
@@ -1095,7 +1197,7 @@ def materialize_dvs(spark: SparkSession, root: str) -> int:
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, version))
+        _link_slot(tmp, root, version)
     finally:
         os.remove(tmp)
     return version
@@ -1137,6 +1239,12 @@ def read_with_rowids(
     if version is None:
         version = latest_version(root)
     m = read_manifest(root, version)
+    if not _manifest_visible(m):
+        raise ValueError(
+            f"version {version} of {root} belongs to an uncommitted or "
+            f"aborted multi-table transaction — it is not a readable "
+            "snapshot"
+        )
     files = m["files"]
     _check_external_refs(root, files)
     offsets = []
@@ -1185,6 +1293,142 @@ def read_with_rowids(
             F.col(id_col),
         )
     return scan
+
+
+def commit_multi(
+    dfs: dict[str, DataFrame],
+    batch_id: int | None = None,
+    _crash_before_finalize: bool = False,
+) -> dict[str, int]:
+    """ATOMIC MULTI-TABLE append (the Iceberg/Nessie catalog-commit
+    shape — beyond Delta's per-table log): append one DataFrame to
+    each of several versioned tables such that readers observe ALL
+    the new snapshots or NONE, even across crashes.
+
+    Protocol (single-CAS visibility): the lexicographically-first
+    table root is the transaction COORDINATOR. Each participating
+    manifest links into its slot carrying a ``txn`` tag
+    ({id, coordinator}) — tagged manifests are INVISIBLE to every
+    reader until the coordinator's ``_txns/<id>.final`` file says
+    'committed'. That file is created once, by link-don't-clobber, so
+    the commit point is one atomic filesystem op covering all tables.
+    A crash before the finalize leaves pending manifests that block
+    their slots (writers get a loud ConcurrentWriteError) until
+    ``abort_txn`` settles the verdict; a recoverer and a late
+    committer CAS on the same file, so exactly one outcome wins.
+
+    Per table the append carries commit_append's full contract —
+    constraints, schema evolution, column-mapping physical write,
+    dv/mapping/constraint carry, optional shared ``batch_id`` ledger
+    entry. No rebase: any slot conflict aborts the WHOLE transaction
+    (manifests are invisible, so removal is safe) and the caller
+    retries.
+
+    ``_crash_before_finalize`` is the deterministic crash-injection
+    hook for tests; production callers never pass it.
+
+    Scale: one distributed file write per table + O(Σ #files) driver
+    manifests + ONE coordinator link — the same asymptotics as N
+    independent appends, with atomicity riding a single extra file."""
+    if not dfs:
+        raise ValueError("commit_multi: no tables given")
+    roots = sorted(os.path.abspath(r) for r in dfs)
+    by_abs = {os.path.abspath(r): df for r, df in dfs.items()}
+    if len(roots) != len(by_abs):
+        raise ValueError("commit_multi: duplicate table roots")
+    coordinator = roots[0]
+    txn_id = uuid.uuid4().hex
+    linked: list[tuple[str, int]] = []
+
+    def _abort() -> None:
+        _finalize_txn(coordinator, txn_id, "aborted")
+        for r, v in linked:
+            try:
+                os.remove(_manifest_path(r, v))
+            except FileNotFoundError:
+                pass
+
+    try:
+        for root in roots:
+            df = by_abs[root]
+            parent = latest_version(root)
+            cons = table_constraints(root, parent)
+            _enforce_constraints(df, cons)
+            parent_logical = table_schema(root, parent)
+            evolved = _evolve_schema(parent_logical, df.schema)
+            mapping = column_mapping(root, parent)
+            _check_retired_names(df.columns, parent_logical, mapping)
+            txn8 = txn_id[:12]
+            data_dir = os.path.join(
+                root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn8}"
+            )
+            _to_physical(df, mapping).write.parquet(data_dir)
+            new_files = sorted(
+                os.path.join(os.path.relpath(data_dir, root), n)
+                for n in os.listdir(data_dir)
+                if n.endswith(".parquet")
+            )
+            prev = read_manifest(root, parent) if parent else {}
+            manifest = {
+                "version": parent + 1,
+                "parent": parent,
+                "files": prev.get("files", []) + new_files,
+                "added": new_files,
+                "batches": (
+                    prev.get("batches", [])
+                    + ([batch_id] if batch_id is not None else [])
+                ),
+                "schema": evolved.jsonValue(),
+                "stats": {
+                    **prev.get("stats", {}),
+                    **_collect_file_stats(root, new_files),
+                },
+                "txn": {"id": txn_id, "coordinator": coordinator},
+            }
+            if prev.get("dvs"):
+                manifest["dvs"] = prev["dvs"]
+            _carry_mapping(manifest, prev)
+            _carry_constraints(manifest, prev)
+            if "external_files" in prev:
+                manifest["external_files"] = prev["external_files"]
+            os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+            tmp = _manifest_path(root, parent + 1) + f".{txn8}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                _link_slot(tmp, root, parent + 1)
+            finally:
+                os.remove(tmp)
+            linked.append((root, parent + 1))
+    except BaseException:
+        _abort()
+        raise
+    if _crash_before_finalize:
+        # test hook: every manifest linked, nothing visible
+        return {r: v for r, v in linked}
+    state = _finalize_txn(coordinator, txn_id, "committed")
+    if state != "committed":
+        # a recoverer aborted us between our last link and the CAS
+        for r, v in linked:
+            try:
+                os.remove(_manifest_path(r, v))
+            except FileNotFoundError:
+                pass
+        raise ConcurrentWriteError(
+            f"multi-table txn {txn_id} was aborted by a recoverer "
+            "before it could finalize — retry"
+        )
+    return {r: v for r, v in linked}
+
+
+def abort_txn(coordinator: str, txn_id: str) -> bool:
+    """Settle a stuck multi-table transaction (the maintenance verb a
+    crashed ``commit_multi`` needs): CAS the outcome to 'aborted'.
+    Returns True if the abort won; False if the transaction had
+    already committed (in which case its manifests are live history
+    and must stand). Aborted manifests left behind are invisible and
+    reclaimed lazily by the next writer's slot claim."""
+    return _finalize_txn(coordinator, txn_id, "aborted") == "aborted"
 
 
 def _uri_to_local(uri: str) -> str:
@@ -1356,7 +1600,7 @@ def _cow_rewrite(
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, version))
+        _link_slot(tmp, root, version)
     finally:
         os.remove(tmp)
     return version
@@ -1627,7 +1871,7 @@ def merge_into(
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, version))
+        _link_slot(tmp, root, version)
     finally:
         os.remove(tmp)
     return version
@@ -1869,7 +2113,7 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        os.link(tmp, _manifest_path(dst_root, 1))
+        _link_slot(tmp, dst_root, 1)
     finally:
         os.remove(tmp)
     return 1
@@ -1936,7 +2180,7 @@ def restore_table(root: str, version: int) -> int:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        os.link(tmp, _manifest_path(root, new_version))
+        _link_slot(tmp, root, new_version)
     finally:
         os.remove(tmp)
     return new_version
@@ -2007,6 +2251,8 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             m = read_manifest(root, v)
         except FileNotFoundError:
             continue
+        if not _manifest_visible(m):
+            continue  # in-flight/aborted txn manifests are not history
         if "restored_from" in m:
             kind, audit = "restore", str(m["restored_from"])
         elif "cloned_from" in m:
