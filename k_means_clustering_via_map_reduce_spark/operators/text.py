@@ -2318,3 +2318,101 @@ def t32_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T33 — RAKE keyword extraction (round-11 bank, library-first).
+# Rapid Automatic Keyword Extraction, relationally: candidate phrases
+# are the MAXIMAL stopword-free token runs (a gaps-and-islands cut on
+# token positions — the q90 idiom inside documents), each word scores
+# degree(w) = Σ over its phrase occurrences of the phrase length
+# (co-occurrence mass) over freq(w), and the per-lang top-10 ranks on
+# the exact (degree, freq) integers with the ratio computed once as
+# one IEEE division (identical doubles in both engines; ties to the
+# lexicographically-first word — the t31 discipline).
+#
+# Scale: posexplode + two partial-agg exchanges (phrase build, word
+# rollup) + a per-lang top-k window over the word table — no
+# self-join, no UDF.
+# --------------------------------------------------------------------------
+T33_TOPK = 10
+
+T33_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, t.tok, t.i
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(text), ' ')) AS tok,
+               unnest(generate_series(1,
+                 len(string_split(trim(text), ' ')))) AS i
+        FROM documents) t),
+    nonstop AS (
+      SELECT doc_id, lang, tok, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+               AS isl
+      FROM toks
+      WHERE tok NOT IN {STOPWORDS!r}),
+    phrases AS (
+      SELECT doc_id, lang, isl, count(*) AS plen
+      FROM nonstop GROUP BY doc_id, lang, isl),
+    wordstats AS (
+      SELECT n.lang, n.tok AS word,
+             CAST(sum(p.plen) AS BIGINT) AS degree,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM nonstop n
+      JOIN phrases p ON p.doc_id = n.doc_id AND p.isl = n.isl
+      GROUP BY n.lang, n.tok),
+    ranked AS (
+      SELECT lang, word, degree, freq,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY degree * 1.0 / freq DESC, word ASC) AS rk
+      FROM wordstats)
+    SELECT lang, CAST(rk AS BIGINT) AS rk, word, degree, freq
+    FROM ranked WHERE rk <= {T33_TOPK}
+    ORDER BY lang, rk
+"""
+
+
+def t33_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 (banked): per-lang RAKE top-10 — a phrase cut that merges
+    runs across a stopword, a degree that misses phrase co-occurrence
+    mass, or an unstable ratio tie flips the hash."""
+    from pyspark.sql.window import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias(
+            "i0", "tok"
+        ),
+    ).select(
+        "doc_id", "lang", "tok", (F.col("i0") + 1).alias("i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    nonstop = toks.filter(~F.col("tok").isin(*STOPWORDS)).withColumn(
+        "isl", F.col("i") - F.row_number().over(w)
+    )
+    phrases = nonstop.groupBy("doc_id", "lang", "isl").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    wordstats = (
+        nonstop.join(phrases, ["doc_id", "lang", "isl"])
+        .groupBy("lang", "tok")
+        .agg(
+            F.sum("plen").alias("degree"),
+            F.count(F.lit(1)).alias("freq"),
+        )
+    )
+    rk = Window.partitionBy("lang").orderBy(
+        (F.col("degree") / F.col("freq")).desc(), F.col("tok").asc()
+    )
+    return (
+        wordstats.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= T33_TOPK)
+        .select(
+            "lang", "rk", F.col("tok").alias("word"), "degree", "freq"
+        )
+        .orderBy("lang", "rk")
+    )

@@ -348,3 +348,139 @@ def k22_joined_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return result.orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# K28 — PINNED-SNAPSHOT stream enrichment (round-11 bank, library-
+# first). Spark's stream-static join re-resolves the static side
+# every micro-batch — correct for "current state" enrichment, but a
+# REPRODUCIBLE training pipeline must enrich against a PINNED
+# dimension snapshot while the dim keeps evolving under it. The
+# versioned store's time travel supplies exactly that: the batch
+# handler joins each micro-batch BOTH ways — against read_version(v1)
+# (pinned) and read_version(latest) (evolving) — while a COW UPDATE
+# bumps every multiplier between batches, so the two sums diverge in
+# a deterministic staircase. A time-travel read that silently
+# resolves to latest makes pinned == evolving and flips the oracle.
+#
+# Deterministic schedule: the k10 idiom — one file per micro-batch
+# (mtime-ordered thirds by event_id % 3), AvailableNow; foreachBatch
+# runs sequentially on the driver, so dim version at batch i is
+# exactly 1 + i. Integer cents end to end.
+#
+# Scale: the dim side is broadcast-sized; the pinned read costs the
+# same scan either way (time travel is manifest metadata); state is
+# zero (plain per-batch joins).
+# --------------------------------------------------------------------------
+K28_ORACLE = """
+    WITH e AS (
+      SELECT event_id % 3 AS batch, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type,
+           CAST(sum(cents) AS BIGINT) AS pinned_cents,
+           CAST(sum(cents * (1 + batch)) AS BIGINT) AS evolving_cents
+    FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+def k28_pinned_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K28 (banked): per-type revenue under a pinned dim snapshot vs
+    the evolving head, while the dim takes a COW update between every
+    micro-batch."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        read_version,
+        update_where,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(
+        prefix="kmce_k28_", dir=ckpt_base
+    ) as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i in range(3):
+            stage = os.path.join(tmp, f"w{i}")
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1)\
+                .write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.startswith("part-")
+            )
+            dst = os.path.join(src, f"{i}-third.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+        dim_root = os.path.join(tmp, "dim")
+        types = ev.select("event_type").distinct()
+        commit_append(
+            types.withColumn("mult", F.lit(1).cast("bigint")), dim_root
+        )
+        out_dir = os.path.join(tmp, "out")
+        os.makedirs(out_dir)
+
+        def handle(batch_df, bid: int) -> None:
+            pinned = read_version(spark, dim_root, 1)
+            latest = read_version(spark, dim_root)
+            joined = (
+                batch_df.join(
+                    F.broadcast(
+                        pinned.withColumnRenamed("mult", "pmult")
+                    ),
+                    "event_type",
+                )
+                .join(
+                    F.broadcast(
+                        latest.withColumnRenamed("mult", "lmult")
+                    ),
+                    "event_type",
+                )
+                .groupBy("event_type")
+                .agg(
+                    F.sum(F.col("cents") * F.col("pmult")).alias(
+                        "pinned_cents"
+                    ),
+                    F.sum(F.col("cents") * F.col("lmult")).alias(
+                        "evolving_cents"
+                    ),
+                )
+            )
+            joined.write.parquet(os.path.join(out_dir, f"b{bid}"))
+            # the dim EVOLVES after every batch: head moves, the pin
+            # must not
+            update_where(spark, dim_root, "mult >= 0",
+                         {"mult": "mult + 1"})
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation", os.path.join(tmp, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.parquet(
+                *[
+                    os.path.join(out_dir, d)
+                    for d in sorted(os.listdir(out_dir))
+                ]
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("pinned_cents").alias("pinned_cents"),
+                F.sum("evolving_cents").alias("evolving_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return result.orderBy("event_type")

@@ -48,3 +48,21 @@ def test_f37_matches_oracle_driver_style(spark, sf_dir):
     compare_to_oracle(
         f37_multi_table_txn_read(spark, sf_dir), F37_ORACLE, sf_dir
     )
+
+
+def test_k28_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.streaming.ingest import (
+        K28_ORACLE,
+        k28_pinned_enrich,
+    )
+
+    compare_to_oracle(k28_pinned_enrich(spark, sf_dir), K28_ORACLE, sf_dir)
+
+
+def test_t33_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T33_ORACLE,
+        t33_rake_keywords,
+    )
+
+    compare_to_oracle(t33_rake_keywords(spark, sf_dir), T33_ORACLE, sf_dir)
