@@ -48,9 +48,29 @@ def _manifest_path(root: str, version: int) -> str:
 _TXN_DIR = "_txns"
 
 
-def _txn_state(coordinator: str, txn_id: str) -> str:
+def _txn_state(
+    coordinator: str, txn_id: str, local_root: str | None = None
+) -> str:
     """'committed' | 'aborted' | 'pending' — resolved from the
-    coordinator table's single CAS file (see ``commit_multi``)."""
+    coordinator table's single CAS file (see ``commit_multi``), with a
+    PARTICIPANT-LOCAL mirror checked first: after a successful commit,
+    each participant records the verdict under its own ``_txns`` dir,
+    so a later relocation or deletion of the coordinator table cannot
+    retroactively darken committed history (a missing coordinator
+    otherwise reads as 'pending', which fails CLOSED — safe for
+    aborts, wrong for commits)."""
+    if local_root is not None and os.path.abspath(
+        local_root
+    ) != os.path.abspath(coordinator):
+        try:
+            with open(
+                os.path.join(local_root, _TXN_DIR, f"{txn_id}.final")
+            ) as f:
+                s = f.read().strip()
+                if s:
+                    return s
+        except FileNotFoundError:
+            pass
     path = os.path.join(coordinator, _TXN_DIR, f"{txn_id}.final")
     try:
         with open(path) as f:
@@ -78,14 +98,18 @@ def _finalize_txn(coordinator: str, txn_id: str, state: str) -> str:
     return _txn_state(coordinator, txn_id)
 
 
-def _manifest_visible(manifest: dict) -> bool:
+def _manifest_visible(manifest: dict, root: str | None = None) -> bool:
     """A manifest carrying a multi-table ``txn`` tag is visible only
-    once its coordinator records 'committed'; plain manifests are
-    visible by construction (the link WAS the commit point)."""
+    once its coordinator (or the participant-local mirror under
+    ``root``) records 'committed'; plain manifests are visible by
+    construction (the link WAS the commit point)."""
     t = manifest.get("txn")
     if not t:
         return True
-    return _txn_state(t["coordinator"], t["id"]) == "committed"
+    return (
+        _txn_state(t["coordinator"], t["id"], local_root=root)
+        == "committed"
+    )
 
 
 def _raw_max_version(root: str) -> int:
@@ -112,7 +136,7 @@ def latest_version(root: str) -> int:
     v = _raw_max_version(root)
     while v > 0:
         try:
-            if _manifest_visible(read_manifest(root, v)):
+            if _manifest_visible(read_manifest(root, v), root):
                 return v
         except FileNotFoundError:
             return v  # expired below: the raw max IS the answer
@@ -140,7 +164,7 @@ def _link_slot(tmp: str, root: str, version: int) -> None:
             return
         t = occupant.get("txn")
         if t:
-            state = _txn_state(t["coordinator"], t["id"])
+            state = _txn_state(t["coordinator"], t["id"], local_root=root)
             if state == "aborted":
                 try:
                     os.remove(target)
@@ -690,7 +714,7 @@ def read_version(
     if version is None:
         version = latest_version(root)
     m = read_manifest(root, version)
-    if not _manifest_visible(m):
+    if not _manifest_visible(m, root):
         raise ValueError(
             f"version {version} of {root} belongs to an uncommitted or "
             f"aborted multi-table transaction — it is not a readable "
@@ -1239,7 +1263,7 @@ def read_with_rowids(
     if version is None:
         version = latest_version(root)
     m = read_manifest(root, version)
-    if not _manifest_visible(m):
+    if not _manifest_visible(m, root):
         raise ValueError(
             f"version {version} of {root} belongs to an uncommitted or "
             f"aborted multi-table transaction — it is not a readable "
@@ -1418,6 +1442,15 @@ def commit_multi(
             f"multi-table txn {txn_id} was aborted by a recoverer "
             "before it could finalize — retry"
         )
+    # best-effort participant-local verdict mirrors: committed history
+    # must stay readable even if the coordinator table is later
+    # relocated or dropped (readers check the local mirror first)
+    for r, _v in linked:
+        if r != coordinator:
+            try:
+                _finalize_txn(r, txn_id, "committed")
+            except OSError:
+                pass  # mirror is an availability optimization only
     return {r: v for r, v in linked}
 
 
@@ -2070,6 +2103,12 @@ def clone_table(src_root: str, dst_root: str, version: int | None = None) -> int
             "NEW table"
         )
     src_manifest = read_manifest(src_root, src_version)
+    if not _manifest_visible(src_manifest, src_root):
+        raise ValueError(
+            f"cannot clone {src_root} v{src_version}: the snapshot "
+            "belongs to an uncommitted or aborted multi-table "
+            "transaction"
+        )
     if src_manifest.get("dvs"):
         # DV sidecar keys are SOURCE-relative; re-rooted under the
         # clone they would resolve against the wrong base and silently
@@ -2147,6 +2186,12 @@ def restore_table(root: str, version: int) -> int:
             f"(1..{latest})"
         )
     target = read_manifest(root, version)  # raises if expired
+    if not _manifest_visible(target, root):
+        raise ValueError(
+            f"cannot restore {root} to v{version}: the snapshot "
+            "belongs to an uncommitted or aborted multi-table "
+            "transaction"
+        )
     if version == latest:
         return latest  # restoring to the head is a no-op, no commit
     head = read_manifest(root, latest)
@@ -2251,7 +2296,7 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             m = read_manifest(root, v)
         except FileNotFoundError:
             continue
-        if not _manifest_visible(m):
+        if not _manifest_visible(m, root):
             continue  # in-flight/aborted txn manifests are not history
         if "restored_from" in m:
             kind, audit = "restore", str(m["restored_from"])

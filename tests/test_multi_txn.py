@@ -153,3 +153,49 @@ def test_vacuum_keeps_pending_files_reclaims_aborted(spark, tmp_path):
     )
     assert n_after < n_before + 1
     assert _rows(spark, a) == list(range(6))
+
+
+def test_committed_history_survives_coordinator_loss(spark, tmp_path):
+    """The participant-local verdict mirror: deleting the COORDINATOR
+    table must not darken the other participant's committed history
+    (a missing coordinator otherwise reads as 'pending')."""
+    import shutil
+
+    a, b = _seeded(spark, tmp_path)
+    commit_multi(
+        {
+            a: spark.range(5, 8).select("id"),
+            b: spark.range(105, 108).select("id"),
+        }
+    )
+    coordinator = read_manifest(b, 2)["txn"]["coordinator"]
+    other = b if os.path.abspath(a) == coordinator else a
+    shutil.rmtree(coordinator)
+    # the surviving participant still reads its committed txn version
+    rows = sorted(
+        r["id"] for r in read_version(spark, other).collect()
+    )
+    assert len(rows) == 8 and latest_version(other) == 2
+
+
+def test_restore_and_clone_refuse_pending_versions(spark, tmp_path):
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        clone_table,
+        restore_table,
+    )
+
+    a, b = _seeded(spark, tmp_path)
+    commit_multi(
+        {
+            a: spark.range(5, 8).select("id"),
+            b: spark.range(105, 108).select("id"),
+        },
+        _crash_before_finalize=True,
+    )
+    # the pending version sits ABOVE the visible head, so restore
+    # refuses it as out of range (visible latest is 1); an explicit
+    # clone of the invisible manifest refuses on visibility itself
+    with pytest.raises(ValueError, match="out of range|uncommitted"):
+        restore_table(a, 2)
+    with pytest.raises(ValueError, match="uncommitted or aborted"):
+        clone_table(a, str(tmp_path / "c"), version=2)
