@@ -155,14 +155,57 @@ ROCKSDB_PROVIDER = (
 )
 
 
+_APPENGINE_PB = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
 def tws_runtime_available() -> bool:
     """True when transformWithStateInPandas can actually RUN here (the
-    protobuf state-server protocol dependency importable)."""
+    protobuf state-server protocol dependency importable).
+
+    Environment shim: this container ships no pip ``protobuf``, but the
+    (publicly installed) google-cloud-sdk bundles a pure-python
+    protobuf 6.32 runtime under its appengine platform dir. When the
+    normal import fails, the gate appends that dir to sys.path AND to
+    PYTHONPATH (Python workers import the state protocol too, and in
+    local mode they inherit the driver's env captured at JVM launch —
+    which is why this must run at module import, before any session
+    exists), and sets protobuf's own documented escape hatch
+    ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` for the one-minor
+    gencode/runtime gap (PySpark's StateMessage gencode is 6.33, the
+    bundled runtime 6.32-dev). The k8b oracle compare then validates
+    the protocol END TO END — if the gap ever became real, the stream
+    fails or the hash flips; nothing passes silently."""
+    import os as _os
+    import sys as _sys
+
     try:
         import google.protobuf  # noqa: F401
 
         return True
     except ImportError:
+        pass
+    if not _os.path.isdir(
+        _os.path.join(_APPENGINE_PB, "google", "protobuf")
+    ):
+        return False
+    if _APPENGINE_PB not in _sys.path:
+        _sys.path.append(_APPENGINE_PB)
+    pp = _os.environ.get("PYTHONPATH", "")
+    if _APPENGINE_PB not in pp.split(_os.pathsep):
+        _os.environ["PYTHONPATH"] = (
+            pp + _os.pathsep + _APPENGINE_PB if pp else _APPENGINE_PB
+        )
+    _os.environ.setdefault(
+        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+    )
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.proto import (  # noqa: F401
+            StateMessage_pb2,
+        )
+
+        return True
+    except Exception:
         return False
 
 
