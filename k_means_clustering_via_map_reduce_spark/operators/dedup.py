@@ -2000,8 +2000,9 @@ def d2b_minhash_banding_oracle(
 # the accounting join broadcasts the drop set when families are rare
 # (the common case) and hash-joins otherwise.
 # --------------------------------------------------------------------------
-_D13_ORACLE = f"""
-    WITH RECURSIVE d AS (
+# shared closure CTEs: shingle -> minhash -> band -> verified pairs ->
+# symmetric edges -> transitive reach -> per-doc family label (min id)
+_D13_CTES = f"""d AS (
       SELECT doc_id, lang, string_split(trim(text), ' ') AS w
       FROM documents),
     s AS (
@@ -2045,7 +2046,10 @@ _D13_ORACLE = f"""
       SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x),
     lbl AS (
       SELECT x AS doc_id, least(x, min(y)) AS label
-      FROM reach GROUP BY x),
+      FROM reach GROUP BY x)"""
+
+_D13_ORACLE = f"""
+    WITH RECURSIVE {_D13_CTES},
     marked AS (
       SELECT doc.doc_id, doc.lang, doc.n_chars,
              coalesce(l.label <> doc.doc_id, FALSE) AS dropped
@@ -2336,4 +2340,63 @@ def d15_incremental_minhash_pairs(
     tmp = _D15_STAGED[key]
     return minhash_pairs_from_index(
         spark, tmp.name + "/corpus", tmp.name + "/index"
+    )
+
+
+# --------------------------------------------------------------------------
+# D16 — GOLDEN-RECORD survivorship (round-11 bank, library-first).
+# d13 answers "what do we drop"; master-data curation also needs the
+# MERGED record per duplicate family: the canonical member (the CC
+# label — the family's minimum doc id) plus field-level survivorship
+# rules over every member (member count, distinct sources, longest
+# text, total mass). One family-grain aggregate over the d13 closure;
+# the oracle extends the shared closure CTEs with the same rollup.
+#
+# Scale: exactly d13's cost (banded candidates, never all-pairs) plus
+# one aggregate at family grain — families are the output, so the
+# rollup is presentation-sized.
+# --------------------------------------------------------------------------
+_D16_ORACLE = f"""
+    WITH RECURSIVE {_D13_CTES},
+    fam AS (
+      SELECT l.label, doc.doc_id, doc.source, doc.n_chars
+      FROM lbl l JOIN documents doc USING (doc_id))
+    SELECT label AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM fam GROUP BY label ORDER BY canonical_id
+"""
+
+
+def d16_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 (banked): one merged record per near-dup family — a
+    canonical pick that isn't the family minimum, a member lost by a
+    closure hop, or a survivorship rule reading only the survivor's
+    fields flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars"
+    )
+    pairs = minhash_banding_pairs_md5(_shingled(spark, sf_dir)).select(
+        "a_id", "b_id"
+    )
+    comp = connected_components(pairs)
+    fam = docs.join(comp, docs["doc_id"] == comp["id"], "inner")
+    return (
+        fam.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.col("label").alias("canonical_id"),
+            "n_members",
+            "n_sources",
+            "max_chars",
+            "total_chars",
+        )
+        .orderBy("canonical_id")
     )

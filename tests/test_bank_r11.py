@@ -66,3 +66,12 @@ def test_t33_matches_oracle_driver_style(spark, sf_dir):
     )
 
     compare_to_oracle(t33_rake_keywords(spark, sf_dir), T33_ORACLE, sf_dir)
+
+
+def test_d16_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D16_ORACLE,
+        d16_golden_records,
+    )
+
+    compare_to_oracle(d16_golden_records(spark, sf_dir), _D16_ORACLE, sf_dir)
