@@ -2113,3 +2113,110 @@ def m15_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_grid_stats(synthesize_media(docs)).orderBy(
         "doc_id", "cell_y", "cell_x"
     )
+
+
+# --------------------------------------------------------------------------
+# M16 — CLIPPING-RUN census (round-11 bank, library-first). The
+# loudness-QA twin of m14 at the other end of the amplitude range:
+# maximal runs of samples at |v| >= M16_CLIP_ABS — sustained clipping
+# is the recorder-saturation signal audio curation filters on (a
+# single clipped sample is noise; a run is a defect). Same real RIFF
+# parse, same vectorized RLE, same gaps-and-islands oracle with the
+# gate flipped, plus the clipped-sample fraction in exact per-mille.
+#
+# Scale: per-blob bounded Arrow-batched mapInPandas, no shuffle.
+# --------------------------------------------------------------------------
+M16_CLIP_ABS = 1000  # PCM fixture range is [-1024, 1023]
+
+M16_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 400 + 1)) AS i
+      FROM documents),
+    samp AS (
+      SELECT doc_id, i,
+             CASE WHEN abs((doc_id * 31 + i * 17) % 2048 - 1024)
+                       >= {M16_CLIP_ABS}
+                  THEN 1 ELSE 0 END AS clip
+      FROM s),
+    isl AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+      FROM samp WHERE clip = 1),
+    runs AS (
+      SELECT doc_id, k, count(*) AS run_len
+      FROM isl GROUP BY doc_id, k),
+    agg AS (
+      SELECT doc_id, sum(run_len) AS n_clipped,
+             count(*) AS n_runs, max(run_len) AS max_run
+      FROM runs GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.doc_id % 400 + 2 AS BIGINT) AS n_samples,
+           CAST(coalesce(a.n_clipped, 0) AS BIGINT) AS n_clipped,
+           CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_clip_runs,
+           CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_clip_run,
+           CAST(coalesce(a.n_clipped, 0) * 1000
+                // (d.doc_id % 400 + 2) AS BIGINT) AS clip_permille
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def clipping_runs(df: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, n_clipped, n_clip_runs, max_clip_run,
+    clip_permille) per decodable WAV blob."""
+    import numpy as np
+    import pandas as pd
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                decoded = decode_pcm(bytes(blob))
+                if decoded is None:
+                    continue
+                _, samples = decoded
+                clip = np.abs(samples) >= M16_CLIP_ABS
+                if clip.any():
+                    edges = np.flatnonzero(np.diff(clip.astype(np.int8)))
+                    starts = np.r_[0, edges + 1]
+                    ends = np.r_[edges, len(clip) - 1]
+                    lens = ends - starts + 1
+                    clip_lens = lens[clip[starts]]
+                    n_runs = int(clip_lens.size)
+                    max_run = int(clip_lens.max())
+                else:
+                    n_runs = max_run = 0
+                n = int(len(samples))
+                n_clip = int(clip.sum())
+                rows.append(
+                    (
+                        int(did), n, n_clip, n_runs, max_run,
+                        n_clip * 1000 // n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_clipped",
+                    "n_clip_runs", "max_clip_run", "clip_permille",
+                ],
+            )
+
+    return df.mapInPandas(
+        analyze,
+        schema=(
+            "doc_id BIGINT, n_samples BIGINT, n_clipped BIGINT, "
+            "n_clip_runs BIGINT, max_clip_run BIGINT, "
+            "clip_permille BIGINT"
+        ),
+    )
+
+
+def m16_clipping_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16 (banked): maximal clipping-run statistics of every
+    synthesized WAV through the real RIFF parse — a gate flipped to
+    strict >, a run split, or integer-division drift in the per-mille
+    flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return clipping_runs(synthesize_pcm_wav(docs)).orderBy("doc_id")

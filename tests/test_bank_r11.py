@@ -168,3 +168,12 @@ def test_q93_peak_counts_meeting_sessions_once(spark):
             for r in q93_peak_concurrency(spark, "ignored").collect()
         }
     assert got[2] == (2, 3)
+
+
+def test_m16_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        M16_ORACLE,
+        m16_clipping_runs,
+    )
+
+    compare_to_oracle(m16_clipping_runs(spark, sf_dir), M16_ORACLE, sf_dir)
