@@ -8284,3 +8284,115 @@ def f37_multi_table_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q100 — RECONCILIATION AUDIT (round-11 bank, library-first). The
+# referential/financial data-quality staple: per priority, how many
+# orders have NO lines at all, and how far each lined order's header
+# total drifts from its computed line total — bucketed by RELATIVE
+# drift through cross-multiplied BIGINT-cents predicates (100·|diff|
+# <= total is "within 1%": no engine divides before classifying, the
+# q89/q94 discipline), with the absolute drift mass summed exactly.
+#
+# Scale: one partial-agg rollup of lineitem to order grain, one
+# key-equi FULL join with orders, one aggregate — the audit costs a
+# single co-partitioned pass at any size (bucketed layouts serve the
+# join shuffle-free via f12's lever).
+# --------------------------------------------------------------------------
+Q100_ORACLE = """
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderpriority,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS head_cents,
+             l.line_cents
+      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey),
+    c AS (
+      SELECT o_orderpriority,
+             line_cents IS NULL AS lineless,
+             abs(coalesce(line_cents, 0) - head_cents) AS diff,
+             head_cents
+      FROM j)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN lineless THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lineless,
+           CAST(sum(CASE WHEN NOT lineless AND 100 * diff <= head_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(sum(CASE WHEN NOT lineless AND 100 * diff > head_cents
+                          AND 10 * diff <= head_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+           CAST(sum(CASE WHEN NOT lineless AND 10 * diff > head_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond,
+           CAST(sum(CASE WHEN lineless THEN 0 ELSE diff END) AS BIGINT)
+             AS drift_cents
+    FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q100_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q100 (banked): per-priority header-vs-lines reconciliation — a
+    lost line-less order (join type slip), a pre-division bucket
+    classification, or float money flips the exact integer hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    l_sum = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100
+        )
+        .cast("bigint")
+        .alias("line_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("head_cents"),
+    ).join(l_sum, o["o_orderkey"] == l_sum["l_orderkey"], "left")
+    c = j.select(
+        "o_orderpriority",
+        F.col("line_cents").isNull().alias("lineless"),
+        F.abs(
+            F.coalesce(F.col("line_cents"), F.lit(0))
+            - F.col("head_cents")
+        ).alias("diff"),
+        "head_cents",
+    )
+    nl = ~F.col("lineless")
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("lineless"), 1).otherwise(0)).alias(
+                "n_lineless"
+            ),
+            F.sum(
+                F.when(
+                    nl & (100 * F.col("diff") <= F.col("head_cents")), 1
+                ).otherwise(0)
+            ).alias("n_within_1pct"),
+            F.sum(
+                F.when(
+                    nl
+                    & (100 * F.col("diff") > F.col("head_cents"))
+                    & (10 * F.col("diff") <= F.col("head_cents")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_within_10pct"),
+            F.sum(
+                F.when(
+                    nl & (10 * F.col("diff") > F.col("head_cents")), 1
+                ).otherwise(0)
+            ).alias("n_beyond"),
+            F.sum(
+                F.when(F.col("lineless"), 0).otherwise(F.col("diff"))
+            ).alias("drift_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

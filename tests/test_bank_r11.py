@@ -177,3 +177,14 @@ def test_m16_matches_oracle_driver_style(spark, sf_dir):
     )
 
     compare_to_oracle(m16_clipping_runs(spark, sf_dir), M16_ORACLE, sf_dir)
+
+
+def test_q100_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q100_ORACLE,
+        q100_reconciliation,
+    )
+
+    compare_to_oracle(
+        q100_reconciliation(spark, sf_dir), Q100_ORACLE, sf_dir
+    )
