@@ -2370,6 +2370,7 @@ _D16_ORACLE = f"""
 """
 
 
+@query("d16_golden_records", oracle=_D16_ORACLE)
 def d16_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D16 (banked): one merged record per near-dup family — a
     canonical pick that isn't the family minimum, a member lost by a

@@ -2213,6 +2213,7 @@ def clipping_runs(df: DataFrame) -> DataFrame:
     )
 
 
+@query("m16_clipping_runs", oracle=M16_ORACLE)
 def m16_clipping_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16 (banked): maximal clipping-run statistics of every
     synthesized WAV through the real RIFF parse — a gate flipped to

@@ -2374,6 +2374,7 @@ T33_ORACLE = f"""
 """
 
 
+@query("t33_rake_keywords", oracle=T33_ORACLE)
 def t33_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T33 (banked): per-lang RAKE top-10 — a phrase cut that merges
     runs across a stopword, a degree that misses phrase co-occurrence

@@ -7998,6 +7998,7 @@ Q98_ORACLE = """
 """
 
 
+@query("q98_max_drawdown", oracle=Q98_ORACLE)
 def q98_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q98 (banked): per-user peak balance, deepest drawdown, and the
     at-peak event count — a frame slip between the cumulative sum and
@@ -8102,6 +8103,7 @@ Q99_ORACLE = f"""
 """
 
 
+@query("q99_interval_union", oracle=Q99_ORACLE)
 def q99_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q99 (banked): per-day union-covered microseconds and maximal
     busy-span count — a lost same-instant boundary collapse, an
@@ -8217,6 +8219,7 @@ F37_ORACLE = """
 """
 
 
+@query("f37_multi_table_txn_read", oracle=F37_ORACLE)
 def f37_multi_table_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F37 (banked): per-lang stats over the UNION of two tables fed
     exclusively by multi-table transactions, one of which crashed
@@ -8334,6 +8337,7 @@ Q100_ORACLE = """
 """
 
 
+@query("q100_reconciliation", oracle=Q100_ORACLE)
 def q100_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q100 (banked): per-priority header-vs-lines reconciliation — a
     lost line-less order (join type slip), a pre-division bucket

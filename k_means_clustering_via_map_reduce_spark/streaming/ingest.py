@@ -384,6 +384,7 @@ K28_ORACLE = """
 """
 
 
+@query("k28_pinned_enrich", oracle=K28_ORACLE)
 def k28_pinned_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K28 (banked): per-type revenue under a pinned dim snapshot vs
     the evolving head, while the dim takes a COW update between every
