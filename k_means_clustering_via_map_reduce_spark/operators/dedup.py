@@ -1496,12 +1496,15 @@ def segment_family_df(
     is an underestimate and removal errs toward KEEPING data — and a
     shingle shared by that many distinct segment texts carries no
     near-dup signal anyway (the exact-duplicate mass was already
-    collapsed into df before the join). ``None`` disables the cap —
-    the ORACLE-CHECKED d11 path runs uncapped so the query computes
-    exactly what its relational oracle computes at every scale, not
-    just at fixture scale where a 10k cap happens never to bind
-    (round-7 ADVICE); the capped form is the documented opt-in for
-    production corpora."""
+    collapsed into df before the join).
+
+    Since round 10 the REGISTERED d11 arm runs at
+    ``posting_cap=D11_POSTING_CAP`` (10k) with the cap ENCODED IN ITS
+    ORACLE (``D11_ORACLE = _d11b_oracle(D11_POSTING_CAP)``), so engine
+    == oracle at every scale whether or not the cap binds. ``None``
+    disables the cap and is pytest-only: the uncapped truth pin lives
+    in tests/test_segment_neardup.py against D11_UNCAPPED_ORACLE; the
+    fixture-scale BINDING-cap mirror is d11b."""
     w = F.split(F.trim(F.col("text")), " ")
     seg_expr = F.expr(
         f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
