@@ -6427,9 +6427,13 @@ def pagerank_integer(
     """(source, rank_micro) after ``iters`` integer-exact power
     iterations over a weighted directed edge list (u, v, w)."""
     spark = nodes.sparkSession
+    nodes = nodes.persist()
     n = nodes.count()
     outw = edges.groupBy("u").agg(F.sum("w").alias("tot"))
-    ew = edges.join(outw, "u")
+    # ew and nodes are rescanned every iteration: persist once so the
+    # upstream segment-provenance join (q87's expensive input) is not
+    # recomputed per power step (VERDICT r10 "What's wrong" #4).
+    ew = edges.join(outw, "u").persist()
     teleport = (Q87_UNIT * (100 - damp_pct)) // (100 * n)
     ranks = nodes.select(
         "source", F.lit(Q87_UNIT // n).cast("bigint").alias("rank")
@@ -6455,10 +6459,21 @@ def pagerank_integer(
                     + F.coalesce(F.col("inflow"), F.lit(0))
                 ).cast("bigint").alias("rank"),
             )
+            # Truncate the compounding iterative lineage: without this
+            # the plan (and every re-optimization of it) grows with the
+            # iteration count — the standard iterative-algorithm trap
+            # at scale. localCheckpoint materializes the K-row rank
+            # vector on executors and severs the plan.
+            .localCheckpoint(eager=True)
         )
-    return ranks.select(
+    out = ranks.select(
         "source", F.col("rank").alias("rank_micro")
     ).orderBy("source")
+    # ranks is checkpointed, so the result no longer references ew or
+    # nodes; release the cached inputs.
+    ew.unpersist()
+    nodes.unpersist()
+    return out
 
 
 @query("q87_source_pagerank", oracle=Q87_ORACLE)
