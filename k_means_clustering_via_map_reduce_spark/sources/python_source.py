@@ -908,19 +908,28 @@ def register_versioned_source(spark: SparkSession) -> str:
             table = pq.read_table(part.path)
             if part.dv_paths:
                 # apply this file's deletion vector: physical row
-                # positions of a whole-file read are 0..n-1 in order
+                # positions of a whole-file read are 0..n-1 in order.
+                # The _dv_file predicate is PUSHED into the sidecar
+                # read (row-group pruning via parquet stats) so each
+                # file partition decodes only the vector rows keyed to
+                # it, not every sidecar in full (round-11 ADVICE).
                 dead: set = set()
                 for dv_path in part.dv_paths:
                     dv = pq.read_table(
-                        dv_path, columns=["_dv_file", "_dv_pos"]
+                        dv_path,
+                        columns=["_dv_pos"],
+                        filters=[("_dv_file", "==", part.dv_key)],
                     )
-                    mask = pa.compute.equal(
-                        dv.column("_dv_file"), part.dv_key
-                    )
-                    dead.update(
-                        dv.filter(mask).column("_dv_pos").to_pylist()
-                    )
+                    dead.update(dv.column("_dv_pos").to_pylist())
                 if dead:
+                    bad = [p for p in dead if not 0 <= p < len(table)]
+                    if bad:
+                        raise ValueError(
+                            f"kmce_versioned: deletion-vector positions "
+                            f"{sorted(bad)[:3]} are out of range for "
+                            f"{part.path} ({len(table)} rows) — corrupt "
+                            "sidecar or mismatched file key"
+                        )
                     keep = np.ones(len(table), dtype=bool)
                     keep[list(dead)] = False
                     table = table.filter(pa.array(keep))
@@ -1070,6 +1079,7 @@ def register_version_feed_source(spark: SparkSession) -> str:
     from pyspark.sql.types import StructType
 
     from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        _manifest_visible,
         latest_version,
         read_manifest,
         table_schema,
@@ -1085,6 +1095,16 @@ def register_version_feed_source(spark: SparkSession) -> str:
         out = []
         for v in range(v0 + 1, v1 + 1):
             manifest = read_manifest(root, v)
+            if not _manifest_visible(manifest, root):
+                # the offset bound comes from latest_version, so an
+                # in-flight multi-table slot should never be inside the
+                # range; if one ever is, fail loudly rather than feed
+                # uncommitted rows downstream (round-11 ADVICE)
+                raise ValueError(
+                    f"kmce_version_feed: version {v} of {root} belongs "
+                    "to an uncommitted or aborted multi-table "
+                    "transaction"
+                )
             if (
                 "compacted_from" in manifest
                 or "dv_materialized_from" in manifest

@@ -139,7 +139,12 @@ def latest_version(root: str) -> int:
             if _manifest_visible(read_manifest(root, v), root):
                 return v
         except FileNotFoundError:
-            return v  # expired below: the raw max IS the answer
+            # expired hole (or a listdir/read race): this version has
+            # no readable manifest, so it cannot be the answer — keep
+            # walking to the highest version that IS readable and
+            # visible (round-11 ADVICE: returning v here handed
+            # callers a snapshot read_version could only throw on)
+            pass
         v -= 1
     return 0
 
@@ -969,9 +974,23 @@ def _dv_file_key(root: str):
 
     base = os.path.abspath(root) + os.sep
     fp = F.col("_metadata.file_path")
+    # Spark reports file_path in PERCENT-ENCODED URI form; the manifest
+    # records raw paths. Decode the URI branch (mirroring _uri_to_local,
+    # round-11 ADVICE) so a root containing a space/%/non-ASCII char
+    # still prefix-matches ``base`` and keys come out table-relative.
+    # ``url_decode`` is form-decoding ('+' -> ' '); a literal '+' is
+    # legal un-encoded in a URI path, so pre-escape it to '%2B' to make
+    # the decode pure percent-decoding. Bare (schemeless) paths pass
+    # through un-decoded, exactly as _uri_to_local treats them.
     bare = F.when(
         fp.startswith("file:"),
-        F.concat(F.lit("/"), F.regexp_replace(fp, "^file:/*", "")),
+        F.url_decode(
+            F.regexp_replace(
+                F.concat(F.lit("/"), F.regexp_replace(fp, "^file:/*", "")),
+                r"\+",
+                "%2B",
+            )
+        ),
     ).otherwise(fp)
     return F.when(
         bare.startswith(base),
@@ -1165,6 +1184,30 @@ def materialize_dvs(spark: SparkSession, root: str) -> int:
     # stale keys (files a later COW/compact already rewrote) resolve to
     # nothing here — their vectors are inert and simply dropped
     affected = [f for f in manifest["files"] if f in dv_keys]
+    # Guard (round-11 ADVICE): a stale key is a RELATIVE name no longer
+    # in the file list. A key that is an absolute/encoded spelling OF a
+    # live manifest file is not stale — it is a key-normalization bug,
+    # and dropping it would silently resurrect deleted rows. Raise.
+    from urllib.parse import unquote
+
+    base = os.path.abspath(root) + os.sep
+    live = set(manifest["files"])
+    mismatched = sorted(
+        k
+        for k in dv_keys
+        if k not in live
+        and any(
+            cand.startswith(base) and cand[len(base):] in live
+            for cand in (k, unquote(k))
+        )
+    )
+    if mismatched:
+        raise ValueError(
+            f"deletion-vector keys {mismatched[:3]} are alternate "
+            f"spellings of live manifest files of {root}; refusing to "
+            "drop them as stale (key-normalization bug would resurrect "
+            "deleted rows)"
+        )
     txn = uuid.uuid4().hex[:12]
     version = parent + 1
     new_files: list = []
@@ -2021,6 +2064,16 @@ def read_changes(
     files: list[str] = []
     for v in range(v0 + 1, v1 + 1):
         m = read_manifest(root, v)
+        if not _manifest_visible(m, root):
+            # belt-and-braces mirror of read_version's check (round-11
+            # ADVICE): the range bound comes from latest_version so an
+            # in-flight slot should never be inside it, but if one ever
+            # is (invariant erosion, coordinator races), emitting its
+            # `added` files would surface uncommitted data
+            raise ValueError(
+                f"read_changes: version {v} of {root} belongs to an "
+                "uncommitted or aborted multi-table transaction"
+            )
         if "compacted_from" in m or "dv_materialized_from" in m:
             # OPTIMIZE and the DV flush rewrite the SAME live rows into
             # new files — no-data-change versions (dataChange=false);

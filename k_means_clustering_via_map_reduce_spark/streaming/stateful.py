@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -155,27 +157,35 @@ ROCKSDB_PROVIDER = (
 )
 
 
-_APPENGINE_PB = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+# Fallback pure-python protobuf runtime: the (publicly installed)
+# google-cloud-sdk bundles one under its appengine platform dir.
+# Overridable so a deployment can point the shim at its own runtime —
+# or disable it entirely with an empty value (round-11 ADVICE: the
+# path is keyed off an env var, not hardcoded-only).
+_PB_SHIM_DIR = os.environ.get(
+    "KMCE_TWS_PROTOBUF_DIR",
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
 
 
-def tws_runtime_available() -> bool:
-    """True when transformWithStateInPandas can actually RUN here (the
-    protobuf state-server protocol dependency importable).
-
-    Environment shim: this container ships no pip ``protobuf``, but the
-    (publicly installed) google-cloud-sdk bundles a pure-python
-    protobuf 6.32 runtime under its appengine platform dir. When the
-    normal import fails, the gate appends that dir to sys.path AND to
-    PYTHONPATH (Python workers import the state protocol too, and in
-    local mode they inherit the driver's env captured at JVM launch —
-    which is why this must run at module import, before any session
-    exists), and sets protobuf's own documented escape hatch
+def _enable_tws_protobuf_shim() -> bool:
+    """EXPLICIT environment setup for the transformWithState protobuf
+    dependency (round-11 ADVICE: mutation lives in a setup function,
+    not inside a predicate). No-op (True) when real ``protobuf`` is
+    importable. Otherwise, if ``KMCE_TWS_PROTOBUF_DIR`` (default: the
+    google-cloud-sdk appengine bundle) holds a protobuf runtime, the
+    shim appends that dir to sys.path AND to PYTHONPATH — Python
+    workers import the state protocol too, and in local mode they
+    inherit the driver's env captured at JVM launch, which is why the
+    k8b registration gate runs this at module import, before any
+    session exists — and sets protobuf's own documented escape hatch
     ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` for the one-minor
     gencode/runtime gap (PySpark's StateMessage gencode is 6.33, the
-    bundled runtime 6.32-dev). The k8b oracle compare then validates
-    the protocol END TO END — if the gap ever became real, the stream
-    fails or the hash flips; nothing passes silently."""
-    import os as _os
+    bundled runtime 6.32-dev). The override is only ever set when the
+    SHIM runtime is in use (never over a real protobuf install), and
+    the k8b oracle compare validates the protocol END TO END — if the
+    gap ever became real, the stream fails or the hash flips; nothing
+    passes silently."""
     import sys as _sys
 
     try:
@@ -184,18 +194,18 @@ def tws_runtime_available() -> bool:
         return True
     except ImportError:
         pass
-    if not _os.path.isdir(
-        _os.path.join(_APPENGINE_PB, "google", "protobuf")
+    if not _PB_SHIM_DIR or not os.path.isdir(
+        os.path.join(_PB_SHIM_DIR, "google", "protobuf")
     ):
         return False
-    if _APPENGINE_PB not in _sys.path:
-        _sys.path.append(_APPENGINE_PB)
-    pp = _os.environ.get("PYTHONPATH", "")
-    if _APPENGINE_PB not in pp.split(_os.pathsep):
-        _os.environ["PYTHONPATH"] = (
-            pp + _os.pathsep + _APPENGINE_PB if pp else _APPENGINE_PB
+    if _PB_SHIM_DIR not in _sys.path:
+        _sys.path.append(_PB_SHIM_DIR)
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PB_SHIM_DIR not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pp + os.pathsep + _PB_SHIM_DIR if pp else _PB_SHIM_DIR
         )
-    _os.environ.setdefault(
+    os.environ.setdefault(
         "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
     )
     try:
@@ -207,6 +217,13 @@ def tws_runtime_available() -> bool:
         return True
     except Exception:
         return False
+
+
+def tws_runtime_available() -> bool:
+    """True when transformWithStateInPandas can actually RUN here (the
+    protobuf state-server protocol importable, via a real install or
+    the explicit shim — see ``_enable_tws_protobuf_shim``)."""
+    return _enable_tws_protobuf_shim()
 
 
 def _make_running_totals_processor(threshold: float):

@@ -263,3 +263,64 @@ def test_dv_keys_are_table_relative(spark, tmp_path):
     for k in keys:
         assert not os.path.isabs(k)
         assert k in set(read_manifest(root, 2)["files"])
+
+
+def test_dv_keys_relative_under_uri_hostile_root(spark, tmp_path):
+    """Round-11 ADVICE (medium): Spark reports _metadata.file_path
+    percent-encoded, so a table root containing a space, '%', '+', or
+    non-ASCII must still produce table-RELATIVE keys that match the
+    manifest's raw spellings — and deletes must survive a flush."""
+    root = str(tmp_path / "we ird %tb+l ü")
+    _staged(spark, root)
+    v = delete_where_dv(spark, root, "id IN (3, 7)")
+    dv_rel = read_manifest(root, v)["dvs"]
+    dv = spark.read.schema("_dv_file STRING, _dv_pos BIGINT").parquet(
+        *[os.path.join(root, f) for f in dv_rel]
+    )
+    keys = {r["_dv_file"] for r in dv.collect()}
+    assert keys, "expected vector rows"
+    live = set(read_manifest(root, v)["files"])
+    for k in keys:
+        assert not os.path.isabs(k), k
+        assert "%" not in os.path.dirname(k), k
+        assert k in live, k
+    assert {r[0] for r in _rows(spark, root)} == set(range(20)) - {3, 7}
+    v2 = materialize_dvs(spark, root)
+    assert "dvs" not in read_manifest(root, v2)
+    assert {r[0] for r in _rows(spark, root)} == set(range(20)) - {3, 7}
+
+
+def test_materialize_refuses_alternate_spellings_of_live_files(
+    spark, tmp_path
+):
+    """Round-11 ADVICE guard: a sidecar key that is an absolute (or
+    percent-encoded absolute) spelling of a LIVE manifest file is a
+    key-normalization bug, not a stale vector — materialize_dvs must
+    raise instead of silently resurrecting the deleted rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from urllib.parse import quote
+
+    root = str(tmp_path / "t")
+    _staged(spark, root)
+    v = delete_where_dv(spark, root, "id = 5")
+    man = read_manifest(root, v)
+    side = os.path.join(root, man["dvs"][0])
+    tbl = pq.read_table(side)
+    base = os.path.abspath(root) + os.sep
+    bad = [
+        quote(base, safe="/") + f for f in tbl.column("_dv_file").to_pylist()
+    ]
+    pq.write_table(
+        pa.table(
+            {"_dv_file": bad, "_dv_pos": tbl.column("_dv_pos").to_pylist()}
+        ),
+        side,
+    )
+    crc = os.path.join(
+        os.path.dirname(side), "." + os.path.basename(side) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="alternate"):
+        materialize_dvs(spark, root)

@@ -199,3 +199,57 @@ def test_restore_and_clone_refuse_pending_versions(spark, tmp_path):
         restore_table(a, 2)
     with pytest.raises(ValueError, match="uncommitted or aborted"):
         clone_table(a, str(tmp_path / "c"), version=2)
+
+
+def test_latest_version_walks_past_expired_hole_below_pending_head(
+    spark, tmp_path
+):
+    """Round-11 ADVICE: when an expired (missing) manifest sits
+    directly below an invisible pending head, latest_version must keep
+    walking to the highest READABLE visible version instead of handing
+    back the unreadable hole (which read_version could only throw on)."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        _manifest_path,
+    )
+
+    a, b = _seeded(spark, tmp_path)
+    commit_append(spark.range(5, 7).select("id"), a)   # a at v2
+    commit_append(spark.range(7, 9).select("id"), a)   # a at v3
+    commit_multi(
+        {a: spark.range(9, 10).select("id"),
+         b: spark.range(105, 106).select("id")},
+        _crash_before_finalize=True,
+    )  # pending, invisible head at a:v4
+    os.remove(_manifest_path(a, 3))  # simulated expired hole below it
+    assert latest_version(a) == 2
+    assert _rows(spark, a) == list(range(7))
+
+
+def test_read_changes_refuses_pending_slot_inside_range(spark, tmp_path):
+    """Round-11 ADVICE: read_changes must mirror read_version's
+    visibility check inside the range walk — if an uncommitted
+    multi-table slot ever lands below the resolved head (invariant
+    erosion simulated here with a hand-linked v4), its 'added' files
+    must not be served as committed changes."""
+    import json
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        _manifest_path,
+        read_changes,
+    )
+
+    a, b = _seeded(spark, tmp_path)
+    commit_append(spark.range(5, 7).select("id"), a)  # a at v2
+    commit_multi(
+        {a: spark.range(9, 10).select("id"),
+         b: spark.range(105, 106).select("id")},
+        _crash_before_finalize=True,
+    )  # pending invisible slot at a:v3
+    with open(_manifest_path(a, 2)) as f:
+        m = json.load(f)
+    m["version"], m["parent"], m["added"] = 4, 3, []
+    with open(_manifest_path(a, 4), "w") as f:
+        json.dump(m, f)  # visible head ABOVE the pending slot
+    assert latest_version(a) == 4
+    with pytest.raises(ValueError, match="uncommitted or aborted"):
+        read_changes(spark, a, 0, 4)

@@ -278,3 +278,39 @@ def test_connector_applies_dvs_and_column_mapping(spark, tmp_path):
     assert sorted(r["id"] for r in pruned.collect()) == [
         i for i in range(100, 110) if i % 3
     ]
+
+
+def test_connector_rejects_out_of_range_dv_positions(spark, tmp_path):
+    """Round-11 ADVICE: a corrupt sidecar position beyond the file's
+    row count must raise a diagnosable kmce_versioned error, not a
+    bare numpy IndexError from the mask fill."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        delete_where_dv,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(spark.range(0, 10).selectExpr("id").coalesce(1), root)
+    v = delete_where_dv(spark, root, "id = 4")
+    side = os.path.join(root, read_manifest(root, v)["dvs"][0])
+    tbl = pq.read_table(side)
+    pq.write_table(
+        pa.table(
+            {
+                "_dv_file": tbl.column("_dv_file").to_pylist(),
+                "_dv_pos": [10**6] * len(tbl),
+            }
+        ),
+        side,
+    )
+    for crc in glob.glob(os.path.join(os.path.dirname(side), ".*.crc")):
+        os.remove(crc)
+    register_versioned_source(spark)
+    with pytest.raises(Exception, match="out of range"):
+        _load(spark, root).collect()
