@@ -1621,3 +1621,185 @@ def s12_global_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in spark.table("s7_centroids").orderBy("cell").collect()
     ]
     return nearest_neighbor_profile(e, centers)
+
+
+# --------------------------------------------------------------------------
+# S13 — EXACT top-k via cell-bound pruning (round-12 surface,
+# library-first; the @query registration is one decorator away). s1 is
+# exact but scans every (query, vector) pair; s3/s5 prune but are
+# approximate. S13 is the third point of the design space: EXACT
+# results with most of the corpus pruned — the production shape for
+# "exact retrieval over a 100 TB embedding store" (FAISS IVF with
+# exact bounds / Branch-and-bound NN search).
+#
+# Bound: for unit query u = q/|q|, any x in cell C with centroid c and
+# residual radius r = max |x - c| satisfies
+#     dot(u, x) <= dot(u, c) + r          (Cauchy-Schwarz on x - c)
+# so  cos(q, x) <= (dot(u,c) + r) / min_norm(C)   when numerator > 0
+#     cos(q, x) <= (dot(u,c) + r) / max_norm(C)   otherwise.
+# Phase A exact-scores each query's top-NPROBE cells by bound and
+# takes tau = its kth-best candidate; phase B exact-scores only the
+# remaining cells whose bound clears tau (minus a float-slack epsilon,
+# which can only UNprune). A pruned cell provably contains no vector
+# that could enter the top-k, so the merged result equals s1's —
+# byte-for-byte, same oracle SQL, full hash check.
+#
+# Scale shape: cell stats are nlist rows; (query x cell) bounds are
+# Q x nlist rows — both broadcast. The corpus is scanned via equi-join
+# on cell id in both phases, never shuffled, never crossed with more
+# than the broadcast query side; per-query work is |probed cells| +
+# |bound-cleared cells| instead of |corpus|.
+# --------------------------------------------------------------------------
+S13_SLACK = 1e-6
+
+S13_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {TOPK_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.v, e.v))) AS cos,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.qv, e.v)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(e.v, e.v))) DESC,
+                        e.vec_id ASC) AS rank
+      FROM q JOIN e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim
+    FROM scored WHERE rank <= {TOPK_K}
+    ORDER BY query_id, rank
+"""
+
+
+def norm_pruned_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK_K,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """EXACT cosine top-k with cell-bound pruning (see the S13 block
+    comment for the bound derivation and scale shape)."""
+    from k_means_clustering_via_map_reduce_spark.functions.vector import (
+        euclidean_distance_cols,
+    )
+    from k_means_clustering_via_map_reduce_spark.kmeans import mllib_fit
+
+    spark = corpus.sparkSession
+    model, _ = mllib_fit(
+        corpus, k=nlist, array_col="v", max_iter=10, seed=IVF_SEED
+    )
+    centers = [ctr.tolist() for ctr in model.clusterCenters()]
+    assign = _cell_probe_udf(centers, 1)
+
+    c = (
+        spread(corpus)
+        .withColumn("cell", assign(F.col("v"))[0])
+        .withColumn("nrm", vector_norm(F.col("v")))
+    )
+    cells_df = spark.createDataFrame(
+        [(i, centers[i]) for i in range(len(centers))],
+        "cell INT, ctr ARRAY<DOUBLE>",
+    )
+    stats = (
+        c.join(F.broadcast(cells_df), "cell")
+        .select(
+            "cell",
+            euclidean_distance_cols(F.col("v"), F.col("ctr")).alias("resid"),
+            "nrm",
+        )
+        .groupBy("cell")
+        .agg(
+            F.max("resid").alias("r"),
+            F.min("nrm").alias("mn"),
+            F.max("nrm").alias("mx"),
+        )
+        .join(F.broadcast(cells_df), "cell")
+    )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        vector_norm(F.col("v")).alias("qnrm"),
+    )
+    # (query x cell) upper bounds: Q x nlist rows, all metadata-sized
+    num = dot(F.col("qv"), F.col("ctr")) / F.col("qnrm") + F.col("r")
+    bounds = (
+        q.crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "cell",
+            F.when(num > 0, num / F.col("mn"))
+            .otherwise(num / F.col("mx"))
+            .alias("ub"),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("ub").desc(), F.col("cell").asc()
+    )
+    ranked = bounds.withColumn("cr", F.row_number().over(wb))
+    probe = ranked.filter(F.col("cr") <= nprobe).select(
+        "query_id", "cell"
+    )
+    rest = ranked.filter(F.col("cr") > nprobe).select(
+        "query_id", "cell", "ub"
+    )
+
+    def _exact(cand_cells: DataFrame) -> DataFrame:
+        qc = cand_cells.join(F.broadcast(q), "query_id")
+        return (
+            c.join(F.broadcast(qc), "cell")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    dot(F.col("qv"), F.col("v"))
+                    / (F.col("qnrm") * F.col("nrm"))
+                ).alias("cos_sim"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    phase_a = _exact(probe)
+    # tau = the kth-best phase-A score per query (-inf when < k found):
+    # Q rows, broadcast back onto the remaining cells' bounds
+    tau = (
+        phase_a.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == k)
+        .select("query_id", F.col("cos_sim").alias("tau"))
+    )
+    survivors = (
+        rest.join(F.broadcast(tau), "query_id", "left")
+        .filter(
+            F.col("tau").isNull()
+            | (F.col("ub") >= F.col("tau") - F.lit(S13_SLACK))
+        )
+        .select("query_id", "cell")
+    )
+    merged = phase_a.unionByName(_exact(survivors))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            r4(F.col("cos_sim")).alias("cos_sim"),
+        )
+    )
+
+
+def s13_exact_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 (banked): exact top-k equal to s1 with cell-bound pruning —
+    an invalid bound, a dropped boundary tie, or a probe/survivor
+    overlap duplicate flips the hash against the s1 oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return norm_pruned_exact_topk(e, q).orderBy("query_id", "rank")

@@ -2417,3 +2417,89 @@ def t33_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# T34 — cross-lingual VOCABULARY OVERLAP matrix (round-12 surface,
+# library-first; the @query registration is one decorator away). The
+# corpus-composition diagnostic a multilingual training mix needs:
+# for every language pair, the Jaccard overlap of their distinct
+# vocabularies plus the asymmetric containment (share of A's vocab
+# also in B) — high overlap flags near-duplicate subcorpora, script
+# contamination, or mislabeled languages.
+#
+# Scale shape: one distinct (lang, token) aggregation (map-side
+# combine), per-lang sizes are a 5-row aggregate joined broadcast;
+# the intersection is a token-keyed equi-join of the distinct vocab
+# with itself — the inverted-index shape, pairs materialize only for
+# shared tokens, never a cross join of documents.
+# --------------------------------------------------------------------------
+T34_ORACLE = """
+    WITH v AS (
+      SELECT DISTINCT lang,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    sz AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS both
+      FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY a.lang, b.lang)
+    SELECT i.lang_a, i.lang_b,
+           CAST(sa.n AS BIGINT) AS vocab_a,
+           CAST(sb.n AS BIGINT) AS vocab_b,
+           CAST(i.both AS BIGINT) AS n_shared,
+           round(i.both * 1.0 / (sa.n + sb.n - i.both), 4) AS jaccard,
+           round(i.both * 1.0 / sa.n, 4) AS containment_a_in_b,
+           round(i.both * 1.0 / sb.n, 4) AS containment_b_in_a
+    FROM inter i
+    JOIN sz sa ON sa.lang = i.lang_a
+    JOIN sz sb ON sb.lang = i.lang_b
+    ORDER BY lang_a, lang_b
+"""
+
+
+def t34_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T34 (banked): language-pair vocabulary Jaccard + containment —
+    a lost duplicate collapse, a pair-order flip, or an intersection
+    join that double-counts flips the hash."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    v = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    sz = v.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("na").alias("vocab_a"),
+            F.col("nb").alias("vocab_b"),
+            F.col("both").alias("n_shared"),
+            r4(F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))
+               ).alias("jaccard"),
+            r4(F.col("both") / F.col("na")).alias("containment_a_in_b"),
+            r4(F.col("both") / F.col("nb")).alias("containment_b_in_a"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

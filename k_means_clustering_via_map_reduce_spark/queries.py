@@ -8415,3 +8415,163 @@ def q100_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q101 — BITEMPORAL AS-OF (round-12 surface, library-first; the @query
+# registration is one decorator away). Two time axes: VALID time (when
+# a fact became true) and TRANSACTION time (when the system recorded
+# it — here a deterministic per-event recording lag). A bitemporal
+# probe (V, T) answers "what did we BELIEVE at T the state was at V" —
+# the audit/backtest primitive one-axis AS OF (f29) and the as-of join
+# (operators/asof.py) cannot express: a late-arriving correction is
+# visible to a probe with a later T but the same V.
+#
+# The two probes share V (mid-fixture) and differ only in T; rows
+# recorded in the gap flip belief — so a query that conflates the axes
+# collapses the probes to identical rows and flips the hash.
+#
+# Scale shape: both time predicates push into the scan; the per-user
+# argmax is one window over (user_id), computed per probe and unioned
+# — two passes over a pruned scan, no self-join, no driver state.
+# --------------------------------------------------------------------------
+Q101_V_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC, mid-fixture
+Q101_T1_US = Q101_V_US             # probe 1: belief as recorded AT V
+Q101_T2_US = 1_706_486_400_000_000  # probe 2: 2024-01-29, after corrections
+Q101_LAG_US = 60_000_000           # recording lag unit: 1 minute
+
+Q101_ORACLE = f"""
+    WITH u AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS valid_us,
+             epoch_us(ts) + (event_id % 7) * {Q101_LAG_US} AS tx_us
+      FROM events),
+    probes AS (
+      SELECT 1 AS probe_id, {Q101_V_US} AS v, {Q101_T1_US} AS t
+      UNION ALL
+      SELECT 2, {Q101_V_US}, {Q101_T2_US}),
+    vis AS (
+      SELECT p.probe_id, u.user_id, u.value,
+             row_number() OVER (
+               PARTITION BY p.probe_id, u.user_id
+               ORDER BY u.valid_us DESC, u.tx_us DESC, u.event_id DESC
+             ) AS rn
+      FROM probes p JOIN u
+        ON u.valid_us <= p.v AND u.tx_us <= p.t)
+    SELECT probe_id, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(value), 4) AS believed_total,
+           round(avg(value), 4) AS believed_mean
+    FROM vis WHERE rn = 1
+    GROUP BY probe_id ORDER BY probe_id
+"""
+
+
+def q101_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q101 (banked): per-user bitemporal as-of state under two probes
+    differing only in transaction time — conflating the axes, a wrong
+    argmax tie-break, or a boundary flip (<= vs <) flips the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_us"),
+    )
+    u = e.withColumn(
+        "tx_us",
+        F.col("valid_us") + (F.col("event_id") % 7) * F.lit(Q101_LAG_US),
+    )
+    from pyspark.sql.window import Window
+
+    probes = [(1, Q101_V_US, Q101_T1_US), (2, Q101_V_US, Q101_T2_US)]
+    outs = []
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_us").desc(), F.col("tx_us").desc(),
+        F.col("event_id").desc()
+    )
+    for pid, v, t in probes:
+        vis = (
+            u.filter((F.col("valid_us") <= v) & (F.col("tx_us") <= t))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        outs.append(
+            vis.agg(
+                F.count(F.lit(1)).alias("n_users"),
+                r4(F.sum("value")).alias("believed_total"),
+                r4(F.avg("value")).alias("believed_mean"),
+            ).select(F.lit(pid).cast("int").alias("probe_id"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("probe_id")
+
+
+# --------------------------------------------------------------------------
+# Q102 — ROBUST outlier profile via MAD (round-12 surface,
+# library-first). Mean/stddev z-scores (q83's family) are themselves
+# dragged by the outliers they hunt; median absolute deviation is the
+# standard robust scale. Exact per-group medians via the q29
+# percentile discipline (Spark `percentile` == DuckDB quantile_cont,
+# h = p(n-1) linear interpolation), two passes: median, then MAD and
+# the outlier census against 3*MAD.
+#
+# Scale shape: two grouped exact-percentile passes (group-buffered,
+# q29's documented bound) + one broadcast join of the 5-row median
+# frame; the unbounded-group path is t5's GK sketch.
+# --------------------------------------------------------------------------
+Q102_ORACLE = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.50) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.50) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(max(d.adev), 6) AS max_adev
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q102 (banked): per-type MAD and 3*MAD outlier census — an
+    interpolation slip in either percentile pass, a deviation computed
+    against the wrong group's median, or a boundary flip at 3*MAD
+    flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.50)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.50)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+            F.round(F.max("adev"), 6).alias("max_adev"),
+        )
+        .orderBy("event_type")
+    )

@@ -737,6 +737,8 @@ def register_versioned_source(spark: SparkSession) -> str:
         GreaterThan,
         GreaterThanOrEqual,
         InputPartition,
+        IsNotNull,
+        IsNull,
         LessThan,
         LessThanOrEqual,
     )
@@ -805,6 +807,9 @@ def register_versioned_source(spark: SparkSession) -> str:
             self.dvs = list(manifest.get("dvs", []))
             # column -> [lo, hi] probe bounds accumulated by pushFilters
             self.bounds: dict = {}
+            # column -> 'null' | 'notnull' predicates (f38 null-count
+            # skipping), same per-plan lifecycle as ``bounds``
+            self.null_preds: dict = {}
 
         def pushFilters(self, filters):
             # PER-PLAN state: Spark reuses this reader object across
@@ -813,7 +818,17 @@ def register_versioned_source(spark: SparkSession) -> str:
             # random-evolution parity property test — an unfiltered
             # collect() after a range probe silently lost files).
             self.bounds = {}
+            self.null_preds = {}
             for f in filters:
+                if (
+                    isinstance(f, (IsNull, IsNotNull))
+                    and len(f.attribute) == 1
+                ):
+                    self.null_preds[f.attribute[0]] = (
+                        "null" if isinstance(f, IsNull) else "notnull"
+                    )
+                    yield f
+                    continue
                 # single-column comparisons tighten the probe window;
                 # everything is ALSO handed back to Spark (yield), so
                 # pruning stays a pure file-count optimization
@@ -854,7 +869,7 @@ def register_versioned_source(spark: SparkSession) -> str:
                     # footer stats speak the files' PHYSICAL names;
                     # pushed filters speak logical ones
                     b = s.get(self.mapping.get(col, col))
-                    if b is None:
+                    if b is None or not isinstance(b, list):
                         continue  # no stats: cannot prune, keep
                     try:
                         if hi is not None and b[0] > hi:
@@ -863,6 +878,23 @@ def register_versioned_source(spark: SparkSession) -> str:
                             ok = False
                     except TypeError:
                         continue  # cross-type compare: keep
+                # null-count skipping (f38): IS NULL skips files with
+                # zero recorded nulls; IS NOT NULL skips all-null
+                # files. Absent counts keep the file; live deletion
+                # vectors only ever REMOVE rows, so "zero nulls" stays
+                # a valid skip and "all null" stays all-null or empty
+                # (an empty scan is correct to skip too).
+                nulls = s.get("__nulls__", {})
+                rows = s.get("__rows__")
+                for col, kind in self.null_preds.items():
+                    n = nulls.get(self.mapping.get(col, col))
+                    if n is None:
+                        continue
+                    if kind == "null" and n == 0:
+                        ok = False
+                    elif kind == "notnull" and rows is not None \
+                            and n == rows:
+                        ok = False
                 if ok:
                     kept.append(f)
             return kept
@@ -874,6 +906,7 @@ def register_versioned_source(spark: SparkSession) -> str:
             # consume the plan's bounds: a later plan that never calls
             # pushFilters (no filters to push) must read EVERY file
             self.bounds = {}
+            self.null_preds = {}
             if not kept:
                 # an empty partition list makes Spark invoke read(None);
                 # hand back one explicit empty-file sentinel instead
@@ -1268,3 +1301,94 @@ def k23_version_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         spark.catalog.dropTempView(name)
         return result
+
+
+# --------------------------------------------------------------------------
+# F38 — NULL-COUNT data skipping through the connector (round-12
+# surface, library-first; the @query registration is one decorator
+# away). Delta records per-file nullCount in its add stats for exactly
+# this: `WHERE col IS NOT NULL` skips all-null files and `WHERE col IS
+# NULL` skips null-free files before any executor is scheduled.
+# commit_append now records per-column null totals + the file row
+# count from the parquet footers (versioned.py _collect_file_stats,
+# reserved __nulls__/__rows__ keys); pushFilters accepts
+# IsNull/IsNotNull and prunes file partitions with them — every filter
+# is still yielded back to Spark, so skipping stays a pure file-count
+# optimization and can only flip the hash by LOSING a needed file.
+#
+# Scale: the skip decision is O(#files) driver metadata, the classic
+# lever when a sparse optional column (labels, scores, tool outputs)
+# is populated in a small fraction of a 100 TB table's files.
+# --------------------------------------------------------------------------
+_F38_STAGED: dict = {}
+F38_BATCHES = 12
+
+F38_ORACLE = f"""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    mx AS (SELECT max(doc_id) AS hi FROM d),
+    e AS (SELECT doc_id, lang,
+                 CASE WHEN (doc_id // ((hi + {F38_BATCHES})
+                                       // {F38_BATCHES})) % 3 = 0
+                      THEN NULL ELSE n_chars END AS opt_chars
+          FROM d, mx)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(opt_chars) AS BIGINT) AS sum_opt_chars
+    FROM e WHERE opt_chars IS NOT NULL
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def _f38_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as a versioned table of F38_BATCHES single-file
+    commits where every third file's ``opt_chars`` is entirely NULL —
+    per-FILE nullness, so IS NOT NULL pruning is observable."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+    from k_means_clustering_via_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F38_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_f38_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        hi = d.agg(F.max("doc_id")).collect()[0][0]
+        step = (hi + F38_BATCHES) // F38_BATCHES
+        for b in range(F38_BATCHES):
+            part = d.filter(
+                (F.col("doc_id") >= b * step)
+                & (F.col("doc_id") < (b + 1) * step)
+            ).withColumn(
+                "opt_chars",
+                F.lit(None).cast("bigint")
+                if b % 3 == 0
+                else F.col("n_chars").cast("bigint"),
+            )
+            commit_append(part.drop("n_chars").coalesce(1), tmp.name)
+        _F38_STAGED[key] = tmp
+    return _F38_STAGED[key].name
+
+
+def f38_null_count_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38 (banked): IS NOT NULL aggregation through the connector —
+    null-count skipping that drops a needed file loses rows and flips
+    the hash; keeping too much only costs time (pruning-bite is pinned
+    in tests/test_versioned_connector.py)."""
+    register_versioned_source(spark)
+    root = _f38_stage(spark, sf_dir)
+    df = spark.read.format("kmce_versioned").option("root", root).load()
+    return (
+        df.filter(F.col("opt_chars").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("opt_chars").alias("sum_opt_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -420,7 +420,29 @@ def _collect_file_stats(root: str, rel_files: list) -> dict:
                     stats[name] = [lo, hi]
                 else:
                     stats[name] = [min(cur[0], lo), max(cur[1], hi)]
+        # NULL-COUNT stats (round-12 surface, Delta's nullCount add
+        # stats): per-column total nulls + the file row count, under
+        # reserved keys so the [lo, hi] entry shape is untouched. A
+        # column where ANY row group omits null_count is absent —
+        # readers must treat absence as "cannot prune".
+        nulls: dict = {}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                st = col.statistics
+                n = st.null_count if st is not None else None
+                name = col.path_in_schema
+                if n is None:
+                    nulls[name] = None
+                elif name not in nulls:
+                    nulls[name] = int(n)
+                elif nulls[name] is not None:
+                    nulls[name] += int(n)
+        kept_nulls = {k: v for k, v in nulls.items() if v is not None}
         out[rel] = {k: v for k, v in stats.items() if v is not None}
+        if kept_nulls:
+            out[rel]["__nulls__"] = kept_nulls
+        out[rel]["__rows__"] = int(meta.num_rows)
     return out
 
 
@@ -442,7 +464,10 @@ def prune_files(
     kept = []
     for f in m["files"]:
         s = stats.get(f, {}).get(column)
-        if s is None:
+        # reserved per-file stats keys (__nulls__/__rows__) are not
+        # [lo, hi] bounds — a column literally named like one cannot
+        # prune, which is the conservative direction
+        if s is None or not isinstance(s, list):
             kept.append(f)
         elif not (hi < s[0] or lo > s[1]):
             kept.append(f)
