@@ -2221,3 +2221,105 @@ def m16_clipping_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return clipping_runs(synthesize_pcm_wav(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M17 — WINDOWED ENERGY / dynamic-range profile (round-12 surface,
+# library-first; the @query registration is one decorator away). m10
+# reports whole-clip energy; loudness normalization (EBU R128-style
+# gating, VAD front-ends) needs the WINDOWED profile: non-overlapping
+# 32-sample windows, per-window ENERGY kept in integer domain
+# (sum of squared samples — no sqrt, so the oracle is integer-exact),
+# plus the loud-window census and the max-min dynamic range.
+#
+# Scale shape: identical to m14 — blobs decode inside one Arrow
+# mapInPandas pass, only per-doc scalar features cross the shuffle;
+# the oracle regenerates every sample from the synthesis formula.
+# --------------------------------------------------------------------------
+M17_WINDOW = 32
+M17_LOUD_ENERGY = M17_WINDOW * 400_000  # mean square > 400k = "loud"
+
+M17_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 400 + 1)) AS i
+      FROM documents),
+    samp AS (
+      SELECT doc_id, i,
+             (doc_id * 31 + i * 17) % 2048 - 1024 AS v
+      FROM s),
+    win AS (
+      SELECT doc_id, i // {M17_WINDOW} AS w,
+             sum(v * v) AS energy
+      FROM samp
+      WHERE i // {M17_WINDOW} < (doc_id % 400 + 2) // {M17_WINDOW}
+      GROUP BY doc_id, i // {M17_WINDOW}),
+    agg AS (
+      SELECT doc_id, count(*) AS n_windows,
+             max(energy) AS max_energy, min(energy) AS min_energy,
+             sum(CASE WHEN energy > {M17_LOUD_ENERGY} THEN 1 ELSE 0 END)
+               AS n_loud
+      FROM win GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(a.max_energy, 0) AS BIGINT) AS max_energy,
+           CAST(coalesce(a.min_energy, 0) AS BIGINT) AS min_energy,
+           CAST(coalesce(a.max_energy - a.min_energy, 0) AS BIGINT)
+             AS dyn_range,
+           CAST(coalesce(a.n_loud, 0) AS BIGINT) AS n_loud_windows
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def windowed_energy(df: DataFrame) -> DataFrame:
+    """(doc_id, n_windows, max/min window energy, dynamic range, loud
+    census) per decodable WAV blob — integer-exact by construction."""
+    import numpy as np
+    import pandas as pd
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                decoded = decode_pcm(bytes(blob))
+                if decoded is None:
+                    continue
+                _, samples = decoded
+                n = len(samples) - len(samples) % M17_WINDOW
+                if n == 0:
+                    rows.append((int(did), 0, 0, 0, 0, 0))
+                    continue
+                sq = samples[:n].astype(np.int64) ** 2
+                e = sq.reshape(-1, M17_WINDOW).sum(axis=1)
+                rows.append(
+                    (
+                        int(did), int(e.size), int(e.max()), int(e.min()),
+                        int(e.max() - e.min()),
+                        int((e > M17_LOUD_ENERGY).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_windows", "max_energy", "min_energy",
+                    "dyn_range", "n_loud_windows",
+                ],
+            )
+
+    return df.mapInPandas(
+        analyze,
+        schema=(
+            "doc_id BIGINT, n_windows BIGINT, max_energy BIGINT, "
+            "min_energy BIGINT, dyn_range BIGINT, n_loud_windows BIGINT"
+        ),
+    )
+
+
+def m17_windowed_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17 (banked): per-window audio energy profile through the real
+    RIFF parse — a window that straddles the tail remainder, an int16
+    overflow in the square, or a loud-gate boundary flip changes the
+    hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return windowed_energy(synthesize_pcm_wav(docs)).orderBy("doc_id")

@@ -1378,3 +1378,123 @@ def p16_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# P17 — DEDUP-AWARE mixing weights (round-12 surface, library-first;
+# the @query registration is one decorator away). P5 mixes by
+# hand-assigned source weights; production corpus assembly derives the
+# weight from the data: sources whose segments are heavily SHARED
+# across documents (boilerplate, mirrored content) get down-weighted
+# so the mix does not over-sample duplicated mass. Per source:
+# boilerplate fraction = occurrences of globally multi-document
+# 8-word segments / total segment occurrences, in integer permille;
+# keep_permille = 1000 - 500 * fraction (up to a 50% down-weight),
+# then P5's value-pure md5 draw — fully replayable in SQL.
+#
+# Scale shape: one (seg -> distinct doc count) aggregation (the d7/d11
+# inverted-index shuffle, no pair join at all), one broadcast of the
+# per-source 20-row weight table, one narrow filter. The draw is a
+# pure function of (salt, doc_id): partitioning- and order-independent.
+# --------------------------------------------------------------------------
+P17_SALT = "mix"  # p5's salt: the SAME draw, different weight source
+
+P17_ORACLE = """
+    WITH d AS (SELECT doc_id, source, n_chars,
+                      string_split(trim(text), ' ') AS w
+               FROM documents),
+    segs AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(0,
+                 CAST(ceil(len(w) / 8.0) AS BIGINT) - 1),
+               i -> array_to_string(list_slice(w, i*8+1, i*8+8), ' ')))
+               AS seg
+      FROM d),
+    g AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+    occ AS (
+      SELECT s.source,
+             count(*) AS total_occ,
+             sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS dup_occ
+      FROM segs s JOIN g ON s.seg = g.seg
+      GROUP BY s.source),
+    wts AS (
+      SELECT source, total_occ, dup_occ,
+             1000 - (500 * dup_occ) // total_occ AS keep_permille
+      FROM occ),
+    kept AS (
+      SELECT d.source, d.doc_id, d.n_chars, w.keep_permille,
+             w.total_occ, w.dup_occ
+      FROM d JOIN wts w ON d.source = w.source
+      WHERE CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 4)) AS BIGINT) % 1000
+            < w.keep_permille)
+    SELECT source,
+           CAST(any_value(total_occ) AS BIGINT) AS total_occ,
+           CAST(any_value(dup_occ) AS BIGINT) AS dup_occ,
+           CAST(any_value(keep_permille) AS BIGINT) AS keep_permille,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY source ORDER BY source
+"""
+
+
+def p17_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 (banked): per-source keep rates derived from cross-document
+    segment duplication, applied via the p5 md5 draw — a segmentation
+    slip, an occurrence counted once instead of per duplicate, an
+    integer-division drift in the permille, or a draw-boundary flip
+    changes the hash."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), " ")
+    seg_expr = (
+        "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),"
+        " i -> array_join(slice(w, i * 8 + 1, 8), ' '))"
+    )
+    segs = d.select(
+        "doc_id", "source", w.alias("w")
+    ).select("doc_id", "source", F.explode(F.expr(seg_expr)).alias("seg"))
+    g = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("nd"))
+    occ = (
+        segs.join(g, "seg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_occ"),
+            F.sum((F.col("nd") > 1).cast("bigint")).alias("dup_occ"),
+        )
+    )
+    wts = occ.withColumn(
+        "keep_permille",
+        F.lit(1000)
+        - F.expr("(500 * dup_occ) DIV total_occ").cast("bigint"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(P17_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    kept = d.join(F.broadcast(wts), "source").filter(
+        draw < F.col("keep_permille")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("total_occ").alias("total_occ"),
+            F.first("dup_occ").alias("dup_occ"),
+            F.first("keep_permille").alias("keep_permille"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

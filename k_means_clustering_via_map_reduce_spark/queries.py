@@ -8438,7 +8438,7 @@ def q100_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q101_V_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC, mid-fixture
 Q101_T1_US = Q101_V_US             # probe 1: belief as recorded AT V
 Q101_T2_US = 1_706_486_400_000_000  # probe 2: 2024-01-29, after corrections
-Q101_LAG_US = 60_000_000           # recording lag unit: 1 minute
+Q101_LAG_US = 3_600_000_000        # recording lag unit: 1 hour
 
 Q101_ORACLE = f"""
     WITH u AS (

@@ -113,6 +113,18 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # transformWithState's Python driver worker imports the protobuf
+    # state protocol, and inherits PYTHONPATH as captured at JVM
+    # launch — so the protobuf shim must export it BEFORE the session
+    # is built (import-order-independent here; the gate inside
+    # streaming.stateful covers externally-built sessions only when
+    # the package is imported first, which pytest collection order
+    # does not guarantee).
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        _enable_tws_protobuf_shim,
+    )
+
+    _enable_tws_protobuf_shim()
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
