@@ -535,3 +535,142 @@ def session_timers_query(spark, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(conf_key, prev)
     return emitted.orderBy("user_id", "start_us")
+
+
+# --------------------------------------------------------------------------
+# K30 — MapState + INITIAL STATE on transformWithState (round-12
+# surface, library-first; the @query registration is one decorator
+# away, gated like k8b). Completes the typed-state triad (k8b
+# ValueState, k29 ListState + timers, k30 MapState) and exercises the
+# API's initial-state channel: a BATCH frame of per-user opening
+# balances is handed to the operator via ``initialState`` and folded
+# into every emission — the warm-start shape of migrating a stateful
+# job (Flink savepoint bootstrap / Spark's initialStateInPandas).
+#
+# Scale shape: state is O(active users x event types) scalar pairs;
+# the initial-state join happens once, in batch 0, keyed by the same
+# grouping column — no extra shuffle afterwards.
+# --------------------------------------------------------------------------
+K30_OUTPUT = (
+    "user_id BIGINT, event_type STRING, n_events BIGINT, "
+    "total_value DOUBLE, with_opening DOUBLE"
+)
+
+K30_ORACLE = """
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(sum(value) + (user_id % 13) * 100, 4) AS with_opening
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+"""
+
+
+def _make_typed_totals_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypedTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING", "n BIGINT, total DOUBLE"
+            )
+            self._opening = handle.getValueState("opening", "v DOUBLE")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._opening.update((float(initialState["opening"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            agg: dict = {}
+            for pdf in rows:
+                for et, g in pdf.groupby("event_type"):
+                    n, tot = agg.get(et, (0, 0.0))
+                    agg[et] = (n + len(g), tot + float(g["value"].sum()))
+            opening = self._opening.get()
+            op = float(opening[0]) if opening is not None else 0.0
+            out = []
+            for et, (dn, dtot) in sorted(agg.items()):
+                prior = (
+                    self._by_type.getValue((et,))
+                    if self._by_type.containsKey((et,))
+                    else (0, 0.0)
+                )
+                n, tot = prior[0] + dn, prior[1] + dtot
+                self._by_type.updateValue((et,), (n, tot))
+                out.append((user_id, et, n, tot, op + tot))
+            return iter(
+                [
+                    pd.DataFrame(
+                        out,
+                        columns=[
+                            "user_id", "event_type", "n_events",
+                            "total_value", "with_opening",
+                        ],
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TypedTotals()
+
+
+def typed_totals_tws(events: DataFrame, initial: DataFrame) -> DataFrame:
+    """Per-(user, type) running totals on MapState, warm-started from
+    ``initial`` (user_id, opening)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_typed_totals_processor(),
+        outputStructType=K30_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+        initialState=initial.groupBy("user_id"),
+    )
+
+
+def typed_totals_query(spark, sf_dir: str) -> DataFrame:
+    """K30 (banked): MapState per-type totals + initial-state opening
+    balances — a map key collision, a lost warm-start row, or a
+    non-monotone emission flips the hash (positive values make the
+    per-key totals monotone, so the terminal state is the per-key max
+    of the update log — k8's reduction)."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.queries import r4
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _run_complete_stream,
+    )
+
+    initial = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("opening", (F.col("user_id") % 13) * F.lit(100.0))
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        emitted = _run_complete_stream(
+            spark,
+            sf_dir,
+            lambda s: typed_totals_tws(
+                s.select("user_id", "event_type", "value"), initial
+            ),
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    return (
+        emitted.groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            r4(F.max("total_value")).alias("total_value"),
+            r4(F.max("with_opening")).alias("with_opening"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -259,3 +259,36 @@ def test_m17_tail_remainder_never_forms_a_window(spark, sf_dir):
         assert r["n_windows"] == n_samples // M17_WINDOW
         assert r["dyn_range"] == r["max_energy"] - r["min_energy"]
         assert r["n_loud_windows"] <= r["n_windows"]
+
+
+def test_k30_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        K30_ORACLE,
+        typed_totals_query,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithState protobuf runtime unavailable")
+    compare_to_oracle(typed_totals_query(spark, sf_dir), K30_ORACLE, sf_dir)
+
+
+def test_k30_opening_balances_actually_seed_state(spark, sf_dir):
+    """Non-vacuity: with_opening must differ from total_value for every
+    user whose opening (user_id % 13 != 0) is nonzero — a silently
+    dropped initial-state channel collapses the two columns."""
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        typed_totals_query,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithState protobuf runtime unavailable")
+    rows = typed_totals_query(spark, sf_dir).collect()
+    seeded = [r for r in rows if r["user_id"] % 13 != 0]
+    assert seeded
+    for r in seeded:
+        assert abs(
+            r["with_opening"] - r["total_value"]
+            - (r["user_id"] % 13) * 100
+        ) < 1e-6
