@@ -8575,3 +8575,56 @@ def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q103 — approx_count_distinct CALIBRATION census (round-12 surface,
+# library-first; the @query registration is one decorator away). The
+# sketch the engine actually ships for cardinality at 100 TB is
+# HyperLogLog++ (`approx_count_distinct` — mergeable, O(1) state,
+# shuffle-light); this entry pins its accuracy CONTRACT relationally:
+# per event_type, the exact distinct user count, the HLL estimate's
+# relative error checked against 4x the configured rsd (0.02), and the
+# rsd-bound boolean the oracle asserts LITERALLY true. Spark's HLL++
+# is deterministic for fixed data + rsd (hash-based, order-free), so
+# the boolean is stable; if an engine upgrade degraded the sketch, the
+# hash flips — t5's GK discipline applied to cardinality.
+#
+# Scale shape: one partial+final agg per group; the sketch buffer is
+# the only state — this is the census you run INSTEAD of exact
+# distinct at corpus scale, here calibrated against the exact answer
+# while the fixture still permits one.
+# --------------------------------------------------------------------------
+Q103_RSD = 0.02
+
+Q103_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q103_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q103 (banked): exact-vs-HLL cardinality per event type — the
+    oracle hard-codes ``within_bound = true``, so an estimator drifting
+    past 4x its configured rsd flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_distinct"),
+            F.expr(
+                f"approx_count_distinct(user_id, {Q103_RSD})"
+            ).alias("est"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.lit(4 * Q103_RSD) * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )

@@ -292,3 +292,23 @@ def test_k30_opening_balances_actually_seed_state(spark, sf_dir):
             r["with_opening"] - r["total_value"]
             - (r["user_id"] % 13) * 100
         ) < 1e-6
+
+
+def test_q103_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q103_ORACLE,
+        q103_hll_calibration,
+    )
+
+    compare_to_oracle(q103_hll_calibration(spark, sf_dir), Q103_ORACLE, sf_dir)
+
+
+def test_q103_estimate_is_deterministic(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q103_hll_calibration,
+    )
+
+    a = sorted(map(tuple, q103_hll_calibration(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q103_hll_calibration(spark, sf_dir).collect()))
+    assert a == b
+    assert all(r[2] for r in a)  # the bound holds on the fixtures
