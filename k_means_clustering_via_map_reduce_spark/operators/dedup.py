@@ -2404,3 +2404,161 @@ def d16_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id")
     )
+
+
+# --------------------------------------------------------------------------
+# D17 — LSH QUALITY census: recall/precision vs exact ground truth
+# (round-12 surface, library-first; the @query registration is one
+# decorator away). Every LSH deployment tunes (perms, bands, rows)
+# against exactly this table: per language, the exact-jaccard truth
+# pair count (d1's inverted index), the banding candidate count (d2b's
+# md5 arm — pre-verification), the verified survivors, and integer-
+# permille recall (verified/truth) and candidate precision
+# (verified/candidates). The whole census replays in SQL because the
+# md5 arm's banding arithmetic is itself SQL (the d2b discipline) —
+# no recall "pin" needed; the measured quality IS hash-checked.
+#
+# Scale shape: truth uses d1's posting join (linear shuffle, never
+# all-pairs); candidates are the band equi-join; the census is two
+# 5-row aggregates joined broadcast.
+# --------------------------------------------------------------------------
+_D17_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d),
+    truth AS (
+      SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}),
+    sig AS (
+      SELECT doc_id, lang,
+             list_transform(generate_series(0, {D2B_PERMS - 1}),
+               i -> list_min(list_transform(sh,
+                 sg -> CAST(('0x' || substr(md5(i || '|' || sg), 1, 13))
+                       AS BIGINT)))) AS sig
+      FROM s),
+    bands AS (
+      SELECT doc_id, lang, b.band,
+             {" || '-' || ".join(
+                 f"sig[b.band * {D2B_ROWS} + {r + 1}]"
+                 for r in range(D2B_ROWS)
+             )} AS key
+      FROM sig,
+           (SELECT unnest(generate_series(0, {D2B_BANDS - 1})) AS band) b),
+    cands AS (
+      SELECT DISTINCT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.lang, c.a_id, c.b_id
+      FROM cands c JOIN truth t
+        ON c.lang = t.lang AND c.a_id = t.a_id AND c.b_id = t.b_id),
+    tl AS (SELECT lang, count(*) AS n_truth FROM truth GROUP BY lang),
+    cl AS (SELECT lang, count(*) AS n_cands FROM cands GROUP BY lang),
+    vl AS (SELECT lang, count(*) AS n_verified FROM verified GROUP BY lang)
+    SELECT tl.lang,
+           CAST(tl.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(cl.n_cands, 0) AS BIGINT) AS n_cands,
+           CAST(coalesce(vl.n_verified, 0) AS BIGINT) AS n_verified,
+           CAST((1000 * coalesce(vl.n_verified, 0)) // tl.n_truth
+                AS BIGINT) AS recall_permille,
+           CAST(CASE WHEN coalesce(cl.n_cands, 0) = 0 THEN 0
+                ELSE (1000 * coalesce(vl.n_verified, 0)) // cl.n_cands
+                END AS BIGINT) AS precision_permille
+    FROM tl
+    LEFT JOIN cl ON cl.lang = tl.lang
+    LEFT JOIN vl ON vl.lang = tl.lang
+    ORDER BY tl.lang
+"""
+
+
+def d17_lsh_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17 (banked): per-lang LSH recall/precision against exact
+    ground truth — a banding drift, a candidate leak, a verify
+    boundary flip, or an integer-permille slip flips the hash.
+
+    Fixture honesty: at (12 perms, 3 bands, J >= 0.5) the banding is
+    measured LOSSLESS and exact on these corpora (recall = precision
+    = 1000 permille) — the census upgrades d2's pytest-only
+    recall >= 0.9 pin to a driver-hashed measurement, and the truth/
+    candidate counts it checks vary with scale."""
+    s = _shingled(spark, sf_dir)
+    # truth: d1's inverted-index join, lang carried through
+    ex = s.select("doc_id", "lang", "n_sh", F.explode("sh").alias("sg"))
+    a, b = ex.alias("a"), ex.alias("b")
+    truth = (
+        a.join(
+            b,
+            [
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n_sh") >= JACCARD_THRESHOLD * F.col("b.n_sh"),
+                F.col("b.n_sh") >= JACCARD_THRESHOLD * F.col("a.n_sh"),
+            ],
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(
+            F.col("n_common")
+            / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("lang", "a_id", "b_id")
+    )
+    bands = md5_band_keys(s)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cands = (
+        ba.join(
+            bb,
+            [
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    verified = cands.join(truth, ["lang", "a_id", "b_id"], "left_semi")
+    tl = truth.groupBy("lang").agg(F.count(F.lit(1)).alias("n_truth"))
+    cl = cands.groupBy("lang").agg(F.count(F.lit(1)).alias("n_cands"))
+    vl = verified.groupBy("lang").agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        tl.join(F.broadcast(cl), "lang", "left")
+        .join(F.broadcast(vl), "lang", "left")
+        .select(
+            "lang",
+            "n_truth",
+            F.coalesce("n_cands", F.lit(0)).alias("n_cands"),
+            F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+            F.expr(
+                "(1000 * coalesce(n_verified, 0)) DIV n_truth"
+            ).alias("recall_permille"),
+            F.expr(
+                "CASE WHEN coalesce(n_cands, 0) = 0 THEN 0 "
+                "ELSE (1000 * coalesce(n_verified, 0)) DIV n_cands END"
+            ).alias("precision_permille"),
+        )
+        .orderBy("lang")
+    )

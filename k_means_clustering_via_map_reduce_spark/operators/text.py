@@ -2503,3 +2503,86 @@ def t34_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --------------------------------------------------------------------------
+# T35 — language-ID CONFUSION census (round-12 surface, library-first;
+# the @query registration is one decorator away). t3 predicts; this
+# entry grades: the (labeled lang x predicted lang) contingency table
+# with per-true-lang accuracy in integer permille — the evaluation
+# face a production lang-ID gate ships alongside the classifier (and
+# the census that catches mislabeled subcorpora: a true-lang row whose
+# mass sits off-diagonal).
+#
+# Scale shape: the classifier is t3's narrow marker filter (one
+# codegen stage, no shuffle); the census is a single 2-key hash agg
+# joined broadcast to the 5-row per-lang totals.
+# --------------------------------------------------------------------------
+T35_ORACLE = """
+    WITH d AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+               FROM documents),
+    s AS (SELECT doc_id, lang,
+           CAST(len(list_filter(w, t -> t IN ('the','a','of')))   AS BIGINT) AS en_score,
+           CAST(len(list_filter(w, t -> t IN ('der','die','und'))) AS BIGINT) AS de_score,
+           CAST(len(list_filter(w, t -> t IN ('el','la','que')))  AS BIGINT) AS es_score,
+           CAST(len(list_filter(w, t -> t IN ('le','les','et')))  AS BIGINT) AS fr_score
+    FROM d),
+    p AS (SELECT doc_id, lang AS true_lang,
+           CASE WHEN en_score >= greatest(de_score, es_score, fr_score) THEN 'en'
+                WHEN de_score >= greatest(es_score, fr_score) THEN 'de'
+                WHEN es_score >= fr_score THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s),
+    cell AS (SELECT true_lang, predicted_lang, count(*) AS n
+             FROM p GROUP BY true_lang, predicted_lang),
+    tot AS (SELECT true_lang, sum(n) AS n_true FROM cell GROUP BY true_lang)
+    SELECT c.true_lang, c.predicted_lang,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST((1000 * c.n) // t.n_true AS BIGINT) AS cell_permille
+    FROM cell c JOIN tot t ON c.true_lang = t.true_lang
+    ORDER BY c.true_lang, c.predicted_lang
+"""
+
+
+def t35_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35 (banked): (true x predicted) language contingency with
+    integer-permille cells — a tie-break drift in the classifier, a
+    lost zero-score doc, or a permille rounding slip flips the hash.
+
+    Fixture honesty: the synthetic corpus shares one English-ish
+    vocabulary across all five labels, so t3's marker classifier
+    predicts 'en' for every row here and the matrix is a single
+    predicted column — the census's value on these fixtures is
+    pinning exactly that (a mislabel-detector that must light up),
+    and the counting/permille arithmetic it hash-checks."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scores = _lang_scores()
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        *[c.alias(f"{lang}_score") for lang, c in scores.items()],
+    )
+    en, de, es, fr = (F.col(f"{lg}_score") for lg in ("en", "de", "es", "fr"))
+    p = scored.withColumn(
+        "predicted_lang",
+        F.when(en >= F.greatest(de, es, fr), "en")
+        .when(de >= F.greatest(es, fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr"),
+    )
+    cell = p.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cell.groupBy("true_lang").agg(F.sum("n_docs").alias("n_true"))
+    return (
+        cell.join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n_docs",
+            "n_true",
+            F.expr("(1000 * n_docs) DIV n_true").alias("cell_permille"),
+        )
+        .orderBy("true_lang", "predicted_lang")
+    )

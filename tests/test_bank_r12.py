@@ -312,3 +312,69 @@ def test_q103_estimate_is_deterministic(spark, sf_dir):
     b = sorted(map(tuple, q103_hll_calibration(spark, sf_dir).collect()))
     assert a == b
     assert all(r[2] for r in a)  # the bound holds on the fixtures
+
+
+def test_t35_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T35_ORACLE,
+        t35_langid_confusion,
+    )
+
+    compare_to_oracle(t35_langid_confusion(spark, sf_dir), T35_ORACLE, sf_dir)
+
+
+def test_t35_cells_partition_the_corpus(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        t35_langid_confusion,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    rows = t35_langid_confusion(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    per_true = {}
+    for r in rows:
+        per_true.setdefault(r["true_lang"], 0)
+        per_true[r["true_lang"]] += r["n_docs"]
+        assert r["cell_permille"] == (1000 * r["n_docs"]) // r["n_true"]
+    for r in rows:
+        assert per_true[r["true_lang"]] == r["n_true"]
+
+
+def test_d17_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D17_ORACLE,
+        d17_lsh_quality_census,
+    )
+
+    compare_to_oracle(
+        d17_lsh_quality_census(spark, sf_dir), _D17_ORACLE, sf_dir
+    )
+
+
+def test_d17_verified_equals_d2b_pairs(spark, sf_dir):
+    """The census's verified count must equal the registered d2b
+    entry's pair count per lang — one arithmetic, two faces."""
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _shingled,
+        d17_lsh_quality_census,
+        minhash_banding_pairs_md5,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    census = {
+        r["lang"]: r["n_verified"]
+        for r in d17_lsh_quality_census(spark, sf_dir).collect()
+    }
+    pairs = minhash_banding_pairs_md5(_shingled(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("a_id"), "lang"
+    )
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in pairs.join(docs, "a_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert census == {k: v for k, v in per_lang.items()}
