@@ -1679,26 +1679,41 @@ def norm_pruned_exact_topk(
     k: int = TOPK_K,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
+    centers: list | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT cosine top-k with cell-bound pruning (see the S13 block
-    comment for the bound derivation and scale shape)."""
+    comment for the bound derivation and scale shape).
+
+    ``centers`` lets the caller serve from a PERSISTED coarse codebook
+    (the s7/s12 build/serve split) — the result is exact for ANY cell
+    assignment (the bound holds per cell regardless of how cells were
+    chosen; only the pruning RATE depends on codebook quality), so
+    sharing s7's codebook changes cost, never the hash."""
     from k_means_clustering_via_map_reduce_spark.functions.vector import (
         euclidean_distance_cols,
     )
-    from k_means_clustering_via_map_reduce_spark.kmeans import mllib_fit
 
     spark = corpus.sparkSession
-    model, _ = mllib_fit(
-        corpus, k=nlist, array_col="v", max_iter=10, seed=IVF_SEED
-    )
-    centers = [ctr.tolist() for ctr in model.clusterCenters()]
-    assign = _cell_probe_udf(centers, 1)
+    if centers is None:
+        from k_means_clustering_via_map_reduce_spark.kmeans import mllib_fit
 
-    c = (
-        spread(corpus)
-        .withColumn("cell", assign(F.col("v"))[0])
-        .withColumn("nrm", vector_norm(F.col("v")))
-    )
+        model, _ = mllib_fit(
+            corpus, k=nlist, array_col="v", max_iter=10, seed=IVF_SEED
+        )
+        centers = [ctr.tolist() for ctr in model.clusterCenters()]
+    if assigned is not None:
+        # pre-assigned (cell, vec_id, v, nrm) postings — s7's bucketed
+        # table: both phase joins read co-located buckets, the corpus
+        # is never re-assigned or shuffled per query
+        c = assigned
+    else:
+        assign = _cell_probe_udf(centers, 1)
+        c = (
+            spread(corpus)
+            .withColumn("cell", assign(F.col("v"))[0])
+            .withColumn("nrm", vector_norm(F.col("v")))
+        )
     cells_df = spark.createDataFrame(
         [(i, centers[i]) for i in range(len(centers))],
         "cell INT, ctr ARRAY<DOUBLE>",
@@ -1797,9 +1812,23 @@ def norm_pruned_exact_topk(
 def s13_exact_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 (banked): exact top-k equal to s1 with cell-bound pruning —
     an invalid bound, a dropped boundary tie, or a probe/survivor
-    overlap duplicate flips the hash against the s1 oracle."""
+    overlap duplicate flips the hash against the s1 oracle. Serves
+    from the s7 persisted codebook (one seeded fit per process, the
+    s12 pattern); exactness is codebook-independent."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    return norm_pruned_exact_topk(e, q).orderBy("query_id", "rank")
+    key = staging_key(sf_dir, "embeddings")
+    if _S7_STAGED.get("key") != key:
+        build_ivf_index(e.select("vec_id", "v"))
+        _S7_STAGED["key"] = key
+    centers = [
+        r.center
+        for r in spark.table("s7_centroids").orderBy("cell").collect()
+    ]
+    return norm_pruned_exact_topk(
+        e, q, centers=centers, assigned=spark.table("s7_postings")
+    ).orderBy("query_id", "rank")
