@@ -2481,17 +2481,12 @@ _D17_ORACLE = f"""
 """
 
 
-def d17_lsh_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D17 (banked): per-lang LSH recall/precision against exact
-    ground truth — a banding drift, a candidate leak, a verify
-    boundary flip, or an integer-permille slip flips the hash.
-
-    Fixture honesty: at (12 perms, 3 bands, J >= 0.5) the banding is
-    measured LOSSLESS and exact on these corpora (recall = precision
-    = 1000 permille) — the census upgrades d2's pytest-only
-    recall >= 0.9 pin to a driver-hashed measurement, and the truth/
-    candidate counts it checks vary with scale."""
-    s = _shingled(spark, sf_dir)
+def lsh_quality_census_df(s: DataFrame) -> DataFrame:
+    """The d17 census over a pre-shingled frame (doc_id, lang, sh,
+    n_sh) — factored so property tests can measure LOSSY banding on
+    synthetic borderline corpora (at J just above the threshold the
+    (12, 3, 4) S-curve admits misses; the census must report them,
+    not assume losslessness)."""
     # truth: d1's inverted-index join, lang carried through
     ex = s.select("doc_id", "lang", "n_sh", F.explode("sh").alias("sg"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -2562,3 +2557,18 @@ def d17_lsh_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def d17_lsh_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17 (banked): per-lang LSH recall/precision against exact
+    ground truth — a banding drift, a candidate leak, a verify
+    boundary flip, or an integer-permille slip flips the hash.
+
+    Fixture honesty: at (12 perms, 3 bands, J >= 0.5) the banding is
+    measured LOSSLESS and exact on these corpora (recall = precision
+    = 1000 permille) — the census upgrades d2's pytest-only
+    recall >= 0.9 pin to a driver-hashed measurement, the truth/
+    candidate counts it checks vary with scale, and the lossy-corpus
+    property test (tests/test_bank_r12.py) proves the census reports
+    sub-1000 recall when banding genuinely misses."""
+    return lsh_quality_census_df(_shingled(spark, sf_dir))

@@ -378,3 +378,98 @@ def test_d17_verified_equals_d2b_pairs(spark, sf_dir):
         .collect()
     }
     assert census == {k: v for k, v in per_lang.items()}
+
+
+def test_s13_exact_on_random_corpora(spark_prop):
+    """Property: the pruned path equals brute force on ARBITRARY
+    corpora — clustered, collinear, near-tie geometries included —
+    not just the isotropic fixture."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from k_means_clustering_via_map_reduce_spark.operators.similarity import (
+        brute_force_topk,
+        norm_pruned_exact_topk,
+    )
+
+    spark = spark_prop
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(0, 10_000), n=st.integers(40, 90))
+    def run(seed, n):
+        rng = np.random.RandomState(seed)
+        dim = 8
+        # half clustered around 3 centers, half uniform — bound-stress
+        centers = rng.standard_normal((3, dim)) * 3
+        pts = np.vstack(
+            [
+                centers[rng.randint(3, size=n // 2)]
+                + 0.1 * rng.standard_normal((n // 2, dim)),
+                rng.standard_normal((n - n // 2, dim)),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id BIGINT, v ARRAY<DOUBLE>",
+        )
+        from pyspark.sql import functions as F
+
+        q = df.filter(F.col("vec_id") < 5)
+        brute = sorted(map(tuple, brute_force_topk(df, q, k=3).collect()))
+        pruned = sorted(
+            map(
+                tuple,
+                norm_pruned_exact_topk(df, q, k=3, nlist=4, nprobe=2)
+                .collect(),
+            )
+        )
+        assert pruned == brute
+
+    run()
+
+
+def test_d17_census_reports_lossy_banding(spark_prop):
+    """The census must MEASURE loss, not assume losslessness: on a
+    corpus of borderline pairs (J just over 0.5) the (12, 3, 4)
+    banding S-curve admits misses — recall_permille must equal the
+    independently recomputed verified/truth ratio, and the corpus is
+    constructed so at least one truth pair is missed."""
+    from pyspark.sql import functions as F
+
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        lsh_quality_census_df,
+        minhash_banding_pairs_md5,
+    )
+
+    spark = spark_prop
+    # 40 borderline pairs: docs (2i, 2i+1) share a 16-word block
+    # (14 common 3-gram shingles of 18 per doc: J = 14/22 ~ 0.64) —
+    # past threshold, yet the (12, 3, 4) banding misses ~58% of pairs
+    # at that J (1 - (1 - 0.64^4)^3 ~ 0.42 candidate probability)
+    rows = []
+    for i in range(40):
+        common = " ".join(f"c{i}w{j}" for j in range(16))
+        a_extra = " ".join(f"a{i}x{j}" for j in range(4))
+        b_extra = " ".join(f"b{i}y{j}" for j in range(4))
+        rows.append((2 * i, f"{common} {a_extra}", "en"))
+        rows.append((2 * i + 1, f"{common} {b_extra}", "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING"
+    )
+    s = docs.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    census = {r["lang"]: r for r in lsh_quality_census_df(s).collect()}
+    r = census["en"]
+    assert r["n_truth"] >= 40  # every constructed pair is truth
+    # independent recompute of verified: the registered d2b arithmetic
+    n_banded = minhash_banding_pairs_md5(s).count()
+    assert r["n_verified"] == n_banded
+    assert r["recall_permille"] == (1000 * r["n_verified"]) // r["n_truth"]
+    # the construction actually exercises loss
+    assert r["n_verified"] < r["n_truth"]
+    assert r["recall_permille"] < 1000
