@@ -8628,3 +8628,72 @@ def q103_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# F39 — DESCRIBE DETAIL (round-12 surface, library-first; the @query
+# registration is one decorator away). The one-row operational summary
+# of a table head (Delta's verb): file/row accounting with LIVE rows
+# net of deletion vectors, surviving versions, and the metadata
+# surfaces in force. The staged lifecycle (append, append, rename,
+# DV delete) makes every field load-bearing; byte totals exist in the
+# verb but are excluded from the oracled projection (compressed sizes
+# are not SQL-derivable).
+#
+# Scale: O(#files + #sidecars + #versions) driver metadata reads, no
+# data scan — the same cost class as DESCRIBE HISTORY (f31).
+# --------------------------------------------------------------------------
+_F39_STAGED: dict = {}
+
+F39_ORACLE = """
+    WITH pop AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 3 IN (0, 1)),
+    dead AS (
+      SELECT count(*) AS n FROM pop
+      WHERE lang = 'en' AND doc_id % 3 = 0 AND doc_id % 2 = 0)
+    SELECT CAST(4 AS BIGINT) AS version,
+           CAST(2 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows_physical,
+           CAST(count(*) - (SELECT n FROM dead) AS BIGINT) AS n_rows_live,
+           CAST(4 AS BIGINT) AS n_versions_live,
+           CAST(1 AS BIGINT) AS n_dv_sidecars,
+           CAST(1 AS BIGINT) AS n_mapped_columns,
+           CAST(0 AS BIGINT) AS n_constraints,
+           CAST(0 AS BIGINT) AS n_external_files
+    FROM pop
+"""
+
+
+def f39_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F39 (banked): DESCRIBE DETAIL of a four-verb lifecycle — a
+    physical-vs-live row conflation, a stale-DV count, a lost mapping
+    entry, or a version-survival slip flips the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where_dv,
+        rename_column,
+        table_detail,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F39_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_detail_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        root = tmp.name
+        commit_append(d.filter(F.col("doc_id") % 3 == 0).coalesce(1), root)
+        commit_append(d.filter(F.col("doc_id") % 3 == 1).coalesce(1), root)
+        rename_column(root, "n_chars", "chars")
+        # the predicate confines matches to v1's single file, so
+        # exactly ONE sidecar part survives _drop_empty_files and the
+        # literal n_dv_sidecars stays stable at every fixture scale
+        delete_where_dv(
+            spark,
+            root,
+            "lang = 'en' AND doc_id % 3 = 0 AND doc_id % 2 = 0",
+        )
+        _F39_STAGED[key] = tmp
+    return table_detail(spark, _F39_STAGED[key].name).drop("n_bytes")

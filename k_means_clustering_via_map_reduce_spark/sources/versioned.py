@@ -2413,3 +2413,73 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
         "version BIGINT, kind STRING, n_files BIGINT, n_added BIGINT,"
         " n_batches BIGINT, audit STRING",
     )
+
+
+def table_detail(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE DETAIL (Delta's verb, minimally): ONE row summarizing
+    the table head — version, file/byte accounting, physical and LIVE
+    row counts (physical minus live deletion-vector rows), surviving
+    version count, and the metadata surfaces in force (DV sidecars,
+    column-mapping entries, constraints, external clone refs).
+
+    Driver-side manifest + footer metadata only — no data scan: row
+    counts come from the __rows__ stats recorded at commit (falling
+    back to parquet footers for pre-stats files), DV row counts from
+    sidecar footers. O(#files + #sidecars + #versions) metadata reads,
+    the same cost class as DESCRIBE HISTORY (f31)."""
+    import pyarrow.parquet as pq
+
+    head = latest_version(root)
+    if head == 0:
+        raise ValueError(f"table_detail: {root} is empty")
+    m = read_manifest(root, head)
+    stats = m.get("stats", {})
+    n_bytes = 0
+    n_rows_physical = 0
+    for f in m["files"]:
+        path = os.path.join(root, f)
+        try:
+            n_bytes += os.path.getsize(path)
+        except OSError:
+            pass
+        rows = stats.get(f, {}).get("__rows__")
+        if rows is None:
+            rows = pq.ParquetFile(path).metadata.num_rows
+        n_rows_physical += int(rows)
+    live_files = set(m["files"])
+    n_dv_rows = 0
+    for side in m.get("dvs", []):
+        tbl = pq.read_table(
+            os.path.join(root, side), columns=["_dv_file"]
+        )
+        # stale keys (files later rewritten) are inert — count only
+        # vectors pointing at live files, mirroring the read path
+        n_dv_rows += sum(
+            1 for k in tbl.column("_dv_file").to_pylist()
+            if k in live_files
+        )
+    n_versions = sum(
+        1
+        for v in range(1, head + 1)
+        if os.path.exists(_manifest_path(root, v))
+    )
+    row = {
+        "version": head,
+        "n_files": len(m["files"]),
+        "n_bytes": int(n_bytes),
+        "n_rows_physical": int(n_rows_physical),
+        "n_rows_live": int(n_rows_physical - n_dv_rows),
+        "n_versions_live": n_versions,
+        "n_dv_sidecars": len(m.get("dvs", [])),
+        "n_mapped_columns": len(m.get("column_mapping", {})),
+        "n_constraints": len(m.get("constraints", [])),
+        "n_external_files": len(m.get("external_files", [])),
+    }
+    schema = (
+        "version BIGINT, n_files BIGINT, n_bytes BIGINT, "
+        "n_rows_physical BIGINT, n_rows_live BIGINT, "
+        "n_versions_live BIGINT, n_dv_sidecars BIGINT, "
+        "n_mapped_columns BIGINT, n_constraints BIGINT, "
+        "n_external_files BIGINT"
+    )
+    return spark.createDataFrame([tuple(row.values())], schema)

@@ -473,3 +473,34 @@ def test_d17_census_reports_lossy_banding(spark_prop):
     # the construction actually exercises loss
     assert r["n_verified"] < r["n_truth"]
     assert r["recall_permille"] < 1000
+
+
+def test_f39_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F39_ORACLE,
+        f39_table_detail,
+    )
+
+    compare_to_oracle(f39_table_detail(spark, sf_dir), F39_ORACLE, sf_dir)
+
+
+def test_table_detail_counts_only_live_dv_rows(spark, tmp_path):
+    """A COW rewrite strands the old DV keys; detail must not subtract
+    stale vectors from the live row count."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        delete_where,
+        delete_where_dv,
+        table_detail,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(spark.range(0, 10).selectExpr("id").coalesce(1), root)
+    delete_where_dv(spark, root, "id IN (1, 2)")
+    r = table_detail(spark, root).collect()[0]
+    assert r["n_rows_physical"] == 10 and r["n_rows_live"] == 8
+    # COW delete rewrites the file; the old sidecar's keys go stale
+    delete_where(spark, root, "id = 5")
+    r2 = table_detail(spark, root).collect()[0]
+    assert r2["n_rows_physical"] == 7  # 10 - 2 dv'd - 1 cow'd, rewritten
+    assert r2["n_rows_live"] == 7      # stale vectors subtract nothing
