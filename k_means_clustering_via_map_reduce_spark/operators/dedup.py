@@ -2559,6 +2559,7 @@ def lsh_quality_census_df(s: DataFrame) -> DataFrame:
     )
 
 
+@query("d17_lsh_quality_census", oracle=_D17_ORACLE)
 def d17_lsh_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D17 (banked): per-lang LSH recall/precision against exact
     ground truth — a banding drift, a candidate leak, a verify

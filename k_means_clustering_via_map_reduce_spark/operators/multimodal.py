@@ -2284,7 +2284,14 @@ def windowed_energy(df: DataFrame) -> DataFrame:
             for did, blob in zip(pdf["doc_id"], pdf["blob"]):
                 decoded = decode_pcm(bytes(blob))
                 if decoded is None:
-                    continue
+                    # The oracle LEFT JOINs every document, so a silent
+                    # skip would surface as a missing-row mismatch; every
+                    # blob on this path is engine-synthesized and MUST
+                    # decode — fail loudly instead (ADVICE r11).
+                    raise ValueError(
+                        f"windowed_energy: undecodable PCM blob for "
+                        f"doc_id={int(did)}"
+                    )
                 _, samples = decoded
                 n = len(samples) - len(samples) % M17_WINDOW
                 if n == 0:
@@ -2316,6 +2323,7 @@ def windowed_energy(df: DataFrame) -> DataFrame:
     )
 
 
+@query("m17_windowed_energy", oracle=M17_ORACLE)
 def m17_windowed_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M17 (banked): per-window audio energy profile through the real
     RIFF parse — a window that straddles the tail remainder, an int16

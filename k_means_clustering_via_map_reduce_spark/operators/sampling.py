@@ -1439,6 +1439,7 @@ P17_ORACLE = """
 """
 
 
+@query("p17_dedup_aware_mix", oracle=P17_ORACLE)
 def p17_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P17 (banked): per-source keep rates derived from cross-document
     segment duplication, applied via the p5 md5 draw — a segmentation

@@ -1809,8 +1809,9 @@ def norm_pruned_exact_topk(
     )
 
 
+@query("s13_exact_pruned_topk", oracle=S13_ORACLE)
 def s13_exact_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13 (banked): exact top-k equal to s1 with cell-bound pruning —
+    """S13 (registered r12): exact top-k equal to s1 with cell-bound pruning —
     an invalid bound, a dropped boundary tie, or a probe/survivor
     overlap duplicate flips the hash against the s1 oracle. Serves
     from the s7 persisted codebook (one seeded fit per process, the

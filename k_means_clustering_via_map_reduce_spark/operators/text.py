@@ -2458,6 +2458,7 @@ T34_ORACLE = """
 """
 
 
+@query("t34_vocab_overlap", oracle=T34_ORACLE)
 def t34_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T34 (banked): language-pair vocabulary Jaccard + containment —
     a lost duplicate collapse, a pair-order flip, or an intersection
@@ -2545,6 +2546,7 @@ T35_ORACLE = """
 """
 
 
+@query("t35_langid_confusion", oracle=T35_ORACLE)
 def t35_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T35 (banked): (true x predicted) language contingency with
     integer-permille cells — a tie-break drift in the classifier, a

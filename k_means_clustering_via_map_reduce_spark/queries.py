@@ -8466,8 +8466,9 @@ Q101_ORACLE = f"""
 """
 
 
+@query("q101_bitemporal_asof", oracle=Q101_ORACLE)
 def q101_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q101 (banked): per-user bitemporal as-of state under two probes
+    """Q101 (registered r12): per-user bitemporal as-of state under two probes
     differing only in transaction time — conflating the axes, a wrong
     argmax tie-break, or a boundary flip (<= vs <) flips the hash."""
     e = load_table(spark, sf_dir, "events").select(
@@ -8504,7 +8505,11 @@ def q101_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.orderBy("probe_id")
+    # The oracle's GROUP BY probe_id omits a probe with zero visible
+    # rows, while the ungrouped agg above always emits one row; drop
+    # empty probes so both sides agree at every fixture scale
+    # (ADVICE r11).
+    return out.filter(F.col("n_users") > 0).orderBy("probe_id")
 
 
 # --------------------------------------------------------------------------
@@ -8543,8 +8548,9 @@ Q102_ORACLE = """
 """
 
 
+@query("q102_mad_outliers", oracle=Q102_ORACLE)
 def q102_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q102 (banked): per-type MAD and 3*MAD outlier census — an
+    """Q102 (registered r12): per-type MAD and 3*MAD outlier census — an
     interpolation slip in either percentile pass, a deviation computed
     against the wrong group's median, or a boundary flip at 3*MAD
     flips the hash."""
@@ -8600,16 +8606,27 @@ Q103_RSD = 0.02
 Q103_ORACLE = """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-           true AS within_bound
+           true AS within_bound,
+           CAST(NULL AS DOUBLE) AS rel_err_if_out
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+@query("q103_hll_calibration", oracle=Q103_ORACLE)
 def q103_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q103 (banked): exact-vs-HLL cardinality per event type — the
+    """Q103 (registered r12): exact-vs-HLL cardinality per event type — the
     oracle hard-codes ``within_bound = true``, so an estimator drifting
-    past 4x its configured rsd flips the hash."""
+    past 4x its configured rsd flips the hash. ``rel_err_if_out`` is
+    NULL whenever the bound holds (so green runs hash-match) and
+    carries the rounded relative error on a violation, making a future
+    failure diagnosable from the driver's row diff (ADVICE r11)."""
     ev = load_table(spark, sf_dir, "events")
+    within = F.abs(F.col("est") - F.col("exact_distinct")) <= F.lit(
+        4 * Q103_RSD
+    ) * F.col("exact_distinct")
+    rel_err = F.abs(F.col("est") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
     return (
         ev.groupBy("event_type")
         .agg(
@@ -8621,10 +8638,10 @@ def q103_hll_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_distinct",
-            (
-                F.abs(F.col("est") - F.col("exact_distinct"))
-                <= F.lit(4 * Q103_RSD) * F.col("exact_distinct")
-            ).alias("within_bound"),
+            within.alias("within_bound"),
+            F.when(~within, F.round(rel_err, 6))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("rel_err_if_out"),
         )
         .orderBy("event_type")
     )
@@ -8664,8 +8681,9 @@ F39_ORACLE = """
 """
 
 
+@query("f39_table_detail", oracle=F39_ORACLE)
 def f39_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F39 (banked): DESCRIBE DETAIL of a four-verb lifecycle — a
+    """F39 (registered r12): DESCRIBE DETAIL of a four-verb lifecycle — a
     physical-vs-live row conflation, a stale-DV count, a lost mapping
     entry, or a version-survival slip flips the hash."""
     import tempfile as _tf

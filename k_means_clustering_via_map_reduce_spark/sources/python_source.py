@@ -1375,6 +1375,7 @@ def _f38_stage(spark: SparkSession, sf_dir: str) -> str:
     return _F38_STAGED[key].name
 
 
+@query("f38_null_count_skipping", oracle=F38_ORACLE)
 def f38_null_count_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F38 (banked): IS NOT NULL aggregation through the connector —
     null-count skipping that drops a needed file loses rows and flips

@@ -2447,17 +2447,25 @@ def table_detail(spark: SparkSession, root: str) -> DataFrame:
             rows = pq.ParquetFile(path).metadata.num_rows
         n_rows_physical += int(rows)
     live_files = set(m["files"])
-    n_dv_rows = 0
+    # Union (file, pos) pairs across sidecars before counting — a
+    # merged or hand-crafted sidecar set with overlapping vectors must
+    # not double-count a position, mirroring the read path's dead-set
+    # union (ADVICE r11). Stale keys (files later rewritten) are inert
+    # — count only vectors pointing at live files.
+    dead: set[tuple[str, int]] = set()
     for side in m.get("dvs", []):
         tbl = pq.read_table(
-            os.path.join(root, side), columns=["_dv_file"]
+            os.path.join(root, side), columns=["_dv_file", "_dv_pos"]
         )
-        # stale keys (files later rewritten) are inert — count only
-        # vectors pointing at live files, mirroring the read path
-        n_dv_rows += sum(
-            1 for k in tbl.column("_dv_file").to_pylist()
+        dead.update(
+            (k, p)
+            for k, p in zip(
+                tbl.column("_dv_file").to_pylist(),
+                tbl.column("_dv_pos").to_pylist(),
+            )
             if k in live_files
         )
+    n_dv_rows = len(dead)
     n_versions = sum(
         1
         for v in range(1, head + 1)

@@ -537,6 +537,10 @@ def session_timers_query(spark, sf_dir: str) -> DataFrame:
     return emitted.orderBy("user_id", "start_us")
 
 
+if tws_runtime_available():  # same dependency gate as k8b
+    query("k29_session_timers", oracle=K29_ORACLE)(session_timers_query)
+
+
 # --------------------------------------------------------------------------
 # K30 — MapState + INITIAL STATE on transformWithState (round-12
 # surface, library-first; the @query registration is one decorator
@@ -674,3 +678,7 @@ def typed_totals_query(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+if tws_runtime_available():  # same dependency gate as k8b
+    query("k30_mapstate_totals", oracle=K30_ORACLE)(typed_totals_query)

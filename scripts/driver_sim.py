@@ -24,12 +24,23 @@ TABLES = (
 
 
 def _norm(v):
+    import datetime as _dt
+
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
+    # The driver compares str-mapped PANDAS frames, where a DuckDB DATE
+    # arrives as a midnight Timestamp — str-equal to Spark's TIMESTAMP.
+    # fetchall() hands back datetime.date instead; widen to midnight so
+    # this sim matches the driver's verdict (datetime before date:
+    # datetime IS a date subclass).
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
     return v
 
 

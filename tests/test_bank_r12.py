@@ -504,3 +504,103 @@ def test_table_detail_counts_only_live_dv_rows(spark, tmp_path):
     r2 = table_detail(spark, root).collect()[0]
     assert r2["n_rows_physical"] == 7  # 10 - 2 dv'd - 1 cow'd, rewritten
     assert r2["n_rows_live"] == 7      # stale vectors subtract nothing
+
+
+# ---------------------------------------------------------------------------
+# Round-11 ADVICE pins (all four findings closed in-code this round).
+# ---------------------------------------------------------------------------
+
+
+def test_q101_empty_probe_emits_no_row(spark, tmp_path):
+    """ADVICE r11: a probe with zero visible rows must be ABSENT from
+    the output (the oracle's GROUP BY semantics), not an n_users=0 row
+    with null totals."""
+    import datetime as dt
+
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q101_bitemporal_asof,
+    )
+
+    # every event is AFTER the probes' shared valid-time V, so both
+    # probes see nothing
+    rows = [
+        (i, dt.datetime(2025, 6, 1, 0, 0, i), i % 3, "click", 1.0, "{}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = q101_bitemporal_asof(spark, str(tmp_path))
+    assert out.count() == 0
+
+
+def test_q103_rel_err_column_is_null_on_green(spark, sf_dir):
+    """ADVICE r11: the diagnostic rel_err_if_out column must be NULL
+    whenever within_bound holds, so green runs hash-match the oracle's
+    literal NULL while a violation carries the actual error."""
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q103_hll_calibration,
+    )
+
+    rows = q103_hll_calibration(spark, sf_dir).collect()
+    assert rows, "fixture must produce at least one event type"
+    for r in rows:
+        assert r["within_bound"] is True
+        assert r["rel_err_if_out"] is None
+
+
+def test_m17_raises_on_undecodable_blob(spark):
+    """ADVICE r11: an undecodable PCM blob must fail LOUDLY, not be
+    silently skipped into a missing-row oracle mismatch."""
+    import pytest as _pytest
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        windowed_energy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a RIFF wav"))], "doc_id BIGINT, blob BINARY"
+    )
+    with _pytest.raises(Exception, match="undecodable"):
+        windowed_energy(df).collect()
+
+
+def test_table_detail_dedups_overlapping_sidecars(spark, tmp_path):
+    """ADVICE r11: a hand-merged sidecar set with overlapping (file,
+    pos) vectors must not double-subtract from n_rows_live — detail
+    unions pairs across sidecars exactly like the read path's dead
+    set."""
+    import json
+    import shutil
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        _manifest_path,
+        commit_append,
+        delete_where_dv,
+        latest_version,
+        read_manifest,
+        table_detail,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(spark.range(0, 10).selectExpr("id").coalesce(1), root)
+    delete_where_dv(spark, root, "id IN (1, 2)")
+    head = latest_version(root)
+    m = read_manifest(root, head)
+    assert len(m["dvs"]) == 1
+    # duplicate the sidecar under a new name and splice it into the
+    # manifest: every vector now appears twice across the sidecar set
+    import os
+
+    dup_rel = m["dvs"][0] + ".dup.parquet"
+    shutil.copyfile(
+        os.path.join(root, m["dvs"][0]), os.path.join(root, dup_rel)
+    )
+    m["dvs"] = list(m["dvs"]) + [dup_rel]
+    with open(_manifest_path(root, head), "w") as fh:
+        json.dump(m, fh)
+    r = table_detail(spark, root).collect()[0]
+    assert r["n_dv_sidecars"] == 2
+    assert r["n_rows_live"] == 8  # NOT 6: overlap counted once

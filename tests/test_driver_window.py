@@ -1,0 +1,73 @@
+"""Driver-window discipline pins (VERDICT r11 "Next round" #8).
+
+The verify driver records CORRECTNESS rows for the FIRST 50 registry
+entries in debt order. The r10 overflow mistake was registering more
+new entries than the window could hold alongside the stale-refresh
+tier; these pins make that regression a test failure instead of a
+prose rule.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_ENTRY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "__spark_entry__.py")
+
+WINDOW = 50
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("__spark_entry__", _ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_new_registrations_plus_stale_tier_fit_the_window():
+    """Every never-verified entry AND every entry in the oldest green
+    tier must land inside the first-50 driver window together —
+    otherwise a stale entry silently waits another full round."""
+    mod = _load_entry()
+    names = list(mod.queries())
+    latest = mod._latest_green_round()
+    new = [n for n in names if n not in latest]
+    rounds = sorted({latest[n] for n in names if n in latest})
+    oldest = rounds[0] if rounds else None
+    stale = [n for n in names if latest.get(n) == oldest]
+    assert len(new) + len(stale) <= WINDOW, (
+        f"{len(new)} new + {len(stale)} oldest-tier (r{oldest:02d}) "
+        f"entries exceed the {WINDOW}-row driver window — registration "
+        "overflow (the r10 mistake)"
+    )
+
+
+def test_debt_order_puts_new_then_oldest_first():
+    """The first-50 window must BE the new entries followed by the
+    oldest green tiers — no fresher entry may displace a staler one."""
+    mod = _load_entry()
+    names = list(mod.queries())
+    latest = mod._latest_green_round()
+    keys = [latest.get(n, 0) for n in names]
+    assert keys == sorted(keys), "registry is not in debt order"
+
+
+def test_every_query_has_oracle_or_documented_rows_only():
+    """The rows-only set is contractual and must stay the documented
+    seeded/hashed entries — a NEW entry without an oracle is a
+    registration bug, not a new contract."""
+    mod = _load_entry()
+    qs, osql = mod.queries(), mod.oracle_sql()
+    rows_only = {n for n in qs if n not in osql}
+    documented = {
+        "k1b_lloyd_join_largek", "k2_kmeans_mllib", "k14_production_fit",
+        "d2_minhash_lsh_pairs", "s2_lsh_topk", "s3_ivf_topk",
+        "s5_pq_adc_topk", "s7_persisted_ivf_topk",
+        "s8_ivfpq_persisted_topk", "t5_sketch_stats",
+        "p1_stratified_sample", "t23_bpe_learned",
+    }
+    assert rows_only == documented, (
+        f"rows-only drift: +{rows_only - documented} "
+        f"-{documented - rows_only}"
+    )
