@@ -1483,11 +1483,148 @@ D11_POSTING_CAP = 10_000
 D11_ORACLE = _d11b_oracle(D11_POSTING_CAP)
 
 
+def _segment_expr() -> F.Column:
+    """The canonical fixed-width segment cut over a pre-split ``w``
+    token array — ONE definition shared by every segment-family
+    consumer so the engine cannot drift from itself."""
+    return F.expr(
+        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(w, i * {SEGMENT_WORDS} + 1,"
+        f" {SEGMENT_WORDS}), ' '))"
+    )
+
+
+def _d11_shingle_expr() -> F.Column:
+    """Distinct ``D11_SHINGLE_W``-gram shingles of a ``seg`` column
+    (the whole segment when shorter than one shingle)."""
+    sw = F.split(F.col("seg"), " ")
+    return F.when(
+        F.size(sw) >= D11_SHINGLE_W,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split(seg, ' ')) -"
+                f" {D11_SHINGLE_W - 1}), i -> array_join(slice("
+                f"split(seg, ' '), i, {D11_SHINGLE_W}), ' '))"
+            )
+        ),
+    ).otherwise(F.array(F.col("seg")))
+
+
+def segment_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang[, source], seg_idx, seg): one row per segment
+    OCCURRENCE — the shared upstream of d11/d11b (lang-keyed family
+    accounting) and d14 (source-pair provenance). ``source`` is
+    carried only when ``docs`` has it (synthetic pytest corpora
+    don't); consumers that don't read it get it pruned for free."""
+    carry = ["doc_id", "lang"] + (
+        ["source"] if "source" in docs.columns else []
+    )
+    w = F.split(F.trim(F.col("text")), " ")
+    return docs.select(*carry, w.alias("w")).select(
+        *carry, F.posexplode(_segment_expr()).alias("seg_idx", "seg")
+    )
+
+
+def segment_postings(segs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """From per-occurrence ``segs``: ``dist`` (lang, seg, df, n_sh) —
+    the distinct-segment table with document frequency and shingle
+    count — and ``ex`` (lang, seg, df, n_sh, sg), its UNCAPPED
+    shingle-posting explosion. Caps are applied downstream per
+    consumer (d11's 10k production cap, d11b's binding demo cap), so
+    one staged copy of ``ex`` serves every arm."""
+    dist = segs.groupBy("lang", "seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    sh = dist.withColumn("sh", _d11_shingle_expr()).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = sh.select("lang", "seg", "df", "n_sh", F.explode("sh").alias("sg"))
+    return sh.drop("sh"), ex
+
+
+def segment_family_from_postings(
+    dist: DataFrame, ex: DataFrame, posting_cap: int | None
+) -> DataFrame:
+    """(lang, seg, df, family_df) from pre-built postings — the join
+    core shared by the staged-index arms and the DataFrame-level
+    ``segment_family_df``.
+
+    The pair join computes each UNORDERED pair once (``a.seg <
+    b.seg``) and expands only the jaccard SURVIVORS (~10² rows) into
+    both directions afterward — the original ``!=`` form shuffled
+    every candidate pair twice through the grouped intersection count,
+    and that 13.7M-row (sf0.1×1) exchange is d11's measured cost
+    ceiling (round-12 stage profile, BASELINE.md). Exact by symmetry:
+    n_common is direction-free, so the directed expansion reproduces
+    the two-sided partner mass bit-for-bit (the unchanged D11 oracles
+    pin it)."""
+    if posting_cap is not None:
+        keep = (
+            ex.groupBy("lang", "sg")
+            .agg(F.count(F.lit(1)).alias("seg_df"))
+            .filter(F.col("seg_df") <= posting_cap)
+            .select("lang", "sg")
+        )
+        ex = ex.join(keep, ["lang", "sg"])
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            [
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.seg") < F.col("b.seg"),
+                # lossless size-ratio prune (J <= min/max shingle counts)
+                F.col("a.n_sh") >= D11_JACCARD * F.col("b.n_sh"),
+                F.col("b.n_sh") >= D11_JACCARD * F.col("a.n_sh"),
+            ],
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+            F.col("a.df").alias("a_df"),
+            F.col("b.df").alias("b_df"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    )
+    pairs = inter.filter(jac >= D11_JACCARD)
+    directed = pairs.select(
+        "lang", F.col("seg_a").alias("seg"), F.col("b_df").alias("p_df")
+    ).unionByName(
+        pairs.select(
+            "lang", F.col("seg_b").alias("seg"), F.col("a_df").alias("p_df")
+        )
+    )
+    partner_mass = directed.groupBy("lang", "seg").agg(
+        F.sum("p_df").alias("partner_df")
+    )
+    return (
+        dist.join(partner_mass, ["lang", "seg"], "left")
+        .select(
+            "lang",
+            "seg",
+            "df",
+            (F.col("df") + F.coalesce(F.col("partner_df"), F.lit(0))).alias(
+                "family_df"
+            ),
+        )
+    )
+
+
 def segment_family_df(
     docs: DataFrame, posting_cap: int | None = 10_000
 ) -> DataFrame:
     """(lang, seg, df, family_df): document frequency of every distinct
-    segment plus its one-hop near-dup family mass.
+    segment plus its one-hop near-dup family mass, computed INLINE
+    from ``docs`` (recompute beats a staged shared index by
+    measurement — round-12 A/B, BASELINE.md).
 
     ``posting_cap`` is d1b's 100 TB guard at segment granularity: a
     shingle occurring in c distinct segments contributes c² join rows,
@@ -1505,112 +1642,23 @@ def segment_family_df(
     disables the cap and is pytest-only: the uncapped truth pin lives
     in tests/test_segment_neardup.py against D11_UNCAPPED_ORACLE; the
     fixture-scale BINDING-cap mirror is d11b."""
-    w = F.split(F.trim(F.col("text")), " ")
-    seg_expr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
-        f" as int) - 1),"
-        f" i -> array_join(slice(w, i * {SEGMENT_WORDS} + 1,"
-        f" {SEGMENT_WORDS}), ' '))"
-    )
-    segs = docs.select(
-        "doc_id", "lang", w.alias("w")
-    ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
-    dist = segs.groupBy("lang", "seg").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    sw = F.split(F.col("seg"), " ")
-    shingle_expr = F.when(
-        F.size(sw) >= D11_SHINGLE_W,
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, size(split(seg, ' ')) -"
-                f" {D11_SHINGLE_W - 1}), i -> array_join(slice("
-                f"split(seg, ' '), i, {D11_SHINGLE_W}), ' '))"
-            )
-        ),
-    ).otherwise(F.array(F.col("seg")))
-    # The distinct-segment table feeds four consumers (posting-cap
-    # census, both pair-join sides, the final family join). Measured
-    # (round 10, min-of-3 isolation): recomputing the pipeline per
-    # consumer is ~2x FASTER than localCheckpointing `sh` here —
-    # materialization carries the full shingle arrays into block
-    # storage and every consumer then scans them, while recomputation
-    # keeps per-consumer column pruning (the census reads only
-    # (lang, sg)). Deliberately NOT checkpointed.
-    sh = dist.withColumn("sh", shingle_expr).withColumn(
-        "n_sh", F.size("sh")
-    )
-    ex = sh.select("lang", "seg", "df", "n_sh", F.explode("sh").alias("sg"))
-    if posting_cap is not None:
-        keep = (
-            ex.groupBy("lang", "sg")
-            .agg(F.count(F.lit(1)).alias("seg_df"))
-            .filter(F.col("seg_df") <= posting_cap)
-            .select("lang", "sg")
-        )
-        ex = ex.join(keep, ["lang", "sg"])
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(
-            b,
-            [
-                F.col("a.sg") == F.col("b.sg"),
-                F.col("a.lang") == F.col("b.lang"),
-                F.col("a.seg") != F.col("b.seg"),
-                # lossless size-ratio prune (J <= min/max shingle counts)
-                F.col("a.n_sh") >= D11_JACCARD * F.col("b.n_sh"),
-                F.col("b.n_sh") >= D11_JACCARD * F.col("a.n_sh"),
-            ],
-        )
-        .groupBy(
-            F.col("a.lang").alias("lang"),
-            F.col("a.seg").alias("seg"),
-            F.col("b.seg").alias("b_seg"),
-            F.col("a.n_sh").alias("a_n"),
-            F.col("b.n_sh").alias("b_n"),
-            F.col("b.df").alias("b_df"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (
-        F.col("a_n") + F.col("b_n") - F.col("n_common")
-    )
-    partner_mass = (
-        inter.filter(jac >= D11_JACCARD)
-        .groupBy("lang", "seg")
-        .agg(F.sum("b_df").alias("partner_df"))
-    )
-    return (
-        sh.join(partner_mass, ["lang", "seg"], "left")
-        .select(
-            "lang",
-            "seg",
-            "df",
-            (F.col("df") + F.coalesce(F.col("partner_df"), F.lit(0))).alias(
-                "family_df"
-            ),
-        )
-    )
+    dist, ex = segment_postings(segment_occurrences(docs))
+    return segment_family_from_postings(dist, ex, posting_cap)
 
 
-def _d11_accounting(docs: DataFrame, posting_cap: int | None) -> DataFrame:
-    """Shared d11/d11b face: per-language boilerplate accounting under
-    family-df removal at the given posting cap (None = the uncapped
-    truth form, pytest-only)."""
-    w = F.split(F.trim(F.col("text")), " ")
-    seg_expr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
-        f" as int) - 1),"
-        f" i -> array_join(slice(w, i * {SEGMENT_WORDS} + 1,"
-        f" {SEGMENT_WORDS}), ' '))"
-    )
-    segs = docs.select(
-        "doc_id", "lang", w.alias("w")
-    ).select("doc_id", "lang", F.posexplode(seg_expr).alias("seg_idx", "seg"))
-    fam = segment_family_df(docs, posting_cap=posting_cap)
-    marked = segs.join(fam, ["lang", "seg"]).withColumn(
-        "drop", F.col("family_df") >= D11_FAMILY_CUTOFF
-    )
+def _d11_accounting_from_index(
+    segs: DataFrame,
+    dist: DataFrame,
+    ex: DataFrame,
+    posting_cap: int | None,
+) -> DataFrame:
+    """Per-language boilerplate accounting under family-df removal,
+    from pre-built (segs, dist, ex) — the staged-index face shared by
+    the registered d11/d11b arms."""
+    fam = segment_family_from_postings(dist, ex, posting_cap)
+    marked = segs.select("doc_id", "lang", "seg").join(
+        fam, ["lang", "seg"]
+    ).withColumn("drop", F.col("family_df") >= D11_FAMILY_CUTOFF)
     return (
         marked.groupBy("lang")
         .agg(
@@ -1623,6 +1671,15 @@ def _d11_accounting(docs: DataFrame, posting_cap: int | None) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _d11_accounting(docs: DataFrame, posting_cap: int | None) -> DataFrame:
+    """Shared d11/d11b face: per-language boilerplate accounting under
+    family-df removal at the given posting cap (None = the uncapped
+    truth form, pytest-only), computed inline from ``docs``."""
+    segs = segment_occurrences(docs)
+    dist, ex = segment_postings(segs)
+    return _d11_accounting_from_index(segs, dist, ex, posting_cap)
 
 
 @query("d11_segment_neardup_boilerplate", oracle=D11_ORACLE)
@@ -1645,7 +1702,15 @@ def d11_segment_near_dup_boilerplate(
     carries no uncapped superlinear pair join: the uncapped form is a
     pytest-only truth pin against D11_UNCAPPED_ORACLE
     (tests/test_segment_neardup.py); the fixture-scale BINDING-cap
-    mirror is d11b."""
+    mirror is d11b.
+
+    Recomputes the segmentation INLINE by measurement, not oversight:
+    the round-12 A/B (BASELINE.md) timed a parquet-staged shared
+    segment index at 29.0 s isolated vs 19.6 s inline — the postings
+    table duplicates segment texts per shingle, and the disk
+    round-trip loses to whole-stage-codegen recompute — so the staged
+    form was rejected, extending the round-10 localCheckpoint
+    finding."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return _d11_accounting(docs, posting_cap=D11_POSTING_CAP)
 
@@ -2150,18 +2215,11 @@ def d14_source_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D14: the unordered source-pair content-sharing matrix over d7
     segments — a segmentation slip, a per-source count error, or a
     pair-orientation bug (double-counting (a,b) and (b,a)) flips the
-    hash."""
+    hash. Shares ``segment_occurrences`` with d11/d11b (one
+    segmentation definition engine-wide); recompute-per-query beats a
+    staged shared index by measurement (round-12 A/B, BASELINE.md)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    w = F.split(F.trim(F.col("text")), " ")
-    seg_expr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(w) / {SEGMENT_WORDS}.0)"
-        f" as int) - 1),"
-        f" i -> array_join(slice(w, i * {SEGMENT_WORDS} + 1,"
-        f" {SEGMENT_WORDS}), ' '))"
-    )
-    segs = docs.select("doc_id", "source", w.alias("w")).select(
-        "doc_id", "source", F.explode(seg_expr).alias("seg")
-    )
+    segs = segment_occurrences(docs)
     s = segs.groupBy("seg", "source").agg(F.count(F.lit(1)).alias("n"))
     a, b = s.alias("a"), s.alias("b")
     return (

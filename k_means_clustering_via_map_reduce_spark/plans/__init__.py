@@ -1,5 +1,6 @@
 from k_means_clustering_via_map_reduce_spark.plans.introspect import (
     broadcast_hash_join_count,
+    codegen_stage_count,
     count_shuffles,
     partition_filters,
     physical_plan,
@@ -11,6 +12,7 @@ from k_means_clustering_via_map_reduce_spark.plans.introspect import (
 
 __all__ = [
     "broadcast_hash_join_count",
+    "codegen_stage_count",
     "count_shuffles",
     "partition_filters",
     "physical_plan",

@@ -51,6 +51,7 @@ def main() -> None:
     import k_means_clustering_via_map_reduce_spark.queries as Q
     from k_means_clustering_via_map_reduce_spark.plans import (
         broadcast_hash_join_count,
+        codegen_stage_count,
         count_shuffles,
         physical_plan,
     )
@@ -79,7 +80,11 @@ def main() -> None:
                         "PythonDataSource",
                     )
                 ),
-                "codegen_stages": plan.count("WholeStageCodegen"),
+                # distinct [codegen id : N] markers from an AQE-off
+                # re-plan — "formatted" mode never prints the literal
+                # WholeStageCodegen, which left this column dead 0 in
+                # PLANS_r05-r11 (VERDICT r11 #1)
+                "codegen_stages": codegen_stage_count(df),
             }
         except Exception as exc:  # pragma: no cover
             ledger[name] = {"error": str(exc)[:200]}

@@ -138,6 +138,23 @@ def test_relational_queries_use_codegen(spark, sf_dir):
         assert whole_stage_codegen_spans(df) >= 1, name
 
 
+def test_codegen_ledger_metric_cannot_silently_zero(spark, sf_dir):
+    """The PLANS ledger's codegen_stages column must report >=1 for a
+    known-codegen query WITHOUT executing it — the static AQE-off count
+    plan_snapshot.py records. PLANS_r05-r11 carried a dead 0 here
+    because "formatted" explain never prints the literal
+    WholeStageCodegen (VERDICT r11 "What's wrong" #1)."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        codegen_stage_count,
+    )
+
+    df = Q.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    n = codegen_stage_count(df)  # no action performed
+    assert n >= 1, f"static codegen count must be nonzero, got {n}"
+    # and the helper restored the AQE conf it toggled
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_t9_broadcasts_eval_grams(spark, sf_dir):
     """Decontamination must broadcast the (small) benchmark gram set —
     hash-shuffling the exploded 100 TB corpus on the gram key instead
