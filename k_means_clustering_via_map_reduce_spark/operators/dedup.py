@@ -2631,3 +2631,92 @@ def d17_lsh_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     property test (tests/test_bank_r12.py) proves the census reports
     sub-1000 recall when banding genuinely misses."""
     return lsh_quality_census_df(_shingled(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# D18 — CONTAINMENT near-dup pairs (round-13 surface, library-first;
+# the @query registration is one decorator away). Jaccard (d1) is
+# symmetric, so a short document quoted inside a long one scores
+# |A∩B| / |A∪B| ≈ |A| / |B| — invisible below any usable threshold.
+# Containment of the SMALLER side, C = |A∩B| / min(|A|, |B|), is the
+# standard asymmetric complement (Broder's containment; the
+# quote/subset/expansion detector every curation stack runs beside
+# jaccard). Same inverted-index formulation as d1 — the pair space is
+# never materialized — but NOTE: no size-ratio prune exists for
+# containment (a tiny doc fully inside a huge one is exactly the
+# target), so the posting-cap lever (d1b) is the ONLY c² guard and
+# matters more here than for d1.
+# --------------------------------------------------------------------------
+D18_CONTAINMENT = 0.8
+
+_D18_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS sh
+      FROM d
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / least(len(a.sh), len(b.sh)), 4) AS containment,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / least(len(a.sh), len(b.sh)) >= {D18_CONTAINMENT}
+    ORDER BY a_id, b_id
+    """
+
+
+def containment_pairs(shingled: DataFrame) -> DataFrame:
+    """(a_id, b_id, containment, jaccard) for C >= D18_CONTAINMENT over
+    pre-shingled docs (columns doc_id, lang, sh, n_sh)."""
+    ex = shingled.select(
+        "doc_id", "lang", "n_sh", F.explode("sh").alias("sg")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            [
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                # no size-ratio prune: containment is the asymmetric
+                # detector, a small A inside a huge B must survive
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.least(F.col("a_n"), F.col("b_n"))
+    jac = F.col("n_common") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    )
+    return (
+        inter.filter(cont >= D18_CONTAINMENT)
+        .select(
+            "a_id",
+            "b_id",
+            r4(cont).alias("containment"),
+            r4(jac).alias("jaccard"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18 (banked): asymmetric containment pairs — a min/max flip in
+    the denominator, a lost small-in-large pair (the case jaccard
+    can't see), or a union/min conflation flips the hash."""
+    return containment_pairs(_shingled(spark, sf_dir))

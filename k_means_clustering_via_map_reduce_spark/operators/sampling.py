@@ -1499,3 +1499,81 @@ def p17_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# P18 — TEMPERATURE-SCALED language mixing (round-13 surface,
+# library-first; the @query registration is one decorator away). The
+# multilingual-corpus sampling law (mBERT/XLM-R's alpha-scaling):
+# flatten the language distribution by keeping lang L with rate
+# proportional to (n_min / n_L)^(1 - alpha), alpha = 0.5 — the
+# smallest language keeps everything, larger ones are downsampled
+# toward sqrt-flattened balance. Rates are derived from the corpus
+# itself (one 5-row count), and the per-row draw is the p5 value-pure
+# md5 — deterministic, partitioning-independent, SQL-replayable.
+#
+# DETERMINISM NOTE: the rate is floor(1000 * sqrt(n_min / n_L)) —
+# sqrt and double division are IEEE correctly-rounded, so the permille
+# thresholds are bit-identical in any engine; round() at a .5
+# boundary would not be.
+#
+# Scale shape: one tiny count agg (broadcast back as a 5-row join) +
+# a narrow per-row filter — no data-sized shuffle.
+# --------------------------------------------------------------------------
+P18_SALT = "temp"
+
+P18_ORACLE = f"""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    lo AS (SELECT min(n_docs) AS n_min FROM n),
+    rate AS (
+      SELECT lang, n_docs,
+             CAST(floor(1000 * sqrt(n_min * 1.0 / n_docs)) AS BIGINT)
+               AS keep_permille
+      FROM n, lo),
+    kept AS (
+      SELECT d.lang, d.n_chars, r.keep_permille, r.n_docs
+      FROM documents d JOIN rate r ON d.lang = r.lang
+      WHERE CAST(('0x' || substr(md5('{P18_SALT}' ||
+                                     CAST(d.doc_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) % 1000 < r.keep_permille)
+    SELECT lang, any_value(keep_permille) AS keep_permille,
+           any_value(n_docs) AS n_before,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+def p18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 (banked): per-lang survivors under sqrt-temperature
+    sampling — a rate computed against the wrong extreme, a round
+    instead of floor, or a draw-salt drift flips the hash."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = n.agg(F.min("n_docs")).collect()[0][0]
+    rate = n.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            1000 * F.sqrt(F.lit(float(n_min)) / F.col("n_docs"))
+        ).cast("bigint").alias("keep_permille"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit(P18_SALT), F.col("doc_id").cast("string"))),
+        1,
+        4,
+    )
+    draw = F.conv(h, 16, 10).cast("bigint") % 1000
+    kept = d.join(F.broadcast(rate), "lang").filter(
+        draw < F.col("keep_permille")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.first("keep_permille").alias("keep_permille"),
+            F.first("n_docs").alias("n_before"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

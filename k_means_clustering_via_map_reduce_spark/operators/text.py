@@ -2588,3 +2588,89 @@ def t35_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T36 — LEXICAL READABILITY census (round-13 surface, library-first;
+# the @query registration is one decorator away). The Flesch family of
+# readability scores over the curation corpus, with the standard
+# heuristic syllable counter (vowel-group runs, floor 1/word). The
+# synthetic fixtures carry no sentence punctuation, so the sentence
+# unit is declared to be the DOCUMENT (stated, not fudged): the score
+# still exercises the full pipeline — tokenize, per-word syllables via
+# regexp_extract_all, three-level reaggregation, fixed-point linear
+# combination — and flags the corpus-quality drift it exists for
+# (avg words/doc and syllables/word both move when boilerplate or
+# junk floods a language).
+#
+# Scale shape: pure per-row expressions (split + higher-order
+# transform) + one grouped agg — no shuffle beyond the 5-group agg,
+# no UDF.
+# --------------------------------------------------------------------------
+T36_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+      FROM documents),
+    per AS (
+      SELECT doc_id, lang, len(w) AS n_words,
+             list_sum(list_transform(w, t -> len(t))) AS n_chars,
+             list_sum(list_transform(w,
+               t -> greatest(1, len(regexp_extract_all(t, '[aeiou]+')))))
+               AS n_syll,
+             list_sum(list_transform(w,
+               t -> CASE WHEN len(regexp_extract_all(t, '[aeiou]+')) <= 1
+                         THEN 1 ELSE 0 END)) AS n_mono
+      FROM d)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(n_chars) * 1.0 / sum(n_words), 4) AS avg_word_len,
+           round(sum(n_syll) * 1.0 / sum(n_words), 4) AS syll_per_word,
+           CAST((1000 * sum(n_mono)) // sum(n_words) AS BIGINT)
+             AS mono_permille,
+           round(206.835 - 1.015 * (sum(n_words) * 1.0 / count(*))
+                 - 84.6 * (sum(n_syll) * 1.0 / sum(n_words)), 4)
+             AS reading_ease
+    FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+def t36_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T36 (banked): per-lang readability census — a syllable counter
+    missing the 1-per-word floor, a words-vs-docs denominator swap, or
+    a coefficient slip in the Flesch combination flips the hash."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), " ").alias("w")
+    )
+    syll = (
+        "aggregate(transform(w, t -> greatest(1, "
+        "size(regexp_extract_all(t, '[aeiou]+', 0)))), 0L, (a, x) -> a + x)"
+    )
+    chars = "aggregate(transform(w, t -> length(t)), 0L, (a, x) -> a + x)"
+    mono = (
+        "aggregate(transform(w, t -> IF(size(regexp_extract_all(t, "
+        "'[aeiou]+', 0)) <= 1, 1L, 0L)), 0L, (a, x) -> a + x)"
+    )
+    per = d.select(
+        "lang",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.expr(chars).alias("n_chars"),
+        F.expr(syll).alias("n_syll"),
+        F.expr(mono).alias("n_mono"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.sum("n_chars") / F.sum("n_words")).alias("avg_word_len"),
+            r4(F.sum("n_syll") / F.sum("n_words")).alias("syll_per_word"),
+            F.expr("(1000 * sum(n_mono)) DIV sum(n_words)").alias(
+                "mono_permille"
+            ),
+            r4(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.sum("n_words") / F.count(F.lit(1)))
+                - F.lit(84.6) * (F.sum("n_syll") / F.sum("n_words"))
+            ).alias("reading_ease"),
+        )
+        .orderBy("lang")
+    )

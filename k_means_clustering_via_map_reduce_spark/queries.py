@@ -8715,3 +8715,240 @@ def f39_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _F39_STAGED[key] = tmp
     return table_detail(spark, _F39_STAGED[key].name).drop("n_bytes")
+
+
+# --------------------------------------------------------------------------
+# F41 — GENERATED COLUMNS (round-13 surface, library-first; the @query
+# registration is one decorator away). Delta's GENERATED ALWAYS AS:
+# `chars_bucket` is declared once as an expression of `n_chars`; the
+# declaration backfills existing rows in one COW rewrite, and every
+# later append either omits the column (the engine computes it) or
+# must supply row-for-row matching values (mismatch = loud
+# GeneratedColumnError, pinned in tests/test_generated_columns.py).
+# Because the column is PHYSICAL in every file it carries min/max
+# stats and participates in file skipping — Delta's
+# partition-pruning-via-generated-column lever.
+#
+# Scale: declaration is one distributed rewrite (OPTIMIZE's cost
+# class); each later append adds one projected expression to its own
+# write; reads pay nothing.
+# --------------------------------------------------------------------------
+_F41_STAGED: dict = {}
+F41_BUCKET = 500
+
+F41_ORACLE = f"""
+    SELECT CAST(n_chars // {F41_BUCKET} AS BIGINT) AS chars_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1 ORDER BY chars_bucket
+"""
+
+
+def f41_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F41 (banked): per-bucket census over a GENERATED column — half
+    the rows were backfilled by the declaration rewrite, half computed
+    at append time from a frame that never carried the column; a
+    divergence between the two paths, a lost backfill row, or a stale
+    expression flips the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        add_generated_column,
+        commit_append,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F41_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_gen_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        root = tmp.name
+        commit_append(d.filter(F.col("doc_id") % 2 == 0).coalesce(1), root)
+        add_generated_column(
+            spark, root, "chars_bucket",
+            f"CAST(n_chars DIV {F41_BUCKET} AS BIGINT)",
+        )
+        # append WITHOUT the column: the engine must compute it
+        commit_append(d.filter(F.col("doc_id") % 2 == 1).coalesce(1), root)
+        _F41_STAGED[key] = tmp
+    t = read_version(spark, _F41_STAGED[key].name)
+    return (
+        t.groupBy("chars_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("chars_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q104 — EXPONENTIALLY-DECAYED engagement score (round-13 surface,
+# library-first). The feature every ranking/abuse pipeline derives:
+# per user, a recency-weighted activity score where each older event
+# counts 3/4 of the next newer one, over the user's last Q104_W
+# events. Computed INTEGER-EXACT: money in cents, decay as the exact
+# rational (3/4)^age scaled by 4^(W-1) — D = Σ cents_age · 3^age ·
+# 4^(W-1-age) — so the hash cannot drift on libm pow() ulps between
+# engines (3^7·4^7·max_cents ≈ 3.6e12, comfortably inside both
+# engines' exact-integer double range and int64).
+#
+# Scale shape: ONE exchange on user_id serves the ordering window and
+# the 8-row tail (rank filter), then a per-user sum — no self-join.
+# --------------------------------------------------------------------------
+Q104_W = 8
+Q104_ALPHA_NUM, Q104_ALPHA_DEN = 3, 4
+
+Q104_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT user_id, cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) - 1
+               AS age
+      FROM e),
+    t AS (SELECT * FROM r WHERE age < {Q104_W})
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_recent,
+           CAST(sum(cents
+                    * CAST(pow({Q104_ALPHA_NUM}, age) AS BIGINT)
+                    * CAST(pow({Q104_ALPHA_DEN}, {Q104_W - 1} - age)
+                           AS BIGINT)) AS BIGINT) AS decayed_score
+    FROM t GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q104_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q104 (banked): per-user decayed engagement over the last 8
+    events — an age off-by-one, a tie-order flip in the recency rank,
+    or a float decay (instead of the exact rational) flips the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    t = e.withColumn("age", F.row_number().over(w) - 1).filter(
+        F.col("age") < Q104_W
+    )
+    weight = F.pow(F.lit(Q104_ALPHA_NUM), F.col("age")).cast(
+        "bigint"
+    ) * F.pow(
+        F.lit(Q104_ALPHA_DEN), F.lit(Q104_W - 1) - F.col("age")
+    ).cast("bigint")
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.sum(F.col("cents") * weight).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q105 — BITEMPORAL BELIEF DRIFT (round-13 surface, library-first).
+# q101 answers "what did we believe at T"; the audit question that
+# follows is "what CHANGED between T1 and T2 about the same valid
+# moment V" — late-arriving corrections surfacing per user. Per user:
+# the believed state at (V, T1) full-outer-joined with (V, T2),
+# classified appeared / changed / unchanged (a user visible at T1
+# stays visible at T2 — tx_us <= T1 <= T2 — so 'disappeared' is
+# impossible by construction and its absence is itself pinned), then
+# aggregated per change kind with the value drift.
+#
+# Scale shape: two pruned scans + per-user argmax windows (q101's
+# cost), one full outer join on user_id — no pair space.
+# --------------------------------------------------------------------------
+Q105_ORACLE = f"""
+    WITH u AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS valid_us,
+             epoch_us(ts) + (event_id % 7) * {Q101_LAG_US} AS tx_us
+      FROM events),
+    b1 AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY valid_us DESC, tx_us DESC, event_id DESC) AS rn
+        FROM u WHERE valid_us <= {Q101_V_US} AND tx_us <= {Q101_T1_US})
+      WHERE rn = 1),
+    b2 AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY valid_us DESC, tx_us DESC, event_id DESC) AS rn
+        FROM u WHERE valid_us <= {Q101_V_US} AND tx_us <= {Q101_T2_US})
+      WHERE rn = 1),
+    j AS (
+      SELECT coalesce(b1.user_id, b2.user_id) AS user_id,
+             b1.value AS v1, b2.value AS v2,
+             CASE WHEN b1.user_id IS NULL THEN 'appeared'
+                  WHEN b1.value <> b2.value THEN 'changed'
+                  ELSE 'unchanged' END AS kind
+      FROM b1 FULL OUTER JOIN b2 ON b1.user_id = b2.user_id)
+    SELECT kind, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(coalesce(v2, 0) - coalesce(v1, 0)), 4) AS total_drift
+    FROM j GROUP BY kind ORDER BY kind
+"""
+
+
+def q105_belief_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q105 (banked): per-kind census of belief changes between two
+    transaction times for one valid moment — a corrected row escaping
+    the T1 snapshot, a drift signed backwards, or a phantom
+    'disappeared' class flips the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_us"),
+    )
+    u = e.withColumn(
+        "tx_us",
+        F.col("valid_us") + (F.col("event_id") % 7) * F.lit(Q101_LAG_US),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_us").desc(), F.col("tx_us").desc(),
+        F.col("event_id").desc()
+    )
+
+    def believed(t_us: int) -> DataFrame:
+        return (
+            u.filter(
+                (F.col("valid_us") <= Q101_V_US) & (F.col("tx_us") <= t_us)
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    b1 = believed(Q101_T1_US).withColumnRenamed("value", "v1")
+    b2 = believed(Q101_T2_US).withColumnRenamed("value", "v2")
+    j = b1.join(b2, "user_id", "full_outer").select(
+        F.when(F.col("v1").isNull(), "appeared")
+        .when(F.col("v1") != F.col("v2"), "changed")
+        .otherwise("unchanged")
+        .alias("kind"),
+        F.coalesce(F.col("v2"), F.lit(0.0)).alias("v2c"),
+        F.coalesce(F.col("v1"), F.lit(0.0)).alias("v1c"),
+    )
+    return (
+        j.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            r4(F.sum(F.col("v2c") - F.col("v1c"))).alias("total_drift"),
+        )
+        .orderBy("kind")
+    )

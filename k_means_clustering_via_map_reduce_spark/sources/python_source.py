@@ -810,6 +810,8 @@ def register_versioned_source(spark: SparkSession) -> str:
             # column -> 'null' | 'notnull' predicates (f38 null-count
             # skipping), same per-plan lifecycle as ``bounds``
             self.null_preds: dict = {}
+            # column -> probe value for EqualTo (f40 bloom skipping)
+            self.eq_preds: dict = {}
 
         def pushFilters(self, filters):
             # PER-PLAN state: Spark reuses this reader object across
@@ -819,6 +821,7 @@ def register_versioned_source(spark: SparkSession) -> str:
             # collect() after a range probe silently lost files).
             self.bounds = {}
             self.null_preds = {}
+            self.eq_preds = {}
             for f in filters:
                 if (
                     isinstance(f, (IsNull, IsNotNull))
@@ -853,6 +856,13 @@ def register_versioned_source(spark: SparkSession) -> str:
                     lo, hi = self.bounds.get(col, (None, None))
                     if isinstance(f, EqualTo):
                         lo, hi = f.value, f.value
+                        # equality probes additionally consult the
+                        # per-file bloom (f40) — strings/ints/bools
+                        # only, matching the writer's canonical form
+                        if isinstance(f.value, (str, bool)) or (
+                            isinstance(f.value, int)
+                        ):
+                            self.eq_preds[col] = f.value
                     elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                         lo = f.value if lo is None else max(lo, f.value)
                     else:
@@ -895,6 +905,22 @@ def register_versioned_source(spark: SparkSession) -> str:
                     elif kind == "notnull" and rows is not None \
                             and n == rows:
                         ok = False
+                # bloom skipping (f40): an equality probe whose value
+                # the file's bloom rules out skips the file; a file
+                # without a bloom for the column is always kept. Live
+                # DVs only REMOVE rows, so a bloom miss stays a valid
+                # skip after any DV delete.
+                blooms = s.get("__bloom__", {})
+                for col, val in self.eq_preds.items():
+                    b64 = blooms.get(self.mapping.get(col, col))
+                    if b64 is None:
+                        continue
+                    from k_means_clustering_via_map_reduce_spark.sources.versioned import (  # noqa: E501
+                        bloom_might_contain,
+                    )
+
+                    if not bloom_might_contain(b64, val):
+                        ok = False
                 if ok:
                     kept.append(f)
             return kept
@@ -907,6 +933,7 @@ def register_versioned_source(spark: SparkSession) -> str:
             # pushFilters (no filters to push) must read EVERY file
             self.bounds = {}
             self.null_preds = {}
+            self.eq_preds = {}
             if not kept:
                 # an empty partition list makes Spark invoke read(None);
                 # hand back one explicit empty-file sentinel instead
@@ -1390,6 +1417,94 @@ def f38_null_count_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("opt_chars").alias("sum_opt_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# F40 — BLOOM-FILTER file skipping through the connector (round-13
+# surface, library-first; the @query registration is one decorator
+# away). Min/max bounds (f23), z-order (f25) and null counts (f38)
+# cannot prune an EQUALITY probe on a column whose values INTERLEAVE
+# across files — exactly the shape of source/tenant/label ids in an
+# ingest-ordered corpus. Delta's answer is a per-column bloom filter
+# index; here each opted-in commit records a 512-byte bloom per
+# (file, column) in the manifest stats (versioned.py
+# _collect_bloom_stats, reserved __bloom__ key), and pushFilters'
+# EqualTo probes consult it: a bloom miss skips the file, a missing
+# bloom keeps it — skipping can only flip the hash by LOSING a file.
+#
+# The staging makes the bite attributable to the BLOOM specifically:
+# each file holds two sources {src<i>, src<19-i>}, which leaves THREE
+# files whose lexicographic [min, max] covers 'src7' (lexicographic
+# order puts src7 next-to-last, so no disjoint partitioning can make
+# more than three ranges cover it) — min/max skipping keeps 3, the
+# bloom keeps exactly the 1 file that holds the probe value (measured;
+# pinned in tests/test_versioned_connector.py).
+#
+# Scale: the probe is O(#files) driver metadata against 512-byte
+# bitsets — the standard needle-in-100TB equality lever when sort
+# order can't help.
+# --------------------------------------------------------------------------
+_F40_STAGED: dict = {}
+F40_FILES = 10
+F40_PROBE = "src7"
+
+F40_ORACLE = f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE source = '{F40_PROBE}'
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def _f40_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as F40_FILES single-file commits, file i
+    holding sources {src<i>, src<19-i>}, with
+    bloom_columns=("source",) on every commit — three files' source
+    ranges cover the probe, exactly one's bloom does."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+    from k_means_clustering_via_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F40_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_f40_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        for i in range(F40_FILES):
+            part = d.filter(
+                F.col("source").isin(f"src{i}", f"src{19 - i}")
+            )
+            commit_append(
+                part.coalesce(1), tmp.name, bloom_columns=("source",)
+            )
+        _F40_STAGED[key] = tmp
+    return _F40_STAGED[key].name
+
+
+def f40_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F40 (banked): per-lang stats for ONE source through the
+    connector — a bloom that rules out a file actually holding the
+    probe value loses rows and flips the hash; a conservative keep
+    only costs time."""
+    register_versioned_source(spark)
+    root = _f40_stage(spark, sf_dir)
+    df = spark.read.format("kmce_versioned").option("root", root).load()
+    return (
+        df.filter(F.col("source") == F40_PROBE)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
         )
         .orderBy("lang")
     )

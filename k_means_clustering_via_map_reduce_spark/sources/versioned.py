@@ -227,8 +227,15 @@ def table_constraints(root: str, version: int | None = None) -> dict:
 
 
 def _carry_constraints(manifest: dict, prev: dict) -> None:
+    # one carry point for BOTH row-rule metadata surfaces (CHECK
+    # constraints and generated-column expressions), so every verb that
+    # already carries constraints carries generated columns too — a
+    # verb that misses this helper loses both loudly in tests, not one
+    # silently
     if "constraints" in prev:
         manifest["constraints"] = prev["constraints"]
+    if "generated" in prev:
+        manifest["generated"] = prev["generated"]
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
@@ -293,6 +300,119 @@ def add_check_constraint(
     finally:
         os.remove(tmp)
     return parent + 1
+
+
+def table_generated(root: str, version: int | None = None) -> dict:
+    """The table's GENERATED columns ({name: sql_expr}) at ``version``
+    (latest when None) — snapshot metadata carried forward by every
+    commit verb (same carry point as constraints)."""
+    if version is None:
+        version = latest_version(root)
+    if version == 0:
+        return {}
+    return read_manifest(root, version).get("generated", {})
+
+
+def add_generated_column(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (Delta's
+    generated columns, minimally): record ``name = expr`` as table
+    metadata and MATERIALIZE the column for existing rows in one COW
+    rewrite, so the column is physical in every file — which is what
+    makes it carry min/max stats and participate in file skipping
+    (Delta's partition-pruning-via-generated-column lever). From then
+    on every append either omits the column (the engine computes it)
+    or provides values that must MATCH the expression row-for-row
+    (a mismatch is a loud error, not a silent divergence).
+
+    Scale: the one-time backfill is a distributed rewrite of the
+    table (the same cost class as OPTIMIZE); each later append adds
+    one projected expression to its own write. Refused when ``name``
+    exists or ``expr`` references a column that doesn't."""
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot add a generated column to an empty table")
+    prev = read_manifest(root, parent)
+    schema = table_schema(root, parent)
+    if schema is None:
+        raise ValueError(
+            "add_generated_column needs a recorded table schema — "
+            "recommit once to record one"
+        )
+    names = [f.name for f in schema.fields]
+    if name in names:
+        raise ValueError(f"generated column {name!r} already exists")
+    gen = dict(prev.get("generated", {}))
+    from pyspark.sql import functions as F
+
+    current = read_version(spark, root, parent)
+    backfilled = current.withColumn(name, F.expr(expr))
+    txn = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn}")
+    mapping = prev.get("column_mapping", {})
+    _to_physical(backfilled, mapping).write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(os.path.relpath(data_dir, root), n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        list(schema.fields)
+        + [StructField(name, backfilled.schema[name].dataType, True)]
+    )
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "files": new_files,
+        "added": new_files,
+        "generated_added": name,
+        "generated": {**gen, name: expr},
+        "schema": new_schema.jsonValue(),
+        "batches": prev.get("batches", []),
+        "stats": _collect_file_stats(root, new_files),
+    }
+    if "constraints" in prev:
+        manifest["constraints"] = prev["constraints"]
+    if "external_files" in prev:
+        manifest["external_files"] = prev["external_files"]
+    _carry_mapping(manifest, prev)
+    # COW backfill: vectors were applied by read_version, files are new
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        _link_slot(tmp, root, parent + 1)
+    finally:
+        os.remove(tmp)
+    return parent + 1
+
+
+class GeneratedColumnError(ValueError):
+    """An append supplied values for a generated column that do not
+    match its expression (Delta's generated-column invariant)."""
+
+
+def _apply_generated(df: DataFrame, generated: dict) -> DataFrame:
+    """Materialize or validate generated columns on an incoming batch:
+    absent -> computed; present -> one short-circuit take(1) proves
+    every supplied value equals the expression (null-safe)."""
+    from pyspark.sql import functions as F
+
+    for name, expr in generated.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+            continue
+        bad = df.filter(~(F.col(name).eqNullSafe(F.expr(expr)))).take(1)
+        if bad:
+            raise GeneratedColumnError(
+                f"generated column {name!r} = ({expr}) does not match "
+                f"the supplied value, e.g. in row {bad[0].asDict()}"
+            )
+    return df
 
 
 def table_schema(root: str, version: int | None = None):
@@ -446,6 +566,94 @@ def _collect_file_stats(root: str, rel_files: list) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (round-13 surface, Delta's per-column
+# bloom filter index re-expressed manifest-side). Min/max bounds
+# (f23), z-order (f25) and null counts (f38) cannot prune an EQUALITY
+# probe on a column whose values interleave across files (source,
+# label, tenant ids); a tiny per-file bloom can. Opt-in per commit
+# (``commit_append(..., bloom_columns=("source",))``) — Delta's
+# delta.bloomFilter column property, minimally; files without a bloom
+# are always KEPT, so the degradation mode is "no skip", never lost
+# rows.
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 4096  # 512 bytes/column/file in the manifest (base64)
+_BLOOM_HASHES = 4   # md5 gives 4 independent 4-byte slices
+
+
+def _bloom_indexes(value) -> list[int]:
+    """The k bit positions for a value: md5 of its canonical string,
+    sliced into k 4-byte ints — stable across processes and Python
+    hash randomization (the reader MUST reproduce the writer's bits)."""
+    import hashlib
+
+    digest = hashlib.md5(str(value).encode("utf-8")).digest()
+    return [
+        int.from_bytes(digest[4 * i: 4 * i + 4], "big") % _BLOOM_BITS
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def _bloom_of_values(values) -> str:
+    """Base64 bitset over the distinct values of one file's column."""
+    import base64
+
+    bits = bytearray(_BLOOM_BITS // 8)
+    for v in values:
+        if v is None:
+            continue
+        for ix in _bloom_indexes(v):
+            bits[ix // 8] |= 1 << (ix % 8)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def bloom_might_contain(b64: str, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(
+        bits[ix // 8] & (1 << (ix % 8)) for ix in _bloom_indexes(value)
+    )
+
+
+def _collect_bloom_stats(root: str, rel_files: list, columns) -> dict:
+    """Per-file per-column blooms, read column-pruned from the freshly
+    written files (only the indexed columns are materialized — on a
+    cluster this ride-alongs the write job; driver-side here it is one
+    O(rows of indexed columns) pass per commit). Only str/int/bool
+    columns are indexed: their str() round-trips exactly between
+    writer and prober; floats are refused loudly."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    cols = [c for c in columns]
+    if not cols:
+        return out
+    for rel in rel_files:
+        per_file: dict = {}
+        try:
+            tbl = pq.read_table(os.path.join(root, rel), columns=cols)
+        except Exception:
+            continue  # no bloom: reader keeps the file (conservative)
+        for c in cols:
+            vals = tbl.column(c).to_pylist()
+            bad = next(
+                (v for v in vals
+                 if v is not None and not isinstance(v, (str, int, bool))),
+                None,
+            )
+            if bad is not None:
+                raise ValueError(
+                    f"bloom_columns: column {c!r} holds "
+                    f"{type(bad).__name__} — only str/int/bool columns "
+                    "have an exact canonical form for bloom probing"
+                )
+            per_file[c] = _bloom_of_values(set(vals))
+        if per_file:
+            out[rel] = per_file
+    return out
+
+
 def prune_files(
     root: str, version: int, column: str, lo, hi
 ) -> list:
@@ -480,6 +688,7 @@ def commit_append(
     root: str,
     batch_id: int | None = None,
     *,
+    bloom_columns: tuple = (),
     _assume_parent: int | None = None,
 ) -> int:
     """Append ``df`` as a new immutable snapshot; returns the new
@@ -508,6 +717,11 @@ def commit_append(
     """
     txn = uuid.uuid4().hex[:12]
     parent = latest_version(root) if _assume_parent is None else _assume_parent
+    gen = table_generated(root, parent)
+    if gen:
+        # materialize/validate generated columns BEFORE constraint
+        # checks (a constraint may reference a generated column)
+        df = _apply_generated(df, gen)
     validated_cons = table_constraints(root, parent)
     _enforce_constraints(df, validated_cons)
     # Schema evolution happens AT the commit point (Delta metaData-action
@@ -525,6 +739,17 @@ def commit_append(
         if n.endswith(".parquet")
     )
     new_stats = _collect_file_stats(root, new_files)
+    if bloom_columns:
+        # f40 bloom skipping: reserved __bloom__ key beside the
+        # [lo, hi] bounds; physical column names (mapping applied at
+        # write) so the reader probes what the files actually store
+        blooms = _collect_bloom_stats(
+            root,
+            new_files,
+            [validated_mapping.get(c, c) for c in bloom_columns],
+        )
+        for rel, per_file in blooms.items():
+            new_stats.setdefault(rel, {})["__bloom__"] = per_file
     for _attempt in range(8):
         evolved = _evolve_schema(table_schema(root, parent), df.schema)
         prev = read_manifest(root, parent) if parent else {}
@@ -929,6 +1154,13 @@ def rename_column(root: str, old: str, new: str) -> int:
                 f"rename_column: CHECK constraint {cname!r} ({expr}) "
                 f"references {old!r} — drop and recreate it against the "
                 "new name first"
+            )
+    for gname, expr in prev.get("generated", {}).items():
+        if gname == old or _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"rename_column: generated column {gname!r} = ({expr}) "
+                f"involves {old!r} — a silent rename would desynchronize "
+                "the expression from the data it generated"
             )
     mapping = dict(prev.get("column_mapping", {}))
     physical = mapping.pop(old, old)
@@ -1444,6 +1676,9 @@ def commit_multi(
         for root in roots:
             df = by_abs[root]
             parent = latest_version(root)
+            g = table_generated(root, parent)
+            if g:
+                df = _apply_generated(df, g)
             cons = table_constraints(root, parent)
             _enforce_constraints(df, cons)
             parent_logical = table_schema(root, parent)

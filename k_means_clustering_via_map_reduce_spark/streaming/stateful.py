@@ -682,3 +682,150 @@ def typed_totals_query(spark, sf_dir: str) -> DataFrame:
 
 if tws_runtime_available():  # same dependency gate as k8b
     query("k30_mapstate_totals", oracle=K30_ORACLE)(typed_totals_query)
+
+
+# --------------------------------------------------------------------------
+# K31 — streaming TOP-K maintenance on transformWithState (round-13
+# surface, library-first; registration gated like k8b). The serving
+# shape every leaderboard/alerting pipeline needs: per event_type,
+# maintain the top-5 users by cumulative spend as events stream in.
+# State is one MapState user -> total_cents plus a ValueState batch
+# epoch; every micro-batch re-emits the CURRENT top-5 stamped with the
+# epoch, and the terminal answer is each key's final-epoch emission —
+# exact under any batching because the final epoch has seen every row
+# (the k8 monotone-reduction discipline, generalized from max() to
+# last-epoch selection).
+#
+# Money is integer CENTS end-to-end (q98's discipline): float partial
+# sums accumulate in batch order, and a near-tie between two users
+# could otherwise rank differently than the oracle's one-pass sum.
+#
+# Scale shape: state is O(users per event_type) scalars; the top-5
+# scan per batch iterates the map — bounded by active users per key;
+# a production variant keeps a candidate heap so only touched users
+# re-rank, the same state, strictly less work.
+# --------------------------------------------------------------------------
+K31_TOPK = 5
+
+K31_OUTPUT = (
+    "event_type STRING, epoch BIGINT, rank BIGINT, user_id BIGINT, "
+    "total_cents BIGINT"
+)
+
+K31_ORACLE = f"""
+    WITH tot AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, user_id, total_cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY total_cents DESC, user_id)
+               AS rank
+      FROM tot)
+    SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id,
+           total_cents
+    FROM r WHERE rank <= {K31_TOPK}
+    ORDER BY event_type, rank
+"""
+
+
+def _make_topk_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getMapState(
+                "totals", "user_id BIGINT", "cents BIGINT"
+            )
+            self._epoch = handle.getValueState("epoch", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (event_type,) = key
+            delta: dict = {}
+            for pdf in rows:
+                cents = (pdf["value"] * 100).round().astype("int64")
+                for uid, c in zip(pdf["user_id"], cents):
+                    delta[int(uid)] = delta.get(int(uid), 0) + int(c)
+            for uid, c in delta.items():
+                prior = (
+                    self._totals.getValue((uid,))
+                    if self._totals.containsKey((uid,))
+                    else (0,)
+                )
+                self._totals.updateValue((uid,), (int(prior[0]) + c,))
+            ep = self._epoch.get()
+            epoch = (int(ep[0]) if ep is not None else 0) + 1
+            self._epoch.update((epoch,))
+            board = sorted(
+                ((int(v[0]), int(k[0])) for k, v in self._totals.iterator()),
+                key=lambda t: (-t[0], t[1]),
+            )[:K31_TOPK]
+            out = [
+                (event_type, epoch, rank + 1, uid, cents)
+                for rank, (cents, uid) in enumerate(board)
+            ]
+            return iter(
+                [
+                    pd.DataFrame(
+                        out,
+                        columns=[
+                            "event_type", "epoch", "rank", "user_id",
+                            "total_cents",
+                        ],
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TopK()
+
+
+def streaming_topk(events: DataFrame) -> DataFrame:
+    """Per-event_type running top-5 users by cumulative cents."""
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_make_topk_processor(),
+        outputStructType=K31_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_topk_query(spark, sf_dir: str) -> DataFrame:
+    """K31 (banked): terminal top-5 per event_type from the streaming
+    leaderboard — a lost map entry, a float-order rank flip, a stale
+    epoch, or a tie broken away from lowest-user_id flips the hash."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _run_complete_stream,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        emitted = _run_complete_stream(
+            spark,
+            sf_dir,
+            lambda s: streaming_topk(
+                s.select("event_type", "user_id", "value")
+            ),
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    w = Window.partitionBy("event_type")
+    return (
+        emitted.withColumn("max_epoch", F.max("epoch").over(w))
+        .filter(F.col("epoch") == F.col("max_epoch"))
+        .select("event_type", "rank", "user_id", "total_cents")
+        .orderBy("event_type", "rank")
+    )

@@ -1,0 +1,362 @@
+"""Round-13 bank (library-first, unregistered): driver-style oracle
+checks plus semantic pins for the nine staged operators — f40 bloom
+file skipping, f41 generated columns, k31 streaming top-k, d18
+containment pairs, q104 decayed engagement, q105 belief drift, p18
+temperature mixing, t36 readability, m18 scene changes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import compare_to_oracle
+
+
+# -- f40 bloom skipping ------------------------------------------------------
+
+
+def test_f40_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        F40_ORACLE,
+        f40_bloom_skipping,
+    )
+
+    compare_to_oracle(f40_bloom_skipping(spark, sf_dir), F40_ORACLE, sf_dir)
+
+
+def test_f40_bloom_prunes_past_minmax(spark, sf_dir):
+    """The bite must be attributable to the BLOOM: min/max ranges keep
+    3 of the 10 staged files for the probe, the bloom keeps exactly the
+    1 file that holds it."""
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        F40_PROBE,
+        _f40_stage,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        bloom_might_contain,
+        latest_version,
+        read_manifest,
+    )
+
+    root = _f40_stage(spark, sf_dir)
+    m = read_manifest(root, latest_version(root))
+    stats = m["stats"]
+    minmax_kept = bloom_kept = 0
+    for f in m["files"]:
+        lo_hi = stats.get(f, {}).get("source")
+        if lo_hi is None or lo_hi[0] <= F40_PROBE <= lo_hi[1]:
+            minmax_kept += 1
+        b = stats.get(f, {}).get("__bloom__", {}).get("source")
+        if b is None or bloom_might_contain(b, F40_PROBE):
+            bloom_kept += 1
+    assert minmax_kept == 3
+    assert bloom_kept == 1
+
+
+def test_f40_bloom_never_false_negative(spark, sf_dir):
+    """Every value actually present in a file must probe positive in
+    that file's bloom — a false negative is lost rows."""
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        F40_FILES,
+        _f40_stage,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        bloom_might_contain,
+        latest_version,
+        read_manifest,
+    )
+
+    root = _f40_stage(spark, sf_dir)
+    m = read_manifest(root, latest_version(root))
+    for i, f in enumerate(m["files"][:F40_FILES]):
+        b = m["stats"][f]["__bloom__"]["source"]
+        for src in (f"src{i}", f"src{19 - i}"):
+            assert bloom_might_contain(b, src), (f, src)
+
+
+# -- f41 generated columns ---------------------------------------------------
+
+
+def test_f41_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F41_ORACLE,
+        f41_generated_column,
+    )
+
+    compare_to_oracle(f41_generated_column(spark, sf_dir), F41_ORACLE, sf_dir)
+
+
+def test_generated_column_invariants(spark, tmp_path):
+    """Mismatched supplied values raise; matching ones pass; renaming
+    a referenced column is refused; the backfill covers history."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        GeneratedColumnError,
+        add_generated_column,
+        commit_append,
+        read_version,
+        rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(spark.range(5).selectExpr("id", "id*3 AS n"), root)
+    add_generated_column(spark, root, "b", "CAST(n DIV 2 AS BIGINT)")
+    got = {r["id"]: r["b"] for r in read_version(spark, root).collect()}
+    assert got == {i: (i * 3) // 2 for i in range(5)}  # backfill
+    with pytest.raises(GeneratedColumnError):
+        commit_append(
+            spark.range(5, 8).selectExpr(
+                "id", "id*3 AS n", "CAST(0 AS BIGINT) AS b"
+            ),
+            root,
+        )
+    commit_append(  # engine computes the omitted column
+        spark.range(5, 8).selectExpr("id", "id*3 AS n"), root
+    )
+    got = {r["id"]: r["b"] for r in read_version(spark, root).collect()}
+    assert got == {i: (i * 3) // 2 for i in range(8)}
+    with pytest.raises(ValueError, match="generated"):
+        rename_column(root, "n", "m")
+
+
+# -- k31 streaming top-k -----------------------------------------------------
+
+
+def test_k31_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        K31_ORACLE,
+        streaming_topk_query,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithState protobuf runtime unavailable")
+    compare_to_oracle(streaming_topk_query(spark, sf_dir), K31_ORACLE, sf_dir)
+
+
+def test_k31_board_is_full_and_ranked(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        K31_TOPK,
+        streaming_topk_query,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithState protobuf runtime unavailable")
+    rows = streaming_topk_query(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, board in by_type.items():
+        assert [r["rank"] for r in board] == list(
+            range(1, K31_TOPK + 1)
+        ), et
+        cents = [r["total_cents"] for r in board]
+        assert cents == sorted(cents, reverse=True), et
+
+
+# -- d18 containment ---------------------------------------------------------
+
+
+def test_d18_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D18_ORACLE,
+        d18_containment_pairs,
+    )
+
+    compare_to_oracle(d18_containment_pairs(spark, sf_dir), _D18_ORACLE,
+                      sf_dir)
+
+
+def test_d18_catches_quote_inclusion_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted inside a long
+    one scores containment 1.0 while jaccard stays far below d1's 0.5
+    threshold."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "en", quote), (2, "en", filler + " " + quote)],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    sh = docs.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    rows = containment_pairs(sh).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < JACCARD_THRESHOLD
+
+
+# -- q104 decayed engagement -------------------------------------------------
+
+
+def test_q104_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q104_ORACLE,
+        q104_decayed_engagement,
+    )
+
+    compare_to_oracle(
+        q104_decayed_engagement(spark, sf_dir), Q104_ORACLE, sf_dir
+    )
+
+
+def test_q104_newest_event_carries_max_weight(spark, tmp_path):
+    """age 0 = the NEWEST event: one user, two events of 1.00, the
+    score must be 100*(3^0*4^7) + 100*(3^1*4^6) — a reversed age
+    ordering would give the same sum here, so use distinct values:
+    newest=2.00, older=1.00 -> 200*16384 + 100*12288."""
+    import datetime as dt
+
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q104_decayed_engagement,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "click", 1.00, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 10), 7, "click", 2.00, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = q104_decayed_engagement(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["decayed_score"] == 200 * 4**7 + 100 * 3 * 4**6
+
+
+# -- q105 belief drift -------------------------------------------------------
+
+
+def test_q105_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        Q105_ORACLE,
+        q105_belief_drift,
+    )
+
+    compare_to_oracle(q105_belief_drift(spark, sf_dir), Q105_ORACLE, sf_dir)
+
+
+def test_q105_no_disappeared_kind(spark, sf_dir):
+    """T1 <= T2 means T1-visible users stay visible at T2 — a
+    'disappeared' class would be a bitemporal axis conflation."""
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        q105_belief_drift,
+    )
+
+    kinds = {
+        r["kind"] for r in q105_belief_drift(spark, sf_dir).collect()
+    }
+    assert "disappeared" not in kinds
+    assert kinds <= {"appeared", "changed", "unchanged"}
+    assert "changed" in kinds  # corrections actually land in the gap
+
+
+# -- p18 temperature mixing --------------------------------------------------
+
+
+def test_p18_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        P18_ORACLE,
+        p18_temperature_mix,
+    )
+
+    compare_to_oracle(p18_temperature_mix(spark, sf_dir), P18_ORACLE, sf_dir)
+
+
+def test_p18_smallest_lang_keeps_everything(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.sampling import (
+        p18_temperature_mix,
+    )
+
+    rows = p18_temperature_mix(spark, sf_dir).collect()
+    smallest = min(rows, key=lambda r: r["n_before"])
+    assert smallest["keep_permille"] == 1000
+    assert smallest["n_kept"] == smallest["n_before"]
+    for r in rows:
+        assert r["n_kept"] <= r["n_before"]
+        assert 0 < r["keep_permille"] <= 1000
+
+
+# -- t36 readability ---------------------------------------------------------
+
+
+def test_t36_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        T36_ORACLE,
+        t36_readability,
+    )
+
+    compare_to_oracle(t36_readability(spark, sf_dir), T36_ORACLE, sf_dir)
+
+
+def test_t36_syllable_floor_is_one(spark):
+    """A vowel-free token still counts one syllable (the standard
+    heuristic floor) — dropping it would zero-divide real corpora."""
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        t36_readability,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, "en", "xyz pqrst", "s", 9)],
+            "doc_id BIGINT, lang STRING, text STRING, source STRING,"
+            " n_chars BIGINT",
+        ).coalesce(1).write.parquet(tmp + "/documents.parquet")
+        r = t36_readability(spark, tmp).collect()[0]
+        assert r["syll_per_word"] == 1.0
+        assert r["mono_permille"] == 1000
+
+
+# -- m18 scene changes -------------------------------------------------------
+
+
+def test_m18_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        M18_ORACLE,
+        m18_scene_changes,
+    )
+
+    compare_to_oracle(m18_scene_changes(spark, sf_dir), M18_ORACLE, sf_dir)
+
+
+def test_m18_wraparound_delta_is_exact(spark):
+    """The uint8 wraparound pair (249 -> 0) must contribute |delta| =
+    249, not -7 cast wrong or 7 mod-folded: craft a two-frame blob and
+    check the exact L1."""
+    import numpy as np
+
+    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
+        VIDEO_H,
+        VIDEO_W,
+        scene_changes,
+    )
+
+    px = np.zeros((2, VIDEO_W * VIDEO_H), dtype=np.uint8)
+    px[0, 0] = 249
+    px[1, 0] = 0  # wraparound step: |0 - 249| = 249
+    px[1, 1:] = 7  # plain steps elsewhere
+    blob = (
+        b"KVID"
+        + (2).to_bytes(4, "little")
+        + VIDEO_W.to_bytes(2, "little")
+        + VIDEO_H.to_bytes(2, "little")
+        + px.tobytes()
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id BIGINT, blob BINARY"
+    )
+    r = scene_changes(df).collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["sum_l1"] == 249 + 7 * (VIDEO_W * VIDEO_H - 1)
