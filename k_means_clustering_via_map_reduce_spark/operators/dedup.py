@@ -2720,3 +2720,108 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the denominator, a lost small-in-large pair (the case jaccard
     can't see), or a union/min conflation flips the hash."""
     return containment_pairs(_shingled(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# D19 — PREFIX-FILTERED exact jaccard pairs (round-13 surface,
+# library-first; the @query registration is one decorator away). The
+# AllPairs/PPJoin prefix principle (Bayardo et al., WWW'07; Xiao et
+# al., WWW'08) applied to d1: under ANY consistent global token order,
+# a pair with J(A,B) >= t shares its lexically-smallest common token
+# inside BOTH prefixes of length |x| - ceil(t*|x|) + 1 — proof sketch:
+# J >= t forces overlap o >= t*|A| and o >= t*|B| (else the size ratio
+# alone caps J below t), and the smallest common token w has at most
+# |x| - o non-common tokens before it in either set, so w sits within
+# the first |x| - ceil(t*|x|) + 1 positions of both. Ordering tokens
+# by ASCENDING document frequency pushes boilerplate shingles out of
+# every prefix, so the candidate join never visits the hot-shingle c²
+# mass that d1's full posting join pays — the algorithmic lever the
+# round-12 d11 stage profile identified (BASELINE.md), shipped as its
+# own operator with d1's EXACT output (same oracle, equality pinned).
+#
+# Pipeline: postings -> global (df, token) order -> per-doc prefix ->
+# prefix-to-prefix candidate join (ratio-pruned) -> distinct pairs ->
+# verify on full shingle ARRAYS via array_intersect. Every stage is a
+# linear shuffle except the candidate join, whose fan-out is bounded
+# by PREFIX posting lists (rare tokens) instead of full ones.
+# --------------------------------------------------------------------------
+def prefix_filtered_jaccard_pairs(
+    shingled: DataFrame, t: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact (a_id, b_id, jaccard >= t) pairs via prefix filtering over
+    pre-shingled docs (columns doc_id, lang, sh, n_sh)."""
+    from pyspark.sql.window import Window
+
+    ex = shingled.select(
+        "doc_id", "lang", "n_sh", F.explode("sh").alias("sg")
+    )
+    freq = ex.groupBy("lang", "sg").agg(
+        F.count(F.lit(1)).alias("sg_df")
+    )
+    ranked = ex.join(freq, ["lang", "sg"]).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("lang", "doc_id").orderBy("sg_df", "sg")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select("doc_id", "lang", "n_sh", "sg")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            [
+                F.col("a.sg") == F.col("b.sg"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n_sh") >= t * F.col("b.n_sh"),
+                F.col("b.n_sh") >= t * F.col("a.n_sh"),
+            ],
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+        )
+        .distinct()
+    )
+    sets_a = shingled.select(
+        F.col("lang").alias("a_lang"),
+        F.col("doc_id").alias("a_sid"),
+        F.col("sh").alias("a_sh"),
+    )
+    sets_b = shingled.select(
+        F.col("lang").alias("b_lang"),
+        F.col("doc_id").alias("b_sid"),
+        F.col("sh").alias("b_sh"),
+    )
+    v = (
+        cand.join(
+            sets_a,
+            (F.col("a_id") == F.col("a_sid"))
+            & (F.col("lang") == F.col("a_lang")),
+        )
+        .join(
+            sets_b,
+            (F.col("b_id") == F.col("b_sid"))
+            & (F.col("lang") == F.col("b_lang")),
+        )
+    )
+    n_common = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    jac = n_common / (F.col("a_n") + F.col("b_n") - n_common)
+    return (
+        v.filter(jac >= t)
+        .select("a_id", "b_id", r4(jac).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def d19_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 (banked): d1's exact output through the prefix-filtered
+    candidate space — a prefix one short (lost pairs), an inconsistent
+    global order, or a verify slip flips the hash against d1's own
+    oracle."""
+    return prefix_filtered_jaccard_pairs(_shingled(spark, sf_dir))

@@ -360,3 +360,71 @@ def test_m18_wraparound_delta_is_exact(spark):
     r = scene_changes(df).collect()[0]
     assert r["n_pairs"] == 1
     assert r["sum_l1"] == 249 + 7 * (VIDEO_W * VIDEO_H - 1)
+
+
+# -- d19 prefix-filtered jaccard ---------------------------------------------
+
+
+def test_d19_matches_d1_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        _D1_ORACLE,
+        d19_prefix_jaccard_pairs,
+    )
+
+    compare_to_oracle(
+        d19_prefix_jaccard_pairs(spark, sf_dir), _D1_ORACLE, sf_dir
+    )
+
+
+def test_d19_equals_d1_exactly(spark, sf_dir):
+    """The whole point: the prefix-filtered path is LOSSLESS — row-set
+    identical to d1's full posting join (d1b's cap, by contrast, drops
+    pairs)."""
+    from k_means_clustering_via_map_reduce_spark.queries import QUERIES
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        d19_prefix_jaccard_pairs,
+    )
+
+    d1 = sorted(
+        map(tuple, QUERIES["d1_jaccard_pairs"](spark, sf_dir).collect())
+    )
+    d19 = sorted(
+        map(tuple, d19_prefix_jaccard_pairs(spark, sf_dir).collect())
+    )
+    assert d19 == d1
+
+
+def test_d19_complete_on_hot_shingle_corpus(spark):
+    """Completeness under the adversary the prefix exists for: every
+    doc shares one boilerplate trigram (which the ascending-df order
+    pushes OUT of every prefix), plus two true near-dups that must
+    still be found through their rare prefix tokens."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    hot = "zz hot token"
+    base = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        # 1 and 2 differ in ONE tail word: 6 of 9 trigrams shared,
+        # J = 6/12 = exactly the 0.5 threshold (boundary included)
+        (1, "en", f"{base} theta {hot}"),
+        (2, "en", f"{base} iota {hot}"),
+        (3, "en", f"one two three four five six {hot}"),
+        (4, "en", f"seven eight nine ten eleven {hot}"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING"
+    )
+    sh = docs.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in prefix_filtered_jaccard_pairs(sh).collect()
+    }
+    assert (1, 2) in got  # found through the rare prefix, not the hot token
+    assert all(p in {(1, 2)} for p in got)
