@@ -2331,104 +2331,3 @@ def m17_windowed_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return windowed_energy(synthesize_pcm_wav(docs)).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# M18 — video SCENE-CHANGE detection (round-13 surface, library-first;
-# the @query registration is one decorator away). The temporal
-# complement of m12's frame sampling: per consecutive frame pair, the
-# exact integer L1 pixel delta; a pair above the threshold is a cut.
-# This is the shot-segmentation pass every video-curation pipeline
-# runs before captioning/embedding — here over the real KVID parse,
-# with the oracle regenerating every pixel from the synthesis formula,
-# so the frame pairing, the |delta| arithmetic, and the threshold
-# boundary are all hash-checked.
-#
-# Scale shape: one Arrow mapInPandas pass; the frame tensor is a
-# zero-copy reshape, consecutive-frame deltas one vectorized diff;
-# only per-doc scalars leave the executor.
-# --------------------------------------------------------------------------
-M18_SCENE_L1 = 600  # between the no-wrap pair floor (448) and 1-wrap (690)
-
-M18_ORACLE = f"""
-    WITH f AS (
-      SELECT doc_id, doc_id % 24 + 4 AS n,
-             unnest(generate_series(0, doc_id % 24 + 2)) AS fi
-      FROM documents),
-    px AS (
-      SELECT doc_id, n, fi, unnest(generate_series(0, 63)) AS p
-      FROM f),
-    delta AS (
-      SELECT doc_id, n, fi,
-             abs(((doc_id*31 + (fi+1)*7 + p*3) % 256)
-                 - ((doc_id*31 + fi*7 + p*3) % 256)) AS ad
-      FROM px),
-    pair AS (
-      SELECT doc_id, n, fi, sum(ad) AS l1
-      FROM delta GROUP BY doc_id, n, fi)
-    SELECT doc_id,
-           CAST(any_value(n) AS BIGINT) AS n_frames,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CASE WHEN l1 > {M18_SCENE_L1} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_scene_changes,
-           CAST(max(l1) AS BIGINT) AS max_l1,
-           CAST(sum(l1) AS BIGINT) AS sum_l1
-    FROM pair GROUP BY doc_id ORDER BY doc_id
-"""
-
-
-def scene_changes(df: DataFrame) -> DataFrame:
-    """Per-doc scene-cut census from KVID blobs: consecutive-frame L1
-    deltas in the exact integer domain."""
-    import numpy as np
-    import pandas as pd
-
-    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
-                blob = bytes(blob)
-                if blob[:4] != b"KVID":
-                    raise ValueError(
-                        f"scene_changes: non-KVID blob for doc_id="
-                        f"{int(did)} (engine-synthesized blobs must "
-                        "parse; the oracle LEFT-JOINs every doc)"
-                    )
-                n = int.from_bytes(blob[4:8], "little")
-                w = int.from_bytes(blob[8:10], "little")
-                h = int.from_bytes(blob[10:12], "little")
-                arr = np.frombuffer(blob[12:], dtype=np.uint8).reshape(
-                    n, w * h
-                ).astype(np.int64)
-                d = np.abs(np.diff(arr, axis=0))
-                l1 = d.sum(axis=1)
-                rows.append(
-                    (
-                        int(did), n, int(l1.size),
-                        int((l1 > M18_SCENE_L1).sum()),
-                        int(l1.max()), int(l1.sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_frames", "n_pairs", "n_scene_changes",
-                    "max_l1", "sum_l1",
-                ],
-            )
-
-    return df.mapInPandas(
-        detect,
-        schema=(
-            "doc_id BIGINT, n_frames BIGINT, n_pairs BIGINT, "
-            "n_scene_changes BIGINT, max_l1 BIGINT, sum_l1 BIGINT"
-        ),
-    )
-
-
-def m18_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M18 (banked): consecutive-frame L1 cut census through the real
-    KVID parse — a frame-pair misalignment, a uint8 wraparound in the
-    delta, or a threshold boundary flip changes the hash."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return scene_changes(synthesize_video(docs)).orderBy("doc_id")

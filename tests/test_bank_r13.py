@@ -2,7 +2,8 @@
 checks plus semantic pins for the nine staged operators — f40 bloom
 file skipping, f41 generated columns, k31 streaming top-k, d18
 containment pairs, q104 decayed engagement, q105 belief drift, p18
-temperature mixing, t36 readability, m18 scene changes.
+temperature mixing, t36 readability, and d19 prefix-filtered
+jaccard.
 """
 
 from __future__ import annotations
@@ -317,49 +318,6 @@ def test_t36_syllable_floor_is_one(spark):
         r = t36_readability(spark, tmp).collect()[0]
         assert r["syll_per_word"] == 1.0
         assert r["mono_permille"] == 1000
-
-
-# -- m18 scene changes -------------------------------------------------------
-
-
-def test_m18_matches_oracle_driver_style(spark, sf_dir):
-    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
-        M18_ORACLE,
-        m18_scene_changes,
-    )
-
-    compare_to_oracle(m18_scene_changes(spark, sf_dir), M18_ORACLE, sf_dir)
-
-
-def test_m18_wraparound_delta_is_exact(spark):
-    """The uint8 wraparound pair (249 -> 0) must contribute |delta| =
-    249, not -7 cast wrong or 7 mod-folded: craft a two-frame blob and
-    check the exact L1."""
-    import numpy as np
-
-    from k_means_clustering_via_map_reduce_spark.operators.multimodal import (
-        VIDEO_H,
-        VIDEO_W,
-        scene_changes,
-    )
-
-    px = np.zeros((2, VIDEO_W * VIDEO_H), dtype=np.uint8)
-    px[0, 0] = 249
-    px[1, 0] = 0  # wraparound step: |0 - 249| = 249
-    px[1, 1:] = 7  # plain steps elsewhere
-    blob = (
-        b"KVID"
-        + (2).to_bytes(4, "little")
-        + VIDEO_W.to_bytes(2, "little")
-        + VIDEO_H.to_bytes(2, "little")
-        + px.tobytes()
-    )
-    df = spark.createDataFrame(
-        [(1, bytearray(blob))], "doc_id BIGINT, blob BINARY"
-    )
-    r = scene_changes(df).collect()[0]
-    assert r["n_pairs"] == 1
-    assert r["sum_l1"] == 249 + 7 * (VIDEO_W * VIDEO_H - 1)
 
 
 # -- d19 prefix-filtered jaccard ---------------------------------------------
