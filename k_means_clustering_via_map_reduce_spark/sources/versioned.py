@@ -1999,6 +1999,18 @@ def update_where(
                 f"{unknown} (add columns via commit_append schema "
                 f"evolution instead)"
             )
+    gen = table_generated(root)
+    gen_assigned = sorted(set(assignments) & set(gen))
+    if gen_assigned:
+        # Delta's generated-column invariant: SET on a base column
+        # triggers recomputation; SET directly on the generated column
+        # is refused (a consistent value is redundant, an inconsistent
+        # one would silently desynchronize the expression)
+        raise ValueError(
+            f"update_where may not SET generated columns "
+            f"{gen_assigned}; they are recomputed from their "
+            "expressions when their inputs change"
+        )
 
     def apply_set(affected):
         # ONE select, every right-hand side bound to the ORIGINAL row —
@@ -2017,7 +2029,15 @@ def update_where(
                 )
             else:
                 cols.append(F.col(name))
-        return affected.select(*cols)
+        out = affected.select(*cols)
+        # recompute generated columns AFTER the assignments land, so
+        # an update to a base column keeps its derived columns true to
+        # their expressions (idempotent on untouched rows — values
+        # were already consistent)
+        for name, expr in gen.items():
+            if name in out.columns:
+                out = out.withColumn(name, F.expr(expr))
+        return out
 
     return _cow_rewrite(spark, root, predicate, apply_set, "updated_from")
 
@@ -2091,13 +2111,24 @@ def merge_into(
             F.col("_kmce_file"),
         )
     cols = [c for c in df.columns if c != "_kmce_file"]
-    if set(source.columns) != set(cols):
+    gen = manifest.get("generated", {})
+    required = [c for c in cols if c not in gen]
+    if not (
+        set(required) <= set(source.columns) <= set(cols)
+    ):
         raise ValueError(
             f"merge_into source columns {sorted(source.columns)} must "
-            f"equal table columns {sorted(cols)} (schema evolution is "
-            "commit_append's job)"
+            f"equal table columns {sorted(cols)} (generated columns "
+            f"{sorted(gen)} may be omitted — they are computed; "
+            "schema evolution is commit_append's job)"
         )
-    src = source.select(*cols)
+    src = source.select(*[c for c in cols if c in source.columns])
+    if gen:
+        # generated-column invariant on the upsert path: omitted ->
+        # computed; supplied -> validated row-for-row (a silent
+        # inconsistent insert is the bug this closes)
+        src = _apply_generated(src, gen)
+    src = src.select(*cols)
     n_src, n_keys, n_null = src.agg(
         F.count(F.lit(1)),
         F.count_distinct(F.col(key)),
