@@ -8952,3 +8952,119 @@ def q105_belief_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --------------------------------------------------------------------------
+# F42 — CONDITIONAL MERGE (round-13 surface, library-first; the @query
+# registration is one decorator away). Delta's full MERGE shape on the
+# versioned store: WHEN MATCHED AND <pred> THEN DELETE, WHEN MATCHED
+# AND <pred> THEN UPDATE, WHEN NOT MATCHED AND <pred> THEN INSERT —
+# the account-lifecycle upsert every CDC/state pipeline ships (close
+# dormant accounts, take the larger balance, admit only substantial
+# new ones). f26 pins the unconditional upsert; this pins the clause
+# ORDER (delete before update), the src_<col> predicate namespace,
+# and NULL-predicate-is-false semantics against a relational oracle.
+#
+# Scale: identical to f26 — file-granular COW keyed on the merge key;
+# the clauses are per-row expressions inside the same single rewrite.
+# --------------------------------------------------------------------------
+_F42_STAGED: dict = {}
+F42_MID = "2024-01-15 00:00:00"
+F42_DEL_BELOW = 150_000     # ~lower quartile of matched late totals:
+# the delete clause closes ~25% of matched accounts at every fixture
+# scale (non-vacuous by construction, census pinned in the bank test)
+F42_INSERT_FLOOR = 170_000  # ~median of unmatched late totals: the
+# insert predicate rejects roughly half the new accounts
+
+F42_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    early AS (
+      SELECT user_id,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM e WHERE ts < TIMESTAMP '{F42_MID}' AND user_id % 2 = 0
+      GROUP BY user_id),
+    late AS (
+      SELECT user_id,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM e WHERE ts >= TIMESTAMP '{F42_MID}'
+      GROUP BY user_id),
+    kept_matched AS (
+      SELECT t.user_id,
+             CASE WHEN s.total_cents > t.total_cents
+                  THEN s.total_cents ELSE t.total_cents END AS total_cents,
+             CASE WHEN s.total_cents > t.total_cents
+                  THEN s.n_events ELSE t.n_events END AS n_events
+      FROM early t JOIN late s USING (user_id)
+      WHERE NOT (s.total_cents < {F42_DEL_BELOW})),
+    untouched AS (
+      SELECT t.* FROM early t LEFT JOIN late s USING (user_id)
+      WHERE s.user_id IS NULL),
+    inserted AS (
+      SELECT s.* FROM late s LEFT JOIN early t USING (user_id)
+      WHERE t.user_id IS NULL AND s.total_cents >= {F42_INSERT_FLOOR})
+    SELECT user_id, total_cents, n_events FROM kept_matched
+    UNION ALL SELECT user_id, total_cents, n_events FROM untouched
+    UNION ALL SELECT user_id, total_cents, n_events FROM inserted
+    ORDER BY user_id
+"""
+
+
+def f42_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F42 (banked): account-state table after a three-clause MERGE —
+    a clause-order flip (update before delete), a src_/target
+    namespace swap, a NULL predicate admitting a row, or an
+    unconditional insert flips the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "events")
+    if key not in _F42_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_cmerge_")
+        e = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        early = (
+            e.filter(
+                (F.col("ts") < F.lit(F42_MID).cast("timestamp"))
+                & (F.col("user_id") % 2 == 0)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("cents").alias("total_cents"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        late = (
+            e.filter(F.col("ts") >= F.lit(F42_MID).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.sum("cents").alias("total_cents"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        root = tmp.name + "/state"
+        commit_append(early.coalesce(1), root)
+        merge_into(
+            spark,
+            root,
+            late,
+            "user_id",
+            when_matched_delete=f"src_total_cents < {F42_DEL_BELOW}",
+            when_matched_update="src_total_cents > total_cents",
+            when_not_matched_insert=f"total_cents >= {F42_INSERT_FLOOR}",
+        )
+        _F42_STAGED[key] = tmp
+    return read_version(spark, _F42_STAGED[key].name + "/state").orderBy(
+        "user_id"
+    )

@@ -2049,15 +2049,37 @@ def merge_into(
     key: str,
     batch_id: int | None = None,
     expected_version: int | None = None,
+    *,
+    when_matched_update: str | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: str | None = None,
 ) -> int:
     """MERGE INTO (Delta's upsert verb, WHEN MATCHED UPDATE SET * /
-    WHEN NOT MATCHED INSERT *): every stored row whose ``key`` appears
-    in ``source`` is replaced by that source row's values (one update
-    per matched TARGET row — stored duplicates each update, preserving
+    WHEN NOT MATCHED INSERT * — plus the CONDITIONAL clauses, round-13
+    surface): every stored row whose ``key`` appears in ``source`` is
+    replaced by that source row's values (one update per matched
+    TARGET row — stored duplicates each update, preserving
     multiplicity, Delta's semantics); source rows with unmatched keys
     insert. Duplicate keys in ``source`` are rejected loudly (two
     source rows matching one target row is nondeterministic — the same
     error Delta raises). Both halves land in ONE commit.
+
+    Conditional clauses (all optional; defaults preserve the plain
+    upsert):
+
+    - ``when_matched_delete``: SQL predicate over the target row's
+      columns (plain names) and the matched source row's values
+      (``src_<col>``) — matching rows where it holds are DELETED.
+      Evaluated BEFORE the update clause (Delta's clause order).
+    - ``when_matched_update``: same namespace; matched rows surviving
+      the delete clause take source values only where it holds,
+      otherwise keep their stored values.
+    - ``when_not_matched_insert``: predicate over source columns;
+      unmatched source rows insert only where it holds.
+
+    NULL predicates are false (SQL semantics). Generated columns and
+    CHECK constraints are enforced on the merged content exactly as
+    in the unconditional form.
 
     File-granular COW like delete/update: affected files are exactly
     those containing a matched key (one semi-join probe); clean files
@@ -2174,22 +2196,46 @@ def merge_into(
         F.col(key),
         *[F.col(c).alias(f"_kmce_src_{c}") for c in cols if c != key],
     ).withColumn("_kmce_matched", F.lit(True))
-    updated = (
-        affected_rows.join(src_m, key, "left")
-        .select(
-            *[
-                F.col(key)
-                if c == key
-                else F.when(
-                    F.col("_kmce_matched"), F.col(f"_kmce_src_{c}")
-                )
-                .otherwise(F.col(c))
-                .alias(c)
-                for c in cols
-            ]
-        )
+    joined = affected_rows.join(src_m, key, "left")
+    # CONDITIONAL CLAUSES (Delta's full MERGE shape): predicates see
+    # the TARGET row's columns under their own names and the matched
+    # SOURCE row's values as ``src_<col>``. Clause order is Delta's:
+    # WHEN MATCHED AND <delete> THEN DELETE is evaluated before the
+    # update clause; a NULL predicate is false (SQL semantics).
+    for c in cols:
+        if c != key:
+            joined = joined.withColumn(f"src_{c}", F.col(f"_kmce_src_{c}"))
+    matched = F.coalesce(F.col("_kmce_matched"), F.lit(False))
+
+    def _cond(pred: str | None):
+        if pred is None:
+            return None
+        return F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+
+    del_cond = (
+        matched & _cond(when_matched_delete)
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    upd_cond = (
+        matched
+        if when_matched_update is None
+        else matched & _cond(when_matched_update)
+    )
+    survivors = joined.filter(~del_cond)
+    updated = survivors.select(
+        *[
+            F.col(key)
+            if c == key
+            else F.when(upd_cond, F.col(f"_kmce_src_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+        ]
     )
     inserts = src.join(affected_rows.select(key), key, "left_anti")
+    if when_not_matched_insert is not None:
+        inserts = inserts.filter(_cond(when_not_matched_insert))
     new_content = updated.unionByName(inserts.select(*cols))
     # updates and inserts both enter under the table's CHECK rules
     _enforce_constraints(new_content, manifest.get("constraints", {}))

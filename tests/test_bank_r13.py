@@ -386,3 +386,116 @@ def test_d19_complete_on_hot_shingle_corpus(spark):
     }
     assert (1, 2) in got  # found through the rare prefix, not the hot token
     assert all(p in {(1, 2)} for p in got)
+
+
+# -- f42 conditional merge ---------------------------------------------------
+
+
+def test_f42_matches_oracle_driver_style(spark, sf_dir):
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F42_ORACLE,
+        f42_conditional_merge,
+    )
+
+    compare_to_oracle(
+        f42_conditional_merge(spark, sf_dir), F42_ORACLE, sf_dir
+    )
+
+
+def test_f42_every_clause_fires(spark, sf_dir):
+    """Non-vacuity: the staged merge must exercise ALL five outcomes
+    (delete, update, keep, insert, rejected insert) at every fixture
+    scale, or the oracle proves nothing about the clause it skipped."""
+    import duckdb
+
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        F42_DEL_BELOW,
+        F42_INSERT_FLOOR,
+        F42_MID,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_dir}/events.parquet'"
+    )
+    row = con.execute(f"""
+      WITH e AS (SELECT user_id, ts,
+                        CAST(round(value*100) AS BIGINT) cents FROM events),
+      early AS (SELECT user_id, sum(cents) t FROM e
+                WHERE ts < TIMESTAMP '{F42_MID}' AND user_id % 2 = 0
+                GROUP BY user_id),
+      late AS (SELECT user_id, sum(cents) t FROM e
+               WHERE ts >= TIMESTAMP '{F42_MID}' GROUP BY user_id)
+      SELECT
+        (SELECT count(*) FROM early t JOIN late s USING (user_id)
+         WHERE s.t < {F42_DEL_BELOW}),
+        (SELECT count(*) FROM early t JOIN late s USING (user_id)
+         WHERE s.t >= {F42_DEL_BELOW} AND s.t > t.t),
+        (SELECT count(*) FROM early t JOIN late s USING (user_id)
+         WHERE s.t >= {F42_DEL_BELOW} AND s.t <= t.t),
+        (SELECT count(*) FROM late s LEFT JOIN early t USING (user_id)
+         WHERE t.user_id IS NULL AND s.t >= {F42_INSERT_FLOOR}),
+        (SELECT count(*) FROM late s LEFT JOIN early t USING (user_id)
+         WHERE t.user_id IS NULL AND s.t < {F42_INSERT_FLOOR})
+    """).fetchall()[0]
+    assert all(n > 0 for n in row), row
+
+
+def test_merge_delete_clause_wins_over_update(spark, tmp_path):
+    """Delta's clause order: a row satisfying BOTH the delete and the
+    update predicate is DELETED, and a NULL predicate admits nothing."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id BIGINT, v BIGINT"
+        ).coalesce(1),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(1, 100), (2, None), (4, 40)], "id BIGINT, v BIGINT"
+    )
+    merge_into(
+        spark,
+        root,
+        src,
+        "id",
+        # id 1: both clauses true -> delete wins
+        when_matched_delete="src_v > 50",
+        # id 2: src_v NULL -> predicate NULL -> false -> row KEPT as-is
+        when_matched_update="src_v > v",
+        when_not_matched_insert="v >= 40",
+    )
+    got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
+    assert got == {2: 20, 3: 30, 4: 40}
+
+
+def test_merge_unconditional_default_unchanged(spark, tmp_path):
+    """Backwards compatibility: no clause arguments = the f26 plain
+    upsert (every match updates, every unmatched source row inserts)."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, v BIGINT")
+        .coalesce(1),
+        root,
+    )
+    merge_into(
+        spark,
+        root,
+        spark.createDataFrame([(2, 5), (3, 30)], "id BIGINT, v BIGINT"),
+        "id",
+    )
+    got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
+    assert got == {1: 10, 2: 5, 3: 30}
