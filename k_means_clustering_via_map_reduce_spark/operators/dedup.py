@@ -1550,15 +1550,26 @@ def segment_family_from_postings(
     core shared by the staged-index arms and the DataFrame-level
     ``segment_family_df``.
 
-    The pair join computes each UNORDERED pair once (``a.seg <
-    b.seg``) and expands only the jaccard SURVIVORS (~10² rows) into
-    both directions afterward — the original ``!=`` form shuffled
-    every candidate pair twice through the grouped intersection count,
-    and that 13.7M-row (sf0.1×1) exchange is d11's measured cost
-    ceiling (round-12 stage profile, BASELINE.md). Exact by symmetry:
-    n_common is direction-free, so the directed expansion reproduces
-    the two-sided partner mass bit-for-bit (the unchanged D11 oracles
-    pin it)."""
+    PREFIX-FILTERED candidate generation (the d19 AllPairs/PPJoin
+    principle at segment granularity, adopted after the round-12 A/B
+    measured it 15.1 s vs 19.0 s isolated on the same session,
+    bit-identical results at cap 10k, binding cap 16 AND uncapped —
+    BASELINE.md): kept (post-cap) tokens are globally ordered by
+    ascending kept-posting frequency, each segment indexes only its
+    first ``kept_n − ceil(t·n_sh) + 1`` tokens, and candidates are
+    verified on kept-token ARRAYS. Completeness under the CAP: a pair
+    with capped-jaccard ≥ t has kept-overlap o_c ≥ ⌈t·n_sh⌉ per side
+    (the size-ratio prune removes the only exception), so the smallest
+    common kept token sits within both prefixes; a segment whose
+    kept_n < ⌈t·n_sh⌉ can never reach the threshold and drops out
+    entirely. The candidate space never visits the hot-token c² mass
+    that the full posting join pays — on densified boilerplate corpora
+    the gap grows as d19's measured 4×-vs-2×/doubling law.
+
+    The survivor expansion computes each unordered pair once and
+    emits both directions only for the ~10² jaccard survivors, so the
+    partner mass is bit-for-bit the two-sided form's."""
+    exk = ex
     if posting_cap is not None:
         keep = (
             ex.groupBy("lang", "sg")
@@ -1566,9 +1577,31 @@ def segment_family_from_postings(
             .filter(F.col("seg_df") <= posting_cap)
             .select("lang", "sg")
         )
-        ex = ex.join(keep, ["lang", "sg"])
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+        exk = ex.join(keep, ["lang", "sg"])
+    from pyspark.sql.window import Window
+
+    sgdf = exk.groupBy("lang", "sg").agg(
+        F.count(F.lit(1)).alias("sg_df")
+    )
+    ranked = exk.join(sgdf, ["lang", "sg"]).select(
+        "lang",
+        "seg",
+        "df",
+        "n_sh",
+        "sg",
+        F.row_number()
+        .over(Window.partitionBy("lang", "seg").orderBy("sg_df", "sg"))
+        .alias("pos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "seg"))
+        .alias("kept_n"),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("kept_n") - F.ceil(F.lit(D11_JACCARD) * F.col("n_sh")) + 1
+    ).select("lang", "seg", "df", "n_sh", "sg")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             [
@@ -1580,7 +1613,7 @@ def segment_family_from_postings(
                 F.col("b.n_sh") >= D11_JACCARD * F.col("a.n_sh"),
             ],
         )
-        .groupBy(
+        .select(
             F.col("a.lang").alias("lang"),
             F.col("a.seg").alias("seg_a"),
             F.col("b.seg").alias("seg_b"),
@@ -1589,12 +1622,35 @@ def segment_family_from_postings(
             F.col("a.df").alias("a_df"),
             F.col("b.df").alias("b_df"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    jac = F.col("n_common") / (
-        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    karr = exk.groupBy("lang", "seg").agg(
+        F.sort_array(F.collect_list("sg")).alias("ksh")
     )
-    pairs = inter.filter(jac >= D11_JACCARD)
+    ka = karr.select(
+        F.col("lang").alias("a_lang"),
+        F.col("seg").alias("a_kseg"),
+        F.col("ksh").alias("a_ksh"),
+    )
+    kb = karr.select(
+        F.col("lang").alias("b_lang"),
+        F.col("seg").alias("b_kseg"),
+        F.col("ksh").alias("b_ksh"),
+    )
+    v = cand.join(
+        ka,
+        (F.col("seg_a") == F.col("a_kseg"))
+        & (F.col("lang") == F.col("a_lang")),
+    ).join(
+        kb,
+        (F.col("seg_b") == F.col("b_kseg"))
+        & (F.col("lang") == F.col("b_lang")),
+    )
+    n_common = F.size(F.array_intersect(F.col("a_ksh"), F.col("b_ksh")))
+    jac = n_common / (F.col("a_n") + F.col("b_n") - n_common)
+    pairs = v.filter(jac >= D11_JACCARD).select(
+        "lang", "seg_a", "seg_b", "a_df", "b_df"
+    )
     directed = pairs.select(
         "lang", F.col("seg_a").alias("seg"), F.col("b_df").alias("p_df")
     ).unionByName(
