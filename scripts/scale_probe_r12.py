@@ -43,6 +43,7 @@ from k_means_clustering_via_map_reduce_spark.streaming.stateful import (  # noqa
 BANKED = {
     "f40_bloom_skipping": f40_bloom_skipping,
     "f41_generated_column": Q.f41_generated_column,
+    "f42_conditional_merge": Q.f42_conditional_merge,
     "d18_containment_pairs": d18_containment_pairs,
     "d19_prefix_jaccard_pairs": d19_prefix_jaccard_pairs,
     "q104_decayed_engagement": Q.q104_decayed_engagement,

@@ -499,3 +499,57 @@ def test_merge_unconditional_default_unchanged(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in read_version(spark, root).collect()}
     assert got == {1: 10, 2: 5, 3: 30}
+
+
+def test_f40_bloom_composes_with_rename_dv_and_compact(spark, tmp_path):
+    """Bloom skipping across the lifecycle: the probe resolves the
+    RENAMED logical column through the mapping; DV deletes leave the
+    bloom valid (rows only disappear); a compaction rewrite DROPS the
+    bloom (stats recollected bloomlessly) and the reader must fall
+    back to keep-everything, never lose rows."""
+    from k_means_clustering_via_map_reduce_spark.sources.python_source import (
+        register_versioned_source,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        compact,
+        delete_where_dv,
+        latest_version,
+        read_manifest,
+        rename_column,
+    )
+
+    register_versioned_source(spark)
+    root = str(tmp_path / "t")
+    for grp in ("aa", "bb", "cc"):
+        commit_append(
+            spark.createDataFrame(
+                [(i, grp) for i in range(5)], "id BIGINT, g STRING"
+            ).coalesce(1),
+            root,
+            bloom_columns=("g",),
+        )
+
+    def probe(col_name):
+        df = (
+            spark.read.format("kmce_versioned")
+            .option("root", root)
+            .load()
+        )
+        from pyspark.sql import functions as F
+
+        return sorted(
+            r["id"] for r in df.filter(F.col(col_name) == "bb").collect()
+        )
+
+    assert probe("g") == list(range(5))
+    rename_column(root, "g", "grp")
+    assert probe("grp") == list(range(5))  # mapping-resolved bloom probe
+    delete_where_dv(spark, root, "id = 0 AND grp = 'bb'")
+    assert probe("grp") == [1, 2, 3, 4]  # bloom still valid post-DV
+    compact(spark, root, target_files=1)
+    m = read_manifest(root, latest_version(root))
+    assert all(
+        "__bloom__" not in m["stats"].get(f, {}) for f in m["files"]
+    ), "compaction rewrites must drop blooms, not carry stale ones"
+    assert probe("grp") == [1, 2, 3, 4]  # conservative keep, no loss

@@ -40,6 +40,7 @@ _OPS = st.lists(
             "update_base",
             "merge_without_b",
             "merge_with_b",
+            "cond_merge",
             "dv_delete",
             "cow_delete",
             "compact",
@@ -116,6 +117,34 @@ def test_generated_column_lifecycle_interleavings(
             rows = fresh()
             merge_into(spark, root, df_of(rows, True), "id")
             model.update(rows)
+        elif op == "cond_merge":
+            # conditional clauses over a source that touches one
+            # existing key (update-or-delete branch) and two new ones
+            # (insert-or-reject branch) — composed with the generated
+            # column, which must be recomputed/validated on every
+            # surviving branch
+            rows = fresh()
+            if model:
+                k = min(model)
+                rows[k] = model[k] + (9 if k % 2 == 0 else -9)
+            src = df_of(rows, False)
+            merge_into(
+                spark,
+                root,
+                src,
+                "id",
+                when_matched_delete="src_n < n",
+                when_matched_update="src_n > n",
+                when_not_matched_insert="n % 2 = 0",
+            )
+            for i, n in rows.items():
+                if i in model:
+                    if n < model[i]:
+                        del model[i]
+                    elif n > model[i]:
+                        model[i] = n
+                elif n % 2 == 0:
+                    model[i] = n
         elif op == "dv_delete":
             if not model:
                 continue
