@@ -731,6 +731,23 @@ def commit_append(
     _evolve_schema(parent_logical, df.schema)
     validated_mapping = column_mapping(root, parent)
     _check_retired_names(df.columns, parent_logical, validated_mapping)
+    if bloom_columns:
+        # fail BEFORE the data write (a post-write type error would
+        # orphan the files until vacuum): bloom probing requires the
+        # exact canonical str() form only str/int/bool round-trip
+        ok_types = {"string", "bigint", "int", "smallint", "tinyint",
+                    "boolean"}
+        dtypes = dict(df.dtypes)
+        bad = [
+            c for c in bloom_columns
+            if dtypes.get(c, "<missing>") not in ok_types
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom_columns {bad} must be string/integer/boolean "
+                f"columns of the frame (got "
+                f"{ {c: dtypes.get(c, '<missing>') for c in bad} })"
+            )
     data_dir = os.path.join(root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn}")
     _to_physical(df, validated_mapping).write.parquet(data_dir)
     new_files = sorted(

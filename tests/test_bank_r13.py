@@ -553,3 +553,24 @@ def test_f40_bloom_composes_with_rename_dv_and_compact(spark, tmp_path):
         "__bloom__" not in m["stats"].get(f, {}) for f in m["files"]
     ), "compaction rewrites must drop blooms, not carry stale ones"
     assert probe("grp") == [1, 2, 3, 4]  # conservative keep, no loss
+
+
+def test_bloom_columns_type_checked_before_write(spark, tmp_path):
+    """A float bloom column must be refused BEFORE any data file is
+    written (no orphaned files for vacuum to clean)."""
+    import os
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    root = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="bloom_columns"):
+        commit_append(
+            spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+            root,
+            bloom_columns=("v",),
+        )
+    assert not os.path.exists(os.path.join(root, "data")), (
+        "refusal must precede the data write"
+    )
