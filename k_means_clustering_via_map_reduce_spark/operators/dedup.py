@@ -2705,7 +2705,23 @@ def d17_lsh_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 D18_CONTAINMENT = 0.8
 
-_D18_ORACLE = f"""
+# Production posting cap — the ONLY c² guard containment has (no
+# size-ratio prune is possible: a tiny doc fully inside a huge one is
+# exactly the target), so unlike d1 the cap is not optional hardening
+# but the operator's sole escape hatch under a hot shingle (round-12
+# ADVICE #2). Far above any fixture posting frequency (max 23), so at
+# fixture scale capped ≡ uncapped; the cap is ENCODED IN THE ORACLE
+# (d11b pattern) so engine == oracle at EVERY scale, binding or not.
+D18_POSTING_CAP = 10_000
+
+
+def _d18_oracle(posting_cap: int) -> str:
+    """Cap-encoded containment oracle: shingles with per-lang df >
+    cap leave the inverted index on BOTH engines; intersections count
+    only surviving shingles while doc sizes stay ORIGINAL, so capped
+    containment/jaccard are underestimates (removal errs toward
+    keeping data), exactly mirroring ``containment_pairs``."""
+    return f"""
     WITH d AS (
       SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
     ),
@@ -2716,25 +2732,56 @@ _D18_ORACLE = f"""
                              i -> array_to_string(w[i:i+2], ' ')))
              ELSE [array_to_string(w, ' ')] END AS sh
       FROM d
+    ),
+    ex AS (
+      SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS sg FROM s
+    ),
+    keep AS (
+      SELECT lang, sg FROM (
+        SELECT lang, sg, count(*) AS df FROM ex GROUP BY lang, sg)
+      WHERE df <= {posting_cap}
+    ),
+    kx AS (
+      SELECT ex.doc_id, ex.lang, ex.n_sh, ex.sg
+      FROM ex JOIN keep ON ex.lang = keep.lang AND ex.sg = keep.sg
+    ),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS n_common
+      FROM kx a JOIN kx b
+        ON a.lang = b.lang AND a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
     )
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           round(len(list_intersect(a.sh, b.sh)) * 1.0
-                 / least(len(a.sh), len(b.sh)), 4) AS containment,
-           round(len(list_intersect(a.sh, b.sh)) * 1.0
-                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-          / least(len(a.sh), len(b.sh)) >= {D18_CONTAINMENT}
+    SELECT a_id, b_id,
+           round(n_common * 1.0 / least(a_n, b_n), 4) AS containment,
+           round(n_common * 1.0 / (a_n + b_n - n_common), 4) AS jaccard
+    FROM inter
+    WHERE n_common * 1.0 / least(a_n, b_n) >= {D18_CONTAINMENT}
     ORDER BY a_id, b_id
     """
 
 
-def containment_pairs(shingled: DataFrame) -> DataFrame:
+_D18_ORACLE = _d18_oracle(D18_POSTING_CAP)
+
+
+def containment_pairs(
+    shingled: DataFrame, posting_cap: int = D18_POSTING_CAP
+) -> DataFrame:
     """(a_id, b_id, containment, jaccard) for C >= D18_CONTAINMENT over
-    pre-shingled docs (columns doc_id, lang, sh, n_sh)."""
+    pre-shingled docs (columns doc_id, lang, sh, n_sh). ``posting_cap``
+    drops shingles whose per-lang df exceeds it BEFORE the self-join —
+    the only c² guard containment admits (no size-ratio prune exists);
+    capped scores underestimate, never false-positive."""
     ex = shingled.select(
         "doc_id", "lang", "n_sh", F.explode("sh").alias("sg")
     )
+    keep = (
+        ex.groupBy("lang", "sg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= posting_cap)
+        .select("lang", "sg")
+    )
+    ex = ex.join(keep, ["lang", "sg"])
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(

@@ -665,6 +665,51 @@ S7_BUCKETS = 8
 _S7_STAGED: dict = {}
 
 
+def embeddings_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v double[]) — the canonical ANN corpus projection every
+    persisted-index entry serves from, factored to ONE place so the
+    staging key below always describes the projection actually indexed
+    (round-12 ADVICE #3)."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def ensure_staged_s7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent (process, sf_dir)-keyed build of the persisted s7
+    IVF artifacts; returns the corpus projection. PUBLIC: the s7/s9b/
+    s10/s12/s13 queries and bench.py's prestage all stage through this
+    one function, so the staging logic cannot desynchronize (round-12
+    ADVICE #3)."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    e = embeddings_corpus(spark, sf_dir)
+    key = staging_key(sf_dir, "embeddings")
+    if _S7_STAGED.get("key") != key:
+        build_ivf_index(e)
+        _S7_STAGED["key"] = key
+    return e
+
+
+def ensure_staged_s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s8's IVF-PQ mirror of ``ensure_staged_s7``."""
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+
+    e = embeddings_corpus(spark, sf_dir)
+    key = staging_key(sf_dir, "embeddings")
+    if _S8_STAGED.get("key") != key:
+        build_ivf_pq_index(e)
+        _S8_STAGED["key"] = key
+    return e
+
+
+def ensure_staged(spark: SparkSession, sf_dir: str) -> None:
+    """Build every persisted similarity artifact (s7 + s8) — the one
+    prestage entrypoint bench.py calls."""
+    ensure_staged_s7(spark, sf_dir)
+    ensure_staged_s8(spark, sf_dir)
+
+
 def build_ivf_index(corpus: DataFrame, prefix: str = "s7") -> None:
     """Index build (the ingest-time job): train the seeded coarse
     quantizer, persist the codebook and the cell-bucketed postings.
@@ -776,15 +821,7 @@ def s7_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned in tests/test_similarity.py) and shares its golden hash
     at sf0.001; rows-only for the driver (the k-means fit in the build
     phase is not SQL-expressible)."""
-    from k_means_clustering_via_map_reduce_spark.queries import staging_key
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    key = staging_key(sf_dir, "embeddings")
-    if _S7_STAGED.get("key") != key:
-        build_ivf_index(e)
-        _S7_STAGED["key"] = key
+    e = ensure_staged_s7(spark, sf_dir)
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return ivf_search_persisted(spark, q).orderBy("query_id", "rank")
 
@@ -984,15 +1021,7 @@ def s8_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set ride broadcast semi-joins; full vectors are read
     only for candidate ids in the rerank. The corpus never re-shuffles
     after the one-time build."""
-    from k_means_clustering_via_map_reduce_spark.queries import staging_key
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    key = staging_key(sf_dir, "embeddings")
-    if _S8_STAGED.get("key") != key:
-        build_ivf_pq_index(e)
-        _S8_STAGED["key"] = key
+    e = ensure_staged_s8(spark, sf_dir)
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
     return ivf_pq_search_persisted(spark, q).orderBy("query_id", "rank")
 
@@ -1224,15 +1253,7 @@ def s9b_radius_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     member mass of admissible cells, and on clusterable corpora (the
     IVF premise, measured honestly in tests/test_similarity.py and
     BASELINE.md §r8 s9b) that is a small fraction of the table."""
-    from k_means_clustering_via_map_reduce_spark.queries import staging_key
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    key = staging_key(sf_dir, "embeddings")
-    if _S7_STAGED.get("key") != key:
-        build_ivf_index(e)
-        _S7_STAGED["key"] = key
+    e = ensure_staged_s7(spark, sf_dir)
     centers = [
         r.center
         for r in spark.table("s7_centroids").orderBy("cell").collect()
@@ -1398,15 +1419,7 @@ def s10_radius_selfjoin_profile(
     dropped isolated vector, or a self-pair leak flips the hash.
     Serves from the s7 persisted codebook (built here if absent — the
     s9b discipline, one seeded fit per process)."""
-    from k_means_clustering_via_map_reduce_spark.queries import staging_key
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    key = staging_key(sf_dir, "embeddings")
-    if _S7_STAGED.get("key") != key:
-        build_ivf_index(e)
-        _S7_STAGED["key"] = key
+    e = ensure_staged_s7(spark, sf_dir)
     centers = [
         r.center
         for r in spark.table("s7_centroids").orderBy("cell").collect()
@@ -1603,19 +1616,12 @@ def s12_global_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-match leak, or a coverage hole (guarded, loud) flips it.
     Serves from the s7 persisted codebook (one seeded fit per
     process)."""
-    from k_means_clustering_via_map_reduce_spark.queries import staging_key
-
+    ensure_staged_s7(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         "label",
     )
-    key = staging_key(sf_dir, "embeddings")
-    if _S7_STAGED.get("key") != key:
-        build_ivf_index(
-            e.select("vec_id", "v")
-        )
-        _S7_STAGED["key"] = key
     centers = [
         r.center
         for r in spark.table("s7_centroids").orderBy("cell").collect()
@@ -1816,16 +1822,8 @@ def s13_exact_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap duplicate flips the hash against the s1 oracle. Serves
     from the s7 persisted codebook (one seeded fit per process, the
     s12 pattern); exactness is codebook-independent."""
-    from k_means_clustering_via_map_reduce_spark.queries import staging_key
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    e = ensure_staged_s7(spark, sf_dir)
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES)
-    key = staging_key(sf_dir, "embeddings")
-    if _S7_STAGED.get("key") != key:
-        build_ivf_index(e.select("vec_id", "v"))
-        _S7_STAGED["key"] = key
     centers = [
         r.center
         for r in spark.table("s7_centroids").orderBy("cell").collect()

@@ -2098,6 +2098,17 @@ def merge_into(
     CHECK constraints are enforced on the merged content exactly as
     in the unconditional form.
 
+    Namespace guard: the two MATCHED predicates see source values
+    under ``src_<col>`` aliases, while the NOT-MATCHED insert
+    predicate runs on the bare source frame and therefore uses PLAIN
+    column names (there is no target row to collide with). Because
+    the ``src_`` aliases are injected over the joined frame, a table
+    whose own schema contains ``src_``-prefixed columns would be
+    silently shadowed — so supplying any conditional clause against
+    such a table raises ``ValueError`` loudly instead (round-12
+    ADVICE #4). The unconditional upsert remains available for those
+    tables.
+
     File-granular COW like delete/update: affected files are exactly
     those containing a matched key (one semi-join probe); clean files
     carry into the new manifest BY NAME; a merge whose source is empty
@@ -2209,6 +2220,21 @@ def merge_into(
     # matched target rows take the source row's values (multiplicity
     # preserved: LEFT join keyed on key, coalesce per column); clean
     # rows of affected files pass through byte-identical
+    conditional = (
+        when_matched_update is not None
+        or when_matched_delete is not None
+        or when_not_matched_insert is not None
+    )
+    shadowed = [c for c in cols if c.startswith("src_")]
+    if conditional and shadowed:
+        raise ValueError(
+            f"merge_into conditional clauses inject src_<col> aliases "
+            f"for the matched source row, which would silently shadow "
+            f"the table's own columns {shadowed}; rename them or use "
+            "the unconditional upsert. (The not-matched insert "
+            "predicate uses PLAIN source column names — only the two "
+            "matched-clause predicates carry the src_ namespace.)"
+        )
     src_m = src.select(
         F.col(key),
         *[F.col(c).alias(f"_kmce_src_{c}") for c in cols if c != key],

@@ -42,6 +42,14 @@ from k_means_clustering_via_map_reduce_spark.sources import load_table
 _INGEST_STAGED: dict[tuple, tempfile.TemporaryDirectory] = {}
 
 
+def ensure_staged(spark: SparkSession, sf_dir: str) -> None:
+    """PUBLIC staging entrypoint: both ingest feeds (k21's three-batch
+    feed and k22's two-sided feeds), shared by the queries and
+    bench.py's prestage (round-12 ADVICE #3)."""
+    _stage_ingest_feed(spark, sf_dir)
+    _stage_k22_feeds(spark, sf_dir)
+
+
 def _stage_ingest_feed(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as three mtime-ordered single-file batches (split
     by event_id % 3) so the micro-batch sequence is deterministic."""

@@ -55,6 +55,12 @@ LATE_SHIFT = "30 minutes"
 _LATE_STAGED: dict[str, tempfile.TemporaryDirectory] = {}
 
 
+def ensure_staged(spark: SparkSession, sf_dir: str) -> str:
+    """PUBLIC staging entrypoint: the late-data queries and bench.py's
+    prestage share this one path (round-12 ADVICE #3)."""
+    return _stage_late_feed(spark, sf_dir)
+
+
 def _stage_late_feed(spark: SparkSession, sf_dir: str) -> str:
     """Stage the three-batch feed as three single-part parquet files
     whose modification times force processing order. ``coalesce(1)``

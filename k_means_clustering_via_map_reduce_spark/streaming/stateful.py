@@ -699,6 +699,11 @@ if tws_runtime_available():  # same dependency gate as k8b
 # Money is integer CENTS end-to-end (q98's discipline): float partial
 # sums accumulate in batch order, and a near-tie between two users
 # could otherwise rank differently than the oracle's one-pass sum.
+# The value→cents conversion happens UPSTREAM in Spark (F.round is
+# HALF_UP, matching the DuckDB oracle's round()); doing it inside the
+# processor with pandas Series.round() would be numpy HALF-TO-EVEN —
+# any value whose value*100 is an exact binary .5 (e.g. 0.125→12.5)
+# would flip total_cents against the oracle (round-12 ADVICE #1).
 #
 # Scale shape: state is O(users per event_type) scalars; the top-5
 # scan per batch iterates the map — bounded by active users per key;
@@ -748,8 +753,9 @@ def _make_topk_processor():
             (event_type,) = key
             delta: dict = {}
             for pdf in rows:
-                cents = (pdf["value"] * 100).round().astype("int64")
-                for uid, c in zip(pdf["user_id"], cents):
+                # ``cents`` arrives pre-rounded from Spark (HALF_UP,
+                # oracle-identical); only integer sums happen here.
+                for uid, c in zip(pdf["user_id"], pdf["cents"]):
                     delta[int(uid)] = delta.get(int(uid), 0) + int(c)
             for uid, c in delta.items():
                 prior = (
@@ -788,7 +794,9 @@ def _make_topk_processor():
 
 
 def streaming_topk(events: DataFrame) -> DataFrame:
-    """Per-event_type running top-5 users by cumulative cents."""
+    """Per-event_type running top-5 users by cumulative cents.
+    ``events`` must carry (event_type, user_id, cents BIGINT) — cents
+    already rounded JVM-side (see the HALF_UP note above)."""
     return events.groupBy("event_type").transformWithStateInPandas(
         statefulProcessor=_make_topk_processor(),
         outputStructType=K31_OUTPUT,
@@ -816,7 +824,13 @@ def streaming_topk_query(spark, sf_dir: str) -> DataFrame:
             spark,
             sf_dir,
             lambda s: streaming_topk(
-                s.select("event_type", "user_id", "value")
+                s.select(
+                    "event_type",
+                    "user_id",
+                    F.round(F.col("value") * 100)
+                    .cast("bigint")
+                    .alias("cents"),
+                )
             ),
             output_mode="update",
         )

@@ -40,6 +40,12 @@ WATERMARK = "10 minutes"
 _STAGED: dict[str, tempfile.TemporaryDirectory] = {}
 
 
+def ensure_staged(spark: SparkSession, sf_dir: str) -> str:
+    """PUBLIC staging entrypoint: the streaming-window queries and
+    bench.py's prestage share this one path (round-12 ADVICE #3)."""
+    return _stage_events_dir(spark, sf_dir)
+
+
 def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY of files (its basePath
     check rejects a bare single-file path like events.parquet), so stage

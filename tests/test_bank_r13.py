@@ -574,3 +574,73 @@ def test_bloom_columns_type_checked_before_write(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "data")), (
         "refusal must precede the data write"
     )
+
+
+def test_merge_conditional_refuses_src_prefixed_target(spark, tmp_path):
+    """Round-12 ADVICE #4: conditional clauses inject src_<col>
+    aliases over the joined frame, so a target column literally named
+    src_* would be silently shadowed — the engine must refuse loudly.
+    The unconditional upsert on the same table stays available."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, 10)], "id BIGINT, src_v BIGINT"
+        ).coalesce(1),
+        root,
+    )
+    src = spark.createDataFrame([(1, 99)], "id BIGINT, src_v BIGINT")
+    with pytest.raises(ValueError, match="src_"):
+        merge_into(
+            spark, root, src, "id", when_matched_update="src_src_v > 0"
+        )
+    merge_into(spark, root, src, "id")  # unconditional path unaffected
+    got = {r["id"]: r["src_v"] for r in read_version(spark, root).collect()}
+    assert got == {1: 99}
+
+
+def test_d18_binding_cap_drops_hot_shingle_pairs_only(spark):
+    """Round-12 ADVICE #2: with a BINDING posting cap the hot shingle
+    leaves the index on the engine side exactly as the cap-encoded
+    oracle drops it — pairs reachable only through the hot shingle
+    vanish, pairs carried by rare shingles survive with UNDERESTIMATED
+    (never inflated) scores."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    hot = "zz hot token"  # appears in EVERY doc -> df = 4
+    rows = [
+        (1, "en", f"{quote} {hot}"),
+        (2, "en", " ".join(f"w{i}" for i in range(40)) + f" {quote} {hot}"),
+        (3, "en", f"one two three four five {hot}"),
+        (4, "en", f"six seven eight nine ten {hot}"),
+    ]
+    sh = (
+        spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, text STRING")
+        .select("doc_id", "lang", shingles(F.col("text"), 3).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    uncapped = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_pairs(sh).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_pairs(sh, posting_cap=3).collect()
+    }
+    assert (1, 2) in uncapped
+    assert set(capped) <= set(uncapped)  # subset, never new pairs
+    for pair, c in capped.items():
+        assert c <= uncapped[pair]  # underestimate, never inflated
+    # the quote pair survives through its rare shingles even capped
+    assert (1, 2) in capped
