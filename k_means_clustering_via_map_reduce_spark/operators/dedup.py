@@ -2818,8 +2818,9 @@ def containment_pairs(
     )
 
 
+@query("d18_containment_pairs", oracle=_D18_ORACLE)
 def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D18 (banked): asymmetric containment pairs — a min/max flip in
+    """D18 (registered r13): asymmetric containment pairs — a min/max flip in
     the denominator, a lost small-in-large pair (the case jaccard
     can't see), or a union/min conflation flips the hash."""
     return containment_pairs(_shingled(spark, sf_dir))
@@ -2922,8 +2923,9 @@ def prefix_filtered_jaccard_pairs(
     )
 
 
+@query("d19_prefix_jaccard_pairs", oracle=_D1_ORACLE)
 def d19_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D19 (banked): d1's exact output through the prefix-filtered
+    """D19 (registered r13): d1's exact output through the prefix-filtered
     candidate space — a prefix one short (lost pairs), an inconsistent
     global order, or a verify slip flips the hash against d1's own
     oracle."""

@@ -1544,6 +1544,7 @@ P18_ORACLE = f"""
 """
 
 
+@query("p18_temperature_mix", oracle=P18_ORACLE)
 def p18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P18 (banked): per-lang survivors under sqrt-temperature
     sampling — a rate computed against the wrong extreme, a round

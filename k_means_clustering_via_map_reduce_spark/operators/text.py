@@ -2634,6 +2634,7 @@ T36_ORACLE = """
 """
 
 
+@query("t36_readability", oracle=T36_ORACLE)
 def t36_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T36 (banked): per-lang readability census — a syllable counter
     missing the 1-per-word floor, a words-vs-docs denominator swap, or

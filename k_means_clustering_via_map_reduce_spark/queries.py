@@ -8746,6 +8746,7 @@ F41_ORACLE = f"""
 """
 
 
+@query("f41_generated_column", oracle=F41_ORACLE)
 def f41_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F41 (banked): per-bucket census over a GENERATED column — half
     the rows were backfilled by the declaration rewrite, half computed
@@ -8826,6 +8827,7 @@ Q104_ORACLE = f"""
 """
 
 
+@query("q104_decayed_engagement", oracle=Q104_ORACLE)
 def q104_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q104 (banked): per-user decayed engagement over the last 8
     events — an age off-by-one, a tie-order flip in the recency rank,
@@ -8904,6 +8906,7 @@ Q105_ORACLE = f"""
 """
 
 
+@query("q105_belief_drift", oracle=Q105_ORACLE)
 def q105_belief_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q105 (banked): per-kind census of belief changes between two
     transaction times for one valid moment — a corrected row escaping
@@ -9013,6 +9016,7 @@ F42_ORACLE = f"""
 """
 
 
+@query("f42_conditional_merge", oracle=F42_ORACLE)
 def f42_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F42 (banked): account-state table after a three-clause MERGE —
     a clause-order flip (update before delete), a src_/target

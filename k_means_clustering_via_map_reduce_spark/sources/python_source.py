@@ -1491,8 +1491,9 @@ def _f40_stage(spark: SparkSession, sf_dir: str) -> str:
     return _F40_STAGED[key].name
 
 
+@query("f40_bloom_skipping", oracle=F40_ORACLE)
 def f40_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F40 (banked): per-lang stats for ONE source through the
+    """F40 (registered r13): per-lang stats for ONE source through the
     connector — a bloom that rules out a file actually holding the
     probe value loses rows and flips the hash; a conservative keep
     only costs time."""

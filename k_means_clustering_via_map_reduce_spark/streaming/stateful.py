@@ -806,7 +806,7 @@ def streaming_topk(events: DataFrame) -> DataFrame:
 
 
 def streaming_topk_query(spark, sf_dir: str) -> DataFrame:
-    """K31 (banked): terminal top-5 per event_type from the streaming
+    """K31 (registered r13): terminal top-5 per event_type from the streaming
     leaderboard — a lost map entry, a float-order rank flip, a stale
     epoch, or a tie broken away from lowest-user_id flips the hash."""
     from pyspark.sql import functions as F
@@ -843,3 +843,7 @@ def streaming_topk_query(spark, sf_dir: str) -> DataFrame:
         .select("event_type", "rank", "user_id", "total_cents")
         .orderBy("event_type", "rank")
     )
+
+
+if tws_runtime_available():  # same dependency gate as k8b/k29/k30
+    query("k31_streaming_topk", oracle=K31_ORACLE)(streaming_topk_query)

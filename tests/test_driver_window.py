@@ -71,3 +71,31 @@ def test_every_query_has_oracle_or_documented_rows_only():
         f"rows-only drift: +{rows_only - documented} "
         f"-{documented - rows_only}"
     )
+
+
+R13_BANK = {
+    "f40_bloom_skipping", "f41_generated_column",
+    "f42_conditional_merge", "k31_streaming_topk",
+    "d18_containment_pairs", "d19_prefix_jaccard_pairs",
+    "q104_decayed_engagement", "q105_belief_drift",
+    "p18_temperature_mix", "t36_readability",
+}
+
+
+def test_r13_bank_fully_registered():
+    """The never-verified set must BE the actual round-13 bank — an
+    op built but left unregistered is unreachable engine surface, and
+    a surprise extra registration would eat stale-refresh window rows
+    (the arithmetic is asserted against the bank LIST, not prose —
+    VERDICT r12 "What's wrong" #3)."""
+    mod = _load_entry()
+    names = list(mod.queries())
+    latest = mod._latest_green_round()
+    new = {n for n in names if n not in latest}
+    # After CORRECTNESS_r13 lands these all have driver rows and the
+    # "new" set becomes empty — both states are correct.
+    assert new == R13_BANK or new == set(), (
+        f"registered-but-never-verified set drifted from the r13 bank: "
+        f"+{new - R13_BANK} -{R13_BANK - new}"
+    )
+    assert R13_BANK <= set(names), "a bank op fell out of the registry"
