@@ -87,6 +87,19 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles — implemented as ``jaccard_pairs_capped`` below; the exact
     form stays uncapped here because the oracle demands exactness and
     the fixtures' max posting is 14.
+
+    THREE-ARM CONTRACT (pinned in tests/test_dedup.py — VERDICT r12
+    "Next round" #3): d1 is the exact/clean-corpus arm (cheapest when
+    no shingle is hot — the prefix machinery's fixed stages cost ~2×
+    at this profile, measured in BASELINE.md §r12); d1b is the capped
+    guard (lossy, subset, shares this oracle because the production
+    cap never binds on the fixtures); d19 is the exact/ADVERSARIAL arm
+    — the AllPairs/PPJoin prefix filter producing THIS ROW SET
+    IDENTICALLY (same registered oracle, equality pinned) at a
+    measured 2×/doubling shuffle law where this posting join goes
+    4×/doubling under a hot shingle. A deployment expecting boilerplate
+    shingles routes to d19; this arm is kept because on clean corpora
+    it is strictly cheaper and its join IS the verify step.
     """
     s = _shingled(spark, sf_dir)
     ex = s.select(
@@ -1847,6 +1860,17 @@ def d11_segment_near_dup_boilerplate(
 # --------------------------------------------------------------------------
 D12_COSINE_THRESHOLD = 0.5
 
+# d12's c² guard (VERDICT r12 "Next round" #3): idf weighting sends a
+# hot shingle's CONTRIBUTION to ~zero but not its JOIN FAN-OUT — the
+# c² co-occurrence rows are emitted before the weight multiplies to
+# nothing. The cap removes those postings from the dot-product join
+# only (norms stay over the full term set), encoded in the oracle via
+# the same df table the idf chain already computes: since idf(df>cap)
+# ≈ 0, capped cosine is not merely an underestimate here, it is
+# near-exact. Far above the fixture max posting (23), so at fixture
+# scale capped ≡ uncapped and d12's existing driver rows stay valid.
+D12_POSTING_CAP = 10_000
+
 _D12_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, lang, string_split(trim(text), ' ') AS w
@@ -1872,10 +1896,14 @@ _D12_ORACLE = f"""
       SELECT doc_id, lang, sqrt(sum(w * w)) AS nrm
       FROM wt GROUP BY doc_id, lang
     ),
+    wk AS (
+      SELECT wt.* FROM wt JOIN dft USING (lang, sg)
+      WHERE dft.df <= {D12_POSTING_CAP}
+    ),
     dots AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
              sum(a.w * b.w) AS dot
-      FROM wt a JOIN wt b
+      FROM wk a JOIN wk b
         ON a.lang = b.lang AND a.sg = b.sg AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3
     )
@@ -1890,31 +1918,30 @@ _D12_ORACLE = f"""
 """
 
 
-@query("d12_tfidf_cosine_pairs", oracle=_D12_ORACLE)
-def d12_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D12: doc pairs with idf-weighted shingle cosine >= 0.5, via the
-    d1 inverted-index join with per-(lang, shingle) idf weights. The
-    oracle replays the whole weighting chain relationally, so a df
-    slip, an idf base/offset mismatch, a norm over the wrong term set,
-    or a lost zero-weight shingle flips the hash."""
-    s = _shingled(spark, sf_dir)
-    ex = s.select("doc_id", "lang", F.explode("sh").alias("sg"))
+def tfidf_cosine_pairs(
+    shingled: DataFrame,
+    n_docs_per_lang: DataFrame,
+    posting_cap: int = D12_POSTING_CAP,
+) -> DataFrame:
+    """The d12 pipeline over a pre-shingled frame (doc_id, lang, sh)
+    plus per-lang doc counts — factored so synthetic binding-cap
+    corpora can drive it. ``posting_cap`` removes postings with df >
+    cap from the dot-product join ONLY; norms keep the full term set,
+    so capped cosine underestimates (and since idf(df>cap) ≈ 0, by
+    almost nothing)."""
+    ex = shingled.select("doc_id", "lang", F.explode("sh").alias("sg"))
     dft = ex.groupBy("lang", "sg").agg(F.count(F.lit(1)).alias("df"))
-    nl = (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
     wt = (
         ex.join(dft, ["lang", "sg"])
-        .join(F.broadcast(nl), "lang")
+        .join(F.broadcast(n_docs_per_lang), "lang")
         .withColumn("w", F.log(F.col("n_docs") / F.col("df")))
-        .select("doc_id", "lang", "sg", "w")
+        .select("doc_id", "lang", "sg", "w", "df")
     )
     nrm = wt.groupBy("doc_id", "lang").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    a, b = wt.alias("a"), wt.alias("b")
+    wk = wt.filter(F.col("df") <= posting_cap).drop("df")
+    a, b = wk.alias("a"), wk.alias("b")
     dots = (
         a.join(
             b,
@@ -1946,6 +1973,27 @@ def d12_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", r4(F.col("cos")).alias("cos_sim"))
         .orderBy("a_id", "b_id")
     )
+
+
+@query("d12_tfidf_cosine_pairs", oracle=_D12_ORACLE)
+def d12_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: doc pairs with idf-weighted shingle cosine >= 0.5, via the
+    d1 inverted-index join with per-(lang, shingle) idf weights. The
+    oracle replays the whole weighting chain relationally, so a df
+    slip, an idf base/offset mismatch, a norm over the wrong term set,
+    or a lost zero-weight shingle flips the hash. The posting cap
+    (cap-encoded in the oracle, non-binding at fixture scale) bounds
+    the hot-shingle c² join fan-out that idf weighting alone cannot
+    (VERDICT r12 #3); for the UNWEIGHTED jaccard family the lossless
+    adversarial arm is d19's prefix filter — weighted prefix bounds
+    (Bayardo maxweight) are the next lever if a capped-weight loss
+    ever matters, which idf ≈ 0 at the cap makes unlikely."""
+    nl = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return tfidf_cosine_pairs(_shingled(spark, sf_dir), nl)
 
 
 # --------------------------------------------------------------------------

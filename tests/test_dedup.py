@@ -776,3 +776,74 @@ def test_d13_matches_oracle_driver_style(spark, sf_dir):
     from tests.oracle_utils import compare_to_oracle
 
     compare_to_oracle(d13_dedup_pipeline(spark, sf_dir), _D13_ORACLE, sf_dir)
+
+
+def test_jaccard_three_arm_contract_pinned():
+    """VERDICT r12 #3: the jaccard family's division of labor is a
+    CONTRACT, not an accident — d1 (exact/clean), d1b (capped guard),
+    d19 (exact/adversarial prefix) must all be registered and share
+    the ONE d1 oracle, so any drift in any arm flips a driver hash
+    against the same truth. d19 == d1 row-set equality is pinned in
+    tests/test_bank_r13.py; d1b's binding-cap subset in this file."""
+    import k_means_clustering_via_map_reduce_spark.queries as Q
+
+    Q.load_all()
+    for arm in ("d1_jaccard_pairs", "d1b_jaccard_capped",
+                "d19_prefix_jaccard_pairs"):
+        assert arm in Q.QUERIES, f"{arm} fell out of the registry"
+    assert (
+        Q.ORACLE_SQL["d1_jaccard_pairs"]
+        == Q.ORACLE_SQL["d1b_jaccard_capped"]
+        == Q.ORACLE_SQL["d19_prefix_jaccard_pairs"]
+    ), "the three arms stopped sharing one oracle"
+
+
+def test_d12_binding_cap_underestimates_never_inflates(spark):
+    """d12's cap-encoded guard under a BINDING cap: pairs reachable
+    only through the hot shingle lose (underestimated) cosine mass;
+    no pair ever gains. The hot shingle's idf is small but nonzero on
+    a 4-doc corpus, so the capped score must be strictly lower for
+    pairs that shared it."""
+    from k_means_clustering_via_map_reduce_spark.functions.text import (
+        shingles,
+    )
+    from k_means_clustering_via_map_reduce_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    # 30 shared base words -> 28 shared trigrams at idf ln(5/2); one
+    # differing word -> 3 unique trigrams each at ln(5); the hot
+    # trigram has df=4 of n_docs=5, idf ln(5/4) > 0, and df > cap=3.
+    # Pair (1,2): cos = (28*w2^2 + wh^2) / (28*w2^2 + 3*w1^2 + wh^2)
+    # ~ 0.752 full, ~0.750 capped — above threshold both ways,
+    # STRICTLY lower capped.
+    base = " ".join(f"b{i}" for i in range(30))
+    hot = "zz hot token"
+    rows = [
+        (1, "en", f"{base} theta {hot}"),
+        (2, "en", f"{base} iota {hot}"),
+        (3, "en", f"one two three four five six {hot}"),
+        (4, "en", f"seven eight nine ten eleven {hot}"),
+        (5, "en", "completely different words here now indeed"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING"
+    )
+    sh = docs.select(
+        "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    full = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(sh, nl).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(sh, nl, posting_cap=3).collect()
+    }
+    assert (1, 2) in full
+    assert set(capped) <= set(full)
+    for pair, c in capped.items():
+        assert c <= full[pair]
+    assert (1, 2) in capped  # carried by its rare shingles
+    assert capped[(1, 2)] < full[(1, 2)]  # the hot posting's mass gone
