@@ -574,6 +574,17 @@ def run_etick_stream(
     name = f"eticks_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # The terminal condition below polls lastProgress for the NO-DATA
+    # batch, but Spark throttles no-data progress events to one per
+    # 10 s by default (noDataProgressEventInterval) — the stream sat
+    # finished-but-unreported for ~10 s every run, the dominant term
+    # of the r12 "fixed streaming latency" audit (13.3 s -> 3.3 s warm
+    # with the interval at 200 ms). Reporting cadence only; batch
+    # content, watermarks, and the emission log are unaffected.
+    prev_ndp = spark.conf.get(
+        "spark.sql.streaming.noDataProgressEventInterval", "10000ms"
+    )
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "200")
     try:
         stream = (
             spark.readStream.format("kmce_eticks")
@@ -626,6 +637,9 @@ def run_etick_stream(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataProgressEventInterval", prev_ndp
+        )
     if sink_dir:
         return spark.read.parquet(sink_dir).localCheckpoint(eager=True)
     result = spark.table(name).localCheckpoint(eager=True)
