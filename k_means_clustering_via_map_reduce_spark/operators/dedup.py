@@ -3033,3 +3033,113 @@ def d19_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global order, or a verify slip flips the hash against d1's own
     oracle."""
     return prefix_filtered_jaccard_pairs(_shingled(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# D20 — URL-canonicalization duplicate groups (round-14 surface,
+# library-first; the @query registration is one decorator away). The
+# dedup every web-corpus pipeline runs FIRST, before any content
+# hashing: the same page arrives under scheme-case, host-case,
+# default-port, trailing-slash, and utm-tracking variants, and the
+# canonical key collapses them. URLs are synthesized in-query from
+# document fields (t17's discipline), so the oracle constructs each
+# CANONICAL form directly from the same fields — the canonicalizer is
+# pinned against ground truth, not against another parser's quirks.
+#
+# Scale: pure narrow JVM string work (regexp + higher-order filter +
+# sort) feeding one hash aggregate on the canonical key — the d1b
+# posting-cap idiom applies if one canonical URL ever goes viral.
+# --------------------------------------------------------------------------
+D20_ORACLE = """
+    WITH canon AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang ||
+             '/page/' || (doc_id % 97) || '?id=' || (doc_id % 97)
+               AS canonical_url
+      FROM documents),
+    grp AS (
+      SELECT canonical_url, count(*) AS n_docs,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM canon GROUP BY canonical_url)
+    SELECT canonical_url, CAST(n_docs AS BIGINT) AS n_docs,
+           min_doc, max_doc
+    FROM grp WHERE n_docs >= 2
+    ORDER BY canonical_url
+    """
+
+
+def canonicalize_url(url: F.Column) -> F.Column:
+    """Lower-case scheme and host, strip the default :443 port, strip
+    trailing path slashes, drop utm_* tracking params, sort the rest.
+    Pure JVM column arithmetic — no UDF."""
+    parts = F.split(url, r"\?", 2)
+    base = parts.getItem(0)
+    qs = F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit(""))
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z]+)://", 1))
+    hostpath = F.regexp_replace(base, r"^[A-Za-z]+://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostpath, r"^([^/]+)", 1)), r":443$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(hostpath, r"^[^/]+(/.*)?$", 1), r"/+$", ""
+    )
+    params = F.sort_array(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def d20_url_canonical_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 (banked): duplicate groups under URL canonicalization — a
+    kept utm param, an unstripped port or slash, a case-sensitive
+    host, or a lost '?' flips the hash against the ground-truth
+    canonical the oracle builds from the raw fields."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    g = F.col("doc_id") % 97
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+            F.lit("HTTPS")
+        ),
+        F.lit("://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.upper(F.concat(F.col("source"), F.lit(".example.com"))),
+        ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page/"),
+        g.cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), g.cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), g.cast("string"))),
+    )
+    canon = d.select(
+        "doc_id", canonicalize_url(messy).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    )

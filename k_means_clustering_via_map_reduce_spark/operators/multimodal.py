@@ -2331,3 +2331,102 @@ def m17_windowed_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return windowed_energy(synthesize_pcm_wav(docs)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# M19 — zero-crossing rate (round-14 surface, library-first; the
+# @query registration is one decorator away). The classic cheap
+# voiced/unvoiced + noisiness feature (alongside m10's energy, m14's
+# silence runs, m16's clipping): count sign boundaries between
+# consecutive samples, per window and per doc, through the REAL RIFF
+# parse. Integer end to end — a crossing is (v_i >= 0) != (v_{i+1} >=
+# 0), attributed to the window of its LEFT sample — so the hash
+# tolerates zero arithmetic drift.
+#
+# Scale: same shape as m10 — Arrow-batched mapInPandas over blobs that
+# never leave executors; output is five scalars per doc.
+# --------------------------------------------------------------------------
+M19_WINDOW = 32
+
+M19_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(generate_series(0, doc_id % 400)) AS i
+      FROM documents),
+    c AS (
+      SELECT doc_id, i // {M19_WINDOW} AS w,
+             CASE WHEN ((doc_id * 31 + i * 17) % 2048 - 1024 >= 0)
+                   <> ((doc_id * 31 + (i + 1) * 17) % 2048 - 1024 >= 0)
+                  THEN 1 ELSE 0 END AS x
+      FROM s),
+    win AS (
+      SELECT doc_id, w, CAST(sum(x) AS BIGINT) AS n_cross
+      FROM c GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(doc_id % 400 + 2 AS BIGINT) AS n_samples,
+           CAST(sum(n_cross) AS BIGINT) AS total_crossings,
+           CAST(max(n_cross) AS BIGINT) AS max_window_crossings,
+           CAST(1000 * sum(n_cross) // (doc_id % 400 + 1) AS BIGINT)
+             AS crossing_permille
+    FROM win GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def zero_crossing_windows(df: DataFrame) -> DataFrame:
+    """Per-doc exact zero-crossing stats over a (doc_id, blob) frame
+    of RIFF/WAVE audio."""
+    import numpy as np
+    import pandas as pd
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                decoded = decode_pcm(bytes(blob))
+                if decoded is None:
+                    continue
+                _, samples = decoded
+                n = len(samples)
+                nonneg = samples >= 0
+                x = (nonneg[:-1] != nonneg[1:]).astype(np.int64)
+                wid = np.arange(n - 1) // M19_WINDOW
+                sums = np.bincount(wid, weights=x).astype(np.int64)
+                total = int(x.sum())
+                rows.append(
+                    (
+                        int(did),
+                        int(n),
+                        total,
+                        int(sums.max()) if len(sums) else 0,
+                        1000 * total // (n - 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "total_crossings",
+                    "max_window_crossings",
+                    "crossing_permille",
+                ],
+            )
+
+    return df.mapInPandas(
+        analyze,
+        schema=(
+            "doc_id BIGINT, n_samples BIGINT, total_crossings BIGINT, "
+            "max_window_crossings BIGINT, crossing_permille BIGINT"
+        ),
+    )
+
+
+def m19_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19 (banked): exact windowed zero-crossing census of every
+    synthesized WAV through the real RIFF parse — a sign-boundary
+    off-by-one, a crossing attributed to the wrong window, or a
+    floor/round slip in the permille flips the hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return zero_crossing_windows(synthesize_pcm_wav(docs)).orderBy(
+        "doc_id"
+    )

@@ -1578,3 +1578,70 @@ def p18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# P19 — per-source top-k quality selection (round-14 surface,
+# library-first; the @query registration is one decorator away). The
+# "take the best K documents from every source" curation verb — the
+# greedy head of a quality curriculum (p13 buckets by quality; this
+# SELECTS by it). Ranking key is the ROUNDED t2 quality score (both
+# engines compute the identical 4-decimal value — t2's driver hash
+# proves it every round), ties broken by doc_id, so the selection is
+# engine-exact with no float-order sensitivity.
+#
+# Scale: one window partitioned by source over a projected (source,
+# quality, doc_id) frame — the sort is per-source and the payload is
+# three scalars per doc; the text column never reaches the shuffle.
+# --------------------------------------------------------------------------
+P19_TOP_K = 3
+
+
+def p19_source_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 (banked): per-source top-3 docs by rounded quality — a
+    quality-formula drift, an unrounded rank key, or a tie broken
+    away from lowest-doc_id flips the hash."""
+    from pyspark.sql.window import Window
+
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        _quality_expr,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import load_table
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "source", "doc_id", _quality_expr().alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= P19_TOP_K)
+        .select("source", "rank", "doc_id", "quality")
+        .orderBy("source", "rank")
+    )
+
+
+def _p19_oracle() -> str:
+    from k_means_clustering_via_map_reduce_spark.operators.text import (
+        QUALITY_SQL,
+    )
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS w
+      FROM documents),
+    s AS (SELECT doc_id, source, {QUALITY_SQL} AS quality FROM d),
+    r AS (
+      SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rank
+      FROM s)
+    SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
+    FROM r WHERE rank <= {P19_TOP_K}
+    ORDER BY source, rank
+    """
+
+
+P19_ORACLE = _p19_oracle()

@@ -1831,3 +1831,107 @@ def s13_exact_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm_pruned_exact_topk(
         e, q, centers=centers, assigned=spark.table("s7_postings")
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# S14 — nearest-centroid assignment census (round-14 surface,
+# library-first; the @query registration is one decorator away). The
+# semantic-labeling verb: s4's exact per-label centroids become a
+# classifier — every vector is assigned to its nearest centroid by
+# squared euclidean distance (O6 argmin semantics: ties -> lowest
+# label) and the (true label, assigned label) confusion census comes
+# back with per-cell counts. Centroids are ROUNDED to 4 decimals
+# before the distance (both engines compute the identical r4 values —
+# s4's driver hash proves it every round), so the argmin key is
+# engine-exact up to genuine float near-ties the synthetic clusters
+# don't produce (d6's measured-gap discipline).
+#
+# Scale: the centroid table is (labels x dim) scalars — a broadcast;
+# the assignment is one narrow pass over the corpus (no shuffle until
+# the census aggregate); the census is labels² rows.
+# --------------------------------------------------------------------------
+S14_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label AS c_label, i AS pos,
+             round(avg(v[i + 1]), 4) AS c_val
+      FROM e, range(0, {EMBEDDING_DIM}) t(i)
+      GROUP BY label, i),
+    dists AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             sum((e.v[c.pos + 1] - c.c_val) * (e.v[c.pos + 1] - c.c_val))
+               AS d2
+      FROM e, cent c
+      GROUP BY e.vec_id, e.label, c.c_label),
+    assigned AS (
+      SELECT vec_id, label,
+             (array_agg(c_label ORDER BY d2, c_label))[1] AS assigned
+      FROM dists GROUP BY vec_id, label)
+    SELECT label AS true_label, assigned AS assigned_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM assigned GROUP BY label, assigned
+    ORDER BY true_label, assigned_label
+"""
+
+
+def nearest_centroid_census(e: DataFrame) -> DataFrame:
+    """(true_label, assigned_label, n_vecs) over a (vec_id, label, v)
+    frame: assign every vector to the nearest r4-rounded label
+    centroid, ties to the lowest label."""
+    from pyspark.sql.window import Window
+
+    cent = (
+        e.select(
+            "label",
+            F.posexplode(F.col("v")).alias("pos", "val"),
+        )
+        .groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(r4(F.avg("val")).alias("c_val"))
+        .groupBy("c_label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c_val"))
+            ).alias("cs")
+        )
+        .select("c_label", F.col("cs.c_val").alias("c"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "label").orderBy("d2", "c_label")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("c_label").alias("assigned"))
+    )
+    return (
+        assigned.groupBy(
+            F.col("label").alias("true_label"),
+            F.col("assigned").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+def s14_nearest_centroid_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S14 (banked): the label-centroid confusion census — a centroid
+    drift, an argmin tie broken away from lowest label, or a distance
+    over the wrong dimension subset flips the hash."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    return nearest_centroid_census(e)

@@ -2675,3 +2675,73 @@ def t36_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T37 — character-trigram language profile (round-14 surface,
+# library-first; the @query registration is one decorator away). The
+# feature extractor behind statistical language ID (Cavnar & Trenkle's
+# n-gram rank profiles): per language, the top-K character trigrams by
+# frequency with deterministic ties. t3's marker-token heuristic
+# CONSUMES hand-picked features; this op PRODUCES the learned ones.
+#
+# Scale: the trigram explode is corpus-linear (|text| rows per doc)
+# and collapses map-side into (lang, trigram) partial counts before
+# the shuffle; the rank window partitions by lang — 5 keys here, but
+# the per-key row count is the trigram vocabulary (bounded by
+# alphabet³), not the corpus.
+# --------------------------------------------------------------------------
+T37_TOP_K = 5
+
+T37_ORACLE = f"""
+    WITH tg AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, length(text) - 2),
+                                   i -> substr(text, i, 3))) AS trigram
+      FROM documents WHERE length(text) >= 3),
+    counts AS (
+      SELECT lang, trigram, count(*) AS n
+      FROM tg GROUP BY lang, trigram),
+    ranked AS (
+      SELECT lang, trigram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, trigram) AS rank
+      FROM counts)
+    SELECT lang, CAST(rank AS BIGINT) AS rank, trigram,
+           CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rank <= {T37_TOP_K}
+    ORDER BY lang, rank
+    """
+
+
+def char_trigram_profile(docs: DataFrame, k: int = T37_TOP_K) -> DataFrame:
+    """(lang, rank, trigram, n): top-k character trigrams per lang,
+    ties broken lexicographically."""
+    from pyspark.sql.window import Window
+
+    tg = docs.filter(F.length("text") >= 3).select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2),"
+                   " i -> substring(text, i, 3))")
+        ).alias("trigram"),
+    )
+    counts = tg.groupBy("lang", "trigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "trigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "trigram", "n")
+        .orderBy("lang", "rank")
+    )
+
+
+def t37_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T37 (banked): per-lang top-5 character trigrams — a substring
+    off-by-one, a lost boundary trigram, or a tie broken away from
+    lexicographic flips the hash."""
+    return char_trigram_profile(
+        spread(load_table(spark, sf_dir, "documents"))
+    )

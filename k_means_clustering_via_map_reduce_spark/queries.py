@@ -9072,3 +9072,159 @@ def f42_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, _F42_STAGED[key].name + "/state").orderBy(
         "user_id"
     )
+
+
+# --------------------------------------------------------------------------
+# F43 — ALTER TABLE DROP COLUMN (round-14 surface, library-first; the
+# @query registration is one decorator away). Delta's column-mapping
+# drop: one metadata-only commit, no file touched, time travel below
+# the drop still shows the column, and the dropped name is RETIRED —
+# a later append reusing it is refused (pre-drop files still store the
+# physical column; a re-add would read ghost values out of history).
+# --------------------------------------------------------------------------
+_F43_STAGED: dict[tuple, object] = {}
+
+F43_ORACLE = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(4 AS BIGINT) AS n_cols_now,
+           CAST(5 AS BIGINT) AS n_cols_v1,
+           CAST(count(*) AS BIGINT) AS n_docs_v1_with_text
+    FROM documents GROUP BY source ORDER BY source
+    """
+
+
+def f43_drop_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F43 (banked): aggregate the post-drop snapshot (text gone,
+    rows intact) joined with the pre-drop time-travel view (text
+    still present and non-null) — a drop that loses rows, a schema
+    that keeps the field, or a time-travel read that forgets it flips
+    the hash."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        drop_column,
+        read_version,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F43_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_dropcol_")
+        d = load_table(spark, sf_dir, "documents")
+        commit_append(d, tmp.name)
+        drop_column(tmp.name, "text")
+        _F43_STAGED[key] = tmp
+    root = _F43_STAGED[key].name
+    now = read_version(spark, root)  # v2: no text column
+    v1 = read_version(spark, root, version=1)
+    now_agg = now.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(len(now.columns)).cast("bigint").alias("n_cols_now"),
+        F.lit(len(v1.columns)).cast("bigint").alias("n_cols_v1"),
+    )
+    v1_agg = v1.filter(F.col("text").isNotNull()).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_v1_with_text")
+    )
+    return now_agg.join(F.broadcast(v1_agg), "source").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# F44 — time travel BY TIMESTAMP (round-14 surface, library-first; the
+# @query registration is one decorator away). Delta's TIMESTAMP AS OF,
+# resolved exactly as Delta resolves it: the commit files' own mtimes.
+# A timestamp captured between two commits must pin the earlier one.
+# --------------------------------------------------------------------------
+_F44_STAGED: dict[tuple, object] = {}
+
+F44_ORACLE = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY lang ORDER BY lang
+    """
+
+
+def f44_timestamp_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F44 (banked): read AS OF a wall-clock instant captured between
+    commit 1 and commit 2 — must equal the v1 snapshot exactly; a
+    resolution that rounds up to v2, skips hidden versions wrongly, or
+    misorders mtimes flips the hash."""
+    import tempfile as _tf
+    import time as _time
+
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        read_as_of_timestamp,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _F44_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_tstravel_")
+        d = load_table(spark, sf_dir, "documents")
+        commit_append(d.filter(F.col("doc_id") % 3 == 0), tmp.name)
+        between = _time.time()
+        commit_append(d.filter(F.col("doc_id") % 3 != 0), tmp.name)
+        _F44_STAGED[key] = (tmp, between)
+    tmp, between = _F44_STAGED[key]
+    snap = read_as_of_timestamp(spark, tmp.name, between)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q106 — DISTINCT aggregates across a grouping-set lattice (round-14
+# surface, library-first; the @query registration is one decorator
+# away). q32's lattice carried only algebraic aggregates; COUNT(
+# DISTINCT) across grouping sets is the non-algebraic case — Spark
+# must route the Expand through a distinct-aware aggregate, the exact
+# shape of a "unique users by type, by day, by both, and overall"
+# reporting query.
+# --------------------------------------------------------------------------
+Q106_ORACLE = """
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           CAST(grouping(event_type) AS BIGINT) AS g_type,
+           CAST(grouping(day) AS BIGINT)        AS g_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM (SELECT event_type, date_trunc('day', ts) AS day, user_id
+          FROM events)
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+    ORDER BY g_type, g_day,
+             event_type NULLS FIRST, day NULLS FIRST
+    """
+
+
+def q106_distinct_grouping_sets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q106 (banked): exact distinct-user counts over the full
+    reporting lattice — a grouping flag swap, a distinct collapsed to
+    a plain count, or a subtotal NULL confused with a data NULL flips
+    the hash."""
+    load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "date_trunc('day', ts) AS day", "user_id"
+    ).createOrReplaceTempView("kmce_q106_events")
+    return spark.sql(
+        """
+        SELECT event_type, day,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(day) AS BIGINT)        AS g_day,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM kmce_q106_events
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+        ORDER BY g_type, g_day,
+                 event_type NULLS FIRST, day NULLS FIRST
+        """
+    )

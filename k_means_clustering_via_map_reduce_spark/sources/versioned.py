@@ -730,7 +730,10 @@ def commit_append(
     parent_logical = table_schema(root, parent)
     _evolve_schema(parent_logical, df.schema)
     validated_mapping = column_mapping(root, parent)
-    _check_retired_names(df.columns, parent_logical, validated_mapping)
+    _check_retired_names(
+        df.columns, parent_logical, validated_mapping,
+        dropped_columns(root, parent),
+    )
     if bloom_columns:
         # fail BEFORE the data write (a post-write type error would
         # orphan the files until vacuum): bloom probing requires the
@@ -1060,8 +1063,23 @@ def column_mapping(root: str, version: int | None = None) -> dict:
 
 
 def _carry_mapping(manifest: dict, prev: dict) -> None:
+    # carries the DROPPED-column record too: every manifest writer
+    # already routes through here, so a drop survives compaction,
+    # merges, clones, and multi-table commits without per-site edits
     if prev.get("column_mapping"):
         manifest["column_mapping"] = prev["column_mapping"]
+    if prev.get("dropped"):
+        manifest["dropped"] = prev["dropped"]
+
+
+def dropped_columns(root: str, version: int | None = None) -> dict:
+    """The {logical-name-at-drop: physical name} record of every
+    column ever dropped, as of ``version`` (latest when None)."""
+    if version is None:
+        version = latest_version(root)
+    if version == 0:
+        return {}
+    return read_manifest(root, version).get("dropped", {})
 
 
 def _physical_schema(schema, mapping: dict):
@@ -1097,12 +1115,18 @@ def _to_logical(df: DataFrame, schema, mapping: dict) -> DataFrame:
     )
 
 
-def _check_retired_names(df_cols, parent_logical, mapping: dict) -> None:
+def _check_retired_names(
+    df_cols, parent_logical, mapping: dict, dropped: dict | None = None
+) -> None:
     """Retired-name rule: a NEW logical column may not reuse a name
     that is some other column's on-disk physical spelling — the files
-    would carry two meanings for one physical column. Shared by
-    commit_append and commit_multi."""
-    if not mapping:
+    would carry two meanings for one physical column. DROPPED columns
+    retire BOTH their spellings the same way: pre-drop files still
+    store the physical column, so a re-added same-name column would
+    read ghost values out of history. Shared by commit_append and
+    commit_multi."""
+    dropped = dropped or {}
+    if not mapping and not dropped:
         return
     known = (
         {f.name for f in parent_logical.fields}
@@ -1110,12 +1134,13 @@ def _check_retired_names(df_cols, parent_logical, mapping: dict) -> None:
         else set()
     )
     retired = {phys for log, phys in mapping.items() if phys != log}
+    retired |= set(dropped) | set(dropped.values())
     bad = sorted((set(df_cols) - known) & retired)
     if bad:
         raise ValueError(
             f"append: new column(s) {bad} collide with retired "
-            "physical column names (rename history) — pick different "
-            "names or OPTIMIZE to flush the mapping first"
+            "physical column names (rename/drop history) — pick "
+            "different names or OPTIMIZE to flush the mapping first"
         )
 
 
@@ -1201,6 +1226,8 @@ def rename_column(root: str, old: str, new: str) -> int:
         "batches": prev.get("batches", []),
         "stats": prev.get("stats", {}),
     }
+    if prev.get("dropped"):
+        manifest["dropped"] = prev["dropped"]
     _carry_constraints(manifest, prev)
     if "external_files" in prev:
         manifest["external_files"] = prev["external_files"]
@@ -1215,6 +1242,135 @@ def rename_column(root: str, old: str, new: str) -> int:
     finally:
         os.remove(tmp)
     return parent + 1
+
+
+def drop_column(root: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN (Delta's column-mapping drop,
+    round-14 surface): one metadata-only commit — the logical schema
+    loses the field, no data file is touched, and time travel below
+    the drop still shows the column (each manifest carries its own
+    schema). The dropped column's BOTH spellings (logical-at-drop and
+    physical) join the retired-name set: pre-drop files still store
+    the physical column, so a re-added same-name column would read
+    ghost values out of history — refused loudly at append
+    (``_check_retired_names``), exactly the rename rule. COMPACTION
+    lifts the retirement the same way it flushes the rename mapping:
+    the rewrite leaves no file storing the old column, so a
+    post-compact re-add is sound (null-filled history).
+
+    Refuses: dropping the last column, a column a CHECK constraint
+    references, and a generated column's BASE (the expression would
+    dangle); dropping the generated column ITSELF is fine and removes
+    its expression. Blooms/min-max stats are per-file entries keyed by
+    physical name — they simply go dark with the column (readers only
+    consult stats for pushed predicates over live columns)."""
+    import re as _re
+
+    from pyspark.sql.types import StructField, StructType
+
+    parent = latest_version(root)
+    if parent == 0:
+        raise ValueError("cannot drop a column of an empty table")
+    prev = read_manifest(root, parent)
+    schema = table_schema(root, parent)
+    if schema is None:
+        raise ValueError(
+            "drop_column needs a recorded table schema (pre-evolution "
+            "manifest) — recommit once to record one"
+        )
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"drop_column: no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    for cname, expr in prev.get("constraints", {}).items():
+        if _re.search(rf"\b{_re.escape(name)}\b", expr):
+            raise ValueError(
+                f"drop_column: CHECK constraint {cname!r} ({expr}) "
+                f"references {name!r} — drop the constraint first"
+            )
+    gen = dict(prev.get("generated", {}))
+    for gname, expr in gen.items():
+        if gname != name and _re.search(
+            rf"\b{_re.escape(name)}\b", expr
+        ):
+            raise ValueError(
+                f"drop_column: generated column {gname!r} = ({expr}) "
+                f"references {name!r} — drop the generated column first"
+            )
+    gen.pop(name, None)
+    mapping = dict(prev.get("column_mapping", {}))
+    physical = mapping.pop(name, name)
+    new_schema = StructType(
+        [f for f in schema.fields if f.name != name]
+    )
+    txn = uuid.uuid4().hex[:12]
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "files": prev.get("files", []),
+        "added": [],
+        "dropped_column": [name, physical],
+        "dropped": {**prev.get("dropped", {}), name: physical},
+        "schema": new_schema.jsonValue(),
+        "batches": prev.get("batches", []),
+        "stats": prev.get("stats", {}),
+    }
+    if mapping:
+        manifest["column_mapping"] = mapping
+    if "constraints" in prev:
+        manifest["constraints"] = prev["constraints"]
+    if gen:
+        manifest["generated"] = gen
+    if "external_files" in prev:
+        manifest["external_files"] = prev["external_files"]
+    if prev.get("dvs"):
+        manifest["dvs"] = prev["dvs"]
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(root, parent + 1) + f".{txn}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        _link_slot(tmp, root, parent + 1)
+    finally:
+        os.remove(tmp)
+    return parent + 1
+
+
+def version_as_of_timestamp(root: str, ts: float) -> int:
+    """The newest version whose manifest was committed at or before
+    unix-seconds ``ts`` — Delta's TIMESTAMP AS OF resolution, using
+    the commit file's own mtime exactly as Delta does. Hidden
+    (txn-invisible) versions are skipped; raises if the table has no
+    commit at or before ``ts``."""
+    head = latest_version(root)
+    if head == 0:
+        raise ValueError(f"{root} has no committed versions")
+    best = None
+    for v in range(1, head + 1):
+        path = _manifest_path(root, v)
+        try:
+            mtime = os.path.getmtime(path)
+        except FileNotFoundError:
+            continue  # expired/vacuumed hole
+        if mtime <= ts:
+            m = read_manifest(root, v)
+            if _manifest_visible(m, root):
+                best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {root} committed at or before ts={ts}"
+        )
+    return best
+
+
+def read_as_of_timestamp(
+    spark: SparkSession, root: str, ts: float
+) -> DataFrame:
+    """Time-travel read by TIMESTAMP (Delta's ``timestampAsOf``):
+    resolve the version via commit-file mtimes, then the plain pinned
+    snapshot read."""
+    return read_version(spark, root, version_as_of_timestamp(root, ts))
 
 
 # ---------------------------------------------------------------------------
@@ -1701,7 +1857,10 @@ def commit_multi(
             parent_logical = table_schema(root, parent)
             evolved = _evolve_schema(parent_logical, df.schema)
             mapping = column_mapping(root, parent)
-            _check_retired_names(df.columns, parent_logical, mapping)
+            _check_retired_names(
+                df.columns, parent_logical, mapping,
+                dropped_columns(root, parent),
+            )
             txn8 = txn_id[:12]
             data_dir = os.path.join(
                 root, _DATA_DIR, f"txn-{parent + 1:05d}-{txn8}"

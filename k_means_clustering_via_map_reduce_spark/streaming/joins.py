@@ -487,3 +487,93 @@ def k27_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append_stream(spark, sf_dir, semi_attribution).orderBy(
         "view_id"
     )
+
+
+# --------------------------------------------------------------------------
+# K32 — stream-static TEMPORAL join against an SCD-2 dimension
+# (round-14 surface, library-first; the @query registration is one
+# decorator away). k9 is the equi-key enrichment; this is the Kimball
+# temporal form: each arriving event picks the dimension row valid AT
+# ITS EVENT TIME (cohort equality + ts within [valid_from, valid_to)),
+# not the current row — the join every fact pipeline with
+# slowly-changing attributes needs. Stateless like k9 (the static side
+# re-reads/broadcasts per micro-batch); only the downstream aggregate
+# holds state.
+#
+# Scale: the dimension is rows-per-entity x eras — broadcast at any
+# real dimension size; the range predicate evaluates per-row inside
+# the broadcast hash join's stream side, no extra shuffle.
+# --------------------------------------------------------------------------
+K32_MID = "2024-01-15 00:00:00"
+K32_LO = "2024-01-01 00:00:00"
+K32_HI = "2024-02-01 00:00:00"
+K32_COHORTS = 10
+
+K32_ORACLE = f"""
+    WITH dim AS (
+      SELECT c AS cohort, 't' || (c % 3) AS tier, 'early' AS era,
+             TIMESTAMP '{K32_LO}' AS vf, TIMESTAMP '{K32_MID}' AS vt
+      FROM range(0, {K32_COHORTS}) t(c)
+      UNION ALL
+      SELECT c, 't' || ((c + 1) % 3), 'late',
+             TIMESTAMP '{K32_MID}', TIMESTAMP '{K32_HI}'
+      FROM range(0, {K32_COHORTS}) t(c))
+    SELECT d.tier, d.era, count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN dim d ON e.user_id % {K32_COHORTS} = d.cohort
+              AND e.ts >= d.vf AND e.ts < d.vt
+    GROUP BY 1, 2 ORDER BY tier, era
+"""
+
+
+def scd2_dim(spark: SparkSession) -> DataFrame:
+    """The synthetic two-era SCD-2 dimension both engines derive from
+    the same integer formula (cohort = user_id % 10; the tier ROTATES
+    at the era boundary, so events on either side of it must route to
+    different tiers or the census flips)."""
+    c = F.col("id")
+    era1 = spark.range(K32_COHORTS).select(
+        c.alias("cohort"),
+        F.concat(F.lit("t"), (c % 3).cast("string")).alias("tier"),
+        F.lit("early").alias("era"),
+        F.lit(K32_LO).cast("timestamp").alias("vf"),
+        F.lit(K32_MID).cast("timestamp").alias("vt"),
+    )
+    era2 = spark.range(K32_COHORTS).select(
+        c.alias("cohort"),
+        F.concat(F.lit("t"), ((c + 1) % 3).cast("string")).alias("tier"),
+        F.lit("late").alias("era"),
+        F.lit(K32_MID).cast("timestamp").alias("vf"),
+        F.lit(K32_HI).cast("timestamp").alias("vt"),
+    )
+    return era1.unionByName(era2)
+
+
+def k32_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K32 (banked): per-(tier, era) totals over the events stream
+    temporally joined to the SCD-2 dimension — a closed/open boundary
+    flip at the era edge, a join on the CURRENT row instead of the
+    event-time row, or a lost era flips the hash."""
+    from k_means_clustering_via_map_reduce_spark.streaming.windows import (
+        _run_complete_stream,
+    )
+
+    dim = F.broadcast(scd2_dim(spark))
+
+    def enrich_agg(events: DataFrame) -> DataFrame:
+        e = _with_event_time(events)
+        joined = e.join(
+            dim,
+            (e["user_id"] % K32_COHORTS == dim["cohort"])
+            & (e["ts"] >= dim["vf"])
+            & (e["ts"] < dim["vt"]),
+        )
+        return joined.groupBy("tier", "era").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+
+    return _run_complete_stream(spark, sf_dir, enrich_agg).orderBy(
+        "tier", "era"
+    )
