@@ -3053,7 +3053,7 @@ def d19_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 D20_ORACLE = """
     WITH canon AS (
       SELECT doc_id,
-             'https://' || source || '.example.com/' || lang ||
+             'https://' || lower(source) || '.example.com/' || lang ||
              '/page/' || (doc_id % 97) || '?id=' || (doc_id % 97)
                AS canonical_url
       FROM documents),

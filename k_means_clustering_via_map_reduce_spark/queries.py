@@ -9162,11 +9162,26 @@ def f44_timestamp_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = staging_key(sf_dir, "documents")
     if key not in _F44_STAGED:
+        import os as _os
+
+        from k_means_clustering_via_map_reduce_spark.sources.versioned import (  # noqa: E501
+            _manifest_path,
+        )
+
         tmp = _tf.TemporaryDirectory(prefix="kmce_tstravel_")
         d = load_table(spark, sf_dir, "documents")
         commit_append(d.filter(F.col("doc_id") % 3 == 0), tmp.name)
-        between = _time.time()
         commit_append(d.filter(F.col("doc_id") % 3 != 0), tmp.name)
+        # Capture "between" from the commits' OWN mtimes, not a
+        # wall-clock read racing them: on a coarse-mtime filesystem
+        # (1 s granularity) the two commits can share a truncated
+        # mtime, so force v2 strictly later first, then take the
+        # midpoint — deterministic on every filesystem.
+        p1, p2 = _manifest_path(tmp.name, 1), _manifest_path(tmp.name, 2)
+        m1 = _os.path.getmtime(p1)
+        if _os.path.getmtime(p2) <= m1:
+            _os.utime(p2, (m1 + 2, m1 + 2))
+        between = (m1 + _os.path.getmtime(p2)) / 2
         _F44_STAGED[key] = (tmp, between)
     tmp, between = _F44_STAGED[key]
     snap = read_as_of_timestamp(spark, tmp.name, between)

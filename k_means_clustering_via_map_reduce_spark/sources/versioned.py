@@ -1062,19 +1062,30 @@ def column_mapping(root: str, version: int | None = None) -> dict:
     return read_manifest(root, version).get("column_mapping", {})
 
 
-def _carry_mapping(manifest: dict, prev: dict) -> None:
-    # carries the DROPPED-column record too: every manifest writer
-    # already routes through here, so a drop survives compaction,
-    # merges, clones, and multi-table commits without per-site edits
-    if prev.get("column_mapping"):
-        manifest["column_mapping"] = prev["column_mapping"]
+def _carry_dropped(manifest: dict, prev: dict) -> None:
+    """Carry the DROPPED-column retirement record. Called from
+    _carry_mapping (the data-commit writers) AND directly by the two
+    metadata verbs that build their mapping by hand (rename_column,
+    drop_column) — compact alone omits it deliberately: its rewrite
+    leaves no file storing a dropped column, which is exactly the
+    flush."""
     if prev.get("dropped"):
         manifest["dropped"] = prev["dropped"]
 
 
+def _carry_mapping(manifest: dict, prev: dict) -> None:
+    # data-commit writers route through here; the dropped record rides
+    # along so drops survive merges, clones, and multi-table commits
+    if prev.get("column_mapping"):
+        manifest["column_mapping"] = prev["column_mapping"]
+    _carry_dropped(manifest, prev)
+
+
 def dropped_columns(root: str, version: int | None = None) -> dict:
-    """The {logical-name-at-drop: physical name} record of every
-    column ever dropped, as of ``version`` (latest when None)."""
+    """The {physical name: logical-name-at-drop} record of every
+    column ever dropped, as of ``version`` (latest when None) —
+    physical-keyed so retirements accumulate even if a logical name
+    is later reused."""
     if version is None:
         version = latest_version(root)
     if version == 0:
@@ -1190,6 +1201,14 @@ def rename_column(root: str, old: str, new: str) -> int:
         raise ValueError(f"rename_column: no column {old!r} in {names}")
     if new in names:
         raise ValueError(f"rename_column: column {new!r} already exists")
+    dropped = prev.get("dropped", {})
+    retired = set(dropped) | set(dropped.values())
+    if new in retired:
+        raise ValueError(
+            f"rename_column: {new!r} is a retired spelling of a DROPPED "
+            "column — pre-drop files still store it; pick another name "
+            "or compact first to flush the retirement"
+        )
     for cname, expr in prev.get("constraints", {}).items():
         if _re.search(rf"\b{_re.escape(old)}\b", expr):
             raise ValueError(
@@ -1226,8 +1245,7 @@ def rename_column(root: str, old: str, new: str) -> int:
         "batches": prev.get("batches", []),
         "stats": prev.get("stats", {}),
     }
-    if prev.get("dropped"):
-        manifest["dropped"] = prev["dropped"]
+    _carry_dropped(manifest, prev)
     _carry_constraints(manifest, prev)
     if "external_files" in prev:
         manifest["external_files"] = prev["external_files"]
@@ -1311,7 +1329,10 @@ def drop_column(root: str, name: str) -> int:
         "files": prev.get("files", []),
         "added": [],
         "dropped_column": [name, physical],
-        "dropped": {**prev.get("dropped", {}), name: physical},
+        # keyed by PHYSICAL spelling: physical names are unique across
+        # drops (a retired spelling can never come back, below), so a
+        # reused LOGICAL name cannot clobber an earlier retirement
+        "dropped": {**prev.get("dropped", {}), physical: name},
         "schema": new_schema.jsonValue(),
         "batches": prev.get("batches", []),
         "stats": prev.get("stats", {}),
@@ -1346,22 +1367,20 @@ def version_as_of_timestamp(root: str, ts: float) -> int:
     head = latest_version(root)
     if head == 0:
         raise ValueError(f"{root} has no committed versions")
-    best = None
-    for v in range(1, head + 1):
+    # newest-first with early return: the first visible manifest with
+    # mtime <= ts IS the newest such version, so resolution is O(1)
+    # manifest reads for recent timestamps instead of O(versions)
+    for v in range(head, 0, -1):
         path = _manifest_path(root, v)
         try:
             mtime = os.path.getmtime(path)
         except FileNotFoundError:
             continue  # expired/vacuumed hole
-        if mtime <= ts:
-            m = read_manifest(root, v)
-            if _manifest_visible(m, root):
-                best = v
-    if best is None:
-        raise ValueError(
-            f"no version of {root} committed at or before ts={ts}"
-        )
-    return best
+        if mtime <= ts and _manifest_visible(read_manifest(root, v), root):
+            return v
+    raise ValueError(
+        f"no version of {root} committed at or before ts={ts}"
+    )
 
 
 def read_as_of_timestamp(
@@ -2331,6 +2350,21 @@ def merge_into(
             f"{sorted(gen)} may be omitted — they are computed; "
             "schema evolution is commit_append's job)"
         )
+    conditional = (
+        when_matched_update is not None
+        or when_matched_delete is not None
+        or when_not_matched_insert is not None
+    )
+    shadowed = [c for c in cols if c.startswith("src_")]
+    if conditional and shadowed:
+        raise ValueError(
+            f"merge_into conditional clauses inject src_<col> aliases "
+            f"for the matched source row, which would silently shadow "
+            f"the table's own columns {shadowed}; rename them or use "
+            "the unconditional upsert. (The not-matched insert "
+            "predicate uses PLAIN source column names — only the two "
+            "matched-clause predicates carry the src_ namespace.)"
+        )
     src = source.select(*[c for c in cols if c in source.columns])
     if gen:
         # generated-column invariant on the upsert path: omitted ->
@@ -2379,21 +2413,6 @@ def merge_into(
     # matched target rows take the source row's values (multiplicity
     # preserved: LEFT join keyed on key, coalesce per column); clean
     # rows of affected files pass through byte-identical
-    conditional = (
-        when_matched_update is not None
-        or when_matched_delete is not None
-        or when_not_matched_insert is not None
-    )
-    shadowed = [c for c in cols if c.startswith("src_")]
-    if conditional and shadowed:
-        raise ValueError(
-            f"merge_into conditional clauses inject src_<col> aliases "
-            f"for the matched source row, which would silently shadow "
-            f"the table's own columns {shadowed}; rename them or use "
-            "the unconditional upsert. (The not-matched insert "
-            "predicate uses PLAIN source column names — only the two "
-            "matched-clause predicates carry the src_ namespace.)"
-        )
     src_m = src.select(
         F.col(key),
         *[F.col(c).alias(f"_kmce_src_{c}") for c in cols if c != key],

@@ -412,3 +412,72 @@ def test_s14_census_covers_corpus_and_ties_go_low(spark, sf_dir):
         for r in nearest_centroid_census(e).collect()
     }
     assert (5, 5) in got and (9, 5) in got  # 9's centroid ties with 5's
+
+
+def test_retired_spelling_cannot_return_via_rename(spark, tmp_path):
+    """The ghost-resurrection path the round-13 review found: rename
+    p->s, drop s (retiring BOTH spellings), then rename y->s would let
+    a SECOND drop of 's' clobber the first retirement — so renaming
+    INTO any retired spelling is refused, and retirements accumulate
+    under physical keys."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        drop_column,
+        dropped_columns,
+        rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, 10, "a")], "id BIGINT, y BIGINT, p STRING"
+        ).coalesce(1),
+        root,
+    )
+    rename_column(root, "p", "s")
+    drop_column(root, "s")
+    assert dropped_columns(root) == {"p": "s"}  # physical-keyed
+    with pytest.raises(ValueError, match="retired"):
+        rename_column(root, "y", "s")
+    with pytest.raises(ValueError, match="retired"):
+        rename_column(root, "y", "p")
+    # two drops accumulate — neither retirement is lost
+    commit_append(
+        spark.createDataFrame([(2, 20, 30)],
+                              "id BIGINT, y BIGINT, z BIGINT"),
+        root,
+    )
+    drop_column(root, "z")
+    assert dropped_columns(root) == {"p": "s", "z": "z"}
+    for bad in ("s", "p", "z"):
+        with pytest.raises(ValueError, match="retired"):
+            commit_append(
+                spark.createDataFrame(
+                    [(3, 1, "x")], f"id BIGINT, y BIGINT, {bad} STRING"
+                ),
+                root,
+            )
+
+
+def test_conditional_merge_src_guard_fires_on_empty_source(
+    spark, tmp_path
+):
+    """The guard must refuse BEFORE the empty-source early return — an
+    API misuse validated against an empty batch would otherwise pass
+    silently and explode on the first real one."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+        merge_into,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, 10)], "id BIGINT, src_v BIGINT")
+        .coalesce(1),
+        root,
+    )
+    empty = spark.createDataFrame([], "id BIGINT, src_v BIGINT")
+    with pytest.raises(ValueError, match="src_"):
+        merge_into(
+            spark, root, empty, "id", when_matched_update="src_src_v > 0"
+        )
