@@ -171,9 +171,24 @@ def main() -> None:
         )
         return
 
+    # The transformWithStateInPandas entries leave RocksDB native
+    # threads winding down after query.stop(), which bleeds into the
+    # NEXT few timed entries (m10 measured 9.4 s in-suite vs 1.4 s
+    # isolated in r13 purely from running after k31). Schedule them
+    # LAST so the bleed lands after the final measurement instead of
+    # inside an unrelated query's number.
+    _TWS_LAST = (
+        "k8b_stateful_totals_tws",
+        "k29_session_timers",
+        "k30_mapstate_totals",
+        "k31_streaming_topk",
+    )
+    run_order = [n for n in sorted(Q.QUERIES) if n not in _TWS_LAST]
+    run_order += [n for n in _TWS_LAST if n in Q.QUERIES]
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in sorted(Q.QUERIES.items()):
+    for name, fn in ((n, Q.QUERIES[n]) for n in run_order):
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         dt = time.perf_counter() - t0

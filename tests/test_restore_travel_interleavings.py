@@ -1,0 +1,351 @@
+"""Model-based property test: RESTORE composed with the drop/rename
+retirement lifecycle and TIMESTAMP time travel — the fifteenth
+interleaving harness on the versioned table.
+
+Restore is the one verb that sets the table's schema, column mapping,
+and retirement record back to an EARLIER snapshot's (versioned.py
+restore_table carries all three from the target manifest), so every
+retirement invariant the drop-column harness pins must also hold
+ACROSS a rollback: restoring to a pre-drop version resurrects the
+column with its historical values; restoring to a post-drop version
+carries the retirement so a re-add stays refused until compaction
+flushes it; restoring to a pre-rename version reverts the logical
+spelling. Timestamp travel (f44's verb) must keep resolving EVERY
+recorded instant to the right snapshot even though a restore commits
+new manifests whose content rewinds.
+
+The model keeps the FULL per-version history (column set, rename
+state, retirement state, rows), because restore makes any earlier
+snapshot the next head.
+
+Invariants no sequence may break:
+1. head read == model head (columns AND rows), after every op;
+2. read_version(v) == the model's recorded snapshot for every v —
+   restore never mutates history;
+3. read_as_of_timestamp at each version's (synthetic, strictly
+   increasing) commit instant == that version's snapshot;
+4. re-add of the dropped column is refused exactly while the CURRENT
+   snapshot carries the retirement (including one inherited through
+   a restore), and succeeds after compaction's flush;
+5. rename into a retired spelling is refused across a restore;
+6. retention composes: after expire_versions punches holes in the
+   manifest sequence, timestamp resolution skips the holes (never
+   resolves INTO one), restore to an expired target raises, and
+   vacuum(0) never deletes a file any surviving snapshot still
+   references (every surviving version stays byte-identically
+   readable after it).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+    _manifest_path,
+    commit_append,
+    compact,
+    delete_where_dv,
+    drop_column,
+    expire_versions,
+    read_as_of_timestamp,
+    read_version,
+    rename_column,
+    restore_table,
+    vacuum,
+)
+
+_T0 = 1_600_000_000.0  # synthetic commit clock: mtime(v) = _T0 + v
+
+_OPS = st.lists(
+    st.sampled_from(
+        [
+            "append",
+            "drop_s",
+            "readd_s",
+            "dv_delete",
+            "rename_n",
+            "compact",
+            "restore",
+            "restore",  # double weight: the verb under test
+            "expire",
+            "vacuum",
+        ]
+    ),
+    min_size=5,
+    max_size=11,
+)
+
+
+class _Snap:
+    """One committed snapshot: enough state to BE restored to."""
+
+    def __init__(self, rows, n_name, s_state):
+        # rows: {id: (n, s-or-None)}; s participates in the visible
+        # schema only while s_state == "live"
+        self.rows = dict(rows)
+        self.n_name = n_name
+        self.s_state = s_state  # live | retired | flushed
+
+    def clone(self):
+        return _Snap(self.rows, self.n_name, self.s_state)
+
+    def cols(self):
+        base = ["id", self.n_name]
+        return base + (["s"] if self.s_state == "live" else [])
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_OPS, data=st.data())
+def test_restore_travel_interleavings(
+    spark_prop, ops, data, tmp_path_factory
+):
+    spark = spark_prop
+    root = str(tmp_path_factory.mktemp("restlife") / "t")
+    seq = [100]
+
+    def fresh():
+        seq[0] += 10
+        return {
+            seq[0] + j: ((seq[0] + j) * 3, f"s{seq[0] + j}")
+            for j in range(2)
+        }
+
+    def df_of(rows, snap):
+        if snap.s_state == "live":
+            return spark.createDataFrame(
+                [(i, n, s) for i, (n, s) in sorted(rows.items())],
+                f"id BIGINT, {snap.n_name} BIGINT, s STRING",
+            )
+        return spark.createDataFrame(
+            [(i, n) for i, (n, _) in sorted(rows.items())],
+            f"id BIGINT, {snap.n_name} BIGINT",
+        )
+
+    def stamp(version):
+        # force a strictly increasing synthetic commit clock so
+        # timestamp resolution is deterministic on any filesystem
+        path = _manifest_path(root, version)
+        os.utime(path, (_T0 + version, _T0 + version))
+
+    head = _Snap({i: (i * 3, f"s{i}") for i in range(5)}, "n", "live")
+    commit_append(df_of(head.rows, head).coalesce(1), root)
+    hist = {1: head.clone()}
+    version = 1
+    stamp(version)
+
+    def expect(df, snap):
+        assert set(df.columns) == set(snap.cols())
+        if snap.s_state == "live":
+            got = {
+                r["id"]: (r[snap.n_name], r["s"]) for r in df.collect()
+            }
+            assert got == snap.rows
+        else:
+            got = {r["id"]: r[snap.n_name] for r in df.collect()}
+            assert got == {i: n for i, (n, _) in snap.rows.items()}
+
+    def check():
+        expect(read_version(spark, root), head)
+        # invariant 2: restore never mutates history
+        v = data.draw(
+            st.sampled_from(sorted(hist)), label="history_probe"
+        )
+        expect(read_version(spark, root, version=v), hist[v])
+        # invariant 3: every commit instant resolves to its snapshot
+        tv = data.draw(
+            st.sampled_from(sorted(hist)), label="travel_probe"
+        )
+        expect(
+            read_as_of_timestamp(spark, root, _T0 + tv + 0.5), hist[tv]
+        )
+
+    for op in ops:
+        if op == "append":
+            rows = fresh()
+            commit_append(df_of(rows, head), root)
+            version += 1
+            if head.s_state == "live":
+                head.rows.update(rows)
+            else:
+                head.rows.update(
+                    {i: (n, None) for i, (n, _) in rows.items()}
+                )
+        elif op == "drop_s":
+            if head.s_state != "live":
+                continue
+            drop_column(root, "s")
+            version += 1
+            head.s_state = "retired"
+            head.rows = {
+                i: (n, None) for i, (n, _) in head.rows.items()
+            }
+        elif op == "readd_s":
+            if head.s_state == "live":
+                continue
+            rows = fresh()
+            df = spark.createDataFrame(
+                [(i, n, s) for i, (n, s) in sorted(rows.items())],
+                f"id BIGINT, {head.n_name} BIGINT, s STRING",
+            )
+            if head.s_state == "retired":
+                # invariant 4: refusal survives restore inheritance
+                with pytest.raises(ValueError, match="retired"):
+                    commit_append(df, root)
+                continue  # no commit happened
+            commit_append(df, root)
+            version += 1
+            head.rows.update(rows)
+            head.s_state = "live"
+        elif op == "dv_delete":
+            if not head.rows:
+                continue
+            victim = min(head.rows)
+            delete_where_dv(spark, root, f"id = {victim}")
+            version += 1
+            del head.rows[victim]
+        elif op == "rename_n":
+            new = f"{head.n_name}_r"
+            if head.s_state == "retired":
+                # invariant 5: renaming INTO the retired spelling is
+                # refused even when the retirement arrived via restore
+                with pytest.raises(ValueError, match="retired"):
+                    rename_column(root, head.n_name, "s")
+            rename_column(root, head.n_name, new)
+            version += 1
+            head.n_name = new
+        elif op == "compact":
+            compact(spark, root, target_files=1)
+            version += 1
+            if head.s_state == "retired":
+                head.s_state = "flushed"
+        elif op == "restore":
+            surviving = [v for v in sorted(hist) if v < version]
+            if not surviving:
+                continue
+            target = data.draw(
+                st.sampled_from(surviving), label="restore_target"
+            )
+            got = restore_table(root, target)
+            version += 1
+            assert got == version
+            head = hist[target].clone()
+        elif op == "expire":
+            if version < 3:
+                continue
+            keep = data.draw(
+                st.integers(min_value=2, max_value=version),
+                label="keep_last",
+            )
+            gone = expire_versions(root, keep_last=keep)
+            assert gone == [
+                v for v in sorted(hist) if v <= version - keep
+            ]
+            for v in gone:
+                del hist[v]
+            if gone:
+                # invariant 6: restore to an expired target raises,
+                # and a timestamp inside the expired region never
+                # resolves into a hole — it either raises (nothing
+                # at or before) or is unreachable (a surviving older
+                # version would satisfy it first; none exists here
+                # because expiry is a prefix)
+                with pytest.raises((ValueError, FileNotFoundError)):
+                    restore_table(root, gone[-1])
+                with pytest.raises(ValueError, match="at or before"):
+                    read_as_of_timestamp(
+                        spark, root, _T0 + gone[-1] + 0.5
+                    )
+        elif op == "vacuum":
+            vacuum(root, retention_seconds=0.0)
+            # invariant 6: every surviving snapshot stays readable
+            for v in sorted(hist):
+                expect(read_version(spark, root, version=v), hist[v])
+        if op not in ("expire", "vacuum"):
+            hist[version] = head.clone()
+            stamp(version)
+        check()
+
+    # a timestamp before the first commit has nothing to resolve to
+    with pytest.raises(ValueError, match="at or before"):
+        read_as_of_timestamp(spark, root, _T0 + 0.5)
+
+
+def test_restore_retirement_and_travel_pins(spark, tmp_path):
+    """Deterministic companions to the property harness: the exact
+    restore x retirement x timestamp compositions, pinned so they run
+    on every suite pass regardless of which sequences hypothesis
+    draws."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id BIGINT, n BIGINT, s STRING"
+    )
+    commit_append(df.coalesce(1), root)           # v1: (id, n, s)
+    drop_column(root, "s")                        # v2: s retired
+    commit_append(                                # v3: append w/o s
+        spark.createDataFrame([(3, 30)], "id BIGINT, n BIGINT"), root
+    )
+    for v in (1, 2, 3):
+        os.utime(_manifest_path(root, v), (_T0 + v, _T0 + v))
+
+    # restore to the POST-drop snapshot: the retirement must ride
+    # along, so a re-add stays refused until compaction flushes it
+    assert restore_table(root, 2) == 4
+    os.utime(_manifest_path(root, 4), (_T0 + 4, _T0 + 4))
+    readd = spark.createDataFrame(
+        [(9, 90, "z")], "id BIGINT, n BIGINT, s STRING"
+    )
+    with pytest.raises(ValueError, match="retired"):
+        commit_append(readd, root)
+    with pytest.raises(ValueError, match="retired"):
+        rename_column(root, "n", "s")
+    compact(spark, root, target_files=1)          # v5: flush
+    os.utime(_manifest_path(root, 5), (_T0 + 5, _T0 + 5))
+    commit_append(readd, root)                    # v6: re-add OK
+    os.utime(_manifest_path(root, 6), (_T0 + 6, _T0 + 6))
+    got = {
+        r["id"]: (r["n"], r["s"])
+        for r in read_version(spark, root).collect()
+    }
+    assert got == {1: (10, None), 2: (20, None), 9: (90, "z")}
+
+    # restore to the PRE-drop snapshot: the column resurrects WITH its
+    # historical values (Delta RESTORE semantics), retirement cleared
+    assert restore_table(root, 1) == 7
+    os.utime(_manifest_path(root, 7), (_T0 + 7, _T0 + 7))
+    got = {
+        r["id"]: (r["n"], r["s"])
+        for r in read_version(spark, root).collect()
+    }
+    assert got == {1: (10, "a"), 2: (20, "b")}
+
+    # timestamp travel resolves every instant across the rewinds:
+    # the drop instant shows no s, the restore instants show their
+    # targets' snapshots
+    assert set(read_as_of_timestamp(spark, root, _T0 + 2.5).columns) \
+        == {"id", "n"}
+    assert set(read_as_of_timestamp(spark, root, _T0 + 7.5).columns) \
+        == {"id", "n", "s"}
+    trav = {
+        r["id"]
+        for r in read_as_of_timestamp(spark, root, _T0 + 3.5).collect()
+    }
+    assert trav == {1, 2, 3}
+
+    # retention across the rewind: expire the pre-restore history,
+    # then vacuum — the restored head (whose files date back to v1)
+    # must stay readable because its own manifest references them
+    assert expire_versions(root, keep_last=2) == [1, 2, 3, 4, 5]
+    vacuum(root, retention_seconds=0.0)
+    got = {
+        r["id"]: (r["n"], r["s"])
+        for r in read_version(spark, root).collect()
+    }
+    assert got == {1: (10, "a"), 2: (20, "b")}
+    with pytest.raises((ValueError, FileNotFoundError)):
+        restore_table(root, 3)
+    with pytest.raises(ValueError, match="at or before"):
+        read_as_of_timestamp(spark, root, _T0 + 0.5)
