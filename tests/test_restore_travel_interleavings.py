@@ -46,16 +46,20 @@ from hypothesis import strategies as st
 
 from k_means_clustering_via_map_reduce_spark.sources.versioned import (
     _manifest_path,
+    abort_txn,
     commit_append,
+    commit_multi,
     compact,
     delete_where_dv,
     drop_column,
     expire_versions,
     read_as_of_timestamp,
+    read_manifest,
     read_version,
     rename_column,
     restore_table,
     vacuum,
+    version_as_of_timestamp,
 )
 
 _T0 = 1_600_000_000.0  # synthetic commit clock: mtime(v) = _T0 + v
@@ -349,3 +353,48 @@ def test_restore_retirement_and_travel_pins(spark, tmp_path):
         restore_table(root, 3)
     with pytest.raises(ValueError, match="at or before"):
         read_as_of_timestamp(spark, root, _T0 + 0.5)
+
+
+def test_timestamp_travel_skips_invisible_txn_manifests(spark, tmp_path):
+    """f44 x multi-table txn: a crashed commit_multi leaves a LINKED
+    but txn-invisible manifest at the head. Timestamp resolution must
+    skip it — its mtime is the newest at-or-before almost any probe
+    instant, and resolving into it would hand a reader an uncommitted
+    snapshot — both while the txn is pending and after it is recovered
+    to aborted; a later clean commit becomes resolvable as usual."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    commit_append(
+        spark.createDataFrame([(1,), (2,)], "id BIGINT").coalesce(1), a
+    )
+    commit_append(
+        spark.createDataFrame([(9,)], "id BIGINT").coalesce(1), b
+    )
+    got = commit_multi(
+        {
+            a: spark.createDataFrame([(3,)], "id BIGINT"),
+            b: spark.createDataFrame([(8,)], "id BIGINT"),
+        },
+        _crash_before_finalize=True,
+    )
+    v2 = got[os.path.abspath(a)]
+    os.utime(_manifest_path(a, 1), (_T0 + 1, _T0 + 1))
+    os.utime(_manifest_path(a, v2), (_T0 + 2, _T0 + 2))
+
+    # pending: the newest manifest at-or-before the probe is invisible
+    assert version_as_of_timestamp(a, _T0 + 2.5) == 1
+    assert {
+        r["id"] for r in read_as_of_timestamp(spark, a, _T0 + 2.5).collect()
+    } == {1, 2}
+
+    # recovered to aborted: still invisible
+    txn = read_manifest(a, v2)["txn"]
+    assert abort_txn(txn["coordinator"], txn["id"]) is True
+    assert version_as_of_timestamp(a, _T0 + 2.5) == 1
+
+    # recovery only MARKS the outcome; the next committer vacates the
+    # aborted slot (commit_append's retry loop removes it and may
+    # reuse the version number) — either way the new commit resolves
+    v3 = commit_append(spark.createDataFrame([(4,)], "id BIGINT"), a)
+    os.utime(_manifest_path(a, v3), (_T0 + 3, _T0 + 3))
+    assert version_as_of_timestamp(a, _T0 + 3.5) == v3
+    assert version_as_of_timestamp(a, _T0 + 2.9) == 1
