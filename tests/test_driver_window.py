@@ -110,3 +110,19 @@ def test_registered_new_set_is_exactly_one_bank():
         f"registered-but-never-verified set is not a whole bank: {new}"
     )
     assert R13_BANK <= set(names), "an r13 bank op fell out of the registry"
+
+
+def test_registry_plateaus_at_300():
+    """The registry holds 291 entries today and exactly 300 after the
+    r14 bank lands — and then PLATEAUS: every latest-green tier is
+    exactly 50 from r15 on, so the remaining rounds are one full
+    6 x 50 refresh cycle with zero window slack (BASELINE.md
+    "registry-plateau math"). A 301st registration would silently age
+    a stale entry past the six-round cycle; fail it here instead."""
+    mod = _load_entry()
+    n = len(mod.queries())
+    assert n in (291, 300), (
+        f"registry has {n} entries — the documented plateau is 291 "
+        "(pre-r14-bank) or 300 (post); registering beyond 300 breaks "
+        "the refresh-cycle arithmetic for rounds 15-20"
+    )
