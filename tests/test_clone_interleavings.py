@@ -159,3 +159,64 @@ def test_source_retention_breaks_fork_loudly(spark, tmp_path):
     assert _rows(spark, src) == list(range(20))
     with pytest.raises(Exception):
         read_version(spark, fork).collect()
+
+
+def test_clone_inherits_mapping_and_retirements(spark, tmp_path):
+    """CLONE x rename x drop (the drop verb postdates this harness):
+    the fork must inherit the source's column mapping AND dropped-
+    column retirements at the clone point — its reads apply the
+    mapping to the source's physical files, its appends refuse the
+    retired spelling, and its own compaction flushes the retirement
+    independently; nothing done on either side leaks to the other."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        drop_column,
+        rename_column,
+    )
+
+    src, fork = str(tmp_path / "src"), str(tmp_path / "fork")
+    commit_append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")],
+            "id BIGINT, n BIGINT, s STRING",
+        ).coalesce(1),
+        src,
+    )
+    rename_column(src, "n", "m")   # mapping m -> n (files store n)
+    drop_column(src, "s")          # retirement {s: s}
+    clone_table(src, fork)
+
+    # fork reads the source's physical files through the carried
+    # mapping, without the dropped column
+    got = {
+        r["id"]: r["m"] for r in read_version(spark, fork).collect()
+    }
+    assert got == {1: 10, 2: 20}
+    assert set(read_version(spark, fork).columns) == {"id", "m"}
+
+    # the retirement rides along: fork-side re-add and rename into
+    # the retired spelling are refused
+    readd = spark.createDataFrame(
+        [(9, 90, "z")], "id BIGINT, m BIGINT, s STRING"
+    )
+    with pytest.raises(ValueError, match="retired"):
+        commit_append(readd, fork)
+    with pytest.raises(ValueError, match="retired"):
+        rename_column(fork, "m", "s")
+
+    # fork-side compaction flushes the fork's retirement only; the
+    # re-add then succeeds on the fork and stays refused on the source
+    compact(spark, fork, target_files=1)
+    commit_append(readd, fork)
+    got = {
+        r["id"]: (r["m"], r["s"])
+        for r in read_version(spark, fork).collect()
+    }
+    assert got == {1: (10, None), 2: (20, None), 9: (90, "z")}
+    with pytest.raises(ValueError, match="retired"):
+        commit_append(readd, src)
+
+    # source-side drop of the renamed column after the clone point
+    # never reaches the fork
+    drop_column(src, "m")
+    assert set(read_version(spark, src).columns) == {"id"}
+    assert set(read_version(spark, fork).columns) == {"id", "m", "s"}
