@@ -398,3 +398,58 @@ def test_timestamp_travel_skips_invisible_txn_manifests(spark, tmp_path):
     os.utime(_manifest_path(a, v3), (_T0 + 3, _T0 + 3))
     assert version_as_of_timestamp(a, _T0 + 3.5) == v3
     assert version_as_of_timestamp(a, _T0 + 2.9) == 1
+
+
+def test_restore_rewinds_generated_column_contract(spark, tmp_path):
+    """RESTORE x generated columns: the generated record is snapshot
+    metadata (carried from the TARGET manifest), so restoring to a
+    pre-generated snapshot must stop materializing/enforcing the
+    expression, and restoring forward to a post-generated snapshot
+    must resume both — the engine computing an omitted column and
+    refusing a mismatched supplied one."""
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        GeneratedColumnError,
+        add_generated_column,
+    )
+
+    root = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, n BIGINT")
+        .coalesce(1),
+        root,
+    )                                              # v1
+    add_generated_column(spark, root, "g", "n * 2")  # v2: backfill
+    commit_append(
+        spark.createDataFrame([(3, 30)], "id BIGINT, n BIGINT"), root
+    )                                              # v3: engine fills g
+    got = {
+        r["id"]: r["g"] for r in read_version(spark, root).collect()
+    }
+    assert got == {1: 20, 2: 40, 3: 60}
+
+    # rewind below the generated column: the contract disappears with
+    # the snapshot — appends carry no g and nothing is enforced
+    assert restore_table(root, 1) == 4
+    assert set(read_version(spark, root).columns) == {"id", "n"}
+    commit_append(
+        spark.createDataFrame([(4, 40)], "id BIGINT, n BIGINT"), root
+    )                                              # v5: no g computed
+    assert set(read_version(spark, root).columns) == {"id", "n"}
+
+    # roll forward to the post-generated snapshot: materialization and
+    # enforcement resume
+    restore_table(root, 3)                         # v6
+    commit_append(
+        spark.createDataFrame([(5, 50)], "id BIGINT, n BIGINT"), root
+    )                                              # v7: engine fills g
+    got = {
+        r["id"]: r["g"] for r in read_version(spark, root).collect()
+    }
+    assert got == {1: 20, 2: 40, 3: 60, 5: 100}
+    with pytest.raises(GeneratedColumnError):
+        commit_append(
+            spark.createDataFrame(
+                [(6, 60, 999)], "id BIGINT, n BIGINT, g BIGINT"
+            ),
+            root,
+        )
