@@ -42,7 +42,13 @@ _STAGED: dict[str, tempfile.TemporaryDirectory] = {}
 
 def ensure_staged(spark: SparkSession, sf_dir: str) -> str:
     """PUBLIC staging entrypoint: the streaming-window queries and
-    bench.py's prestage share this one path (round-12 ADVICE #3)."""
+    bench.py's prestage share this one path (round-12 ADVICE #3).
+    Covers BOTH staged artifacts of this module — the events stream
+    dir and k18's tick-flushed chain feed; the chain feed was staged
+    lazily inside k18's first run before this, which put a full
+    events rewrite (coalesce-to-one) inside its timed bench number
+    (~7 s of k18's 10.5 s in-suite at sf0.1 was staging, not query)."""
+    _stage_chain_feed(spark, sf_dir)
     return _stage_events_dir(spark, sf_dir)
 
 
