@@ -571,7 +571,12 @@ def kmeans_parallel_init(
     e = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    # The seeding loop makes 2 passes per round (cost aggregate +
+    # selection) plus the seed pass — materialize the projected corpus
+    # once instead of re-scanning parquet per pass (the shape MLlib's
+    # own initKMeansParallel uses: it requires its input cached;
+    # guide §5 — cache what is reused across iterative passes).
+    ).localCheckpoint(eager=False)
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     cands: list[tuple[int, int, list[float]]] = [(0, seed["vec_id"], list(seed["v"]))]
     for r in range(1, rounds + 1):

@@ -1549,8 +1549,19 @@ def segment_postings(segs: DataFrame) -> tuple[DataFrame, DataFrame]:
     dist = segs.groupBy("lang", "seg").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    sh = dist.withColumn("sh", _d11_shingle_expr()).withColumn(
-        "n_sh", F.size("sh")
+    sh = (
+        dist.withColumn("sh", _d11_shingle_expr())
+        .withColumn("n_sh", F.size("sh"))
+        # Materialize ONCE: both returned frames (and every downstream
+        # re-reference of them — the family core reads the postings
+        # three times) would otherwise inline the full scan → segment
+        # explosion → distinct-agg → shingle chain per use; the r13
+        # pre-optimization d11 plan carried 52 copies of the documents
+        # scan (3,047 plan lines, 152 Exchanges) with seconds of pure
+        # Catalyst planning before the first task ran (optimization
+        # guide §3.3/§7.2: truncate duplicated subtrees). Lazy, so the
+        # single materialization happens inside the first consuming job.
+        .localCheckpoint(eager=False)
     )
     ex = sh.select("lang", "seg", "df", "n_sh", F.explode("sh").alias("sg"))
     return sh.drop("sh"), ex
@@ -1610,6 +1621,12 @@ def segment_family_from_postings(
             .select("lang", "sg")
         )
         exk = ex.join(keep, ["lang", "sg"])
+    if posting_cap is None or posting_cap > PREFIX_GATE_CAP:
+        # The prefix arm reads the kept postings three times (ranking
+        # join, prefix self-join input, kept-array build); materialize
+        # them once instead of re-running the posting build (and its
+        # cap semi-join) per reference — plan-truncation as above.
+        exk = exk.localCheckpoint(eager=False)
     if posting_cap is not None and posting_cap <= PREFIX_GATE_CAP:
         # binding-cap arm: the capped posting join IS the verifier —
         # count common kept shingles per pair directly
@@ -1719,6 +1736,10 @@ def segment_family_from_postings(
         pairs = v.filter(jac >= D11_JACCARD).select(
             "lang", "seg_a", "seg_b", "a_df", "b_df"
         )
+    # Jaccard survivors are ~10² rows; materialize before the two-
+    # direction expansion so the candidate + verify pipeline (the whole
+    # subtree above) runs once, not once per direction.
+    pairs = pairs.localCheckpoint(eager=False)
     directed = pairs.select(
         "lang", F.col("seg_a").alias("seg"), F.col("b_df").alias("p_df")
     ).unionByName(
@@ -1801,7 +1822,10 @@ def _d11_accounting(docs: DataFrame, posting_cap: int | None) -> DataFrame:
     """Shared d11/d11b face: per-language boilerplate accounting under
     family-df removal at the given posting cap (None = the uncapped
     truth form, pytest-only), computed inline from ``docs``."""
-    segs = segment_occurrences(docs)
+    # Materialized once: the occurrence table feeds both the postings
+    # build and the final per-doc marking join — without this the doc
+    # scan + segment explosion runs twice (plan-truncation, guide §3.3).
+    segs = segment_occurrences(docs).localCheckpoint(eager=False)
     dist, ex = segment_postings(segs)
     return _d11_accounting_from_index(segs, dist, ex, posting_cap)
 
@@ -1931,6 +1955,12 @@ def tfidf_cosine_pairs(
     almost nothing)."""
     ex = shingled.select("doc_id", "lang", F.explode("sh").alias("sg"))
     dft = ex.groupBy("lang", "sg").agg(F.count(F.lit(1)).alias("df"))
+    # NOTE (r13 optimization round): checkpointing `wt`/`nrm` here was
+    # A/B-tested and REVERTED — isolated min-of-3 regressed 4.2 s →
+    # 6.0 s, because the duplicated references are already deduped at
+    # runtime by ReusedExchange while the checkpoint forces a full
+    # materialization barrier mid-pipeline (the same verdict as the
+    # round-12 staged-segment-index A/B for d11).
     wt = (
         ex.join(dft, ["lang", "sg"])
         .join(F.broadcast(n_docs_per_lang), "lang")
@@ -2545,6 +2575,31 @@ def d15_incremental_minhash_pairs(
         commit_append,
     )
 
+    tmp = ensure_staged(spark, sf_dir)
+    return minhash_pairs_from_index(
+        spark, tmp.name + "/corpus", tmp.name + "/index"
+    )
+
+
+def ensure_staged(spark: SparkSession, sf_dir: str):
+    """Build (once per process per source-table mtime) the d15 input
+    artifact: the three-commit versioned corpus plus its incrementally-
+    refreshed LSH index. ONE public staging entry that both the query
+    and the bench prestage call (the round-12 ADVICE #3 discipline), so
+    the bench's in-suite d15 number measures the SERVE path — banded
+    candidates off the state table + exact-jaccard verification — not
+    the one-time corpus construction (prestage seconds are reported
+    separately in the bench record; the verify driver still pays
+    staging inside its own run, so oracle compares are unaffected)."""
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.queries import (
+        staging_key,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
     key = staging_key(sf_dir, "documents")
     if key not in _D15_STAGED:
         tmp = _tf.TemporaryDirectory(prefix="kmce_d15_")
@@ -2557,10 +2612,7 @@ def d15_incremental_minhash_pairs(
             commit_append(d.filter(F.col("doc_id") % 3 == third), corpus)
             refresh_minhash_index(spark, corpus, state)
         _D15_STAGED[key] = tmp
-    tmp = _D15_STAGED[key]
-    return minhash_pairs_from_index(
-        spark, tmp.name + "/corpus", tmp.name + "/index"
-    )
+    return _D15_STAGED[key]
 
 
 # --------------------------------------------------------------------------
@@ -2732,6 +2784,11 @@ def lsh_quality_census_df(s: DataFrame) -> DataFrame:
             >= JACCARD_THRESHOLD
         )
         .select("lang", "a_id", "b_id")
+        # (r13 optimization round: a localCheckpoint here and on
+        # `cands` was A/B-tested and REVERTED — isolated min-of-3
+        # regressed 4.5 s → 7.3 s; ReusedExchange already shares the
+        # duplicated subtrees at runtime and the checkpoint only adds
+        # a materialization barrier.)
     )
     bands = md5_band_keys(s)
     ba, bb = bands.alias("a"), bands.alias("b")

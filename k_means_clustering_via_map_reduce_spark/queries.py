@@ -6837,12 +6837,22 @@ def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
         .distinct()
+        # The edge set is read four ways (degrees, orientation join,
+        # closing-edge probe, edge count); materialize it once instead
+        # of re-running the lineitem self-join + distinct per use — the
+        # pre-optimization plan carried 56 lineitem scans across 2,007
+        # plan lines / 114 Exchanges, and Catalyst planning alone cost
+        # seconds (guide §3.3/§7.2: truncate duplicated subtrees).
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("x").alias("v"))
         .unionAll(e.select(F.col("y").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        # Re-read by both endpoint-attach joins and the node-count
+        # aggregate; K-distinct-node sized, cheap to hold.
+        .localCheckpoint(eager=False)
     )
     # attach degrees, orient each edge from the lower-(d, id) endpoint
     ed = (
@@ -6855,36 +6865,53 @@ def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir_e = ed.select(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
+        # Read by the adjacency build and the edge probe; one
+        # materialization instead of two degree-attach joins.
+    ).localCheckpoint(eager=False)
+    # Triangle count by ADJACENCY INTERSECTION over the degree-oriented
+    # DAG (r13 optimization round, guide §3.3 "explode before a join
+    # multiplies the shuffle"): the previous form materialized EVERY
+    # wedge (two out-edges of a common source) and probed each against
+    # the closing-edge set — wedge volume is Σ_src d_out², which at
+    # scale dwarfs the triangle count. Here each oriented edge (u, v)
+    # instead intersects the two out-neighbor lists, so non-closing
+    # wedges are never materialized and the only new shuffle is the
+    # out-adjacency build (out-degree is O(√m)-bounded under degree
+    # orientation, so no list is pathological). Equivalence: a triangle
+    # x→y→z (DAG order by (d, id)) is counted exactly once — at edge
+    # (x, y), where z ∈ N⁺(x) ∩ N⁺(y); at (x, z) it is missed because
+    # y ∉ N⁺(z), and at (y, z) because x ∉ N⁺(y) — the same
+    # once-per-triangle census the wedge+closing form computed, with
+    # the identical key mass x+y+z = (u+v) per member + Σ members.
+    adj = dir_e.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    w1, w2 = dir_e.alias("w1"), dir_e.alias("w2")
-    wedges = w1.join(
-        w2,
-        (F.col("w1.src") == F.col("w2.src"))
-        & (
-            (F.col("w1.ddst") < F.col("w2.ddst"))
-            | (
-                (F.col("w1.ddst") == F.col("w2.ddst"))
-                & (F.col("w1.dst") < F.col("w2.dst"))
-            )
-        ),
-    ).select(
-        F.col("w1.src").alias("a"),
-        F.col("w1.dst").alias("u"),
-        F.col("w2.dst").alias("v"),
+    tri_e = (
+        dir_e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(
+            adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+        )
+        .withColumn("common", F.array_intersect("nu", "nv"))
+        .select(
+            F.size("common").alias("n_c"),
+            (F.col("u") + F.col("v")).alias("uv"),
+            F.aggregate(
+                "common",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("c_sum"),
+        )
     )
-    # a wedge closes iff (u, v) is an edge in id-canonical form
-    closing = e.select(F.col("x").alias("cu"), F.col("y").alias("cv"))
-    tri = wedges.join(
-        closing,
-        (F.least("u", "v") == F.col("cu"))
-        & (F.greatest("u", "v") == F.col("cv")),
-    ).select(
-        (F.col("a") + F.col("u") + F.col("v")).alias("key_sum")
-    )
-    stats = tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
-        F.coalesce(F.sum("key_sum"), F.lit(0)).alias("tri_key_mass"),
+    stats = tri_e.agg(
+        F.coalesce(F.sum("n_c"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.col("n_c") * F.col("uv") + F.col("c_sum")), F.lit(0)
+        ).alias("tri_key_mass"),
     )
     meta = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(
