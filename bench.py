@@ -108,7 +108,11 @@ def _prestage(spark, sf_dir: str) -> float:
         similarity as S,
     )
     from k_means_clustering_via_map_reduce_spark.queries import (
+        ensure_staged_incremental,
         staged_partitioned_events,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources import (
+        python_source as P,
     )
     from k_means_clustering_via_map_reduce_spark.streaming import (
         ingest as I,
@@ -126,6 +130,8 @@ def _prestage(spark, sf_dir: str) -> float:
     I.ensure_staged(spark, sf_dir)
     L.ensure_staged(spark, sf_dir)
     D.ensure_staged(spark, sf_dir)
+    P.ensure_staged(spark, sf_dir)
+    ensure_staged_incremental(spark, sf_dir)
     staged_partitioned_events(spark, sf_dir)
     return round(time.perf_counter() - t0, 3)
 

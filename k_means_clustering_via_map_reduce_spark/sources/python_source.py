@@ -1060,20 +1060,9 @@ F24_ORACLE = """
 _F24_STAGED: dict = {}
 
 
-@query("f24_versioned_connector_read", oracle=F24_ORACLE)
-def f24_versioned_connector_read(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """F24: a doc_id range aggregated through
-    ``spark.read.format("kmce_versioned")`` — Catalyst pushes the range
-    into the connector, pushFilters prunes the manifest's file list
-    against per-file stats, and the result must equal the oracle's
-    plain relational filter (pruning that drops a needed file loses
-    rows and flips the hash; Spark re-evaluates every filter post-scan,
-    so keeping too much can only cost time).
-
-    Scale: the skipping decision is O(#files) driver-side metadata; the
-    executors receive one InputPartition per SURVIVING file only."""
+def _f24_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage f24's input: documents as a 10-commit versioned table
+    (one doc_id range per single-file commit)."""
     import tempfile as _tf
 
     from k_means_clustering_via_map_reduce_spark.queries import staging_key
@@ -1084,7 +1073,6 @@ def f24_versioned_connector_read(
         commit_append,
     )
 
-    register_versioned_source(spark)
     key = staging_key(sf_dir, "documents")
     if key not in _F24_STAGED:
         tmp = _tf.TemporaryDirectory(prefix="kmce_vds_")
@@ -1102,9 +1090,27 @@ def f24_versioned_connector_read(
                 tmp.name,
             )
         _F24_STAGED[key] = tmp
+    return _F24_STAGED[key].name
+
+
+@query("f24_versioned_connector_read", oracle=F24_ORACLE)
+def f24_versioned_connector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F24: a doc_id range aggregated through
+    ``spark.read.format("kmce_versioned")`` — Catalyst pushes the range
+    into the connector, pushFilters prunes the manifest's file list
+    against per-file stats, and the result must equal the oracle's
+    plain relational filter (pruning that drops a needed file loses
+    rows and flips the hash; Spark re-evaluates every filter post-scan,
+    so keeping too much can only cost time).
+
+    Scale: the skipping decision is O(#files) driver-side metadata; the
+    executors receive one InputPartition per SURVIVING file only."""
+    register_versioned_source(spark)
     df = (
         spark.read.format("kmce_versioned")
-        .option("root", _F24_STAGED[key].name)
+        .option("root", _f24_stage(spark, sf_dir))
         .load()
     )
     return (
@@ -1281,6 +1287,51 @@ K23_ORACLE = """
 _K23_STAGED: dict = {}
 
 
+def _k23_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage k23's input: documents as a 4-commit versioned table
+    whose change feed the registered query streams."""
+    import os as _os
+    import tempfile as _tf
+
+    from k_means_clustering_via_map_reduce_spark.queries import staging_key
+    from k_means_clustering_via_map_reduce_spark.sources.tables import (
+        load_table,
+    )
+    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+        commit_append,
+    )
+
+    key = staging_key(sf_dir, "documents")
+    if key not in _K23_STAGED:
+        tmp = _tf.TemporaryDirectory(prefix="kmce_feed_")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        for b in range(4):
+            commit_append(
+                d.filter(F.col("doc_id") % 4 == b).coalesce(1),
+                _os.path.join(tmp.name, "t"),
+            )
+        _K23_STAGED[key] = tmp
+    return _os.path.join(_K23_STAGED[key].name, "t")
+
+
+def ensure_staged(spark: SparkSession, sf_dir: str) -> None:
+    """PUBLIC staging entrypoint for the connector entries' input
+    tables (f24 range-pruned read, k23 change feed, f38 null-count
+    skipping, f40 bloom skipping) — one staging path shared by the
+    queries and bench.py's prestage (round-12 ADVICE #3 discipline,
+    extended in the r13 optimization round). The registered queries
+    measure the connector READ path, which is what their isolated
+    min-of-N records have always measured (the staging dict persists
+    across runs in a session); prestaging aligns in-suite with those
+    records. The verify driver still pays staging inside its own run."""
+    _f24_stage(spark, sf_dir)
+    _k23_stage(spark, sf_dir)
+    _f38_stage(spark, sf_dir)
+    _f40_stage(spark, sf_dir)
+
+
 @query("k23_version_feed_read", oracle=K23_ORACLE)
 def k23_version_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K23: stream the versioned table's change feed (4 staged commits)
@@ -1294,28 +1345,8 @@ def k23_version_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
     import uuid as _uuid
 
-    from k_means_clustering_via_map_reduce_spark.queries import staging_key
-    from k_means_clustering_via_map_reduce_spark.sources.tables import (
-        load_table,
-    )
-    from k_means_clustering_via_map_reduce_spark.sources.versioned import (
-        commit_append,
-    )
-
     register_version_feed_source(spark)
-    key = staging_key(sf_dir, "documents")
-    if key not in _K23_STAGED:
-        tmp = _tf.TemporaryDirectory(prefix="kmce_feed_")
-        d = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "n_chars"
-        )
-        for b in range(4):
-            commit_append(
-                d.filter(F.col("doc_id") % 4 == b).coalesce(1),
-                _os.path.join(tmp.name, "t"),
-            )
-        _K23_STAGED[key] = tmp
-    root = _os.path.join(_K23_STAGED[key].name, "t")
+    root = _k23_stage(spark, sf_dir)
     name = f"feed_{_uuid.uuid4().hex[:12]}"
     with _tf.TemporaryDirectory(prefix="kmce_feed_ckpt_") as ck:
         q = (
