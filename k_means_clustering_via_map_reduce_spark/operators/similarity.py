@@ -1184,6 +1184,9 @@ def radius_search_ivf(
             F.col("a.angle").alias("angle"),
         )
         .withColumn("nrm", vector_norm(F.col("v")))
+        # One Python assign pass serves the radius collect AND the
+        # probe join (the _cell_pruned_selfjoin fix, same rationale).
+        .localCheckpoint(eager=False)
     )
     rads = {
         r["cell"]: r["rad"]
@@ -1331,6 +1334,14 @@ def _cell_pruned_selfjoin(
             F.col("a.angle").alias("angle"),
         )
         .withColumn("nrm", vector_norm(F.col("v")))
+        # Materialize ONCE (r13 optimization round): the assigned frame
+        # is read by the radius collect AND both self-join sides, and
+        # the join keys' implied isnotnull constraints were being
+        # pushed below the Python projection, DUPLICATING the assign
+        # UDF (guide §4.4) — the pre-change s10 plan carried four
+        # ArrowEvalPython nodes over the same corpus. One Python pass
+        # now serves all consumers.
+        .localCheckpoint(eager=False)
     )
     rads = {
         r["cell"]: r["rad"]
