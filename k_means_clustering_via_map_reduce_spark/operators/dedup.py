@@ -363,7 +363,18 @@ def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Candidate pairs by 16-bit band equality (pigeonhole: hamming ≤ 3
     over 4 bands ⇒ some band equal), verified by exact popcount of XOR."""
-    sh = with_simhash(docs).select("doc_id", "simhash")
+    # Materialize the fingerprints ONCE (r13 optimization round): both
+    # sides of the band self-join re-derive this frame, and the join
+    # keys' implied isnotnull constraints are pushed below the Python
+    # projection, duplicating the simhash UDF again per side — the
+    # pre-change plan carried 8 ArrowEvalPython nodes for one logical
+    # pass (guide §4.4). Two longs per doc, the cheapest possible
+    # materialization; the UDF now runs exactly once.
+    sh = (
+        with_simhash(docs)
+        .select("doc_id", "simhash")
+        .localCheckpoint(eager=False)
+    )
     banded = sh.select(
         "doc_id",
         "simhash",

@@ -1664,7 +1664,18 @@ def m11_image_neardup_census(
     candidates), an xor/bit_count error, or a dropped isolated image
     flips the hash."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    hashes = image_dhash(synthesize_media(docs)).select("doc_id", "dhash")
+    # Materialize the fingerprints ONCE (r13 optimization round): the
+    # census reads this frame three ways (both band self-join sides +
+    # the isolated-image base), and each reference re-ran the full
+    # synthesize → PNG decode → resample → dHash Python chain — the
+    # pre-change plan carried 12 Python-eval nodes for one logical
+    # pass (guide §4.4). (doc_id, 16-hex dhash) is the cheapest
+    # possible materialization; the decode now runs exactly once.
+    hashes = (
+        image_dhash(synthesize_media(docs))
+        .select("doc_id", "dhash")
+        .localCheckpoint(eager=False)
+    )
     return dhash_neardup_census(hashes)
 
 
