@@ -1147,6 +1147,17 @@ def _cosine_assign_udf(centers):
         ang = np.arccos(cos[np.arange(len(mat)), best])
         return pd.DataFrame({"cell": best.astype("int32"), "angle": ang})
 
+    # r13 optimization round: the duplicated ArrowEvalPython nodes in
+    # the cell-join plans (join-key isnotnull constraints pushed below
+    # this projection re-evaluate the UDF per side — guide §4.4) were
+    # A/B-tested against BOTH remedies and the duplication WON:
+    # a lazy localCheckpoint of the assigned frame regressed s10/s12
+    # 2-4× (materialization barrier + run-over-run accumulation), and
+    # asNondeterministic() regressed s9b 1.75 s → 4.9 s (the fence
+    # blocks the surrounding filter/prune optimizations too). The
+    # vectorized numpy body is cheap per pass; re-evaluation costs less
+    # than either fence. Left as-is deliberately — see
+    # OPTIMIZATION_r13.md.
     return assign
 
 
@@ -1184,9 +1195,6 @@ def radius_search_ivf(
             F.col("a.angle").alias("angle"),
         )
         .withColumn("nrm", vector_norm(F.col("v")))
-        # One Python assign pass serves the radius collect AND the
-        # probe join (the _cell_pruned_selfjoin fix, same rationale).
-        .localCheckpoint(eager=False)
     )
     rads = {
         r["cell"]: r["rad"]
@@ -1334,14 +1342,6 @@ def _cell_pruned_selfjoin(
             F.col("a.angle").alias("angle"),
         )
         .withColumn("nrm", vector_norm(F.col("v")))
-        # Materialize ONCE (r13 optimization round): the assigned frame
-        # is read by the radius collect AND both self-join sides, and
-        # the join keys' implied isnotnull constraints were being
-        # pushed below the Python projection, DUPLICATING the assign
-        # UDF (guide §4.4) — the pre-change s10 plan carried four
-        # ArrowEvalPython nodes over the same corpus. One Python pass
-        # now serves all consumers.
-        .localCheckpoint(eager=False)
     )
     rads = {
         r["cell"]: r["rad"]
