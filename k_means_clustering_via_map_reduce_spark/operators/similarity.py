@@ -1150,14 +1150,16 @@ def _cosine_assign_udf(centers):
     # r13 optimization round: the duplicated ArrowEvalPython nodes in
     # the cell-join plans (join-key isnotnull constraints pushed below
     # this projection re-evaluate the UDF per side — guide §4.4) were
-    # A/B-tested against BOTH remedies and the duplication WON:
-    # a lazy localCheckpoint of the assigned frame regressed s10/s12
-    # 2-4× (materialization barrier + run-over-run accumulation), and
-    # asNondeterministic() regressed s9b 1.75 s → 4.9 s (the fence
-    # blocks the surrounding filter/prune optimizations too). The
-    # vectorized numpy body is cheap per pass; re-evaluation costs less
-    # than either fence. Left as-is deliberately — see
-    # OPTIMIZATION_r13.md.
+    # A/B-tested against BOTH remedies twice under different host
+    # conditions. asNondeterministic() loses everywhere (s9b 1.75 s →
+    # 4.9 s — the fence blocks the surrounding filter/prune
+    # optimizations too) and stays out. The lazy localCheckpoint of the
+    # assigned frame lost under the first window (s10 3.0→5.0 s) but
+    # WON decisively when re-measured (27.0→9.9 s first-use, 6.7→3.8 s
+    # warmed, every interleaved round) — it is now applied inside
+    # _cell_pruned_selfjoin (s10/s12, three consumers). s9b keeps the
+    # re-evaluating form: only two consumers, and its measured isolate
+    # (2.4 s) sits at the fixed-cost floor. See OPTIMIZATION_r13.md.
     return assign
 
 
@@ -1342,6 +1344,13 @@ def _cell_pruned_selfjoin(
             F.col("a.angle").alias("angle"),
         )
         .withColumn("nrm", vector_norm(F.col("v")))
+        # Three consumers read this frame (the radii collect below and
+        # BOTH sides of the cell self-join), each re-running the scan +
+        # assign UDF; the lazy checkpoint runs that pass once. Re-tested
+        # this round against the re-evaluating form with interleaved
+        # A/B rounds: the checkpoint won every round (27.0→9.9 s
+        # first-use, 6.7→3.8 s warmed) — see OPTIMIZATION_r13.md §s10.
+        .localCheckpoint(eager=False)
     )
     rads = {
         r["cell"]: r["rad"]
