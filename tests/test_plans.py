@@ -919,3 +919,24 @@ def test_s12_pairs_join_is_broadcast_grid(spark, sf_dir):
 
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan[:500]
+
+
+def test_s10_assign_udf_runs_once(spark, sf_dir):
+    """The r13 cell-join checkpoint: s10's final plan must carry NO
+    residual Python-eval node — the cosine cell-assign UDF runs exactly
+    once inside the checkpointed frame, which all three consumers
+    (radii collect + both self-join sides) then read. Before the
+    checkpoint the pushed join-key constraints duplicated the UDF into
+    8 ArrowEvalPython nodes (plans/r13/s10_..._before.txt)."""
+    from k_means_clustering_via_map_reduce_spark.plans import (
+        count_shuffles,
+        physical_plan,
+    )
+
+    df = Q.QUERIES["s10_radius_selfjoin_profile"](spark, sf_dir)
+    plan = physical_plan(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan[:500]
+    # post-checkpoint shape: profile agg + final-join + presentation
+    # sort exchanges only (the assign pass lives in the checkpoint).
+    assert count_shuffles(df) <= 3, physical_plan(df)
