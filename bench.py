@@ -54,6 +54,19 @@ def _warm(spark) -> None:
 
     spark.range(100_000, numPartitions=64).select(_noop(col("id"))).count()
 
+    # The iterator-style Python eval paths (MapInPandasExec /
+    # MapInArrowExec) have their own first-use JVM class loading and
+    # executor worker-module pools, separate from the scalar
+    # ArrowEvalPython path warmed above — m1-m17/d3-class entries paid
+    # it inside their first timed run (m10 measured 2.1 s first vs
+    # 1.1 s warm in one session). One-row passes load both.
+    def _mip(batches):
+        for b in batches:
+            yield b
+
+    spark.range(10).mapInPandas(_mip, "id LONG").count()
+    spark.range(10).mapInArrow(_mip, "id LONG").count()
+
     # Warm the Structured Streaming machinery (engine classes, state
     # store provider, offset/commit logs, stateful-agg codegen) with a
     # one-row stream, so the first timed streaming query measures the
@@ -89,6 +102,202 @@ def _warm(spark) -> None:
         )
         q.awaitTermination()
         spark.catalog.dropTempView("warm_stream")
+
+    _warm_python_datasource(spark)
+    _warm_tws(spark)
+
+
+def _warm_python_datasource(spark) -> None:
+    """Warm the Python DataSource framework (Spark 4, SPARK-44076).
+
+    Each of its driver-side worker MODULES (create_data_source,
+    plan_data_source, write_into_data_source, the streaming-reader
+    runner) spawns a fresh Python process that imports pyspark on its
+    FIRST use (~1-3 s each on this host), and the executor-side
+    PythonDataSource scan/write exec nodes have their own one-time JVM
+    class loading. A full read + write + streaming-read round through a
+    bench-local ONE-ROW source loads all of it once, untimed, so the
+    f15/f17/k16/f24/k23-class entries measure their queries instead of
+    framework bootstrap — measured first-use 4.2/5.1/7.1 s vs warm
+    0.7/0.2/3.2 s in one session (guide §1.5/§4; VERDICT r13
+    "Next round" #1). The warm source is registered under its own name;
+    every engine source still registers and plans itself inside its
+    timed run."""
+    import os
+    import tempfile
+
+    try:
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            DataSourceWriter,
+            InputPartition,
+            SimpleDataSourceStreamReader,
+            WriterCommitMessage,
+        )
+    except ImportError:  # pre-4.0 PySpark: nothing to warm
+        return
+
+    class _WarmReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(0)]
+
+        def read(self, part):
+            yield (0,)
+
+    class _WarmStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= 1:
+                return [], start
+            return [(0,)], {"pos": 1}
+
+        def readBetweenOffsets(self, start, end):
+            return [(0,)] if end["pos"] > start["pos"] else []
+
+    class _WarmWriter(DataSourceWriter):
+        def write(self, rows):
+            n = sum(1 for _ in rows)
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            pass
+
+        def abort(self, messages):
+            pass
+
+    class _WarmSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "kmce_bench_warm"
+
+        def schema(self):
+            return "i BIGINT"
+
+        def reader(self, schema):
+            return _WarmReader()
+
+        def simpleStreamReader(self, schema):
+            return _WarmStreamReader()
+
+        def writer(self, schema, overwrite):
+            return _WarmWriter()
+
+    try:
+        spark.dataSource.register(_WarmSource)
+        # batch read path (create_data_source + plan_data_source +
+        # executor scan workers)
+        spark.read.format("kmce_bench_warm").load().collect()
+        # write path (write_into_data_source + commit protocol)
+        with tempfile.TemporaryDirectory(prefix="kmce_warm_ds_") as tmp:
+            spark.range(1).write.format("kmce_bench_warm").mode(
+                "append"
+            ).save(os.path.join(tmp, "out"))
+            # streaming read path (python streaming source runner +
+            # offset log plumbing)
+            q = (
+                spark.readStream.format("kmce_bench_warm")
+                .load()
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(tmp, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    except Exception as exc:  # warm must never kill the bench
+        print(f"# datasource warm failed: {exc}", file=sys.stderr)
+
+
+def _warm_tws(spark) -> None:
+    """Warm transformWithStateInPandas + the RocksDB state store
+    provider with a one-row, one-key, 2-partition stream: RocksDB JNI
+    library load, the TWS planner rules and state-server protocol
+    classes, the stateful-processor Python worker module, and the
+    timer/expiry path are all one-time costs the first TWS entry
+    (k8b, then k29-k31) absorbed inside its timed run (k8b measured
+    4.6 s first-use vs 3.2 s warm). VERDICT r13 "Next round" #3 asks
+    for exactly this: fold the provider init into _warm. The warm uses
+    its own throwaway checkpoint and state; the timed queries still
+    build, run, and commit their own streams end-to-end."""
+    import os
+    import tempfile
+
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError:
+        return
+    from k_means_clustering_via_map_reduce_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        return
+
+    class _WarmProc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._v = handle.getValueState("v", "n BIGINT")
+            self._l = handle.getListState("l", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            self._v.update((n,))
+            self._l.appendList([(n,)])
+            # register an already-expired timer so the expiry path
+            # (handleExpiredTimer + timer state column families) loads
+            self._h.registerTimer(1)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame({"k": [key[0]], "n": [1]})
+
+        def close(self) -> None:
+            pass
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        with tempfile.TemporaryDirectory(prefix="kmce_warm_tws_") as tmp:
+            src = os.path.join(tmp, "src")
+            spark.sql(
+                "SELECT TIMESTAMP'2024-01-01 00:00:00' AS ts, 1L AS k"
+            ).write.parquet(src)
+            q = (
+                spark.readStream.schema("ts TIMESTAMP, k BIGINT")
+                .parquet(src)
+                .withWatermark("ts", "0 seconds")
+                .groupBy("k")
+                .transformWithStateInPandas(
+                    statefulProcessor=_WarmProc(),
+                    outputStructType="k BIGINT, n BIGINT",
+                    outputMode="Append",
+                    timeMode="EventTime",
+                )
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(tmp, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    except Exception as exc:  # warm must never kill the bench
+        print(f"# tws warm failed: {exc}", file=sys.stderr)
+    finally:
+        spark.conf.set(conf_key, prev_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _prestage(spark, sf_dir: str) -> float:

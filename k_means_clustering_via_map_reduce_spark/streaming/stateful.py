@@ -431,20 +431,42 @@ def _make_session_timer_processor(gap_us: int):
         def handleInputRows(self, key, rows, timerValues):
             pairs = []
             for pdf in rows:
-                us = (pd.to_datetime(pdf["ts"], utc=True).astype("int64")
-                      // 1000)
+                # datetime64 → int64 ns directly; for tz-aware (UTC)
+                # input to_numpy converts to UTC wall first — the same
+                # value pd.to_datetime(utc=True).astype(int64) yielded,
+                # without its per-call fixed cost (one call per KEY per
+                # batch; guide §4.2 — vectorize inside the boundary).
+                us = (
+                    pdf["ts"].to_numpy(dtype="datetime64[ns]")
+                    .astype("int64") // 1000
+                )
                 pairs.extend(zip(us.tolist(), pdf["value"].tolist()))
+            # State-server round-trip economy (each call below is one
+            # RPC per key per batch): a key with NO prior buffer can
+            # never hold a pending timer (timers are only registered
+            # alongside a non-empty buffer, and the expiry path either
+            # re-arms over a kept buffer or clears both), so the fresh-
+            # key fast path skips the full buffer read-back AND the
+            # listTimers/deleteTimer sweep — at 100 TB every first-touch
+            # key takes this path; continuing keys pay the full merge.
+            had_state = self._buf.exists()
             if pairs:
                 self._buf.appendList(
                     [(int(u), float(v)) for u, v in pairs]
                 )
-            buf = sorted((r[0], r[1]) for r in self._buf.get())
+            if had_state:
+                buf = sorted((r[0], r[1]) for r in self._buf.get())
+            else:
+                buf = sorted(pairs)
             if buf:
                 first_close = _sessionize_pairs(buf, gap_us)[0][1] + gap_us
                 # ceil to ms so the timer can never fire before the
                 # close point; correctness re-checks against the
                 # watermark at expiry anyway
-                self._set_single_timer(first_close // 1000 + 1)
+                if had_state:
+                    self._set_single_timer(first_close // 1000 + 1)
+                else:
+                    self._h.registerTimer(first_close // 1000 + 1)
             return iter([])
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
@@ -466,7 +488,12 @@ def _make_session_timer_processor(gap_us: int):
                 self._buf.appendList(
                     [(int(u), float(v)) for u, v in keep]
                 )
-                self._set_single_timer(
+                # the fired timer was already deleted by the framework
+                # (stateful_processor_util._handle_expired_timers calls
+                # delete_timer after this handler) and it was this
+                # key's ONLY timer, so re-arm directly — no
+                # listTimers/deleteTimer round-trips
+                self._h.registerTimer(
                     (still_open[0][1] + gap_us) // 1000 + 1
                 )
             if not closed:
@@ -595,13 +622,16 @@ def _make_typed_totals_processor():
                     agg[et] = (n + len(g), tot + float(g["value"].sum()))
             opening = self._opening.get()
             op = float(opening[0]) if opening is not None else 0.0
+            # ONE state-server round-trip for all prior entries instead
+            # of containsKey + getValue per event type (2 RPCs × types
+            # × keys per batch); the committed state read is identical.
+            prior_all = {
+                mk[0]: (mv[0], mv[1])
+                for mk, mv in self._by_type.iterator()
+            }
             out = []
             for et, (dn, dtot) in sorted(agg.items()):
-                prior = (
-                    self._by_type.getValue((et,))
-                    if self._by_type.containsKey((et,))
-                    else (0, 0.0)
-                )
+                prior = prior_all.get(et, (0, 0.0))
                 n, tot = prior[0] + dn, prior[1] + dtot
                 self._by_type.updateValue((et,), (n, tot))
                 out.append((user_id, et, n, tot, op + tot))
@@ -757,18 +787,22 @@ def _make_topk_processor():
                 # oracle-identical); only integer sums happen here.
                 for uid, c in zip(pdf["user_id"], pdf["cents"]):
                     delta[int(uid)] = delta.get(int(uid), 0) + int(c)
+            # ONE full-map read replaces containsKey + getValue per
+            # touched user (2 RPCs × users per batch) AND the second
+            # full iterator() scan the leaderboard used to pay: merge
+            # locally, write back only touched users — the merged dict
+            # IS the post-update state, so the board is identical.
+            totals = {
+                int(k[0]): int(v[0]) for k, v in self._totals.iterator()
+            }
             for uid, c in delta.items():
-                prior = (
-                    self._totals.getValue((uid,))
-                    if self._totals.containsKey((uid,))
-                    else (0,)
-                )
-                self._totals.updateValue((uid,), (int(prior[0]) + c,))
+                totals[uid] = totals.get(uid, 0) + c
+                self._totals.updateValue((uid,), (totals[uid],))
             ep = self._epoch.get()
             epoch = (int(ep[0]) if ep is not None else 0) + 1
             self._epoch.update((epoch,))
             board = sorted(
-                ((int(v[0]), int(k[0])) for k, v in self._totals.iterator()),
+                ((c, uid) for uid, c in totals.items()),
                 key=lambda t: (-t[0], t[1]),
             )[:K31_TOPK]
             out = [
