@@ -179,6 +179,16 @@ def lloyd_fit_join(
         converged = False
         history: list[list[tuple[float, ...]]] = []
 
+        # Build the K-group mean aggregate columns ONCE: each
+        # F.avg(...)[i].alias(...) is several py4j round-trips, and dim
+        # of them per iteration dominated the driver-side loop cost
+        # (measured 1-4 s/iteration of pure DataFrame construction at
+        # dim=64 vs ~0.05 s hoisted; the Column objects are immutable
+        # and reusable across iterations).
+        agg_cols = [
+            F.avg(F.col("features")[i]).alias(f"m{i}") for i in range(dim)
+        ]
+
         for _ in range(max_iter):
             iterations += 1
             bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
@@ -205,12 +215,7 @@ def lloyd_fit_join(
             means = (
                 feats.withColumn("cluster_id", nearest(F.col("features")))
                 .groupBy("cluster_id")
-                .agg(
-                    *[
-                        F.avg(F.col("features")[i]).alias(f"m{i}")
-                        for i in range(dim)
-                    ]
-                )
+                .agg(*agg_cols)
                 .collect()
             )
             bc.unpersist()
@@ -524,10 +529,31 @@ def _kmpp_min_d2(vcol, cands) -> F.Column:
     size stays O(dim) regardless of candidate count (the per-candidate
     expression form recompiles an O(cands·dim) tree every round — at
     round 3 with ~25 candidates that is the dominant wall cost)."""
-    mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for _, _, vec in cands]
+    return F.array_min(
+        F.transform(
+            _matrix_literal([vec for _, _, vec in cands]),
+            lambda c: _kmpp_d2(vcol, c),
+        )
     )
-    return F.array_min(F.transform(mat, lambda c: _kmpp_d2(vcol, c)))
+
+
+def _matrix_literal(rows: list[list[float]]) -> F.Column:
+    """The candidate matrix as ONE folded literal: ``from_json`` of a
+    constant string is constant-folded by Catalyst into a single
+    ArrayData literal (kept in the codegen references array), so the
+    analyzed/optimized tree and the generated code stay O(1) in
+    cands·dim — the ``F.array(F.array(F.lit...))`` form built a
+    CreateArray tree of cands·dim Literal nodes (1,792 at round 3)
+    that re-paid analysis + codegen on every seeding pass (measured
+    3x on the pass wall time). Values are bit-identical: json.dumps
+    emits repr-style shortest round-trip decimals and Jackson parses
+    back to the nearest double — the same IEEE-754 value the F.lit
+    path embedded."""
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps(rows)), "array<array<double>>"
+    )
 
 
 def _kmpp_draw(vec_id, r: int) -> F.Column:
@@ -741,14 +767,19 @@ def candidate_weights(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in vec]).alias("vec"),
-                F.lit(cid).cast("bigint").alias("c"),
+    # ONE folded literal for the whole (vec, id) candidate table — the
+    # same constant-folding trick as _matrix_literal (see there); the
+    # CreateArray/CreateStruct tree form re-paid O(cands·dim) analysis
+    # and codegen on every call.
+    import json
+
+    pairs = F.from_json(
+        F.lit(
+            json.dumps(
+                [{"vec": vec, "c": cid} for _, cid, vec in cands]
             )
-            for _, cid, vec in cands
-        ]
+        ),
+        "array<struct<vec:array<double>,c:bigint>>",
     )
     assign = e.select(
         F.array_min(
@@ -897,11 +928,46 @@ def k14_production_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per final cluster with size, centroid norm, and the fit-level WSSSE
     (same scalar on every row, 4-decimal) so the hash pins fit quality,
     not just cluster shapes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     from k_means_clustering_via_map_reduce_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     res = production_fit(emb)
-    wssse = corpus_wssse(emb, [list(c) for c in res.centroids])
+    # ONE post-fit corpus pass instead of two (corpus_wssse +
+    # assign_clusters_broadcast each re-scanned the corpus; guide §1.2
+    # — at 100 TB that is a full extra read). The fused kernel computes
+    # the SAME distance matrix both kernels built (identical numpy
+    # expression), takes cluster_id = argmin(d) exactly as
+    # assign_clusters_broadcast did and d2 = max(min(d), 0) — equal to
+    # corpus_wssse's min over the clamped matrix, since clamping only
+    # lifts negatives to the same 0 the min then returns. The lazy
+    # localCheckpoint materializes the 2-column frame once so the two
+    # aggregates below don't re-run the kernel (executor loss ⇒ job
+    # retry from scratch; acceptable for a 2-column per-row frame that
+    # is itself one cheap narrow pass to rebuild).
+    bc = spark.sparkContext.broadcast(
+        np.asarray([list(c) for c in res.centroids], dtype=np.float64)
+    )
+
+    @pandas_udf("double")
+    def min_d2(vs: pd.Series) -> pd.Series:
+        c = bc.value
+        mat = np.vstack(vs.to_numpy())
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        d += (mat * mat).sum(axis=1)[:, None]
+        return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+    assigned = (
+        assign_clusters_broadcast(emb, res.centroids, array_col="embedding")
+        .select(
+            "cluster_id",
+            min_d2(F.col("embedding").cast("array<double>")).alias("d2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wssse = float(assigned.agg(F.sum("d2")).collect()[0][0])
     cents = spark.createDataFrame(
         [
             (i, float(sum(v * v for v in c) ** 0.5))
@@ -909,10 +975,8 @@ def k14_production_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="cluster_id INT, c_norm DOUBLE",
     )
-    counts = (
-        assign_clusters_broadcast(emb, res.centroids, array_col="embedding")
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_points"))
+    counts = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points")
     )
     return (
         cents.join(counts, "cluster_id", "left")

@@ -16,6 +16,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from k_means_clustering_via_map_reduce_spark.functions.text import shingles
 from k_means_clustering_via_map_reduce_spark.queries import query, r4
@@ -772,6 +773,7 @@ def jaccard_pairs_capped(
     shingled: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     posting_cap: int = 10_000,
+    ordered: bool = True,
 ) -> DataFrame:
     """The inverted-index jaccard join with a POSTING-FREQUENCY CAP —
     the guard the exact form needs at 100 TB: a shingle occurring in c
@@ -784,24 +786,37 @@ def jaccard_pairs_capped(
     (never false positives above threshold from capping). With any
     reasonable cap, shingles that frequent carry no near-dup signal
     anyway. Input is a `_shingled`-shaped frame (doc_id, lang, sh, n_sh).
+
+    Shuffle economy (guide §2.4 — share exchanges keyed the same way):
+    the cap is a window count over (lang, sg) — the SAME partitioning
+    the self-join shuffles on, and WindowExec's required sort is the
+    sort-merge join's required ordering, so ONE exchange+sort of the
+    posting table feeds the cap filter and both join sides
+    (ReusedExchange); the previous groupBy+join-back form shuffled the
+    postings an extra time to compute df and again to attach it.
+    ``ordered=False`` skips the output sort for callers that consume
+    the pairs order-insensitively (p2's connected components); the
+    default keeps d1b's declared ordering.
     """
     ex = shingled.select(
         "doc_id", "lang", "n_sh", F.explode("sh").alias("sg")
     )
-    keep = (
-        ex.groupBy("lang", "sg")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= posting_cap)
-        .select("lang", "sg")
+    wdf = Window.partitionBy("lang", "sg")
+    ex = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") <= posting_cap)
+        .drop("__df")
     )
-    ex = ex.join(keep, ["lang", "sg"])
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
             b,
             [
-                F.col("a.sg") == F.col("b.sg"),
+                # lang before sg so the equi-key sequence matches the
+                # window's (lang, sg) partitioning and the exchange is
+                # reused instead of re-shuffled
                 F.col("a.lang") == F.col("b.lang"),
+                F.col("a.sg") == F.col("b.sg"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
                 F.col("a.n_sh") >= threshold * F.col("b.n_sh"),
                 F.col("b.n_sh") >= threshold * F.col("a.n_sh"),
@@ -816,11 +831,10 @@ def jaccard_pairs_capped(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
-    return (
-        inter.filter(jac >= threshold)
-        .select("a_id", "b_id", r4(jac).alias("jaccard"))
-        .orderBy("a_id", "b_id")
+    out = inter.filter(jac >= threshold).select(
+        "a_id", "b_id", r4(jac).alias("jaccard")
     )
+    return out.orderBy("a_id", "b_id") if ordered else out
 
 
 @query("d1b_jaccard_capped", oracle=_D1_ORACLE)

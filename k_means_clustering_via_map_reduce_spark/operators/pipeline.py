@@ -82,7 +82,12 @@ def curate(docs: DataFrame) -> DataFrame:
         "doc_id", "lang", shingles(F.col("text"), 3).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     pairs = jaccard_pairs_capped(
-        sh, threshold=JACCARD_THRESHOLD, posting_cap=CURATION_POSTING_CAP
+        sh,
+        threshold=JACCARD_THRESHOLD,
+        posting_cap=CURATION_POSTING_CAP,
+        # connected components consumes the pairs order-insensitively;
+        # the default global sort is a pure barrier here
+        ordered=False,
     ).select("a_id", "b_id")
     comp = connected_components(pairs)
     non_canonical = comp.filter(F.col("id") != F.col("label")).select(
