@@ -602,6 +602,8 @@ def kmeans_parallel_init(
     # once instead of re-scanning parquet per pass (the shape MLlib's
     # own initKMeansParallel uses: it requires its input cached;
     # guide §5 — cache what is reused across iterative passes).
+    # Non-replicated executor-local storage: executor loss mid-seeding
+    # fails the job (retry recomputes one narrow projection).
     ).localCheckpoint(eager=False)
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     cands: list[tuple[int, int, list[float]]] = [(0, seed["vec_id"], list(seed["v"]))]

@@ -370,7 +370,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     # projection, duplicating the simhash UDF again per side — the
     # pre-change plan carried 8 ArrowEvalPython nodes for one logical
     # pass (guide §4.4). Two longs per doc, the cheapest possible
-    # materialization; the UDF now runs exactly once.
+    # materialization; the UDF now runs exactly once. Non-replicated
+    # executor-local storage: an executor loss mid-query fails the job
+    # (retry recomputes) — acceptable, one narrow pass rebuilds it.
     sh = (
         with_simhash(docs)
         .select("doc_id", "simhash")
@@ -1586,6 +1588,9 @@ def segment_postings(segs: DataFrame) -> tuple[DataFrame, DataFrame]:
         # Catalyst planning before the first task ran (optimization
         # guide §3.3/§7.2: truncate duplicated subtrees). Lazy, so the
         # single materialization happens inside the first consuming job.
+        # Non-replicated executor-local storage: executor loss mid-query
+        # fails the job (retry recomputes); d11 accepts that because the
+        # 3k-line re-planning cost it removes dominates at every scale.
         .localCheckpoint(eager=False)
     )
     ex = sh.select("lang", "seg", "df", "n_sh", F.explode("sh").alias("sg"))
@@ -1650,7 +1655,8 @@ def segment_family_from_postings(
         # The prefix arm reads the kept postings three times (ranking
         # join, prefix self-join input, kept-array build); materialize
         # them once instead of re-running the posting build (and its
-        # cap semi-join) per reference — plan-truncation as above.
+        # cap semi-join) per reference — plan-truncation as above (same
+        # executor-loss ⇒ job-retry trade-off as the sh checkpoint).
         exk = exk.localCheckpoint(eager=False)
     if posting_cap is not None and posting_cap <= PREFIX_GATE_CAP:
         # binding-cap arm: the capped posting join IS the verifier —
@@ -1763,7 +1769,8 @@ def segment_family_from_postings(
         )
     # Jaccard survivors are ~10² rows; materialize before the two-
     # direction expansion so the candidate + verify pipeline (the whole
-    # subtree above) runs once, not once per direction.
+    # subtree above) runs once, not once per direction (executor-loss ⇒
+    # job-retry, as above — trivial at ~10² rows).
     pairs = pairs.localCheckpoint(eager=False)
     directed = pairs.select(
         "lang", F.col("seg_a").alias("seg"), F.col("b_df").alias("p_df")
@@ -1849,7 +1856,8 @@ def _d11_accounting(docs: DataFrame, posting_cap: int | None) -> DataFrame:
     truth form, pytest-only), computed inline from ``docs``."""
     # Materialized once: the occurrence table feeds both the postings
     # build and the final per-doc marking join — without this the doc
-    # scan + segment explosion runs twice (plan-truncation, guide §3.3).
+    # scan + segment explosion runs twice (plan-truncation, guide §3.3;
+    # non-replicated local storage: executor loss ⇒ job retry).
     segs = segment_occurrences(docs).localCheckpoint(eager=False)
     dist, ex = segment_postings(segs)
     return _d11_accounting_from_index(segs, dist, ex, posting_cap)

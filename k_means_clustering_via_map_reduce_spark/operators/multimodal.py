@@ -1670,7 +1670,8 @@ def m11_image_neardup_census(
     # synthesize → PNG decode → resample → dHash Python chain — the
     # pre-change plan carried 12 Python-eval nodes for one logical
     # pass (guide §4.4). (doc_id, 16-hex dhash) is the cheapest
-    # possible materialization; the decode now runs exactly once.
+    # possible materialization; the decode now runs exactly once
+    # (non-replicated local storage: executor loss ⇒ job retry).
     hashes = (
         image_dhash(synthesize_media(docs))
         .select("doc_id", "dhash")

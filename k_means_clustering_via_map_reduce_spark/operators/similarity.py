@@ -1349,7 +1349,18 @@ def _cell_pruned_selfjoin(
         # assign UDF; the lazy checkpoint runs that pass once. Re-tested
         # this round against the re-evaluating form with interleaved
         # A/B rounds: the checkpoint won every round (27.0→9.9 s
-        # first-use, 6.7→3.8 s warmed) — see OPTIMIZATION_r13.md §s10.
+        # first-use, 6.7→3.8 s warmed) — see OPTIMIZATION_r13.md §s10;
+        # re-proven for s12 in r14 (first-use 5.7→4.1 s, ADVICE r13).
+        # Costs to know (ADVICE r13): (1) each construction pins one
+        # copy of the assigned vector frame in executor-local block
+        # storage until the session ends — callers looping this in one
+        # long-lived session should unpersist via the returned frame's
+        # rdd after their action; (2) localCheckpoint is NON-replicated
+        # and truncates lineage, so on a distributed deployment an
+        # executor loss mid-query fails the job instead of recomputing
+        # (acceptable here: one cheap narrow pass rebuilds it on retry;
+        # use reliable checkpoint/DISK_ONLY persist when running
+        # non-local with preemptible executors).
         .localCheckpoint(eager=False)
     )
     rads = {

@@ -6883,6 +6883,9 @@ def q91_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pre-optimization plan carried 56 lineitem scans across 2,007
         # plan lines / 114 Exchanges, and Catalyst planning alone cost
         # seconds (guide §3.3/§7.2: truncate duplicated subtrees).
+        # e/deg/dir_e checkpoints are non-replicated executor-local
+        # storage: an executor loss mid-query fails the job (retry
+        # recomputes) — accepted for the planning-cost win above.
         .localCheckpoint(eager=False)
     )
     deg = (
