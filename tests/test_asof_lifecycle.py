@@ -33,6 +33,14 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+
+# NIGHTLY TIER (r14, VERDICT r13 #7): this generated-lifecycle harness
+# dominates suite wall clock; it is deselected by the default run
+# (pytest.ini addopts) so the driver's verify window fits, and runs
+# with `pytest -m nightly`. Coverage of operators touched in r14
+# lives in the always-on tier.
+pytestmark = pytest.mark.nightly
+
     commit_append,
     compact,
     delete_where,

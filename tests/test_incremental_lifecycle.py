@@ -43,6 +43,14 @@ from k_means_clustering_via_map_reduce_spark.operators.incremental import (
     token_counts_state,
 )
 from k_means_clustering_via_map_reduce_spark.sources.versioned import (
+
+# NIGHTLY TIER (r14, VERDICT r13 #7): this generated-lifecycle harness
+# dominates suite wall clock; it is deselected by the default run
+# (pytest.ini addopts) so the driver's verify window fits, and runs
+# with `pytest -m nightly`. Coverage of operators touched in r14
+# lives in the always-on tier.
+pytestmark = pytest.mark.nightly
+
     applied_batches,
     commit_append,
     compact,
